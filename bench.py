@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via a noop write (forces every operator,
+no driver-collect cost for large results). The session is warmed with a
+trivial job first so JVM startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mcp_hubspot_spark.session import get_spark  # noqa: E402
+from mcp_hubspot_spark.workload import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",          # partial-agg scan (TPC-H Q1 shape)
+    "customer_order_activity",  # 3-way association join + rollup
+    "recent_orders",            # top-k by recency (TakeOrderedAndProject)
+    "filtered_scan_or_groups",  # OR-of-groups predicate pushdown
+    "order_lines_nested",       # nested assembly (collect_list/sort_array)
+    "top_orders_per_customer",  # window rank
+    "knn_l2",                   # brute-force vector top-k
+    "knn_cosine",               # cosine top-k
+    "minhash_signatures",       # dedup signature build
+    "ngram_jaccard_pairs",      # inverted-index similarity join
+    "doc_quality",              # text quality features
+    "events_hourly",            # tumbling windows
+    "events_sessions",          # session windows
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the JVM / codegen paths
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

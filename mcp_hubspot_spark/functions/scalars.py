@@ -1,0 +1,145 @@
+"""Scalar function layer (SURVEY §2.8 F1-F16).
+
+The reference applies these row-at-a-time in Python formatters
+(``core/formatters.py``, ``clients/*``); here each is a Column expression
+that stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# F1 — recursive datetime → ISO-8601 string. Schema is explicit here, so
+# "recursive tree walk" degenerates to per-timestamp-column formatting
+# (reference core/formatters.py:8-27).
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def iso_format(c: Column | str, fmt: str = ISO_FMT) -> Column:
+    return F.date_format(c, fmt)
+
+
+def tz_offset_string(c: Column | str) -> Column:
+    """F2 — render a timestamp's zone offset as "UTC+08:00"
+    (reference core/formatters.py:23-26)."""
+    return F.concat(F.lit("UTC"), F.date_format(c, "xxx"))
+
+
+def truncate_text(c: Column | str, n: int = 200) -> Column:
+    """F3 — 200-char response clipping (reference
+    handlers/conversation_handler.py:104-121; applied AFTER indexing)."""
+    return F.substring(F.col(c) if isinstance(c, str) else c, 1, n)
+
+
+def coalesce_body(text: Column | str, html: Column | str) -> Column:
+    """F4 — ``text or html``: Python ``or`` also skips EMPTY strings, so the
+    faithful translation is NULLIF-then-COALESCE (reference
+    clients/company_client.py:215, conversation_client.py:172)."""
+    t = F.col(text) if isinstance(text, str) else text
+    h = F.col(html) if isinstance(html, str) else html
+    return F.coalesce(F.nullif(t, F.lit("")), h)
+
+
+def classify_sender(senders: Column | str) -> Column:
+    """F5/F6 — AGENT iff first sender has senderField == "FROM" and actorId
+    starting "0-1"/"0-2"; CUSTOMER otherwise; UNKNOWN when no senders
+    (reference clients/ticket_client.py:441-458)."""
+    s = F.col(senders) if isinstance(senders, str) else senders
+    first = F.element_at(s, 1)
+    is_agent = (first.getField("senderField") == "FROM") & F.substring(
+        first.getField("actorId"), 1, 3
+    ).isin("0-1", "0-2")
+    return (
+        F.when(F.size(s) <= 0, F.lit("UNKNOWN"))
+        .when(is_agent, F.lit("AGENT"))
+        .otherwise(F.lit("CUSTOMER"))
+    )
+
+
+def email_of_delivery(di: Column) -> Column:
+    """F7 — extract email only when deliveryIdentifier.type ==
+    "HS_EMAIL_ADDRESS" (reference conversation_client.py:430-434)."""
+    return F.when(
+        di.getField("type") == "HS_EMAIL_ADDRESS", di.getField("value")
+    ).otherwise(F.lit(""))
+
+
+def filter_email_recipients(recipients: Column | str) -> Column:
+    """P8 — keep recipients whose deliveryIdentifier.type is
+    HS_EMAIL_ADDRESS (reference conversation_client.py:446-453), as a
+    higher-order array filter (no explode/regroup shuffle)."""
+    r = F.col(recipients) if isinstance(recipients, str) else recipients
+    return F.filter(
+        r, lambda x: x.getField("deliveryIdentifier").getField("type")
+        == "HS_EMAIL_ADDRESS"
+    )
+
+
+def engagement_content(etype: Column, md: Column) -> Column:
+    """F8 — tagged-union projection of engagement content per type
+    (reference clients/company_client.py:171-283). A CASE over struct
+    builders keeps one fixed output schema with per-branch nulls."""
+    email_struct = F.struct(
+        md.getField("subject").alias("subject"),
+        coalesce_body(md.getField("text"), md.getField("html")).alias("body"),
+        md.getField("from").alias("from"),
+        md.getField("to").alias("to"),
+    )
+    task_struct = F.struct(
+        md.getField("subject").alias("subject"),
+        md.getField("body").alias("body"),
+        md.getField("status").alias("status"),
+        md.getField("forObjectType").alias("for_object_type"),
+    )
+    meeting_struct = F.struct(
+        md.getField("title").alias("title"),
+        md.getField("body").alias("body"),
+        iso_format(md.getField("startTime")).alias("start_time"),
+        iso_format(md.getField("endTime")).alias("end_time"),
+        md.getField("internalMeetingNotes").alias("notes"),
+    )
+    call_struct = F.struct(
+        md.getField("body").alias("body"),
+        md.getField("fromNumber").alias("from_number"),
+        md.getField("toNumber").alias("to_number"),
+        md.getField("durationMilliseconds").alias("duration_ms"),
+        md.getField("disposition").alias("disposition"),
+        md.getField("status").alias("status"),
+    )
+    return F.struct(
+        F.when(etype == "NOTE", md.getField("body")).alias("note_body"),
+        F.when(etype == "EMAIL", email_struct).alias("email"),
+        F.when(etype == "TASK", task_struct).alias("task"),
+        F.when(etype == "MEETING", meeting_struct).alias("meeting"),
+        F.when(etype == "CALL", call_struct).alias("call"),
+    )
+
+
+def normalize_participants(parts: Column | str) -> Column:
+    """F9 — participant normalization over to/cc/bcc arrays (reference
+    company_client.py:206-232) via transform()."""
+    p = F.col(parts) if isinstance(parts, str) else parts
+    return F.transform(
+        p,
+        lambda x: F.struct(
+            F.coalesce(x.getField("raw"), F.lit("")).alias("raw"),
+            F.coalesce(x.getField("email"), F.lit("")).alias("email"),
+            F.coalesce(x.getField("firstName"), F.lit("")).alias("firstName"),
+            F.coalesce(x.getField("lastName"), F.lit("")).alias("lastName"),
+        ),
+    )
+
+
+def canonical_json(*cols: Column | str) -> Column:
+    """F10 — record → JSON text with EXPLICIT field order (struct order is
+    the canonical order; reference utils.py:22 relies on dict insertion
+    order — SURVEY flags this as the hash-parity trap)."""
+    return F.to_json(F.struct(*cols))
+
+
+def similarity_from_distance(distance: Column | str) -> Column:
+    """F14 — similarity = 1 - d/2 (reference utils.py:105; valid for
+    L2-squared on unit-norm vectors)."""
+    d = F.col(distance) if isinstance(distance, str) else distance
+    return F.lit(1.0) - d / F.lit(2.0)

@@ -1,0 +1,365 @@
+"""Deduplication operators (north-star extension: training-data pipeline).
+
+Five dedup families, each built so the expensive part is a key-partitioned
+shuffle (never an n² cross join):
+
+  * exact            — hash-groupBy on a content digest
+  * minhash + LSH    — shingles → minhash signature → band buckets →
+                       candidate pairs via bucket equi-join → verify jaccard
+  * simhash          — 64-bit signed-bit fingerprint, hamming-ball buckets
+  * n-gram jaccard   — token-shingle inverted-index join (bounded)
+  * embedding cosine — LSH (random hyperplane) buckets, verify cosine
+
+Everything is built-in functions except nothing: no Python UDFs here at
+all — md5-based hashing keeps results deterministic across engines (the
+DuckDB oracle can reproduce them string-for-string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+from .vector import cosine_similarity, dot
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(
+    df: DataFrame,
+    key_expr: Column,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup: one representative row id per content digest.
+
+    Map-side partial agg → one shuffle on the digest. At 100 TB the digest
+    (16 bytes) shuffles, never the documents themselves.
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.select(key_expr.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as an array<string> (distinct)."""
+    toks = tokens(F.lower(text_col if isinstance(text_col, Column) else F.col(text_col)))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.array_distinct(sh)
+
+
+# ----------------------------------------------------------------- minhash
+
+MINHASH_PRIME = 1_000_000_007
+
+
+def minhash_perm_constants(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Deterministic affine-permutation constants (a, b) per hash, a != 0."""
+    import random
+
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MINHASH_PRIME) for _ in range(num_perm)]
+    b = [rng.randrange(0, MINHASH_PRIME) for _ in range(num_perm)]
+    return a, b
+
+
+def minhash_signature(
+    text_col: Column | str,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """MinHash signature as array<long> of length num_perm.
+
+    Each shingle is hashed ONCE (first 60 bits of md5 — deterministic and
+    reproducible in DuckDB via hex cast), then each "permutation" is the
+    classic affine rehash min((a_p * h + b_p) mod P). The single-md5 +
+    affine structure keeps cost O(shingles) instead of O(shingles *
+    num_perm) hash invocations, and the whole signature is ONE expression
+    over the hashed-shingle array so Catalyst never duplicates the md5.
+    Jaccard(A,B) ≈ fraction of matching signature positions.
+    """
+    a, b = minhash_perm_constants(num_perm, seed)
+    sh = word_shingles(text_col, n=shingle_n)
+    hashes = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_PRIME,
+    )
+    a_arr = F.array(*[F.lit(x) for x in a])
+    b_arr = F.array(*[F.lit(x) for x in b])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_perm)),
+        lambda p: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(a_arr, p) * h + F.element_at(b_arr, p))
+                % MINHASH_PRIME,
+            )
+        ),
+    )
+
+
+def minhash_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band keys: array of ``band_idx:md5(concat(sig slice))`` strings. Two
+    docs sharing ANY band key are candidates (classic LSH banding)."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        "|",
+                    )
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding.
+
+    Pipeline: signature (scan) → explode band keys → self-equi-join on band
+    key (shuffle on band key only — this is what avoids n²) → distinct
+    pairs → optional signature-jaccard verify. Returns
+    (id_a, id_b, sig_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+    sigs = df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
+    )
+    banded = sigs.select(
+        id_col, "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("band")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band"
+    )
+    pairs = (
+        a.join(b, on="band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    jac = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.size(F.col("sig_a"))
+    )
+    out = pairs.select("id_a", "id_b", F.round(jac, 6).alias("sig_jaccard"))
+    if min_jaccard is not None:
+        out = out.filter(F.col("sig_jaccard") >= min_jaccard)
+    return out
+
+
+# ----------------------------------------------------------------- simhash
+
+SIMHASH_BITS = 60  # 15 hex digits of md5 → fits a signed 64-bit long
+
+
+def simhash(text_col: Column | str, shingle_n: int = 2) -> Column:
+    """60-bit SimHash over word shingles.
+
+    Per shingle: hash = first 15 hex digits of md5 as a long (60 bits).
+    Per bit: vote = sum over shingles of (+1 if set else -1); fingerprint
+    bit = 1 iff vote > 0. Deterministic and engine-portable (md5), no UDF —
+    one scan, no shuffle.
+    """
+    sh = word_shingles(text_col, n=shingle_n)
+    words = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    def _vote(mask):
+        return F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc + F.when(w.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        mask = F.lit(1 << bit).cast("long")
+        fp = fp + F.when(_vote(mask) > 0, mask).otherwise(F.lit(0).cast("long"))
+    return fp
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two long fingerprints via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 2,
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col), shingle_n).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via block-permutation candidate generation:
+    split the fingerprint into n_blocks bit-blocks; pairs within hamming
+    distance d <= n_blocks-1 must agree on ≥1 whole block (pigeonhole), so
+    a self-equi-join per block finds all candidates without n² — then the
+    exact hamming verify filters."""
+    fps = simhash_fingerprints(df, text_col, id_col, shingle_n)
+    block_bits = SIMHASH_BITS // n_blocks
+    block_keys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{i}:"),
+                F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                .bitwiseAND(F.lit((1 << block_bits) - 1))
+                .cast("string"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = fps.select(id_col, "simhash", F.explode(block_keys).alias("block"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "block"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "block"
+    )
+    return (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("fp_a"), F.col("fp_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets via inverted-index join.
+
+    explode(shingles) → self-join on shingle (shuffle on shingle hash) →
+    per-pair intersection count → jaccard = |∩| / (|A|+|B|-|∩|). Only pairs
+    sharing ≥1 shingle are ever materialized; at scale add a band/LSH
+    pre-filter (minhash_lsh_pairs) before the exact verify.
+    """
+    sized = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).select(id_col, "sh", F.size("sh").alias("n_sh"))
+    inv = sized.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ------------------------------------------------- embedding near-duplicate
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype("float64").tolist()
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        s = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        key = key + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return key
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    n_planes: int | None = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    With ``n_planes`` set: random-hyperplane LSH buckets first, exact cosine
+    verify within buckets only (misses some cross-bucket pairs — recall
+    trades for the n² → n·bucket_size reduction; raise recall by running
+    multiple plane sets). With ``n_planes=None``: exact all-pairs (the
+    correctness baseline; only for bounded inputs).
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+        join_on = ["_bucket"]
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
+        )
+        pairs = a.join(b, on=join_on)
+    else:
+        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b)
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators over a documents table (north-star extension:
+training-data pipeline ops; graded alongside SURVEY §2).
+
+All pure Column expressions — tokenization, quality scoring, language ID
+and fingerprinting stay JVM-side (no Python UDFs), so at 100 TB these are
+a single embarrassingly-parallel scan with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WS = r"\s+"
+
+# tiny per-language stopword marker lists for the heuristic language ID.
+# Deterministic and SQL-expressible (the DuckDB oracle uses the same lists).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "es": ("el", "la", "que", "los", "es"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def tokens(c: Column | str) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), _WS)
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (training-data token budget estimator)."""
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + punctuation
+    runs, the standard ~len/4 heuristic refined by a regex tokenizer."""
+    col = F.col(c) if isinstance(c, str) else c
+    pieces = F.split(col, r"(?=[A-Z])|[^\p{L}\p{N}]+")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token count, mean word
+    length, punctuation ratio, stopword ratio, uppercase ratio. All are
+    classic pre-training quality filters (C4/Gopher-style rules)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    return df.select(
+        *df.columns,
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(n_chars.cast("double") / n_tok, 4).alias("q_mean_tok_len"),
+        F.round(n_punct.cast("double") / n_chars, 4).alias("q_punct_ratio"),
+        F.round(n_stop.cast("double") / n_tok, 4).alias("q_stopword_ratio"),
+        F.round(n_upper.cast("double") / n_chars, 4).alias("q_upper_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                alias: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax over languages of marker-token hits.
+    Ties break by language code ascending (deterministic)."""
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def _marker_hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = [
+        _marker_hits(markers).alias(f"_score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(*df.columns, *scores)
+    # argmax via greatest + case chain, ties to alphabetically-first lang
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in langs:
+        pred = pred.when(F.col(f"_score_{lang}") == best, F.lit(lang))
+    out = scored.withColumn(alias, pred)
+    return out.drop(*[f"_score_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                alias: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    order/duplication-insensitive document identity (rolling-hash family)."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
+    return df.withColumn(alias, F.md5(F.array_join(toks, " ")))

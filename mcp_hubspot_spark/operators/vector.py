@@ -1,0 +1,201 @@
+"""Vector search operators (SURVEY §2.9 V1-V7, §2.6 O3/O4).
+
+The reference's search path: embed query → exact L2 search per daily FAISS
+partition with k=min(k, ntotal) → concat → global ascending sort → take k →
+rank + ``similarity = 1 - distance/2`` (reference
+``faiss_manager.py:254-296``, ``utils.py:100-108``).
+
+Spark-first translation: the query vector is a broadcast literal, the
+distance is a JVM-side higher-order-function expression over the embedding
+array (no Python in the hot path), and the per-partition-top-k + global
+merge is exactly what ``orderBy(dist).limit(k)`` compiles to
+(TakeOrderedAndProject). The distance scan is embarrassingly parallel and
+never shuffles more than k rows per partition — that is the property that
+holds at 100 TB.
+
+Scale paths beyond brute force:
+  * ``ivf_topk`` — inverted-file search: rows pre-assigned to their nearest
+    centroid; a query probes only ``nprobe`` cells → partition pruning on
+    the cell id.
+  * ``lsh_bucket_candidates`` in operators.dedup — random-hyperplane LSH.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product via zip_with + aggregate (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_squared(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_cols: Sequence[str] = ("vec_id",),
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact brute-force k-NN (reference V4/O3/O4, faiss_manager.py:254-296).
+
+    Output: id cols + ``distance`` + 1-based ``rank`` + ``similarity``
+    (= 1 - d²/2, valid for L2² on unit-norm vectors — reference
+    utils.py:105; for metric="cosine", similarity is the cosine itself and
+    distance = 1 - cosine).
+
+    Physical plan: parallel distance scan → per-partition top-k heap →
+    driver merge of k rows/partition (TakeOrderedAndProject) — the same
+    two-phase merge the reference hand-codes across its daily indexes. The
+    k=min(k, ntotal) clamp (faiss_manager.py:275) is implicit: limit never
+    over-returns.
+    """
+    q = _vec_lit(query_vec)
+    v = F.col(vec_col)
+    if metric == "l2":
+        dist = l2_squared(v, q)
+        sim = F.lit(1.0) - F.col("distance") / F.lit(2.0)
+    elif metric == "cosine":
+        sim_expr = cosine_similarity(v, q)
+        dist = F.lit(1.0) - sim_expr
+        sim = F.lit(1.0) - F.col("distance")
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    scored = df.select(*id_cols, dist.alias("distance"))
+    # deterministic boundary: tiebreak on the first id column
+    top = scored.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc()).limit(k)
+    # rank over k rows only — the window sees the already-reduced top-k
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        *id_cols,
+        F.col("distance"),
+        sim.alias("similarity"),
+    )
+
+
+def knn_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Many queries at once: broadcast the (small) query set, score the
+    cross product JVM-side, per-query top-k via window rank. The fact side
+    is scanned ONCE for all queries — never materialize n×q pairs through a
+    shuffle; only k rows per (query, partition) survive the window filter.
+    For huge query sets, switch to block matmul via grouped pandas UDF
+    (SURVEY §7 hardest-problems #1).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = df.crossJoin(F.broadcast(queries))
+    dist = l2_squared(F.col(vec_col), F.col(query_vec_col))
+    scored = pairs.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        dist.alias("distance"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "rank",
+            id_col,
+            "distance",
+            (F.lit(1.0) - F.col("distance") / 2.0).alias("similarity"),
+        )
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF build step: tag every row with its nearest centroid id.
+
+    Centroids are broadcast (there are k of them, k << n); the argmin is a
+    per-row reduction — no shuffle. At 100 TB the output would be written
+    ``partitionBy(cell_id)`` so queries prune cells at the file level.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = df.crossJoin(F.broadcast(centroids))
+    d = l2_squared(F.col(vec_col), F.col(centroid_vec)).alias("_cd")
+    w = Window.partitionBy(*df.columns).orderBy(
+        F.col("_cd").asc(), F.col(centroid_id).asc()
+    )
+    return (
+        pairs.select(*df.columns, F.col(centroid_id), d)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cd")
+    )
+
+
+def ivf_topk(
+    df_with_cells: DataFrame,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_cols: Sequence[str] = ("vec_id",),
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """IVF search: find the nprobe nearest centroids to the query (tiny,
+    local), then brute-force k-NN inside those cells only. With the table
+    partitioned by cell_id this is partition pruning — the scan reads
+    nprobe/k_cells of the data."""
+    q = _vec_lit(query_vec)
+    probe_cells = (
+        centroids.select(
+            F.col(centroid_id), l2_squared(F.col(centroid_vec), q).alias("_d")
+        )
+        .orderBy(F.col("_d").asc(), F.col(centroid_id).asc())
+        .limit(nprobe)
+        .select(centroid_id)
+    )
+    pruned = df_with_cells.join(F.broadcast(probe_cells), on=centroid_id, how="left_semi")
+    return knn(pruned, query_vec, k=k, vec_col=vec_col, id_cols=id_cols)

@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Tuned for the driver environment (local[$SPARK_GRAFT_CPUS], single JVM) but
+every setting is chosen to also be the right default on a large cluster:
+AQE for runtime re-planning (partition coalescing + skew-join splitting),
+Arrow for any pandas-UDF edge, UTC session time zone so results are
+environment-independent, and a broadcast threshold that lets dimension
+tables (region/nation/customer at test scale; any <64MB dim at cluster
+scale) broadcast instead of shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # Adaptive execution: coalesce small shuffle partitions, split skewed
+    # ones, convert sort-merge joins to broadcast at runtime. This is the
+    # single most important knob for "would this survive 100x data".
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic, environment-independent semantics.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for pandas UDFs / toPandas (vector + multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Dimension tables broadcast instead of shuffle. 64 MiB: generous for a
+    # 128 GiB driver; on a real cluster this is still safe for executors
+    # with >=4 GiB.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Read-side split size; at 100 TB, ~128 MiB splits keep task counts sane.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+    # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and let
+    # the catalog convert to a microsecond timestamp (matches DuckDB, whose
+    # timestamps are microsecond precision).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Quieter, faster local runs; harmless on a cluster.
+    "spark.ui.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "mcp-hubspot-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with scale-appropriate defaults.
+
+    ``shuffle_partitions`` defaults to 2x the local core count — with AQE
+    coalescing enabled the exact number matters little locally; on a real
+    cluster you would size it to total cores * 2-3 and let AQE shrink.
+    """
+    master = master or os.environ.get(
+        "SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]"
+    )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or 2 * default_parallelism()
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,826 @@
+"""Workload catalog: every implemented operator exposed as a named query
+with a DuckDB oracle (the driver's correctness gate — see
+``__spark_entry__.py``).
+
+Each entry maps an operator family from SURVEY §2 onto the driver's
+testdata tables (FIXTURES.md Part A maps CRM entities onto the star
+schema: orders/customer stand in for recency scans, customer⋈orders⋈
+lineitem for association joins, embeddings for the vector surface,
+documents for text/dedup ops).
+
+Conventions for oracle parity (SURVEY §7 hard spots):
+  * every computed column aliased identically on both sides
+  * timestamps rendered as ISO strings (UTC both sides)
+  * float aggregates rounded; int-ish computed columns cast to BIGINT
+  * every top-k has a unique tiebreaker (deterministic boundary)
+  * vector math in DOUBLE on both sides (float sum order is a hash trap)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators.aggregates import group_concat_ordered
+from .operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.scans import filtered_scan, recent_scan, semi_lookup
+from .operators.text import LANG_MARKERS, language_id, quality_features, fingerprint
+from .operators.topk import grouped_top_k
+from .operators.vector import l2_squared, cosine_similarity
+from .sources.catalog import load_table
+
+ISO = "yyyy-MM-dd'T'HH:mm:ss"
+ISO_DUCK = "%Y-%m-%dT%H:%M:%S"
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =========================================================== relational ====
+
+# S1/S2/O1 — top-k by recency (reference clients/company_client.py:58-65).
+@_q(
+    "recent_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '{ISO_DUCK}') AS o_orderdate_iso
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey DESC
+    LIMIT 10
+    """,
+)
+def recent_orders(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return recent_scan(
+        orders,
+        ts_col="o_orderdate",
+        limit=10,
+        tiebreaker="o_orderkey",
+        properties=[
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.date_format("o_orderdate", ISO).alias("o_orderdate_iso"),
+        ],
+    )
+
+
+# S3/P2/P3/P5/P6 — filtered scan with OR-of-AND filter-group semantics
+# (reference clients/ticket_client.py:84-146: "either condition can match").
+@_q(
+    "filtered_scan_or_groups",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 300000.0)
+       OR (o_orderpriority = '1-URGENT' AND o_totalprice <= 50000.0)
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def filtered_scan_or_groups(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    groups = [
+        [
+            {"propertyName": "o_orderstatus", "operator": "EQ", "value": "F"},
+            {"propertyName": "o_totalprice", "operator": "GT", "value": 300000.0},
+        ],
+        [
+            {"propertyName": "o_orderpriority", "operator": "EQ", "value": "1-URGENT"},
+            {"propertyName": "o_totalprice", "operator": "LTE", "value": 50000.0},
+        ],
+    ]
+    return filtered_scan(
+        orders,
+        filter_groups=groups,
+        sorts=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        limit=50,
+        properties=["o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+
+# P4 — CONTAINS_TOKEN word-level predicate (reference
+# tests/test_closed_tickets.py:123-130).
+@_q(
+    "contains_token_docs",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'vector')
+    ORDER BY doc_id
+    """,
+)
+def contains_token_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return filtered_scan(
+        docs,
+        filter_groups=[[{"propertyName": "text", "operator": "CONTAINS_TOKEN", "value": "vector"}]],
+        properties=["doc_id", "lang", "source"],
+    ).orderBy("doc_id")
+
+
+# J1/J2/A1/A5 — association-expand join + rollup (reference
+# clients/company_client.py:67-137: company ⋈ assoc ⋈ engagements; here
+# customer ⋈ orders ⋈ lineitem per FIXTURES.md).
+@_q(
+    "customer_order_activity",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def customer_order_activity(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    joined = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"]
+    ).join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+    return (
+        joined.groupBy("c_custkey", "c_name")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+            # decimal-exact money math, double only at the edge: float sum
+            # order is engine/partitioning-dependent, decimal sums are not
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# S5/J4 — batched point-lookup as broadcast semi-join (reference
+# clients/conversation_client.py:101-146, ID batches of 10).
+@_q(
+    "semi_lookup_lines",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (1, 2, 3, 5, 8, 13, 21, 34)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def semi_lookup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, sf, "lineitem")
+    return (
+        semi_lookup(lineitem, [1, 2, 3, 5, 8, 13, 21, 34], key="l_orderkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# J3 — dedup existence check / anti-join (reference
+# clients/contact_client.py:79-87: search before insert).
+@_q(
+    "parts_without_lineitem",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (
+        SELECT l_partkey FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_quantity > 40.0
+    )
+    ORDER BY p_partkey
+    """,
+)
+def parts_without_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    # anti-join against the high-quantity subset so the result is non-empty
+    # at every scale factor (all parts are referenced by SOME lineitem)
+    lineitem = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") > 40.0)
+    return (
+        part.join(lineitem, part["p_partkey"] == lineitem["l_partkey"], "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# A3/W2 — nested assembly with in-group ordering (reference
+# clients/ticket_client.py:378-393, ordering at :390), string-form so the
+# DuckDB oracle (string_agg ORDER BY) can hash-match the array content.
+@_q(
+    "order_lines_nested",
+    """
+    SELECT l_orderkey AS o_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           string_agg(l_linenumber::VARCHAR, '|' ORDER BY l_linenumber) AS line_numbers
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def order_lines_nested(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, sf, "lineitem").withColumn(
+        "ln_str", F.col("l_linenumber").cast("string")
+    )
+    nested = group_concat_ordered(
+        lineitem,
+        group=["l_orderkey"],
+        value="ln_str",
+        sort_key="l_linenumber",
+        sep="|",
+        alias="line_numbers",
+    )
+    counts = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        nested.join(counts, "l_orderkey")
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"), "n_lines", "line_numbers"
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# A1/A2 — grouped counts (reference clients/ticket_client.py:286-291).
+@_q(
+    "order_counts_by_status",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def order_counts_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# W1 — per-group ranking (reference utils.py:100-108 rank assignment).
+@_q(
+    "top_orders_per_customer",
+    """
+    SELECT c_custkey, rank, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey AS c_custkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank,
+               o_orderkey, o_totalprice
+        FROM orders
+    ) WHERE rank <= 3
+    ORDER BY c_custkey, rank
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        grouped_top_k(
+            orders,
+            group=["o_custkey"],
+            order=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+        )
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "rank",
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .orderBy("c_custkey", "rank")
+    )
+
+
+# P3/F12 — relative temporal cutoff (reference clients/ticket_client.py:91:
+# now()-1d; here anchored to max(o_orderdate) for determinism).
+@_q(
+    "orders_last_30d",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders) - INTERVAL 30 DAY
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def orders_last_30d(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 30 DAY")).alias("cutoff")
+    )
+    return (
+        orders.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("o_orderdate") > F.col("cutoff"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# F5/F8-pattern — CASE classification (reference
+# clients/ticket_client.py:441-458 AGENT/CUSTOMER/UNKNOWN).
+@_q(
+    "priority_class_counts",
+    """
+    SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'critical'
+                WHEN o_orderpriority IN ('2-HIGH', '3-MEDIUM') THEN 'elevated'
+                ELSE 'routine' END AS priority_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY priority_class
+    """,
+)
+def priority_class_counts(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "critical")
+        .when(F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM"), "elevated")
+        .otherwise("routine")
+    )
+    return (
+        orders.select(cls.alias("priority_class"), "o_totalprice")
+        .groupBy("priority_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+# TPC-H Q1-shaped pricing summary — the classic partial-agg benchmark
+# (bench headline; exercises map-side combine at scale).
+@_q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, sf, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ============================================================== vector ====
+
+def _emb_double(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+_KNN_DIST_DUCK = """
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i])))
+"""
+
+# V4/V5/O3/O4/W1/F14 — exact k-NN with rank + similarity shaping
+# (reference faiss_manager.py:254-296 + utils.py:100-108). The physical
+# plan is the reference's per-partition-top-k + global-merge, natively via
+# TakeOrderedAndProject.
+@_q(
+    "knn_l2",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (
+        SELECT e.vec_id, {_KNN_DIST_DUCK} AS distance
+        FROM embeddings e, q
+    )
+    SELECT CAST(row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS INT) AS rank,
+           vec_id,
+           round(1.0 - distance / 2.0, 4) AS similarity
+    FROM d
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_l2(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", l2_squared(F.col("embedding"), F.col("qv")).alias("distance")
+    )
+    top = scored.orderBy(F.col("distance").asc(), F.col("vec_id").asc()).limit(10)
+    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round(F.lit(1.0) - F.col("distance") / 2.0, 4).alias("similarity"),
+    )
+
+
+# V4 cosine variant — brute-force cosine top-k (ANN baseline).
+@_q(
+    "knn_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    d AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> e.embedding[i]::DOUBLE * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> q.qv[i] * q.qv[i])))) AS cosine
+        FROM embeddings e, q
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank,
+           vec_id,
+           round(cosine, 4) AS cosine_sim
+    FROM d
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf)
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_similarity(F.col("embedding"), F.col("qv")).alias("cosine")
+    )
+    top = scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round(F.col("cosine"), 4).alias("cosine_sim"),
+    )
+
+
+# ======================================================== dedup / text ====
+
+# exact dedup via hash-groupBy (training-data pipeline op).
+@_q(
+    "exact_dedup_groups",
+    """
+    SELECT lang || ':' || source AS dedup_key,
+           CAST(min(doc_id) AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY 1
+    ORDER BY dedup_key
+    """,
+)
+def exact_dedup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return exact_dedup(
+        docs, F.concat_ws(":", "lang", "source"), id_col="doc_id"
+    ).orderBy("dedup_key")
+
+
+def _duck_tokens(expr: str = "text") -> str:
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
+
+
+def _duck_shingles(n: int, expr: str = "text") -> str:
+    toks = _duck_tokens(expr)
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len({toks}) - {n}, 0) + 1), "
+        f"i -> array_to_string(({toks})[i + 1 : i + {n}], ' ')))"
+    )
+
+
+# MinHash signatures (dedup scale path; md5-based so engine-portable).
+_MINHASH_PERMS = 8
+from .operators.dedup import MINHASH_PRIME, minhash_perm_constants  # noqa: E402
+
+_MH_A, _MH_B = minhash_perm_constants(_MINHASH_PERMS)
+_duck_a = "[" + ", ".join(str(x) for x in _MH_A) + "]"
+_duck_b = "[" + ", ".join(str(x) for x in _MH_B) + "]"
+
+
+@_q(
+    "minhash_signatures",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_shingles(3)} AS sh FROM documents),
+    h AS (
+        SELECT doc_id,
+               list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME}) AS hs
+        FROM t
+    )
+    SELECT doc_id,
+           array_to_string(
+               list_transform(range(1, {_MINHASH_PERMS + 1}),
+                   p -> list_min(list_transform(hs,
+                        x -> (({_duck_a})[p] * x + ({_duck_b})[p]) % {MINHASH_PRIME}))),
+               '|') AS sig
+    FROM h
+    ORDER BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    sig = minhash_signature(F.col("text"), num_perm=_MINHASH_PERMS, shingle_n=3)
+    sig_str = F.array_join(F.transform(sig, lambda x: x.cast("string")), "|")
+    return docs.select("doc_id", sig_str.alias("sig")).orderBy("doc_id")
+
+
+# Exact n-gram Jaccard near-dup pairs via inverted-index join.
+@_q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_duck_shingles(2)} AS sh FROM documents WHERE doc_id < 300
+    ),
+    s AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+    FROM inter
+    WHERE n_common::DOUBLE / (na + nb - n_common) >= 0.03
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return ngram_jaccard_pairs(
+        docs, shingle_n=2, min_jaccard=0.03
+    ).orderBy("id_a", "id_b")
+
+
+# Token counting (training-data token budget).
+@_q(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_duck_tokens()}) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           round(length(text)::DOUBLE / len({_duck_tokens()}), 4) AS mean_tok_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens as tok
+
+    docs = load_table(spark, sf, "documents")
+    toks = tok(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        F.round(F.length("text").cast("double") / F.size(toks), 4).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+def _duck_lang_scores() -> tuple[str, str]:
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_cols.append(
+            f"len(list_filter({_duck_tokens()}, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'unknown' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return ", ".join(score_cols), case
+
+
+_sc, _case = _duck_lang_scores()
+
+
+# Heuristic language ID (marker-token argmax, deterministic tie-break).
+@_q(
+    "lang_id",
+    f"""
+    WITH s AS (SELECT doc_id, {_sc} FROM documents)
+    SELECT doc_id, {_case} AS lang_pred FROM s ORDER BY doc_id
+    """,
+)
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
+
+
+# Document fingerprint: md5 over sorted distinct token set.
+@_q(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_duck_tokens()})), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# Quality features (C4/Gopher-style filters).
+@_q(
+    "doc_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS q_chars,
+           CAST(len({_duck_tokens()}) AS BIGINT) AS q_tokens,
+           round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                 / length(text), 4) AS q_punct_ratio,
+           round(len(list_filter({_duck_tokens()},
+                 t -> list_contains(['the', 'a', 'of', 'and', 'is'], t)))::DOUBLE
+                 / len({_duck_tokens()}), 4) AS q_stopword_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("q_chars").cast("long").alias("q_chars"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        "q_punct_ratio",
+        "q_stopword_ratio",
+    ).orderBy("doc_id")
+
+
+# ============================================================= events =====
+
+# Tumbling event-time window (batch form of the streaming extension,
+# SURVEY §2.10 — same window() op used by streaming.windows).
+@_q(
+    "events_hourly",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{ISO_DUCK}') AS hour_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), ISO).alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# Session windows (gap-based) — batch session_window vs SQL gaps-and-islands.
+@_q(
+    "events_sessions",
+    f"""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    y AS (
+        SELECT user_id, ts, value,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    )
+    SELECT user_id,
+           strftime(min(ts), '{ISO_DUCK}') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM y
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), ISO).alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ======================================================= rows-only ops ====
+# (no SQL oracle — driver records the weaker rows-only check)
+
+# SimHash fingerprints: pinned instead by tests/test_dedup.py against an
+# independent Python reimplementation.
+@_q("simhash_fingerprints")
+def simhash_fps(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id", simhash(F.col("text"), shingle_n=2).alias("simhash")
+    ).orderBy("doc_id")
+
+
+# Batch embedding of documents via the pluggable pandas-UDF embedder
+# (reference V1 utils.py:12-23) — inherently non-SQL.
+@_q("embed_documents")
+def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.embedding import embed_column
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", embed_column("text", dim=64).alias("embedding")
+    ).orderBy("doc_id")
+
+
+def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the association-expand join + rollup (J1 analog)."""
+    return customer_order_activity(spark, sf_dir)
