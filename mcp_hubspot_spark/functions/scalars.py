@@ -46,7 +46,8 @@ def classify_sender(senders: Column | str) -> Column:
     starting "0-1"/"0-2"; CUSTOMER otherwise; UNKNOWN when no senders
     (reference clients/ticket_client.py:441-458)."""
     s = F.col(senders) if isinstance(senders, str) else senders
-    first = F.element_at(s, 1)
+    # try_element_at: null (not error) on empty arrays — ANSI-safe F6
+    first = F.try_element_at(s, F.lit(1))
     is_agent = (first.getField("senderField") == "FROM") & F.substring(
         first.getField("actorId"), 1, 3
     ).isin("0-1", "0-2")

@@ -1,0 +1,118 @@
+"""Date-partitioned vector store (SURVEY §2.9 V2/V3/V6, §2.1 S13-S15).
+
+The reference keeps one FAISS ``IndexFlatL2`` + JSON metadata sidecar per
+calendar day, appends eagerly, deletes partitions older than 7 days at
+startup, and searches the union of retained days with per-day top-k + global
+merge (reference ``faiss_manager.py:26-27,41-61,90-104,221-296``).
+
+Spark-first translation: ONE parquet (or Delta) table partitioned by
+``date``. Appending is a partitioned write; retention is partition pruning +
+physical partition delete; search is a filter on the date partition column
+(static pruning — only retained days are scanned) followed by the brute-force
+k-NN plan. Vectors and metadata live in the same rows, so the positional
+index/sidecar alignment the reference maintains by hand cannot drift.
+
+At 100 TB: the date partitioning bounds every query's scan to the retention
+window; within a day, files are splittable so the distance scan parallelizes
+across the cluster; only k rows per task reach the driver merge.
+"""
+
+from __future__ import annotations
+
+import shutil
+from collections.abc import Sequence
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.vector import knn
+
+VECTOR_STORE_COLUMNS = ("date", "vec_id", "embedding", "type", "data_json", "extras")
+
+
+class VectorStore:
+    """Append / retain / search over a date-partitioned embeddings table."""
+
+    def __init__(self, spark: SparkSession, path: str, max_days: int = 7):
+        self.spark = spark
+        self.path = str(path)
+        self.max_days = max_days  # reference faiss_manager.py:15 (max_days=7)
+
+    # ------------------------------------------------------------- write
+
+    def add(self, df: DataFrame, as_of: date | None = None) -> None:
+        """Append rows (V3, faiss_manager.py:221-252). If the frame has no
+        ``date`` column, rows are stamped with ``as_of`` (defaults to
+        today) — the reference always appends to today's partition."""
+        out = df
+        if "date" not in df.columns:
+            stamp = as_of or date.today()
+            out = df.withColumn("date", F.lit(stamp.isoformat()).cast("date"))
+        (
+            out.write.mode("append")
+            .partitionBy("date")
+            .parquet(self.path)
+        )
+
+    # ----------------------------------------------------------- read
+
+    def load(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.path).parquet(self.path)
+
+    def retained(self, as_of: date | None = None) -> DataFrame:
+        """Rows within the rolling retention window (V6,
+        faiss_manager.py:90-104): newest ``max_days`` calendar days
+        relative to ``as_of``. The filter is on the partition column, so
+        Spark prunes non-retained partitions at planning time."""
+        anchor = as_of or date.today()
+        cutoff = anchor - timedelta(days=self.max_days - 1)
+        return self.load().filter(F.col("date") >= F.lit(cutoff.isoformat()))
+
+    # ----------------------------------------------------- maintenance
+
+    def expire(self, as_of: date | None = None) -> list[str]:
+        """Physically delete expired partitions (the reference unlinks
+        per-day index files at startup, faiss_manager.py:151-172). With
+        plain parquet this is a directory-level partition drop; with Delta
+        it would be ``DELETE WHERE date < cutoff`` + VACUUM."""
+        anchor = as_of or date.today()
+        cutoff = anchor - timedelta(days=self.max_days - 1)
+        removed: list[str] = []
+        root = Path(self.path)
+        if not root.exists():
+            return removed
+        for part in sorted(root.glob("date=*")):
+            day = part.name.split("=", 1)[1]
+            if day < cutoff.isoformat():
+                shutil.rmtree(part)
+                removed.append(day)
+        return removed
+
+    # ----------------------------------------------------------- search
+
+    def search(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        as_of: date | None = None,
+        types: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Exact k-NN over all retained partitions (V4/V5,
+        faiss_manager.py:254-296): partition-pruned scan → distance →
+        per-partition top-k → global merge → rank + similarity=1-d/2."""
+        base = self.retained(as_of)
+        if types:
+            base = base.filter(F.col("type").isin(list(types)))
+        base = base.select(
+            "vec_id",
+            "type",
+            "data_json",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        hits = knn(base, query_vec, k=k, vec_col="embedding", id_cols=("vec_id",))
+        meta = base.select("vec_id", "type", "data_json")
+        return hits.join(meta, "vec_id").select(
+            "rank", "vec_id", "distance", "similarity", "type", "data_json"
+        )

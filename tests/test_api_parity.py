@@ -1,0 +1,127 @@
+"""Behavioral-parity tests pinning reference semantics (SURVEY §5 item 3)
+through the 9-tool façade."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.api import Engine
+from tests.crm_fixtures import build_crm_tables
+
+
+@pytest.fixture(scope="module")
+def engine(spark) -> Engine:
+    return Engine(tables=build_crm_tables(spark))
+
+
+def test_get_active_companies_topk_and_tiebreak(engine):
+    rows = engine.get_active_companies(limit=3).collect()
+    # c3 (d+2) first; c2/c5 tie on d+1 broken by id DESC → c5 before c2
+    assert [r.id for r in rows] == ["c3", "c5", "c2"]
+    assert rows[0].name == "Initech"
+
+
+def test_get_active_contacts_projection(engine):
+    df = engine.get_active_contacts(limit=2)
+    assert df.columns == [
+        "id", "firstname", "lastname", "email", "phone", "company",
+        "lastmodifieddate", "hs_lastmodifieddate",
+    ]
+    assert [r.id for r in df.collect()] == ["p3", "p2"]
+
+
+def test_create_contact_dedup_three_key(engine, spark):
+    """Reference dedup keys: firstname+lastname+company
+    (clients/contact_client.py:116-137) — same name at a DIFFERENT company
+    inserts; same name+company reports the duplicate."""
+    new = spark.createDataFrame(
+        [
+            ("n1", "Ada", "Lovelace", "Acme"),    # dup of p1
+            ("n2", "Ada", "Lovelace", "Initech"),  # new company → insert
+            ("n3", "Grace", "Hopper", "Acme"),     # new person → insert
+        ],
+        "id string, firstname string, lastname string, company string",
+    )
+    to_insert, dups = engine.create_contact(new)
+    assert sorted(r.id for r in to_insert.collect()) == ["n2", "n3"]
+    assert [r.id for r in dups.collect()] == ["n1"]
+
+
+def test_create_company_dedup_by_name(engine, spark):
+    new = spark.createDataFrame(
+        [("x1", "Acme"), ("x2", "Umbrella")], "id string, name string"
+    )
+    to_insert, dups = engine.create_company(new)
+    assert [r.id for r in to_insert.collect()] == ["x2"]
+    assert [r.id for r in dups.collect()] == ["x1"]
+
+
+def test_company_activity_tagged_union(engine):
+    rows = {r.engagement_id: r for r in engine.get_company_activity(["c1"]).collect()}
+    assert set(rows) == {"e1", "e2"}  # c1's edges only
+    note, email = rows["e1"], rows["e2"]
+    assert note.type == "NOTE" and note.content.note_body == "called them"
+    assert note.content.email is None
+    # F4: empty text coalesces to html
+    assert email.content.email.body == "<b>hi</b>"
+    assert email.content.email.subject == "hello"
+    assert email.content.note_body is None
+
+
+def test_company_activity_unknown_type_empty_content(engine, spark):
+    eng = Engine(tables={**engine.tables})
+    rows = eng.get_company_activity(["c2"]).collect()
+    assert [r.engagement_id for r in rows] == ["e3"]
+    assert rows[0].content.call.duration_ms == 60000
+
+
+def test_recent_conversations_nested_order_and_filter(engine):
+    rows = {r.id: r for r in engine.get_recent_conversations(limit=10).collect()}
+    th1 = rows["101"]
+    msgs = th1.messages
+    # P7: SYSTEM row m3 dropped; W2: ASC by created_at → m1 before m2
+    assert [m.message_id for m in msgs] == ["m1", "m2"]
+    # F5: visitor actor → CUSTOMER, 0-1 prefix → AGENT
+    assert msgs[0].sender_type == "CUSTOMER"
+    assert msgs[1].sender_type == "AGENT"
+    # P8/F7: phone recipient filtered out, email kept
+    assert list(msgs[1].recipient_emails) == ["cust@ex.com"]
+    # F3: 300-char text clipped to 200
+    assert len(msgs[1].text) == 200
+    # thread ordering: ids sorted numerically DESC → th10 is first
+    ordered = engine.get_recent_conversations(limit=2).collect()
+    assert [r.id for r in ordered] == ["1003", "102"]
+
+
+def test_unknown_sender_classification(engine):
+    rows = {r.id: r for r in engine.get_recent_conversations(limit=10).collect()}
+    assert rows["95"].messages[0].sender_type == "UNKNOWN"
+    # 0-9 prefix is not an agent prefix → CUSTOMER
+    assert rows["1003"].messages[0].sender_type == "CUSTOMER"
+
+
+def test_get_tickets_or_groups(engine):
+    """OR across groups, AND within (ticket_client.py:115-116)."""
+    groups = [
+        [{"propertyName": "hs_pipeline_stage", "operator": "EQ", "value": "4"}],
+        [{"propertyName": "hs_ticket_status", "operator": "EQ", "value": "closed"}],
+    ]
+    rows = engine.get_tickets(filter_groups=groups)
+    assert sorted(r.id for r in rows.collect()) == ["t1", "t2"]
+
+
+def test_ticket_conversation_threads_counts(engine):
+    rows = {r.ticket_id: r for r in
+            engine.get_ticket_conversation_threads(["t1", "t2"]).collect()}
+    assert rows["t1"].total_threads == 2
+    assert rows["t1"].total_messages == 3  # th1: m1,m2 (not m3) + th2: m4
+    assert rows["t2"].total_threads == 1
+    assert rows["t2"].total_messages == 1
+    t1_threads = {t.thread_id: t for t in rows["t1"].threads}
+    assert [m.message_id for m in t1_threads["101"].messages] == ["m1", "m2"]
+
+
+def test_ticket_threads_empty_edges(engine):
+    rows = engine.get_ticket_conversation_threads(["t3"]).collect()
+    assert rows == []  # no edges → no row (reference returns empty list)

@@ -1,0 +1,88 @@
+"""VectorStore lifecycle: append / retention / partition-pruned search
+(reference faiss_manager.py semantics pinned per SURVEY §5)."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.sources.catalog import load_table
+from mcp_hubspot_spark.vector_store import VectorStore
+
+SF = "/root/testdata/sf0.001"
+ANCHOR = date(2024, 6, 10)
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory) -> VectorStore:
+    path = str(tmp_path_factory.mktemp("vstore") / "embeddings")
+    vs = VectorStore(spark, path, max_days=7)
+    emb = load_table(spark, SF, "embeddings")
+    # spread 500 vectors over 10 calendar days ending at ANCHOR
+    dated = emb.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.lit("document").alias("type"),
+        F.to_json(F.struct("vec_id", "label")).alias("data_json"),
+        F.lit(None).cast("map<string,string>").alias("extras"),
+        F.date_add(
+            F.lit(ANCHOR.isoformat()).cast("date"),
+            (-(F.col("vec_id") % 10)).cast("int"),
+        ).alias("date"),
+    )
+    vs.add(dated)
+    return vs
+
+
+def test_retention_window(store):
+    """V6: newest max_days calendar days retained (faiss_manager.py:90-104)."""
+    retained = store.retained(as_of=ANCHOR)
+    days = {r.date.isoformat() for r in retained.select("date").distinct().collect()}
+    assert len(days) == 7
+    assert min(days) == (ANCHOR - timedelta(days=6)).isoformat()
+    # vec_id % 10 in {7,8,9} → outside window
+    assert retained.filter(F.col("vec_id") % 10 >= 7).count() == 0
+
+
+def test_expire_deletes_partitions(store):
+    removed = store.expire(as_of=ANCHOR)
+    assert removed == [
+        (ANCHOR - timedelta(days=9)).isoformat(),
+        (ANCHOR - timedelta(days=8)).isoformat(),
+        (ANCHOR - timedelta(days=7)).isoformat(),
+    ]
+    assert store.load().count() == 350  # 500 * 7/10
+    assert store.expire(as_of=ANCHOR) == []  # idempotent
+
+
+def test_search_topk_rank_similarity(store, spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    hits = store.search(q, k=5, as_of=ANCHOR).collect()
+    assert len(hits) == 5
+    assert [h.rank for h in sorted(hits, key=lambda h: h.rank)] == [1, 2, 3, 4, 5]
+    best = min(hits, key=lambda h: h.rank)
+    # vec_id 0 is in-window (0 % 10 = 0 → ANCHOR) and is its own nearest
+    assert best.vec_id == 0 and best.distance < 1e-9
+    # F14: similarity = 1 - d/2 on unit-norm vectors
+    for h in hits:
+        assert abs(h.similarity - (1.0 - h.distance / 2.0)) < 1e-9
+        assert h.type == "document" and h.data_json
+    # excluded partitions never surface
+    assert all(h.vec_id % 10 < 7 for h in hits)
+
+
+def test_search_k_clamp(store, spark):
+    """O4: k=min(k, n) — limit never over-returns (faiss_manager.py:275)."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).collect()[0].embedding
+    hits = store.search(q, k=10_000, as_of=ANCHOR).collect()
+    assert len(hits) == 350
+
+
+def test_search_type_filter(store, spark):
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 2).collect()[0].embedding
+    assert store.search(q, k=3, as_of=ANCHOR, types=["other"]).count() == 0
