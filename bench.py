@@ -31,10 +31,17 @@ HEADLINE = [
     "knn_l2",                   # brute-force vector top-k
     "knn_cosine",               # cosine top-k
     "minhash_signatures",       # dedup signature build
+    "minhash_lsh_pairs",        # LSH banding near-dup join
+    "simhash_fingerprints",     # simhash build
     "ngram_jaccard_pairs",      # inverted-index similarity join
+    "embedding_neardup_cosine", # exact cosine near-dup pairs
+    "ivf_search",               # cell-pruned ANN
+    "knn_batch",                # multi-query kNN
     "doc_quality",              # text quality features
     "events_hourly",            # tumbling windows
     "events_sessions",          # session windows
+    "events_sliding",           # sliding windows
+    "media_features",           # mapInPandas multimodal decode
 ]
 
 

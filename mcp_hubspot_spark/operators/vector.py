@@ -149,27 +149,52 @@ def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     centroid_id: str = "cell_id",
     centroid_vec: str = "centroid",
 ) -> DataFrame:
     """IVF build step: tag every row with its nearest centroid id.
 
-    Centroids are broadcast (there are k of them, k << n); the argmin is a
-    per-row reduction — no shuffle. At 100 TB the output would be written
-    ``partitionBy(cell_id)`` so queries prune cells at the file level.
+    Centroids are broadcast (k << n); the argmin is min-of-struct
+    (distance, cell_id) grouped by the row id — deterministic tiebreak,
+    partial aggregation map-side, and the vectors themselves never shuffle
+    (only id→cell assignments do). At 100 TB the output would be written
+    ``partitionBy(cell_id)`` so queries prune cells at the file level;
+    with literal centroids the argmin can instead be a pure expression
+    (zero shuffle) — see assign_cells_literal.
     """
-    from pyspark.sql.window import Window
-
-    pairs = df.crossJoin(F.broadcast(centroids))
-    d = l2_squared(F.col(vec_col), F.col(centroid_vec)).alias("_cd")
-    w = Window.partitionBy(*df.columns).orderBy(
-        F.col("_cd").asc(), F.col(centroid_id).asc()
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
+    d = l2_squared(F.col(vec_col), F.col(centroid_vec))
+    best = (
+        pairs.select(id_col, F.struct(d.alias("_d"), F.col(centroid_id)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.min("_c").alias("_best"))
+        .select(id_col, F.col("_best").getField(centroid_id).alias(centroid_id))
     )
-    return (
-        pairs.select(*df.columns, F.col(centroid_id), d)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cd")
+    return df.join(best, id_col)
+
+
+def assign_cells_literal(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+) -> DataFrame:
+    """Expression-side IVF assignment: centroids as literals → per-row
+    argmin with NO shuffle at all (the scale path when k is small enough
+    to inline, which it always is — k <= a few thousand)."""
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                l2_squared(v, _vec_lit(vec)).alias("_d"),
+                F.lit(int(cid)).alias(centroid_id),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return df.withColumn(
+        centroid_id, F.array_min(scored).getField(centroid_id)
     )
 
 
@@ -197,5 +222,7 @@ def ivf_topk(
         .limit(nprobe)
         .select(centroid_id)
     )
-    pruned = df_with_cells.join(F.broadcast(probe_cells), on=centroid_id, how="left_semi")
+    pruned = df_with_cells.join(
+        F.broadcast(probe_cells), on=centroid_id, how="left_semi"
+    )
     return knn(pruned, query_vec, k=k, vec_col=vec_col, id_cols=id_cols)

@@ -1,0 +1,65 @@
+"""Structured Streaming windowed operators (SURVEY §2.10).
+
+The reference is request/response, but its streaming-shaped behaviors map
+natively: cursor pagination → incremental feed, the 7-day FAISS retention →
+watermark-bounded state. These operators run the SAME aggregation logic as
+the batch ``events_hourly`` / ``events_sessions`` workload queries — one
+definition, two execution modes, which is the Spark-first way to keep batch
+and streaming results consistent.
+
+Watermarks bound state: at 100 TB/day of events, an unbounded-state
+aggregation dies; ``withWatermark`` lets Spark drop window state older than
+the lateness bound, exactly like the reference drops >7-day-old partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window counts over a streaming events frame."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (streaming form of the batch
+    ``events_sessions`` query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

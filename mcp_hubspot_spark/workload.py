@@ -796,17 +796,404 @@ def events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ======================================================= rows-only ops ====
-# (no SQL oracle — driver records the weaker rows-only check)
+# ====================================================== more set ops ======
 
-# SimHash fingerprints: pinned instead by tests/test_dedup.py against an
-# independent Python reimplementation.
-@_q("simhash_fingerprints")
+# §2.7 set operations: the k-NN merge unions per-day result lists — here
+# unionByName of two filtered scans with DISTINCT semantics.
+@_q(
+    "scan_union_distinct",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0
+    UNION
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_totalprice > 450000.0
+    ORDER BY o_orderkey
+    """,
+)
+def scan_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    a = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 400000.0)
+    ).select(cols)
+    b = orders.filter(F.col("o_totalprice") > 450000.0).select(cols)
+    return a.unionByName(b).distinct().orderBy("o_orderkey")
+
+
+# Sliding event-time windows (1h window, 30m slide): each event lands in 2
+# windows — the streaming window() op in batch mode.
+@_q(
+    "events_sliding",
+    f"""
+    WITH w AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '{ISO_DUCK}') AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), ISO).alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# F3/F13/F16 scalar shaping: truncation, case conversion, concat keys.
+@_q(
+    "doc_excerpts",
+    """
+    SELECT doc_id,
+           substr(text, 1, 40) AS excerpt,
+           upper(lang) AS lang_uc,
+           lang || '/' || source AS part_key,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_excerpts(spark: SparkSession, sf: str) -> DataFrame:
+    from .functions.scalars import truncate_text
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        truncate_text("text", 40).alias("excerpt"),
+        F.upper("lang").alias("lang_uc"),
+        F.concat_ws("/", "lang", "source").alias("part_key"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("doc_id")
+
+
+# ================================================== dedup (planted) =======
+# The fixture documents are all-distinct random text, so near-dup operators
+# are exercised on a planted corpus: originals ∪ lightly-mutated copies
+# (id + 10000) — constructed identically on both engines.
+
+_PLANT_SQL = """
+        SELECT doc_id, text FROM documents WHERE doc_id < 50
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text || ' zzz zzz zzz' AS text
+        FROM documents WHERE doc_id < 50
+"""
+
+
+def _planted_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    mutated = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+_duck_sig = (
+    f"list_transform(range(1, {_MINHASH_PERMS + 1}), "
+    f"p -> list_min(list_transform(hs, "
+    f"x -> (({_duck_a})[p] * x + ({_duck_b})[p]) % {MINHASH_PRIME})))"
+)
+
+# MinHash + LSH banding near-dup pairs (bands=4, rows_per_band=2): the
+# candidate join shuffles band keys, never document pairs (the n²-avoider).
+@_q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH corpus AS ({_PLANT_SQL}),
+    t AS (SELECT doc_id, {_duck_shingles(3)} AS sh FROM corpus),
+    h AS (
+        SELECT doc_id,
+               list_transform(sh,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME}) AS hs
+        FROM t
+    ),
+    sig AS (SELECT doc_id, {_duck_sig} AS sig FROM h),
+    banded AS (
+        SELECT doc_id, sig,
+               unnest(list_transform(range(0, 4),
+                   b -> b || ':' || md5(array_to_string(
+                        list_transform(sig[b*2+1 : b*2+2], x -> x::VARCHAR), '|')))) AS band
+        FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sig AS sa, b.sig AS sb
+        FROM banded a JOIN banded b USING (band)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+                 i -> sa[i] = sb[i]))::DOUBLE / {_MINHASH_PERMS}, 6) AS sig_jaccard
+    FROM pairs
+    WHERE len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+          i -> sa[i] = sb[i]))::DOUBLE / {_MINHASH_PERMS} >= 0.25
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    corpus = _planted_corpus(spark, sf)
+    return minhash_lsh_pairs(
+        corpus,
+        num_perm=_MINHASH_PERMS,
+        bands=4,
+        shingle_n=3,
+        min_jaccard=0.25,
+    ).orderBy("id_a", "id_b")
+
+
+def _duck_simhash_expr() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(w, "
+        f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return bit_terms
+
+
+# SimHash fingerprints, oracle-checked bit-for-bit.
+@_q(
+    "simhash_fingerprints",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({_duck_shingles(2)},
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS w
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, {_duck_simhash_expr()} AS simhash
+    FROM t
+    ORDER BY doc_id
+    """,
+)
 def simhash_fps(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
         "doc_id", simhash(F.col("text"), shingle_n=2).alias("simhash")
     ).orderBy("doc_id")
+
+
+# SimHash near-dup pairs via block-permutation candidates + hamming verify.
+@_q(
+    "simhash_neardup_pairs",
+    f"""
+    WITH corpus AS ({_PLANT_SQL}),
+    t AS (
+        SELECT doc_id,
+               list_transform({_duck_shingles(2)},
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS w
+        FROM corpus
+    ),
+    fp AS (SELECT doc_id, {_duck_simhash_expr()} AS simhash FROM t),
+    banded AS (
+        SELECT doc_id, simhash,
+               unnest(list_transform(range(0, 4),
+                   i -> i || ':' || (((simhash >> (i * 15)) & 32767))::VARCHAR)) AS block
+        FROM fp
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b USING (block)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 16
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import simhash_neardup_pairs
+
+    corpus = _planted_corpus(spark, sf)
+    return (
+        simhash_neardup_pairs(
+            corpus, shingle_n=2, max_hamming=16, n_blocks=4
+        )
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# Embedding-cosine near-duplicates, exact all-pairs baseline on a planted
+# corpus (original ∪ one-coordinate-perturbed copy).
+@_q(
+    "embedding_neardup_cosine",
+    """
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 200
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05
+                             ELSE embedding[i]::DOUBLE END) AS v
+        FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+               list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))),
+               4) AS cosine
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+           * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) >= 0.99
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import embedding_neardup_pairs
+
+    emb = _emb_double(spark, sf).filter(F.col("vec_id") < 200)
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.05)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(perturbed)
+    return (
+        embedding_neardup_pairs(
+            corpus, min_cosine=0.99, n_planes=None
+        )
+        .withColumn("cosine", F.round(F.col("cosine"), 4))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# =========================================================== IVF / ANN ====
+
+_IVF_DIST = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+# IVF search: assign rows to nearest of 8 centroid vectors, probe the 2
+# cells nearest the query → the scan reads ~1/4 of the data (partition
+# pruning when the table is written partitionBy(cell_id)).
+@_q(
+    "ivf_search",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.v", b="c.cv")} ASC,
+                                c.cell_id ASC) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell_id FROM c, q
+        ORDER BY {_IVF_DIST.format(a="c.cv", b="q.qv")} ASC, cell_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT e.vec_id, e.v FROM e
+        JOIN assign USING (vec_id)
+        JOIN probe USING (cell_id)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INT) AS rank,
+           vec_id, round(1.0 - d / 2.0, 4) AS similarity
+    FROM (SELECT cand.vec_id, {_IVF_DIST.format(a="cand.v", b="q.qv")} AS d
+          FROM cand, q)
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import assign_cells, ivf_topk
+
+    emb = _emb_double(spark, sf)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    with_cells = assign_cells(
+        emb.select("vec_id", "embedding"), centroids, id_col="vec_id"
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42).collect()[0].embedding
+    ]
+    hits = ivf_topk(
+        with_cells, centroids, qvec, k=5, nprobe=2, id_cols=("vec_id",)
+    )
+    return hits.select(
+        "rank", "vec_id", F.round("similarity", 4).alias("similarity")
+    )
+
+
+# Batched multi-query k-NN: one scan serves all queries (broadcast query
+# set, per-query window top-k).
+@_q(
+    "knn_batch",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ),
+    d AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i]))) AS distance
+        FROM embeddings e, q
+    )
+    SELECT query_id, rank, vec_id FROM (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY distance ASC, vec_id ASC) AS INT) AS rank
+        FROM d
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_batch_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import knn_batch
+
+    emb = _emb_double(spark, sf)
+    queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return (
+        knn_batch(emb, queries, k=5)
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ======================================================= rows-only ops ====
+# (no SQL oracle — driver records the weaker rows-only check)
 
 
 # Batch embedding of documents via the pluggable pandas-UDF embedder
@@ -819,6 +1206,39 @@ def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select(
         "doc_id", embed_column("text", dim=64).alias("embedding")
     ).orderBy("doc_id")
+
+
+# Approximate distinct (HLL sketch) — approximate by nature, pinned with a
+# tolerance test in tests/test_operators.py instead of an exact oracle.
+@_q("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    ).orderBy("event_type")
+
+
+# Multimodal plumbing: binary payload → mapInPandas feature extraction
+# (decode stubbed — deterministic fake; the Spark-side schema/partitioning/
+# batching is the real thing under test).
+@_q("media_features")
+def media_features_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, extract_media_features
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return extract_media_features(documents_as_media(docs)).orderBy("media_id")
+
+
+# Multimodal frame-sampling fan-out (one row per pseudo-frame).
+@_q("media_frame_sample")
+def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, frame_sample_plan
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    media = documents_as_media(docs)
+    return frame_sample_plan(media, every_n_ms=10_000).orderBy(
+        "media_id", "frame_idx"
+    )
 
 
 def entry_query(spark: SparkSession, sf_dir: str) -> DataFrame:

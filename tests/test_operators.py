@@ -1,0 +1,151 @@
+"""Operator-level tests: approximate aggregates, LSH recall, multimodal
+batch shapes, embedding determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_count_distinct_tolerance(spark):
+    events = load_table(spark, SF, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(3, 0.05 * ex), (k, approx[k], ex)
+
+
+def test_minhash_lsh_recall_on_planted_dups(spark):
+    """LSH banding must recover planted near-duplicates (high jaccard) and
+    not flood with false positives on distinct random docs."""
+    from mcp_hubspot_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+    mutated = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" tail tail tail")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    pairs = minhash_lsh_pairs(corpus, num_perm=16, bands=8, shingle_n=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1000) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}: {sorted(planted - found)[:5]}"
+    # false-positive pairs (both original, distinct random text) stay rare
+    fp = {p for p in found if p[0] < 1000 and p[1] < 1000}
+    assert len(fp) <= 5, f"too many false positives: {len(fp)}"
+
+
+def test_random_hyperplane_lsh_buckets_similar_vectors(spark):
+    from mcp_hubspot_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 100)
+    twin = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(twin)
+    # identical twins land in the same bucket under ANY hyperplane set
+    pairs = embedding_neardup_pairs(
+        corpus, min_cosine=0.999, n_planes=8, dim=64
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 1000) for i in range(100)} <= found
+
+
+def test_media_features_shape_and_determinism(spark):
+    from mcp_hubspot_spark.operators.multimodal import (
+        documents_as_media,
+        extract_media_features,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    media = documents_as_media(docs)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 10
+    by_id = {r.media_id: r for r in feats}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for mid, row in by_id.items():
+        assert row.sha256 == hashlib.sha256(src[mid].encode()).hexdigest()
+        assert row.byte_len == len(src[mid].encode())
+        assert len(row.feature) == 8
+        assert row.kind in ("image", "audio", "video")
+
+
+def test_frame_sample_fanout(spark):
+    from mcp_hubspot_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample_plan,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 5)
+    media = documents_as_media(docs)
+    frames = frame_sample_plan(media, every_n_ms=10_000)
+    got = frames.groupBy("media_id").count().collect()
+    expected = {
+        r.media_id: int(r.duration_ms) // 10_000 for r in media.collect()
+    }
+    assert {r.media_id: r["count"] for r in got} == {
+        k: v for k, v in expected.items() if v > 0
+    }
+
+
+def test_hash_embedder_deterministic_and_unit_norm(spark):
+    from mcp_hubspot_spark.functions.embedding import embed_column
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 20)
+    a = docs.select("doc_id", embed_column("text", dim=32).alias("e")).collect()
+    b = docs.select("doc_id", embed_column("text", dim=32).alias("e")).collect()
+    assert [r.e for r in a] == [r.e for r in b]
+    import math
+
+    for r in a:
+        assert len(r.e) == 32
+        n = math.sqrt(sum(x * x for x in r.e))
+        assert abs(n - 1.0) < 1e-5
+
+
+def test_simhash_matches_python_reimplementation(spark):
+    """Independent row-at-a-time reimplementation pins the expression."""
+    import hashlib as hl
+
+    from mcp_hubspot_spark.operators.dedup import SIMHASH_BITS, simhash
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    got = dict(
+        docs.select("doc_id", simhash(F.col("text"), 2).alias("s")).collect()
+    )
+
+    def py_simhash(text: str) -> int:
+        toks = text.strip().lower().split()
+        n = 2
+        upper = max(len(toks) - n, 0)
+        sh = {" ".join(toks[i : i + n]) for i in range(upper + 1)}
+        words = [
+            int(hl.md5(s.encode()).hexdigest()[:15], 16) for s in sh
+        ]
+        fp = 0
+        for b in range(SIMHASH_BITS):
+            vote = sum(1 if (w >> b) & 1 else -1 for w in words)
+            if vote > 0:
+                fp |= 1 << b
+        return fp
+
+    for r in docs.collect():
+        assert got[r.doc_id] == py_simhash(r.text), r.doc_id

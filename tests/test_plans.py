@@ -1,0 +1,111 @@
+"""Physical-plan audits: the scale properties the engine promises must be
+visible in the plan — predicate/projection pushdown into the parquet scan,
+broadcast joins for small dims, TakeOrderedAndProject for top-k, partition
+pruning on the vector store's date column. These are the `explain`-level
+invariants SURVEY §4 maps from the reference's hand-coded optimizations."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.sources.catalog import load_table
+from mcp_hubspot_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_projection_pushdown_prunes_scan(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column not read
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    from mcp_hubspot_spark.operators.scans import filtered_scan
+
+    df = filtered_scan(
+        load_table(spark, SF, "orders"),
+        filter_groups=[[{"propertyName": "o_orderstatus", "operator": "EQ", "value": "F"}]],
+    )
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "o_orderstatus" in pushed[0]
+
+
+def test_or_of_groups_is_single_pushed_predicate(spark):
+    plan = plan_of(QUERIES["filtered_scan_or_groups"](spark, SF))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "Or(" in pushed[0]
+
+
+def test_topk_uses_take_ordered_and_project(spark):
+    plan = plan_of(QUERIES["recent_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    """customer (dim) joining orders (fact) must broadcast, not sort-merge."""
+    customer = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    joined = customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_lookup_is_literal_pushdown_or_broadcast(spark):
+    from mcp_hubspot_spark.operators.scans import semi_lookup
+
+    lineitem = load_table(spark, SF, "lineitem")
+    df = semi_lookup(lineitem, [1, 2, 3], key="l_orderkey")
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "In(l_orderkey" in pushed[0]
+
+
+def test_vector_store_retention_prunes_partitions(spark, tmp_path):
+    """The retention filter must prune date partitions at planning time —
+    non-retained days never enter the scan."""
+    from datetime import date
+
+    from mcp_hubspot_spark.vector_store import VectorStore
+
+    vs = VectorStore(spark, str(tmp_path / "vs"), max_days=7)
+    emb = load_table(spark, SF, "embeddings")
+    dated = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit("d").alias("type"),
+        F.lit("{}").alias("data_json"),
+        F.lit(None).cast("map<string,string>").alias("extras"),
+        F.date_add(F.lit("2024-06-10").cast("date"), (-(F.col("vec_id") % 10)).cast("int")).alias("date"),
+    )
+    vs.add(dated)
+    plan = plan_of(vs.retained(as_of=date(2024, 6, 10)))
+    # partition filters show up as PartitionFilters on the scan node
+    part = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part and "date" in part[0]
+
+
+def test_knn_single_stage_no_shuffle_before_topk(spark):
+    """Brute-force kNN: distance scan + TakeOrderedAndProject; the only
+    exchange allowed is the broadcast of the query vector."""
+    plan = plan_of(QUERIES["knn_l2"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-partitioned shuffle of the fact side in the scoring stage
+    scoring = plan.split("TakeOrderedAndProject")[0]
+    assert "Exchange hashpartitioning" not in scoring
