@@ -214,6 +214,38 @@ class Engine:
             rich_col.alias("rich_text"),
         )
 
+    def get_recent_emails(
+        self, limit: int = 10, detail_ids: Sequence[str] | None = None
+    ) -> DataFrame:
+        """hubspot_get_recent_emails (S4/P9/F4/S5,
+        clients/conversation_client.py:35-146): unarchived emails, newest
+        first; body = text-or-html coalesce (empty string skipped, F4).
+        ``detail_ids`` replaces the reference's batched point-lookup loop
+        (batches of 10, :111) with one IN-list semi-join."""
+        emails = self.tables["emails"].filter(~F.col("archived"))
+        if detail_ids is not None:
+            emails = emails.filter(F.col("id").isin(list(detail_ids)))
+        return (
+            emails.withColumn("_idn", F.expr("try_cast(id AS long)"))
+            .orderBy(
+                F.col("createdAt").desc(),
+                F.col("_idn").desc_nulls_last(),
+                F.col("id").desc(),
+            )
+            .limit(limit)
+            .select(
+                "id",
+                "subject",
+                coalesce_body("hs_email_text", "hs_email_html").alias("body"),
+                F.col("hs_email_from").alias("from_addr"),
+                F.col("hs_email_to").alias("to_addr"),
+                F.col("hs_email_cc").alias("cc"),
+                F.col("hs_email_bcc").alias("bcc"),
+                iso_format("createdAt").alias("created_at"),
+                iso_format("updatedAt").alias("updated_at"),
+            )
+        )
+
     def get_tickets(
         self,
         filter_groups: list[list] | None = None,

@@ -431,6 +431,146 @@ def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# F11 — JSON parse (reference handlers/company_handler.py:148: json.loads
+# of client returns; here from_json over the events.props payload).
+@_q(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# F10 — canonical JSON serialization (reference utils.py:22 json.dumps;
+# struct field order IS the canonical order on both engines).
+@_q(
+    "canonical_json_docs",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang, source := source)) AS payload
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def canonical_json_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "source")).alias("payload"),
+    ).orderBy("doc_id")
+
+
+# TPC-H Q3-shaped shipping priority: selective 3-way join + grouped revenue
+# + top-k (bench-relevant: two shuffles, broadcast dim).
+@_q(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%dT%H:%M:%S') AS o_orderdate_iso,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"])
+        .join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", ISO).alias("o_orderdate_iso"),
+            "o_orderpriority",
+        )
+        .agg(revenue.alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate_iso", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+# TPC-H Q5-shaped revenue rollup through the full dimension chain
+# (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem) — all dims broadcast.
+@_q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+    return (
+        region.join(nation, nation["n_regionkey"] == region["r_regionkey"])
+        .join(customer, customer["c_nationkey"] == nation["n_nationkey"])
+        .join(orders, orders["o_custkey"] == customer["c_custkey"])
+        .join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("nation")
+    )
+
+
 # ============================================================== vector ====
 
 def _emb_double(spark: SparkSession, sf: str) -> DataFrame:

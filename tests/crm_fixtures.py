@@ -136,8 +136,24 @@ def build_crm_tables(spark: SparkSession) -> dict:
         ],
         CRM_SCHEMAS["messages"],
     )
+    emails = spark.createDataFrame(
+        [
+            # text empty, html set → F4 coalesce picks html
+            ("501", "welcome", "", "<p>welcome!</p>", "a@x.com", "b@y.com",
+             None, None, _ts(-1), _ts(-1), False),
+            ("502", "invoice", "plain body", "<p>rich</p>", "a@x.com", "c@z.com",
+             None, None, _ts(0), _ts(0), False),
+            # archived → excluded by P9
+            ("503", "old", "gone", None, "a@x.com", "d@w.com",
+             None, None, _ts(1), _ts(1), True),
+            ("500", "hello", None, "<p>html only</p>", "e@v.com", "a@x.com",
+             None, None, _ts(-2), _ts(-2), False),
+        ],
+        CRM_SCHEMAS["emails"],
+    )
     return {
         "companies": companies,
+        "emails": emails,
         "contacts": contacts,
         "tickets": tickets,
         "associations": associations,

@@ -125,3 +125,38 @@ def test_ticket_conversation_threads_counts(engine):
 def test_ticket_threads_empty_edges(engine):
     rows = engine.get_ticket_conversation_threads(["t3"]).collect()
     assert rows == []  # no edges → no row (reference returns empty list)
+
+
+def test_recent_emails_archived_filter_and_coalesce(engine):
+    rows = engine.get_recent_emails(limit=10).collect()
+    # P9: archived 503 excluded; newest createdAt first
+    assert [r.id for r in rows] == ["502", "501", "500"]
+    by_id = {r.id: r for r in rows}
+    # F4: empty text → html; non-empty text wins; null text → html
+    assert by_id["501"].body == "<p>welcome!</p>"
+    assert by_id["502"].body == "plain body"
+    assert by_id["500"].body == "<p>html only</p>"
+
+
+def test_recent_emails_detail_id_lookup(engine):
+    rows = engine.get_recent_emails(limit=10, detail_ids=["500", "502"]).collect()
+    assert [r.id for r in rows] == ["502", "500"]
+
+
+def test_staging_cache_roundtrip(engine, spark, tmp_path):
+    from mcp_hubspot_spark.sources.staging import invalidate, read_or_build
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return engine.tables["companies"].select("id", "name")
+
+    path = str(tmp_path / "stage")
+    a = read_or_build(spark, path, build)
+    assert calls["n"] == 1 and a.count() == 5
+    b = read_or_build(spark, path, build)
+    assert calls["n"] == 1  # served from cache (reference storage.py:25-58)
+    c = read_or_build(spark, path, build, refresh=True)
+    assert calls["n"] == 2  # refresh_cache=True forces rebuild
+    assert invalidate(path) and not invalidate(path)
