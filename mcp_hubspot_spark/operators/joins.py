@@ -60,6 +60,127 @@ def dedup_insert(
     return to_insert, duplicates
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key group (backward as-of, the
+    time-series / training-pipeline staple Spark has no native operator
+    for).
+
+    Spark-first plan: NOT a range theta-join (which explodes to a
+    broadcast-nested-loop or an O(n·m) pair stream). Instead: tag and
+    union both sides, then one window pass per key ordered by (ts, side)
+    carrying the last non-null right payload forward
+    (``last(..., ignorenulls=True)``). Cost = ONE shuffle on the key —
+    identical to a plain equi-join — and the state per group is a single
+    row, so it survives any scale and any time-skew. Ties
+    (right_ts == left_ts) match, right sorted before left at equal ts.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in on and c != right_ts]
+    from pyspark.sql.window import Window
+
+    keys = list(on)
+    left_payload = [c for c in left.columns if c not in keys]
+    # single-pass: left rows carry their own payload (+null right slots),
+    # right rows carry only the as-of payload — no second scan, no re-join
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_payload],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+            for c in left_payload
+        ],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if how == "inner" and right_cols:
+        out = out.filter(F.col(f"_rv_{right_cols[0]}").isNotNull())
+    return out.select(
+        *keys,
+        *[F.col(f"_l_{c}").alias(c) for c in left_payload],
+        *[F.col(f"_rv_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Temporal range join: pairs with ``right_ts - left_ts`` in
+    ``[lower_us, upper_us]`` (microseconds) sharing the key.
+
+    Spark-first plan: NOT a theta-join (Catalyst would pick
+    broadcast-nested-loop — O(n·m) compares). Instead bucketize time into
+    windows of the range width: each right row lands in exactly ONE
+    bucket, each left row explodes to the few candidate buckets its range
+    spans, the join is a plain equi-join on (key, bucket), and an exact
+    residual filter trims the edges. One shuffle, candidate set is
+    |pairs-in-range| + neighbors — never n².
+    """
+    width = max(upper_us - lower_us, 1)
+    lts = F.unix_micros(F.col(left_ts))
+    rts = F.unix_micros(F.col(right_ts))
+    # bucket id = value rounded down to a multiple of width, computed with
+    # integer subtraction/modulo so no float rounding can shift a boundary
+    l = left.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                ((lts + F.lit(lower_us)) - (lts + F.lit(lower_us)) % F.lit(width))
+                .cast("long"),
+                ((lts + F.lit(upper_us)) - (lts + F.lit(upper_us)) % F.lit(width))
+                .cast("long"),
+                F.lit(width),
+            )
+        ),
+    )
+    r = right.withColumn(
+        "_b", (rts - rts % F.lit(width)).cast("long")
+    )
+    diff = F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+    return (
+        l.join(r, on=[*on, "_b"])
+        .filter((diff >= lower_us) & (diff <= upper_us))
+        .drop("_b")
+    )
+
+
 def enrich_one_to_many(
     parents: DataFrame,
     children: DataFrame,

@@ -35,7 +35,7 @@ from .operators.scans import filtered_scan, recent_scan, semi_lookup
 from .operators.text import LANG_MARKERS, language_id, quality_features, fingerprint
 from .operators.topk import grouped_top_k
 from .operators.vector import l2_squared, cosine_similarity
-from .sources.catalog import load_table
+from .sources.catalog import fan_out, load_table
 
 ISO = "yyyy-MM-dd'T'HH:mm:ss"
 ISO_DUCK = "%Y-%m-%dT%H:%M:%S"
@@ -574,7 +574,7 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
 # ============================================================== vector ====
 
 def _emb_double(spark: SparkSession, sf: str) -> DataFrame:
-    return load_table(spark, sf, "embeddings").select(
+    return fan_out(load_table(spark, sf, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
     )
 
@@ -721,7 +721,9 @@ _duck_b = "[" + ", ".join(str(x) for x in _MH_B) + "]"
     """,
 )
 def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    # fan_out: the signature is CPU-bound per row; a one-row-group parquet
+    # input would otherwise pin the whole scan to a single core.
+    docs = fan_out(load_table(spark, sf, "documents"))
     sig = minhash_signature(F.col("text"), num_perm=_MINHASH_PERMS, shingle_n=3)
     sig_str = F.array_join(F.transform(sig, lambda x: x.cast("string")), "|")
     return docs.select("doc_id", sig_str.alias("sig")).orderBy("doc_id")
@@ -749,7 +751,7 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    docs = fan_out(load_table(spark, sf, "documents").filter(F.col("doc_id") < 300))
     return ngram_jaccard_pairs(
         docs, shingle_n=2, min_jaccard=0.03
     ).orderBy("id_a", "id_b")
@@ -770,7 +772,7 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import tokens as tok
 
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     toks = tok(F.col("text"))
     return docs.select(
         "doc_id",
@@ -808,7 +810,7 @@ _sc, _case = _duck_lang_scores()
     """,
 )
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return language_id(docs, "text").select("doc_id", "lang_pred").orderBy("doc_id")
 
 
@@ -823,7 +825,7 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return fingerprint(docs, "text").select("doc_id", "fingerprint").orderBy("doc_id")
 
 
@@ -844,6 +846,8 @@ def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # no fan_out: the per-row work is light enough that the extra shuffle
+    # costs more than the parallelism buys (measured at sf0.1)
     docs = load_table(spark, sf, "documents")
     out = quality_features(docs, "text")
     return out.select(
@@ -1040,7 +1044,7 @@ def _planted_corpus(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz zzz zzz")).alias("text"),
     )
-    return docs.select("doc_id", "text").unionByName(mutated)
+    return fan_out(docs.select("doc_id", "text").unionByName(mutated))
 
 
 _duck_sig = (
@@ -1332,6 +1336,208 @@ def knn_batch_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# As-of join (backward): for each error event, the user's most recent
+# click at-or-before it. Spark has no native as-of operator — ours is the
+# union + last-non-null-window composition in operators.joins.asof_join
+# (one shuffle on the key, no range theta-join). DuckDB's native ASOF JOIN
+# is the oracle.
+@_q(
+    "events_asof_click",
+    f"""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '{ISO_DUCK}') AS error_ts,
+           c.event_id AS click_event_id,
+           date_diff('microsecond', c.ts, e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def events_asof_click(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    events = load_table(spark, sf, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id", "click_ts"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", ISO).alias("error_ts"),
+        "click_event_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# Lead/lag analytics: per-user inter-event gaps (lag over (user, ts)).
+# Sum/max kept as exact BIGINT microseconds — no float summation-order trap.
+@_q(
+    "events_user_gaps",
+    """
+    WITH g AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        events.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Temporal range self-join: same-user event pairs within 30 minutes,
+# banded equi-join on (user, time-bucket) — operators.joins.range_join.
+# Oracle: plain theta join (fine at sf0.01; the banding IS the scale path).
+@_q(
+    "events_near_pairs",
+    """
+    SELECT a.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(date_diff('microsecond', a.ts, b.ts)) AS BIGINT) AS min_gap_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id <> a.event_id
+     AND b.ts >= a.ts
+     AND date_diff('microsecond', a.ts, b.ts) <= 1800000000
+    GROUP BY a.user_id
+    ORDER BY a.user_id
+    """,
+)
+def events_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.joins import range_join
+
+    events = load_table(spark, sf, "events")
+    a = events.select("user_id", "event_id", "ts")
+    b = events.select(
+        "user_id",
+        F.col("event_id").alias("event_id_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    pairs = range_join(
+        a, b, on=["user_id"], left_ts="ts", right_ts="ts_b",
+        lower_us=0, upper_us=1_800_000_000,
+    ).filter(F.col("event_id_b") != F.col("event_id"))
+    gap = F.unix_micros("ts_b") - F.unix_micros("ts")
+    return (
+        pairs.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("gap_us").alias("min_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ROLLUP aggregation (scale-extension beyond the reference — SURVEY §2.4
+# notes the reference has no grouping sets): order counts + decimal-exact
+# revenue at (status, priority), (status), () levels.
+@_q(
+    "orders_rollup",
+    """
+    SELECT coalesce(o_orderstatus, '(all)') AS status,
+           coalesce(o_orderpriority, '(all)') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def orders_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+# Exact interpolated quantiles of document length per language (both
+# engines use the same linear-interpolation definition).
+@_q(
+    "doc_length_quantiles",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("n_chars", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -1365,6 +1571,9 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 def media_features_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import documents_as_media, extract_media_features
 
+    # no fan_out: 100 rows over 32 python workers = per-partition Arrow/
+    # worker overhead dominating (measured 2.3s → 5.2s); at real scale the
+    # binary payloads arrive in many file splits already
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return extract_media_features(documents_as_media(docs)).orderBy("media_id")
 

@@ -149,3 +149,66 @@ def test_simhash_matches_python_reimplementation(spark):
 
     for r in docs.collect():
         assert got[r.doc_id] == py_simhash(r.text), r.doc_id
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts; ties match;
+    how='left' keeps unmatched lefts with nulls, how='inner' drops them."""
+    from datetime import datetime
+
+    from mcp_hubspot_spark.operators.joins import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("u1", t(5), "l1"), ("u1", t(10), "l2"), ("u2", t(3), "l3"),
+         ("u3", t(9), "l4")],
+        "k string, ts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(5), "r5"), ("u1", t(7), "r7"), ("u2", t(4), "r4")],
+        "k string, ts timestamp, rv string",
+    )
+    out = {
+        r.lid: r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rv"], how="left",
+        ).collect()
+    }
+    # tie at ts=5 matches; l2 takes the later r7; u2's right is AFTER l3 →
+    # no match; u3 has no rights at all
+    assert out == {"l1": "r5", "l2": "r7", "l3": None, "l4": None}
+    inner = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["rv"], how="inner",
+    )
+    assert {r.lid for r in inner.collect()} == {"l1", "l2"}
+
+
+def test_range_join_boundaries(spark):
+    """Banded range join returns exactly the pairs with diff in
+    [lower, upper], including both boundaries, across bucket edges."""
+    from datetime import datetime, timedelta
+
+    from mcp_hubspot_spark.operators.joins import range_join
+
+    base = datetime(2024, 1, 1)
+    t = lambda us: base + timedelta(microseconds=us)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", 1, t(0)), ("k", 2, t(1_000_000))],
+        "k string, lid int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", 10, t(0)), ("k", 11, t(500_000)), ("k", 12, t(1_500_000)),
+         ("k", 13, t(1_500_001)), ("k", 14, t(999_999_999))],
+        "k string, rid int, ts2 timestamp",
+    )
+    pairs = {
+        (r.lid, r.rid)
+        for r in range_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts2",
+            lower_us=0, upper_us=500_000,
+        ).collect()
+    }
+    # (2,13) diff = 500,001µs — one past the inclusive upper bound
+    assert pairs == {(1, 10), (1, 11), (2, 12)}
