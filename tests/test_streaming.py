@@ -88,3 +88,77 @@ def test_incremental_reader_high_water_mark(spark, tmp_path):
     assert rd.read_increment(newer).count() == n_total
     rd.commit(newer)
     assert rd.read_increment(newer).count() == 0
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches —
+    totals after two single-file batches equal the batch aggregate."""
+    from mcp_hubspot_spark.streaming.stateful import running_user_totals
+
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 5)
+    d = tmp_path / "ev"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    other.coalesce(1).write.parquet(str(d / "b2"))
+    # two files, one per trigger → two micro-batches through the state
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per key per batch: the LAST emit per key
+    # is the running total
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in spark.table("totals")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("total_value").alias("total_value"))
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.t, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_first_seen_dedup_stream(spark, tmp_path):
+    """Stateful dedup emits exactly one row per key across batches."""
+    from mcp_hubspot_spark.streaming.stateful import first_seen_dedup
+
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    d = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(d / "b1"))
+    events.coalesce(1).write.parquet(str(d / "b2"))  # same keys again
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        first_seen_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("dedup").collect()
+    assert len(rows) == len({r.user_id for r in rows})  # one emit per key
+    assert {r.user_id for r in rows} == {
+        r.user_id for r in events.select("user_id").distinct().collect()
+    }
