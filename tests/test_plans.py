@@ -109,3 +109,34 @@ def test_knn_single_stage_no_shuffle_before_topk(spark):
     # no hash-partitioned shuffle of the fact side in the scoring stage
     scoring = plan.split("TakeOrderedAndProject")[0]
     assert "Exchange hashpartitioning" not in scoring
+
+
+def test_asof_join_is_single_shuffle_no_nested_loop(spark):
+    """The as-of join must compile to union + window (ONE key shuffle) —
+    never a broadcast-nested-loop or cartesian range theta-join."""
+    plan = plan_of(QUERIES["events_asof_click"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The banded range join must be a hash/sort-merge equi-join on
+    (key, bucket) — the theta form would be a nested-loop scan."""
+    plan = plan_of(QUERIES["events_near_pairs"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_rollup_single_expand_single_shuffle(spark):
+    """Rollup compiles to Expand + one aggregate exchange."""
+    import re
+
+    plan = plan_of(QUERIES["orders_rollup"](spark, SF))
+    assert "Expand" in plan
+    n_exchanges = len(set(re.findall(r"Exchange \(\d+\)", plan)))
+    assert n_exchanges <= 2  # agg shuffle + final sort only
