@@ -1,0 +1,85 @@
+"""Skew mitigation operators (scale extension — SURVEY §7 phase 5).
+
+Hot keys break the shuffle contract: one reducer gets the hub key's entire
+partition while the rest idle. Two classic remedies, expressed as plain
+DataFrame compositions so they compose with everything else:
+
+  * ``salted_aggregate`` — two-phase agg: shard each key across
+    ``n_salts`` sub-keys (partial agg per shard), then merge the shards.
+    Works for any algebraic aggregate (sum/count/min/max + count-backed
+    avg).
+  * ``salted_join`` — replicate the small side ``n_salts`` times, shard
+    the big side's hot keys; the join key becomes (key, salt) so a hot
+    key's rows spread over ``n_salts`` reducers.
+
+AQE's runtime skew-join splitting (``spark.sql.adaptive.skewJoin``) covers
+the sort-merge case automatically — these helpers are for aggregations
+(where AQE does not split) and for forcing the layout when stats are
+missing. Salting is deterministic here (hash of a stable column, not
+rand()) so retried tasks produce identical shards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, salt_src: Column, n_salts: int) -> DataFrame:
+    """Deterministic shard id in [0, n_salts) from a stable column (row id,
+    payload hash) — NOT rand(): task retries must re-produce the same
+    shard or shuffle files disagree."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_src: Column | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name → (agg_fn, column) with agg_fn in
+    {sum, count, min, max}. Phase 1 groups by (keys, salt) — the hot key's
+    rows split over n_salts reducers; phase 2 merges shards (sum/sum,
+    count→sum, min/min, max/max). The merge input is ≤ n_salts rows per
+    key, so phase 2 is trivially balanced.
+    """
+    mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1 = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn, _ in aggs.values():
+        if fn not in phase1:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    salted = with_salt(df, salt_src if salt_src is not None else F.col(df.columns[0]), n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[phase1[fn](c).alias(name) for name, (fn, c) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[mergers[fn](name).alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    salt_src: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: shard the big side, replicate the small side
+    once per shard, join on (keys, salt). The small side grows n_salts×
+    (it is small — that is the premise); the big side's hot keys spread
+    across n_salts reducers instead of melting one."""
+    keys = list(on)
+    big_s = with_salt(
+        big, salt_src if salt_src is not None else F.col(big.columns[0]), n_salts
+    )
+    small_r = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("bigint"))
+    return big_s.join(small_r, on=[*keys, "_salt"], how=how).drop("_salt")

@@ -1538,6 +1538,48 @@ def doc_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Skew-safe two-phase aggregation (operators.skew.salted_aggregate): the
+# result is identical to a plain GROUP BY — only the shuffle layout
+# changes (hot keys shard across n_salts reducers). The plain GROUP BY is
+# therefore the oracle.
+@_q(
+    "salted_flag_totals",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def salted_flag_totals(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.skew import salted_aggregate
+
+    lines = load_table(spark, sf, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        lines,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n": ("count", "l_quantity"),
+            "sum_qty_dec": ("sum", "qty_dec"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        salt_src=F.col("l_orderkey"),
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "max_price",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 

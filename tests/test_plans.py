@@ -140,3 +140,69 @@ def test_rollup_single_expand_single_shuffle(spark):
     assert "Expand" in plan
     n_exchanges = len(set(re.findall(r"Exchange \(\d+\)", plan)))
     assert n_exchanges <= 2  # agg shuffle + final sort only
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Same-bucketed tables join without any shuffle: the bucket layout IS
+    the exchange, paid once at write time."""
+    import re
+
+    from mcp_hubspot_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    lines = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 4, path=str(tmp_path / "bo")
+    )
+    write_bucketed(
+        lines.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lines", ["o_orderkey"], 4, path=str(tmp_path / "bl"),
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the point is that the SHUFFLE is
+        # gone, which only shows once the planner can't broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(bucketed_join(spark, "b_orders", "b_lines", ["o_orderkey"]))
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Salting must not change results — only the shuffle layout."""
+    from mcp_hubspot_spark.operators.skew import salted_aggregate
+
+    lines = load_table(spark, SF, "lineitem")
+    got = {
+        r.l_returnflag: (r.n, round(r.total_qty, 2))
+        for r in salted_aggregate(
+            lines,
+            keys=["l_returnflag"],
+            aggs={"n": ("count", "l_quantity"), "total_qty": ("sum", "l_quantity")},
+            salt_src=F.col("l_orderkey"),
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.n, round(r.total_qty, 2))
+        for r in lines.groupBy("l_returnflag")
+        .agg(F.count("l_quantity").alias("n"), F.sum("l_quantity").alias("total_qty"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from mcp_hubspot_spark.operators.skew import salted_join
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderstatus")
+    lines = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    got = salted_join(lines, orders, on=["o_orderkey"], n_salts=4).count()
+    want = lines.join(orders, on="o_orderkey").count()
+    assert got == want
