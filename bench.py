@@ -42,6 +42,13 @@ HEADLINE = [
     "events_sessions",          # session windows
     "events_sliding",           # sliding windows
     "media_features",           # mapInPandas multimodal decode
+    "shipping_priority",        # TPC-H Q3 shape: selective 3-way join
+    "revenue_by_nation",        # TPC-H Q5 shape: full dim chain
+    "events_asof_click",        # as-of join (union + window, 1 shuffle)
+    "events_near_pairs",        # banded temporal range join
+    "events_user_gaps",         # lead/lag window analytics
+    "orders_rollup",            # ROLLUP grouping sets
+    "salted_flag_totals",       # skew-safe two-phase aggregation
 ]
 
 
