@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis): independent oracles for the
+operators whose semantics are easiest to get subtly wrong — the as-of join
+(vs pandas.merge_asof) and the OR-of-AND predicate compiler (vs a plain
+Python evaluator). The reference ships no assertions at all (SURVEY §5);
+these are the engine's stronger replacement."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_key = st.sampled_from(["k1", "k2", "k3"])
+_ts = st.integers(min_value=0, max_value=50)
+
+_left_rows = st.lists(st.tuples(_key, _ts), min_size=1, max_size=25)
+_right_rows = st.lists(st.tuples(_key, _ts, st.integers(0, 999)), max_size=25)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    from mcp_hubspot_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, lid long"
+    )
+    # de-dup (key, ts) on the right: with duplicate timestamps inside a key
+    # both engines pick an arbitrary winner — not a semantics difference
+    seen: dict = {}
+    for k, t, v in right:
+        seen[(k, t)] = v
+    right_u = [(k, t, v) for (k, t), v in seen.items()]
+    rdf = spark.createDataFrame(
+        right_u or [("_none", -1, 0)], "k string, ts long, rv long"
+    )
+    got = {
+        r.lid: r.rv
+        for r in asof_join(
+            ldf.withColumn("ts", F.timestamp_micros("ts")),
+            rdf.withColumn("ts", F.timestamp_micros("ts")),
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["rv"],
+            how="left",
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "ts", "lid"]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        right_u or [("_none", -1, 0)], columns=["k", "ts", "rv"]
+    ).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", allow_exact_matches=True
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+_OPS = ["EQ", "NEQ", "GT", "GTE", "LT", "LTE"]
+_filter = st.fixed_dictionaries(
+    {
+        "propertyName": st.sampled_from(["a", "b"]),
+        "operator": st.sampled_from(_OPS),
+        "value": st.integers(0, 9),
+    }
+)
+_groups = st.lists(st.lists(_filter, min_size=1, max_size=3), min_size=1, max_size=3)
+
+
+def _py_eval(row: dict, groups: list[list[dict]]) -> bool:
+    import operator as op
+
+    fns = {"EQ": op.eq, "NEQ": op.ne, "GT": op.gt, "GTE": op.ge,
+           "LT": op.lt, "LTE": op.le}
+    return any(
+        all(fns[f["operator"]](row[f["propertyName"]], f["value"]) for f in g)
+        for g in groups
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(groups=_groups, rows=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=30))
+def test_filter_groups_match_python_semantics(spark, groups, rows):
+    from mcp_hubspot_spark.plans.predicates import compile_filter_groups
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "id long, a long, b long"
+    )
+    got = {r.id for r in df.filter(compile_filter_groups(groups)).collect()}
+    want = {
+        i for i, (a, b) in enumerate(rows) if _py_eval({"a": a, "b": b}, groups)
+    }
+    assert got == want
