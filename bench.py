@@ -49,6 +49,7 @@ HEADLINE = [
     "events_user_gaps",         # lead/lag window analytics
     "orders_rollup",            # ROLLUP grouping sets
     "salted_flag_totals",       # skew-safe two-phase aggregation
+    "knn_batch_matmul",         # Arrow/numpy block-matmul batched kNN
 ]
 
 

@@ -145,6 +145,71 @@ def knn_batch(
     )
 
 
+def knn_batch_matmul(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Large-query-batch k-NN via Arrow-batched block matmul
+    (SURVEY §7 hardest-problems #1: the grouped-pandas scale path).
+
+    ``knn_batch`` keeps the distance arithmetic in JVM expressions — right
+    for a handful of queries. Past ~100 queries the per-row HOF loop loses
+    to BLAS: here every executor gets the (q, d) query matrix once
+    (closure-captured ≈ broadcast), computes the full distance block
+    ``|v|² + |q|² − 2·V@Qᵀ`` per Arrow batch with numpy, and emits only
+    the LOCAL top-k rows per query per partition. The global reduce then
+    ranks ≤ k·q·n_partitions candidate rows — the same two-phase merge as
+    single-query kNN, so the shuffle never carries the n×q cross product.
+    """
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    qids = [int(q) for q, _ in queries]
+    Q = np.asarray([v for _, v in queries], dtype="float64")
+
+    def score(batches):
+        q_sq = (Q**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            ids = pdf[id_col].to_numpy()
+            d2 = (V**2).sum(axis=1)[:, None] + q_sq[None, :] - 2.0 * (V @ Q.T)
+            kk = min(k, len(ids))
+            import pandas as pd
+
+            out = []
+            for j, qid in enumerate(qids):
+                col = d2[:, j]
+                top = np.argpartition(col, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: ids[top],
+                            "distance": col[top],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, distance double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "distance")
+    )
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,

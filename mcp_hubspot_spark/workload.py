@@ -1580,6 +1580,46 @@ def salted_flag_totals(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l_returnflag", "l_linestatus")
 
 
+# Same result as knn_batch, computed on the numpy block-matmul scale path
+# (mapInPandas, partition-local top-k — SURVEY §7 hardest-problems #1).
+# Output is ids/ranks only: ranks are stable across engines, raw float
+# distances are not (summation order).
+@_q(
+    "knn_batch_matmul",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ),
+    d AS (
+        SELECT q.query_id, e.vec_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (e.embedding[i]::DOUBLE - q.qv[i]) * (e.embedding[i]::DOUBLE - q.qv[i]))) AS distance
+        FROM embeddings e, q
+    )
+    SELECT query_id, rank, vec_id FROM (
+        SELECT query_id, vec_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY distance ASC, vec_id ASC) AS INT) AS rank
+        FROM d
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def knn_batch_matmul_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import knn_batch_matmul
+
+    emb = _emb_double(spark, sf)
+    qrows = emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    return (
+        knn_batch_matmul(emb, queries, k=5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 

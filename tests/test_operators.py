@@ -212,3 +212,34 @@ def test_range_join_boundaries(spark):
     }
     # (2,13) diff = 500,001µs — one past the inclusive upper bound
     assert pairs == {(1, 10), (1, 11), (2, 12)}
+
+
+def test_knn_batch_matmul_matches_expression_path(spark):
+    """The numpy block-matmul path must return the same neighbors/ranks as
+    the JVM expression path (distances compared with tolerance — float
+    summation order differs)."""
+    from mcp_hubspot_spark.operators.vector import knn_batch, knn_batch_matmul
+    from mcp_hubspot_spark.sources.catalog import fan_out
+
+    emb = fan_out(
+        load_table(spark, SF, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+    )
+    qrows = emb.filter(F.col("vec_id").isin(1, 2, 3)).collect()
+    queries_list = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+    queries_df = spark.createDataFrame(
+        [(q, v) for q, v in queries_list], "query_id long, query_vec array<double>"
+    )
+    expr = {
+        (r.query_id, r.rank): (r.vec_id, r.distance)
+        for r in knn_batch(emb, queries_df, k=5).collect()
+    }
+    mat = {
+        (r.query_id, r.rank): (r.vec_id, r.distance)
+        for r in knn_batch_matmul(emb, queries_list, k=5).collect()
+    }
+    assert expr.keys() == mat.keys()
+    for key in expr:
+        assert expr[key][0] == mat[key][0], key
+        assert abs(expr[key][1] - mat[key][1]) < 1e-9, key
