@@ -263,6 +263,37 @@ def assign_cells_literal(
     )
 
 
+def train_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Real IVF centroid training via MLlib KMeans (the honest build step;
+    picking arbitrary rows as centroids is only plumbing).
+
+    Returns a ``(cell_id, centroid)`` DataFrame for assign_cells/ivf_topk.
+    At 100 TB you train on a sample (``sample_fraction``) — k-means
+    centroid quality converges long before the full corpus is seen — then
+    assign the full table in one pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(vec_col)
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    train = base.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id int, centroid array<double>",
+    )
+
+
 def ivf_topk(
     df_with_cells: DataFrame,
     centroids: DataFrame,
