@@ -50,6 +50,7 @@ HEADLINE = [
     "orders_rollup",            # ROLLUP grouping sets
     "salted_flag_totals",       # skew-safe two-phase aggregation
     "knn_batch_matmul",         # Arrow/numpy block-matmul batched kNN
+    "corpus_clean_stats",       # composite quality->dedup->stats pipeline
 ]
 
 

@@ -1336,6 +1336,42 @@ def knn_batch_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Set ops (SURVEY §2.7 — the reference unions k-NN partials; INTERSECT/
+# EXCEPT complete the family): nations that have BOTH customers and
+# suppliers, and nations with customers but NO suppliers. Set semantics
+# (distinct), one shuffle each.
+@_q(
+    "nation_customer_supplier_sets",
+    """
+    WITH both_ AS (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    ),
+    only_c AS (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
+    SELECT nationkey, 'both' AS side FROM both_
+    UNION ALL
+    SELECT nationkey, 'customers_only' AS side FROM only_c
+    ORDER BY side, nationkey
+    """,
+)
+def nation_customer_supplier_sets(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).withColumn("side", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (intersect's dual)
+    only_c = cust.subtract(supp).withColumn("side", F.lit("customers_only"))
+    return both.unionByName(only_c).orderBy("side", "nationkey")
+
+
 # As-of join (backward): for each error event, the user's most recent
 # click at-or-before it. Spark has no native as-of operator — ours is the
 # union + last-non-null-window composition in operators.joins.asof_join
@@ -1617,6 +1653,59 @@ def knn_batch_matmul_q(spark: SparkSession, sf: str) -> DataFrame:
         knn_batch_matmul(emb, queries, k=5)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id")
         .orderBy("query_id", "rank")
+    )
+
+
+# Composite training-data pipeline: quality gate → exact dedup (keep the
+# lowest doc_id per content digest) → per-source corpus stats. One scan,
+# one digest-shuffle, one agg-shuffle — the shape a 100 TB corpus-cleaning
+# job runs nightly.
+@_q(
+    "corpus_clean_stats",
+    f"""
+    WITH q AS (
+        SELECT doc_id, source, text,
+               len({_duck_tokens()}) AS n_toks,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / length(text) AS punct_ratio
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM q WHERE n_toks >= 10 AND punct_ratio <= 0.3
+    ),
+    reps AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(lower(text))
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens
+    FROM kept JOIN reps USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_clean_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .operators.text import tokens as tok
+
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    n_toks = F.size(tok(t))
+    punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
+    ).cast("double") / F.length(t)
+    kept = docs.select("doc_id", "source", "text", n_toks.alias("n_toks")).filter(
+        (n_toks >= 10) & (punct <= 0.3)
+    )
+    reps = exact_dedup(kept, F.md5(F.lower(t)), id_col="doc_id").select("doc_id")
+    return (
+        kept.join(reps, on="doc_id", how="left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .orderBy("source")
     )
 
 
