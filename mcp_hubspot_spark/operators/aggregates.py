@@ -75,3 +75,36 @@ def group_concat_ordered(
 def summary_rollup(df: DataFrame, sums: dict[str, str]) -> DataFrame:
     """A5 global rollup: ``sums`` maps output alias → input column."""
     return df.agg(*[F.sum(c).alias(a) for a, c in sums.items()])
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group: Sequence[str],
+    value: str,
+    alias: str = "zscore",
+) -> DataFrame:
+    """Per-group z-normalization via grouped-map ``applyInPandas``
+    (SURVEY §2.11: the grouped-map extension surface — per-group vector
+    ops / normalization).
+
+    Each group is one Arrow batch in one Python worker: right when the
+    per-group transform needs the whole group in memory (normalization,
+    per-group model scoring). Groups shuffle independently, so scale holds
+    as long as no single group outgrows an executor — for hot groups,
+    pre-shard with operators.skew. A pure-SQL twin (window avg/stddev) is
+    the DuckDB oracle in workload.py: the pandas path is cross-validated
+    against SQL semantics, including the stddev_samp ddof=1 convention.
+    """
+    import pandas as pd
+
+    out_fields = df.schema.fields
+    schema_str = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    schema_str += f", `{alias}` double"
+
+    def norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value].astype("float64")
+        sd = v.std(ddof=1)
+        pdf[alias] = (v - v.mean()) / sd if sd and sd == sd else float("nan")
+        return pdf
+
+    return df.groupBy(*group).applyInPandas(norm_group, schema=schema_str)

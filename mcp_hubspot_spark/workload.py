@@ -1709,6 +1709,30 @@ def corpus_clean_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Grouped-map applyInPandas (per-group normalization) cross-validated
+# against the pure-SQL window twin — the pandas path must reproduce SQL
+# semantics (stddev_samp, ddof=1) exactly.
+@_q(
+    "doc_zscore_by_source",
+    """
+    SELECT doc_id, source,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY source))
+                 / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS zscore
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_zscore_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.aggregates import grouped_zscore
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return (
+        grouped_zscore(docs, group=["source"], value="n_chars")
+        .select("doc_id", "source", F.round("zscore", 4).alias("zscore"))
+        .orderBy("doc_id")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
