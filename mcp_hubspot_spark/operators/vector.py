@@ -210,6 +210,28 @@ def knn_batch_matmul(
     )
 
 
+def centroid_agg(vec_col: str = "embedding", dim: int = 8):
+    """Grouped-agg pandas UDF: element-wise mean of an embedding column
+    (SURVEY §2.11 — the custom-distance-aggregate extension surface).
+
+    A built-in can't express "mean of array<double> element-wise" without
+    exploding dim× rows through the shuffle; the grouped-agg UDF reduces
+    each group to ONE dim-length vector with numpy, map-side per group.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: type-hint inference has no spelling for a
+    # Series→array-scalar aggregate signature
+    @pandas_udf("array<double>", PandasUDFType.GROUPED_AGG)
+    def _centroid(v: pd.Series):
+        M = np.stack(v.to_numpy()).astype("float64")
+        return [float(x) for x in M.mean(axis=0)]
+
+    return _centroid(F.col(vec_col))
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,

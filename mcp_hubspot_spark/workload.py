@@ -1733,6 +1733,44 @@ def doc_zscore_by_source(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Grouped-agg pandas UDF: per-label embedding centroid (element-wise
+# mean). Oracle checks the first 4 dimensions via per-dim avg; float means
+# agree well past the 6-dp comparison precision.
+@_q(
+    "label_centroids",
+    """
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(embedding[1]::DOUBLE), 6) AS c1,
+           round(avg(embedding[2]::DOUBLE), 6) AS c2,
+           round(avg(embedding[3]::DOUBLE), 6) AS c3,
+           round(avg(embedding[4]::DOUBLE), 6) AS c4
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import centroid_agg
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # grouped-agg pandas UDFs cannot share an agg() with JVM aggregates —
+    # two small aggs joined on the (tiny) label key instead
+    cents = emb.groupBy("label").agg(centroid_agg("embedding").alias("centroid"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    out = counts.join(cents, on="label")
+    return out.select(
+        "label",
+        "n",
+        *[
+            F.round(F.element_at("centroid", i + 1), 6).alias(f"c{i + 1}")
+            for i in range(4)
+        ],
+    ).orderBy("label")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
