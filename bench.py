@@ -74,6 +74,9 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one broken query must not kill the run
+            # NOTE: "value" then sums only the surviving queries — any
+            # non-empty "errors" key invalidates cross-run comparison of
+            # the total
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)

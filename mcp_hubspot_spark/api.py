@@ -221,10 +221,13 @@ class Engine:
         clients/conversation_client.py:35-146): unarchived emails, newest
         first; body = text-or-html coalesce (empty string skipped, F4).
         ``detail_ids`` replaces the reference's batched point-lookup loop
-        (batches of 10, :111) with one IN-list semi-join."""
+        (batches of 10, :111) with one IN-list semi-join; like that loop it
+        returns EVERY requested id — ``limit`` only shapes the browse
+        path."""
         emails = self.tables["emails"].filter(~F.col("archived"))
         if detail_ids is not None:
             emails = emails.filter(F.col("id").isin(list(detail_ids)))
+            limit = max(limit, len(list(detail_ids)))
         return (
             emails.withColumn("_idn", F.expr("try_cast(id AS long)"))
             .orderBy(

@@ -104,7 +104,13 @@ def grouped_zscore(
     def norm_group(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value].astype("float64")
         sd = v.std(ddof=1)
-        pdf[alias] = (v - v.mean()) / sd if sd and sd == sd else float("nan")
+        if sd and sd == sd:
+            pdf[alias] = (v - v.mean()) / sd
+        else:
+            # single-row or constant group: SQL's (x-avg)/stddev_samp is
+            # NULL (÷NULL or ÷0) — emit real nulls, not NaN, so the pandas
+            # path keeps SQL semantics (nullable Float64 → Spark null)
+            pdf[alias] = pd.array([None] * len(pdf), dtype="Float64")
         return pdf
 
     return df.groupBy(*group).applyInPandas(norm_group, schema=schema_str)

@@ -77,29 +77,39 @@ def asof_join(
     Spark-first plan: NOT a range theta-join (which explodes to a
     broadcast-nested-loop or an O(n·m) pair stream). Instead: tag and
     union both sides, then one window pass per key ordered by (ts, side)
-    carrying the last non-null right payload forward
-    (``last(..., ignorenulls=True)``). Cost = ONE shuffle on the key —
+    carrying the last right-row payload forward as ONE struct
+    (``last(struct, ignorenulls=True)``) — the struct is non-null exactly
+    for right rows, so a matched right row whose payload columns are
+    genuinely NULL is still carried faithfully, and all carried columns
+    always come from the SAME right row. Cost = ONE shuffle on the key —
     identical to a plain equi-join — and the state per group is a single
     row, so it survives any scale and any time-skew. Ties
     (right_ts == left_ts) match, right sorted before left at equal ts.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', not {how!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     from pyspark.sql.window import Window
 
     keys = list(on)
     left_payload = [c for c in left.columns if c not in keys]
-    # single-pass: left rows carry their own payload (+null right slots),
-    # right rows carry only the as-of payload — no second scan, no re-join
+    clash = set(left_payload) & set(right_cols)
+    if clash:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(clash)} — alias "
+            "them on the right side first"
+        )
+    rpay = F.struct(*[F.col(c) for c in right_cols])
+    rpay_type = right.select(rpay.alias("_p")).schema["_p"].dataType
+    # single-pass: left rows carry their own payload (+a null right-struct
+    # slot), right rows carry only the as-of payload — no second scan
     l = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(f"_l_{c}") for c in left_payload],
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-            for c in right_cols
-        ],
+        F.lit(None).cast(rpay_type).alias("_rpay"),
     )
     r = right.select(
         *keys,
@@ -109,7 +119,7 @@ def asof_join(
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in left_payload
         ],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        rpay.alias("_rpay"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -117,19 +127,15 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_rpay", ignorenulls=True).over(w).alias("_rv")
     )
     out = carried.filter(F.col("_side") == 1)
-    if how == "inner" and right_cols:
-        out = out.filter(F.col(f"_rv_{right_cols[0]}").isNotNull())
+    if how == "inner":
+        out = out.filter(F.col("_rv").isNotNull())
     return out.select(
         *keys,
         *[F.col(f"_l_{c}").alias(c) for c in left_payload],
-        *[F.col(f"_rv_{c}").alias(c) for c in right_cols],
+        *[F.col("_rv").getField(c).alias(c) for c in right_cols],
     )
 
 

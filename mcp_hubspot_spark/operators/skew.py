@@ -34,6 +34,19 @@ def with_salt(df: DataFrame, salt_src: Column, n_salts: int) -> DataFrame:
     return df.withColumn("_salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
 
 
+def _default_salt_src(df: DataFrame, exclude: Sequence[str]) -> Column:
+    """Default salt source: hash of every NON-key column. Hashing the
+    grouping/join key itself would give each hot key one constant salt —
+    zero mitigation — so key columns are excluded."""
+    rest = [c for c in df.columns if c not in set(exclude)]
+    if not rest:
+        raise ValueError(
+            "no non-key columns to derive a salt from; pass salt_src "
+            "explicitly (e.g. a row id)"
+        )
+    return F.xxhash64(*[F.col(c) for c in rest])
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -54,7 +67,11 @@ def salted_aggregate(
     for fn, _ in aggs.values():
         if fn not in phase1:
             raise ValueError(f"non-algebraic aggregate: {fn}")
-    salted = with_salt(df, salt_src if salt_src is not None else F.col(df.columns[0]), n_salts)
+    salted = with_salt(
+        df,
+        salt_src if salt_src is not None else _default_salt_src(df, keys),
+        n_salts,
+    )
     partial = salted.groupBy(*keys, "_salt").agg(
         *[phase1[fn](c).alias(name) for name, (fn, c) in aggs.items()]
     )
@@ -75,9 +92,15 @@ def salted_join(
     once per shard, join on (keys, salt). The small side grows n_salts×
     (it is small — that is the premise); the big side's hot keys spread
     across n_salts reducers instead of melting one."""
+    # normalize Spark's join-type alias spellings before validating
+    norm_how = how.lower().replace("_", "")
+    if norm_how not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
+        # right/full joins would see the replicated small side as real rows
+        # (n_salts copies of every unmatched small row)
+        raise ValueError(f"salted_join supports big-side-preserving joins only, not {how!r}")
     keys = list(on)
     big_s = with_salt(
-        big, salt_src if salt_src is not None else F.col(big.columns[0]), n_salts
+        big, salt_src if salt_src is not None else _default_salt_src(big, keys), n_salts
     )
     small_r = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

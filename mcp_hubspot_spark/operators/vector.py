@@ -185,7 +185,11 @@ def knn_batch_matmul(
             out = []
             for j, qid in enumerate(qids):
                 col = d2[:, j]
-                top = np.argpartition(col, kk - 1)[:kk]
+                # lexsort matches the global (distance asc, id asc) order so
+                # ties at the kth distance keep the same winner the JVM
+                # expression path picks — argpartition alone would drop an
+                # arbitrary tied candidate
+                top = np.lexsort((ids, col))[:kk]
                 out.append(
                     pd.DataFrame(
                         {
@@ -210,7 +214,7 @@ def knn_batch_matmul(
     )
 
 
-def centroid_agg(vec_col: str = "embedding", dim: int = 8):
+def centroid_agg(vec_col: str = "embedding"):
     """Grouped-agg pandas UDF: element-wise mean of an embedding column
     (SURVEY §2.11 — the custom-distance-aggregate extension surface).
 

@@ -273,3 +273,28 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
         for r in ivf_topk(with_cells, centroids, qvec, k=10, nprobe=8).collect()
     }
     assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_asof_join_carries_genuine_null_payload(spark):
+    """A matched right row whose payload is NULL must be carried as NULL —
+    not skipped in favor of an older non-null row — and multi-column
+    payloads must all come from the SAME right row."""
+    from datetime import datetime
+
+    from mcp_hubspot_spark.operators.joins import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [("k", t(10), "l1")], "k string, ts timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        [("k", t(1), "old_a", "old_b"), ("k", t(5), None, "new_b")],
+        "k string, ts timestamp, a string, b string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["a", "b"], how="left",
+    ).collect()[0]
+    # the ts=5 row is the true match: a is genuinely NULL, b is new_b —
+    # never a mix of old_a/new_b
+    assert row.a is None and row.b == "new_b"
