@@ -1771,6 +1771,67 @@ def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("label")
 
 
+# Pivot (wide reshaping): order counts per priority with one column per
+# status. Spark compiles pivot-with-known-values to a single aggregate
+# (no extra pass to discover values — always pin the value list at scale).
+@_q(
+    "orders_status_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_status_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+# posexplode (lateral UDTF-style fan-out): token position table for the
+# first 3 tokens of each document.
+@_q(
+    "doc_token_positions",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_duck_tokens()} AS toks FROM documents WHERE doc_id < 100
+    ),
+    p AS (SELECT unnest(range(1, 4)) AS i)
+    SELECT doc_id,
+           CAST(p.i - 1 AS INT) AS pos,
+           d.toks[p.i] AS tok
+    FROM d, p
+    WHERE p.i <= len(d.toks)
+    ORDER BY doc_id, pos
+    """,
+)
+def doc_token_positions(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens as tok
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.slice(tok(F.col("text")), 1, 3)).alias("pos", "tok"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
