@@ -65,6 +65,18 @@ def main() -> None:
     # warm up the JVM / codegen paths
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # warm up the Python-UDF worker pool (Arrow + pandas/numpy import in
+    # every worker) so pandas-UDF queries measure steady-state throughput,
+    # not one-time interpreter startup — the same treatment the JVM gets
+    def _noop(batches):
+        import numpy  # noqa: F401
+
+        yield from batches
+
+    spark.range(10_000).repartition(64).mapInPandas(
+        _noop, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
