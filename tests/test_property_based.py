@@ -106,3 +106,41 @@ def test_filter_groups_match_python_semantics(spark, groups, rows):
         i for i, (a, b) in enumerate(rows) if _py_eval({"a": a, "b": b}, groups)
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=1, max_size=20),
+    right=st.lists(st.tuples(_key, _ts), min_size=1, max_size=20),
+    bounds=st.tuples(st.integers(0, 20), st.integers(0, 20)).map(sorted),
+)
+def test_range_join_matches_brute_force(spark, left, right, bounds):
+    from mcp_hubspot_spark.operators.joins import range_join
+
+    lower, upper = int(bounds[0]) * 1_000_000, int(bounds[1]) * 1_000_000
+    ldf = spark.createDataFrame(
+        [(k, t * 1_000_000, i) for i, (k, t) in enumerate(left)],
+        "k string, us long, lid long",
+    ).withColumn("ts", F.timestamp_micros("us"))
+    rdf = spark.createDataFrame(
+        [(k, t * 1_000_000, i) for i, (k, t) in enumerate(right)],
+        "k string, us long, rid long",
+    ).select("k", F.timestamp_micros("us").alias("ts2"), "rid")
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            ldf.select("k", "ts", "lid"), rdf, on=["k"],
+            left_ts="ts", right_ts="ts2", lower_us=lower, upper_us=upper,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt) in enumerate(right)
+        if lk == rk and lower <= (rt - lt) * 1_000_000 <= upper
+    }
+    assert got == want
