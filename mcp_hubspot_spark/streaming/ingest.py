@@ -1,0 +1,51 @@
+"""Streaming embed-and-index ingestion (SURVEY §3.1 stage 6, reframed).
+
+The reference embeds every API response and eagerly appends it to today's
+FAISS partition as a side effect of serving the query (reference
+``handlers/base_handler.py:39-76`` → ``faiss_manager.py:221-252``). The
+Spark-native form decouples that side effect into its own streaming job:
+a text stream → pandas-UDF embedding → ``foreachBatch`` append into the
+date-partitioned vector store. Micro-batches give the same
+eager-durability property (every batch is persisted before the next is
+consumed) without blocking the query path, and checkpointing makes the
+append at-least-once with replay on failure — strictly stronger than the
+reference's rewrite-the-whole-index-per-append persistence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding import embed_column
+from ..vector_store import VectorStore
+
+
+def stream_embed_to_store(
+    stream_df: DataFrame,
+    store: VectorStore,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    data_type: str = "document",
+    dim: int = 64,
+):
+    """Start a streaming query embedding ``text_col`` and appending rows
+    shaped for the vector store. Returns the StreamingQuery handle."""
+    shaped = stream_df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        embed_column(text_col, dim=dim).alias("embedding"),
+        F.lit(data_type).alias("type"),
+        F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("data_json"),
+        F.lit(None).cast("map<string,string>").alias("extras"),
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.add(batch_df)
+
+    return (
+        shaped.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -162,3 +162,30 @@ def test_first_seen_dedup_stream(spark, tmp_path):
     assert {r.user_id for r in rows} == {
         r.user_id for r in events.select("user_id").distinct().collect()
     }
+
+
+def test_stream_embed_to_store_and_search(spark, tmp_path):
+    """End-to-end: document stream → pandas-UDF embedding → foreachBatch
+    append into the date-partitioned store → kNN search sees the rows
+    (the reference's embed-and-index side effect as a streaming job)."""
+    from mcp_hubspot_spark.streaming.ingest import stream_embed_to_store
+    from mcp_hubspot_spark.vector_store import VectorStore
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 30)
+    d = tmp_path / "docs"
+    docs.coalesce(1).write.parquet(str(d / "b1"))
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    stream = spark.readStream.schema(docs.schema).parquet(str(d) + "/*")
+    q = stream_embed_to_store(
+        stream, store, checkpoint_dir=str(tmp_path / "ckpt"), dim=16
+    )
+    q.awaitTermination(120)
+    stored = store.load()
+    assert stored.count() == 30
+    assert {f.name for f in stored.schema.fields} >= {
+        "date", "vec_id", "embedding", "type", "data_json"
+    }
+    # a stored vector must find itself as its own nearest neighbor
+    probe = [float(x) for x in stored.filter(F.col("vec_id") == 3).first().embedding]
+    top = store.search(probe, k=1).collect()[0]
+    assert top.vec_id == 3 and top.similarity > 0.99
