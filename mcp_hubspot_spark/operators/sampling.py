@@ -1,0 +1,57 @@
+"""Deterministic sampling / dataset splitting (training-data pipeline op).
+
+``df.sample``/``sampleBy`` are seed-stable only per partitioning — a
+repartition or a different file layout reshuffles which rows are sampled.
+Training pipelines need splits that are a pure function of the ROW, not of
+the physical plan: hash the stable id, bucket it, assign by cumulative
+fraction. Same row → same split, on any cluster, forever; membership is
+checkable in any engine (md5 is everywhere — the DuckDB oracle reproduces
+the split bit-for-bit).
+
+At 100 TB this is a zero-shuffle projection: the split column is computed
+in the scan stage, and writing ``partitionBy("split")`` gives
+partition-pruned reads of each split downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def split_bucket(id_col: Column | str, seed: str = "42") -> Column:
+    """Stable bucket in [0, 1e6): first 15 hex digits of md5(seed || id)
+    (60 bits — fits a long exactly, same trick as the minhash/simhash
+    hashing, and byte-reproducible in DuckDB)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: str = "42",
+    alias: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative fraction over the
+    hash bucket. Fractions must sum to 1 (±1e-9). Order of dict entries
+    defines the threshold order, so iteration order is part of the seed —
+    pass the same dict shape to reproduce."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = split_bucket(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = b < int(round(acc * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(alias, expr)

@@ -1832,6 +1832,46 @@ def doc_token_positions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Deterministic hash-split (operators.sampling): train/val/test assignment
+# as a pure function of the row id — reproducible across engines, zero
+# shuffle. The oracle reproduces the md5 bucketing bit-for-bit.
+@_q(
+    "doc_hash_split",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bkt,
+               n_chars
+        FROM documents
+    )
+    SELECT CASE WHEN bkt < 800000 THEN 'train'
+                WHEN bkt < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1
+    ORDER BY split
+    """,
+)
+def doc_hash_split(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="42"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
