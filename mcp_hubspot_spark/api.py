@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from .functions.scalars import (
     classify_sender,
     coalesce_body,
+    email_of_delivery,
     engagement_content,
     filter_email_recipients,
     iso_format,
@@ -65,7 +66,10 @@ class Engine:
 
             payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
             rows = df.select(
-                F.monotonically_increasing_id().alias("vec_id"),
+                # content-derived id: stable across re-runs and collision-
+                # free across batches (monotonically_increasing_id restarts
+                # at 0 every job, poisoning the store's key)
+                F.xxhash64(F.lit(data_type), payload).alias("vec_id"),
                 embed_column(payload, dim=64).alias("embedding"),
                 F.lit(data_type).alias("type"),
                 payload.alias("data_json"),
@@ -78,24 +82,32 @@ class Engine:
 
     def get_active_companies(self, limit: int = 10) -> DataFrame:
         """hubspot_get_active_companies (S1/O1,
-        clients/company_client.py:31-65)."""
-        return recent_scan(
-            self.tables["companies"],
-            ts_col="hs_lastmodifieddate",
-            limit=limit,
-            tiebreaker="id",
-            properties=COMPANY_PROPERTIES,
+        clients/company_client.py:31-65). Results are embedded + indexed
+        as a side effect when a store is attached (reference
+        handlers/base_handler.py:39-76)."""
+        return self._indexed(
+            recent_scan(
+                self.tables["companies"],
+                ts_col="hs_lastmodifieddate",
+                limit=limit,
+                tiebreaker="id",
+                properties=COMPANY_PROPERTIES,
+            ),
+            "hubspot_company",
         )
 
     def get_active_contacts(self, limit: int = 10) -> DataFrame:
         """hubspot_get_active_contacts (S2/O1,
         clients/contact_client.py:31-66)."""
-        return recent_scan(
-            self.tables["contacts"],
-            ts_col="hs_lastmodifieddate",
-            limit=limit,
-            tiebreaker="id",
-            properties=CONTACT_PROPERTIES,
+        return self._indexed(
+            recent_scan(
+                self.tables["contacts"],
+                ts_col="hs_lastmodifieddate",
+                limit=limit,
+                tiebreaker="id",
+                properties=CONTACT_PROPERTIES,
+            ),
+            "hubspot_contact",
         )
 
     def create_contact(self, new_contacts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -140,12 +152,23 @@ class Engine:
         )
 
     def get_recent_conversations(
-        self, limit: int = 10, truncate_chars: int = 200
+        self, limit: int = 10, truncate_chars: int | None = 200
     ) -> DataFrame:
         """hubspot_get_recent_conversations (S6/S7/J5/A3/P7/F3,
         clients/conversation_client.py:220-453): latest threads with
         nested time-ordered MESSAGE-type messages; text clipped AFTER
         indexing (handlers/conversation_handler.py:63-67,104-121)."""
+        if self.store is not None:
+            # reference parity: the index keeps FULL text — clipping
+            # happens only on the response path
+            self._indexed(
+                self._conversations_frame(limit, None), "hubspot_conversation"
+            )
+        return self._conversations_frame(limit, truncate_chars)
+
+    def _conversations_frame(
+        self, limit: int, truncate_chars: int | None
+    ) -> DataFrame:
         threads = self.tables["threads"]
         messages = self._shaped_messages(truncate_chars)
         # reference sorts threads by -id (conversation_client.py:273); ids
@@ -196,14 +219,9 @@ class Engine:
             "type",
             iso_format("createdAt").alias("created_at"),
             F.coalesce(first_sender.getField("name"), F.lit("")).alias("sender_name"),
-            F.coalesce(
-                F.when(
-                    first_sender.getField("deliveryIdentifier").getField("type")
-                    == "HS_EMAIL_ADDRESS",
-                    first_sender.getField("deliveryIdentifier").getField("value"),
-                ),
-                F.lit(""),
-            ).alias("sender_email"),
+            email_of_delivery(first_sender.getField("deliveryIdentifier")).alias(
+                "sender_email"
+            ),
             classify_sender("senders").alias("sender_type"),
             F.transform(
                 filter_email_recipients("recipients"),
@@ -256,12 +274,15 @@ class Engine:
     ) -> DataFrame:
         """hubspot_get_tickets (S3/P2-P6/O1,
         clients/ticket_client.py:33-181)."""
-        return filtered_scan(
-            self.tables["tickets"],
-            filter_groups=filter_groups,
-            sorts=[("hs_lastmodifieddate", "desc"), ("id", "desc")],
-            limit=limit,
-            properties=TICKET_PROPERTIES,
+        return self._indexed(
+            filtered_scan(
+                self.tables["tickets"],
+                filter_groups=filter_groups,
+                sorts=[("hs_lastmodifieddate", "desc"), ("id", "desc")],
+                limit=limit,
+                properties=TICKET_PROPERTIES,
+            ),
+            "hubspot_ticket",
         )
 
     def get_ticket_conversation_threads(

@@ -61,9 +61,12 @@ def classify_sender(senders: Column | str) -> Column:
 def email_of_delivery(di: Column) -> Column:
     """F7 — extract email only when deliveryIdentifier.type ==
     "HS_EMAIL_ADDRESS" (reference conversation_client.py:430-434)."""
-    return F.when(
-        di.getField("type") == "HS_EMAIL_ADDRESS", di.getField("value")
-    ).otherwise(F.lit(""))
+    return F.coalesce(
+        F.when(
+            di.getField("type") == "HS_EMAIL_ADDRESS", di.getField("value")
+        ).otherwise(F.lit("")),
+        F.lit(""),
+    )
 
 
 def filter_email_recipients(recipients: Column | str) -> Column:

@@ -155,6 +155,13 @@ def minhash_lsh_pairs(
     pairs → optional signature-jaccard verify. Returns
     (id_a, id_b, sig_jaccard) with id_a < id_b.
     """
+    if bands < 1 or num_perm % bands != 0:
+        # bands > num_perm would make every band key md5("") — a full n²
+        # self-join; non-divisible bands silently drops trailing signature
+        # positions and loses recall
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) evenly"
+        )
     rows_per_band = num_perm // bands
     sigs = df.select(
         F.col(id_col),
@@ -250,12 +257,22 @@ def simhash_neardup_pairs(
     shingle_n: int = 2,
     max_hamming: int = 3,
     n_blocks: int = 4,
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs via block-permutation candidate generation:
     split the fingerprint into n_blocks bit-blocks; pairs within hamming
     distance d <= n_blocks-1 must agree on ≥1 whole block (pigeonhole), so
     a self-equi-join per block finds all candidates without n² — then the
     exact hamming verify filters."""
+    if max_hamming > n_blocks - 1 and not allow_partial_recall:
+        # pigeonhole only guarantees a shared block for d <= n_blocks-1;
+        # beyond that the candidate set is incomplete — callers must opt
+        # into the lossy mode explicitly
+        raise ValueError(
+            f"max_hamming ({max_hamming}) requires n_blocks >= "
+            f"{max_hamming + 1} (pigeonhole), got {n_blocks}; pass "
+            "allow_partial_recall=True to accept incomplete candidates"
+        )
     fps = simhash_fingerprints(df, text_col, id_col, shingle_n)
     block_bits = SIMHASH_BITS // n_blocks
     block_keys = F.array(
@@ -350,7 +367,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     min_cosine: float = 0.9,
     n_planes: int | None = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
@@ -359,10 +376,17 @@ def embedding_neardup_pairs(
     verify within buckets only (misses some cross-bucket pairs — recall
     trades for the n² → n·bucket_size reduction; raise recall by running
     multiple plane sets). With ``n_planes=None``: exact all-pairs (the
-    correctness baseline; only for bounded inputs).
+    correctness baseline; only for bounded inputs). ``dim`` defaults to
+    the actual vector length — a mismatched dim would NULL every plane
+    dot product and silently collapse all rows into one bucket (n²).
     """
     base = df.select(F.col(id_col), F.col(vec_col))
+    if n_planes is not None and n_planes <= 0:
+        raise ValueError(f"n_planes must be positive or None, got {n_planes}")
     if n_planes:
+        if dim is None:
+            first = base.select(F.size(vec_col).alias("d")).first()
+            dim = int(first.d) if first is not None else 1  # empty in → empty out
         planes = random_hyperplanes(dim, n_planes, seed)
         base = base.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
         join_on = ["_bucket"]

@@ -90,12 +90,16 @@ def knn(
     else:
         raise ValueError(f"unknown metric: {metric}")
     scored = df.select(*id_cols, dist.alias("distance"))
-    # deterministic boundary: tiebreak on the first id column
-    top = scored.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc()).limit(k)
+    # deterministic boundary: tiebreak on the first id column. Nulls LAST:
+    # a null/mismatched-dim embedding yields NULL distance, and Spark's
+    # default asc ordering would put it at rank 1 of every search.
+    top = scored.orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    ).limit(k)
     # rank over k rows only — the window sees the already-reduced top-k
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc())
+    w = Window.orderBy(F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc())
     return top.select(
         F.row_number().over(w).alias("rank"),
         *id_cols,

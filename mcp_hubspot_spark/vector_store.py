@@ -45,7 +45,14 @@ class VectorStore:
     def add(self, df: DataFrame, as_of: date | None = None) -> None:
         """Append rows (V3, faiss_manager.py:221-252). If the frame has no
         ``date`` column, rows are stamped with ``as_of`` (defaults to
-        today) — the reference always appends to today's partition."""
+        today) — the reference always appends to today's partition.
+
+        Column presence is validated up front — FAISS rejects malformed
+        adds at add() time (wrong dim raises); a schemaless append here
+        would instead poison every later search."""
+        missing = {c for c in VECTOR_STORE_COLUMNS if c != "date"} - set(df.columns)
+        if missing:
+            raise ValueError(f"vector store add() missing columns: {sorted(missing)}")
         out = df
         if "date" not in df.columns:
             stamp = as_of or date.today()
@@ -59,6 +66,16 @@ class VectorStore:
     # ----------------------------------------------------------- read
 
     def load(self) -> DataFrame:
+        """All rows; an empty/nonexistent store is an EMPTY frame, not an
+        error — the reference returns ([], []) when no index has data
+        (faiss_manager.py:264-268 skips ntotal==0 days)."""
+        root = Path(self.path)
+        if not root.exists() or not any(root.glob("date=*")):
+            return self.spark.createDataFrame(
+                [],
+                "date date, vec_id long, embedding array<float>, "
+                "type string, data_json string, extras map<string,string>",
+            )
         return self.spark.read.option("basePath", self.path).parquet(self.path)
 
     def retained(self, as_of: date | None = None) -> DataFrame:
@@ -111,8 +128,13 @@ class VectorStore:
             "data_json",
             F.col("embedding").cast("array<double>").alias("embedding"),
         )
-        hits = knn(base, query_vec, k=k, vec_col="embedding", id_cols=("vec_id",))
-        meta = base.select("vec_id", "type", "data_json")
-        return hits.join(meta, "vec_id").select(
+        # metadata rides through the top-k as extra id columns: no second
+        # scan and no re-join on vec_id (which is not guaranteed unique
+        # across appends — a join would fan hits out past k rows)
+        hits = knn(
+            base, query_vec, k=k, vec_col="embedding",
+            id_cols=("vec_id", "type", "data_json"),
+        )
+        return hits.select(
             "rank", "vec_id", "distance", "similarity", "type", "data_json"
         )

@@ -1167,8 +1167,11 @@ def simhash_neardups(spark: SparkSession, sf: str) -> DataFrame:
 
     corpus = _planted_corpus(spark, sf)
     return (
+        # lossy mode is intentional here (and mirrored by the oracle SQL):
+        # candidates are block-join survivors, verified by exact hamming
         simhash_neardup_pairs(
-            corpus, shingle_n=2, max_hamming=16, n_blocks=4
+            corpus, shingle_n=2, max_hamming=16, n_blocks=4,
+            allow_partial_recall=True,
         )
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id_a", "id_b")
