@@ -86,3 +86,35 @@ def test_search_type_filter(store, spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") == 2).collect()[0].embedding
     assert store.search(q, k=3, as_of=ANCHOR, types=["other"]).count() == 0
+
+
+def test_engine_tools_index_results_into_store(spark, tmp_path):
+    """With a store attached, every tool response is embedded + indexed as
+    a side effect (reference handlers/base_handler.py:39-76) and then
+    findable via search — the full reference lifecycle."""
+    import json
+
+    from mcp_hubspot_spark.api import Engine
+    from mcp_hubspot_spark.functions.embedding import _hash_embed_one
+    from mcp_hubspot_spark.vector_store import VectorStore
+
+    from tests.crm_fixtures import build_crm_tables
+
+    store = VectorStore(spark, str(tmp_path / "vs"))
+    engine = Engine(tables=build_crm_tables(spark), store=store)
+    assert store.load().count() == 0
+    engine.get_active_companies(limit=3)
+    stored = store.load().collect()
+    assert len(stored) == 3
+    assert all(r.type == "hubspot_company" for r in stored)
+    # every stored payload is valid canonical JSON of a response row
+    names = {json.loads(r.data_json).get("name") for r in stored}
+    assert len(names) == 3
+    # a stored row is its own nearest neighbor through search()
+    probe = [float(x) for x in _hash_embed_one(stored[0].data_json, 64)]
+    top = store.search(probe, k=1).collect()[0]
+    assert top.vec_id == stored[0].vec_id and top.similarity > 0.99
+    # conversations index FULL text even though the response truncates
+    engine.get_recent_conversations(limit=2, truncate_chars=5)
+    conv = store.load().filter(F.col("type") == "hubspot_conversation")
+    assert conv.count() == 2
