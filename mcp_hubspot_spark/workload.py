@@ -1875,6 +1875,44 @@ def doc_hash_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Explicit window frames (running aggregates) + percent_rank — analytic
+# extensions beyond the reference (SURVEY §2.5 notes it has none). The
+# running sum is order-deterministic (sequential over the frame), so both
+# engines produce bit-compatible values well past the 6-dp compare.
+@_q(
+    "events_user_cumulative",
+    """
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_so_far,
+           round(sum(value) OVER w, 4) AS cum_value,
+           round(percent_rank() OVER (
+               PARTITION BY user_id ORDER BY value, event_id), 6) AS value_pr
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def events_user_cumulative(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.round(F.sum("value").over(w), 4).alias("cum_value"),
+        F.round(F.percent_rank().over(wr), 6).alias("value_pr"),
+    ).orderBy("user_id", "event_id")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
