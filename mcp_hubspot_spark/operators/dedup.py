@@ -369,6 +369,7 @@ def embedding_neardup_pairs(
     n_planes: int | None = 8,
     dim: int | None = None,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -387,16 +388,36 @@ def embedding_neardup_pairs(
         if dim is None:
             first = base.select(F.size(vec_col).alias("d")).first()
             dim = int(first.d) if first is not None else 1  # empty in → empty out
-        planes = random_hyperplanes(dim, n_planes, seed)
-        base = base.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
-        join_on = ["_bucket"]
-        a = base.select(
+        # n_tables independent plane sets: a pair is a candidate if it
+        # collides in ANY table (explode → join on (table, bucket) →
+        # distinct). Recall ≈ 1-(1-p^n_planes)^n_tables per pair, the
+        # standard OR-of-ANDs LSH amplification; cost stays n·bucket_size.
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(
+                        F.col(vec_col),
+                        random_hyperplanes(dim, n_planes, seed + t),
+                    ).alias("b"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        banded = base.select(
+            id_col, vec_col, F.explode(buckets).alias("_bucket")
+        )
+        a = banded.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
         )
-        b = base.select(
+        b = banded.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
         )
-        pairs = a.join(b, on=join_on)
+        pairs = (
+            a.join(b, on=["_bucket"])
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))

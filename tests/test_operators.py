@@ -298,3 +298,69 @@ def test_asof_join_carries_genuine_null_payload(spark):
     # the ts=5 row is the true match: a is genuinely NULL, b is new_b —
     # never a mix of old_a/new_b
     assert row.a is None and row.b == "new_b"
+
+
+def test_hash_split_invariant_to_partitioning(spark):
+    """Split assignment is a pure function of the row — repartitioning
+    (different cluster, different file layout) must not move any row
+    between splits. This is the property df.sample() does NOT have."""
+    from mcp_hubspot_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", fr).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(7), "doc_id", fr).collect()
+    }
+    assert a == b
+
+
+def test_knn_invariant_to_partitioning(spark):
+    """Top-k results (ids AND ranks) must be identical under any physical
+    partitioning — the per-partition top-k + global merge is only correct
+    if the boundary is deterministic."""
+    from mcp_hubspot_spark.operators.vector import knn
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).first().embedding]
+    a = [(r.rank, r.vec_id) for r in knn(emb, q, k=10).collect()]
+    b = [(r.rank, r.vec_id) for r in knn(emb.repartition(13), q, k=10).collect()]
+    assert a == b
+
+
+def test_multi_table_lsh_improves_recall(spark):
+    """OR-of-ANDs amplification: adding plane tables recovers near-dup
+    pairs a single table misses (planted 0.995-cosine pairs)."""
+    from mcp_hubspot_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 120)
+    # perturb one coordinate slightly → high-but-not-1.0 cosine twins
+    twin = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.12)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twin)
+    planted = {(i, i + 1000) for i in range(120)}
+
+    def recall(n_tables: int) -> float:
+        found = {
+            (r.id_a, r.id_b)
+            for r in embedding_neardup_pairs(
+                corpus, min_cosine=0.95, n_planes=12, n_tables=n_tables
+            ).collect()
+        }
+        return len(found & planted) / len(planted)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1  # amplification can only add candidates
+    assert r4 >= 0.9, (r1, r4)
