@@ -1913,6 +1913,55 @@ def events_user_cumulative(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+# Distinct-set aggregation: the set of order statuses per customer as a
+# sorted joined string (collect_set → sort_array → array_join; DuckDB's
+# list_distinct/list_sort mirror it exactly).
+@_q(
+    "customer_status_sets",
+    """
+    SELECT o_custkey,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+               AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def customer_status_sets(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.countDistinct("o_orderstatus").alias("n_statuses"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# Regexp extraction (scalar F-layer extension): first numeric token per
+# document — identical first-match/empty-on-miss semantics in both engines.
+@_q(
+    "doc_first_number",
+    """
+    SELECT doc_id,
+           coalesce(regexp_extract(text, '[0-9]+'), '') AS first_num
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def doc_first_number(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id", F.regexp_extract("text", "[0-9]+", 0).alias("first_num")
+    ).orderBy("doc_id")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
