@@ -1962,6 +1962,46 @@ def doc_first_number(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Fuzzy-duplicate candidates: prefix-blocked self-join + levenshtein
+# verify (the scale-correct shape of fuzzy matching — blocking keys make
+# it an equi-join; the reference's contact dedup J3 is the exact-match
+# special case). Near-identical synthetic names pair with their numeric
+# neighbors at distance <= 1.
+@_q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a
+    JOIN customer b
+      ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE a.c_custkey < 300 AND b.c_custkey < 300
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    ORDER BY key_a, key_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_name", F.substring("c_name", 1, 16).alias("_blk"))
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "_blk"
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "_blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, on="_blk")
+        .filter((F.col("key_a") < F.col("key_b")) & (dist <= 1))
+        .select("key_a", "key_b", dist.cast("int").alias("dist"))
+        .orderBy("key_a", "key_b")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
