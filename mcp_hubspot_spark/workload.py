@@ -2018,6 +2018,31 @@ def embed_documents(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Approximate quantiles (Greenwald-Khanna sketch) — the scale path beside
+# the exact doc_length_quantiles: one pass, bounded memory, mergeable
+# across partitions. Approximate by nature → rows-only check + tolerance
+# test against the exact percentiles.
+@_q("doc_length_quantiles_approx")
+def doc_length_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "n_chars", [0.25, 0.5, 0.75, 0.9], 10_000
+            ).alias("quantiles"),
+        )
+        .select(
+            "lang",
+            *[
+                F.element_at("quantiles", i + 1).alias(q)
+                for i, q in enumerate(("p25", "p50", "p75", "p90"))
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
 # Approximate distinct (HLL sketch) — approximate by nature, pinned with a
 # tolerance test in tests/test_operators.py instead of an exact oracle.
 @_q("approx_distinct_users")

@@ -364,3 +364,22 @@ def test_multi_table_lsh_improves_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # amplification can only add candidates
     assert r4 >= 0.9, (r1, r4)
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from mcp_hubspot_spark.workload import QUERIES
+
+    approx = {
+        r.lang: (r.p25, r.p50, r.p75, r.p90)
+        for r in QUERIES["doc_length_quantiles_approx"](spark, SF).collect()
+    }
+    exact = {
+        r.lang: (r.p25, r.p50, r.p75, r.p90)
+        for r in QUERIES["doc_length_quantiles"](spark, SF).collect()
+    }
+    for lang, ex in exact.items():
+        for a, e in zip(approx[lang], ex):
+            # approx returns an actual order statistic; exact interpolates
+            # between neighbors — at sf0.001 (~100 docs/lang) one
+            # inter-element gap can be ~10% of the value
+            assert abs(a - e) <= max(20, 0.15 * e), (lang, a, e)
