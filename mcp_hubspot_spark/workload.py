@@ -2002,6 +2002,72 @@ def fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Sessionization via window composition (lag → gap flag → running sum =
+# session id): the exactly-checkable twin of session_window (whose
+# float-timestamped bounds the driver's hash compare can't pin). One
+# shuffle on user_id serves both window passes.
+@_q(
+    "events_sessionized",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM per_session
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionized(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = events.select(
+        "user_id",
+        "event_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 

@@ -189,3 +189,24 @@ def test_stream_embed_to_store_and_search(spark, tmp_path):
     probe = [float(x) for x in stored.filter(F.col("vec_id") == 3).first().embedding]
     top = store.search(probe, k=1).collect()[0]
     assert top.vec_id == 3 and top.similarity > 0.99
+
+
+def test_lag_sessionization_agrees_with_session_window(spark):
+    """Two independent sessionization definitions — session_window (state
+    machine) and lag→running-sum (window composition) — must produce the
+    same per-user session counts for the same 30-min gap."""
+    from mcp_hubspot_spark.workload import QUERIES
+
+    lag_based = {
+        r.user_id: r.n_sessions
+        for r in QUERIES["events_sessionized"](spark, SF).collect()
+    }
+    events = load_table(spark, SF, "events")
+    sw = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    native = {r.user_id: r.n_sessions for r in sw.collect()}
+    assert lag_based == native
