@@ -39,6 +39,10 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Quieter, faster local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
+    # local mode = the driver JVM IS the whole engine; the 1g default heap
+    # GC-thrashes on wide shuffles long before the machine is used. 8g is
+    # modest on the 128 GiB test box and a normal driver size on clusters.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
