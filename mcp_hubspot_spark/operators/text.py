@@ -96,3 +96,36 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     order/duplication-insensitive document identity (rolling-hash family)."""
     toks = F.array_sort(F.array_distinct(tokens(F.lower(F.col(text_col)))))
     return df.withColumn(alias, F.md5(F.array_join(toks, " ")))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    Classic text-pipeline shape the reference's embedding stage implies
+    (faiss_manager.py indexes raw text; a keyword view of the same corpus):
+    explode -> (doc, term) count -> term document-frequency -> score -> per-doc
+    top-k. Scale notes: the doc-frequency table is vocabulary-sized (small),
+    so it is broadcast to the tf table; the corpus-size scalar rides the same
+    broadcast (cross join of a 1-row agg). The only full shuffle is the
+    (doc, term) groupBy, which partial-aggregates map-side. Per-doc top-k is
+    a window over the doc_id partitioning already produced by the tf shuffle
+    when keys align; ties break on term ascending for determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    total = df.agg(F.count("*").alias("n_docs"))
+    score = (F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_tfidf_raw"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_tfidf_raw", score)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df",
+                F.round(F.col("_tfidf_raw"), 4).alias("tfidf"), "rnk")
+    )

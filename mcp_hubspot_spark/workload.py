@@ -782,6 +782,40 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Per-doc top-k TF-IDF terms: explode -> tf -> broadcast df join -> window
+# top-k (keyword view of the corpus the reference embeds wholesale,
+# faiss_manager.py:237-239).
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_duck_tokens()}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    total AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln((total.n_docs + 1.0) / (dfreq.df + 1.0)) AS raw,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln((total.n_docs + 1.0) / (dfreq.df + 1.0))
+                            DESC, tf.term
+               ) AS rnk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN total
+    )
+    SELECT doc_id, term, tf, df, round(raw, 4) AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_query(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tfidf_top_terms
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rnk")
+
+
 def _duck_lang_scores() -> tuple[str, str]:
     score_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
