@@ -206,3 +206,12 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(lines, orders, on=["o_orderkey"], n_salts=4).count()
     want = lines.join(orders, on="o_orderkey").count()
     assert got == want
+
+
+def test_tfidf_doc_frequency_join_broadcasts(spark):
+    """The vocabulary-sized doc-frequency table and the 1-row corpus-count
+    must both ride broadcasts; the only full shuffles are the two groupBys."""
+    plan = plan_of(QUERIES["tfidf_top_terms"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row n_docs cross join
+    assert "SortMergeJoin" not in plan
