@@ -782,6 +782,42 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Fixed-width histogram of order value: data-profiling shape (bucketize ->
+# count/sum per bucket). floor(x / width) is IEEE-exact on both engines, so
+# bucket ids match bit-for-bit; money sums stay decimal-exact until the
+# final double cast.
+@_q(
+    "order_value_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bucket_lo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def order_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long")
+    return (
+        orders.select(
+            bucket.alias("bucket"),
+            (bucket * F.lit(25000.0)).alias("bucket_lo"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Per-doc top-k TF-IDF terms: explode -> tf -> broadcast df join -> window
 # top-k (keyword view of the corpus the reference embeds wholesale,
 # faiss_manager.py:237-239).
