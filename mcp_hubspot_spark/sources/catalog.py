@@ -32,6 +32,12 @@ def load_table(
     columns: Iterable[str] | None = None,
 ) -> DataFrame:
     """Load one table; ``columns`` applies projection (pruned at the scan)."""
+    # Self-sufficient nanos handling: the testdata writes TIMESTAMP(NANOS)
+    # parquet, which Spark refuses to read unless nanosAsLong is set. The
+    # session factory (session.py) sets it at build time, but callers may
+    # hand us ANY session (the correctness driver builds its own), so set
+    # it at runtime too — it is a read-path conf, safe to flip per-query.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # nanosecond-precision parquet timestamps arrive as long (see
     # session._DEFAULTS nanosAsLong): convert to microsecond timestamps.
