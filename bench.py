@@ -34,7 +34,8 @@ HEADLINE = [
     "minhash_lsh_pairs",        # LSH banding near-dup join
     "simhash_fingerprints",     # simhash build
     "ngram_jaccard_pairs",      # inverted-index similarity join
-    "embedding_neardup_cosine", # exact cosine near-dup pairs
+    "embedding_neardup_cosine", # exact cosine near-dup pairs (bounded baseline)
+    "embedding_neardup_lsh",    # hyperplane-LSH near-dup — the scale path
     "ivf_search",               # cell-pruned ANN
     "knn_batch",                # multi-query kNN
     "doc_quality",              # text quality features

@@ -32,7 +32,7 @@ from .functions.scalars import (
 )
 from .operators.aggregates import group_to_array
 from .operators.joins import dedup_insert
-from .operators.scans import filtered_scan, recent_scan
+from .operators.scans import filtered_scan, filtered_scan_with_total, recent_scan
 from .vector_store import VectorStore
 
 COMPANY_PROPERTIES = [  # reference clients/company_client.py:58-65
@@ -271,11 +271,16 @@ class Engine:
         self,
         filter_groups: list[list] | None = None,
         limit: int = 50,
+        with_total: bool = False,
     ) -> DataFrame:
         """hubspot_get_tickets (S3/P2-P6/O1,
-        clients/ticket_client.py:33-181)."""
+        clients/ticket_client.py:33-181). ``with_total=True`` adds the A2
+        companion: a constant ``total`` column carrying the pre-limit
+        matching count, as the reference surfaces ``search_response.total``
+        next to the page (ticket_client.py:213,232-234)."""
+        scan = filtered_scan_with_total if with_total else filtered_scan
         return self._indexed(
-            filtered_scan(
+            scan(
                 self.tables["tickets"],
                 filter_groups=filter_groups,
                 sorts=[("hs_lastmodifieddate", "desc"), ("id", "desc")],
@@ -297,8 +302,12 @@ class Engine:
         tickets = self.tables["tickets"]
         if ticket_ids is not None:
             tickets = tickets.filter(F.col("id").isin(list(ticket_ids)))
+        # LEFT join: a ticket with no conversation threads must still
+        # appear with total_threads=0 / empty threads — the reference
+        # returns an empty-threads response, not a missing ticket
+        # (ticket_client.py:276-278).
         edges = tickets.select(F.col("id").alias("ticket_id")).join(
-            assoc, F.col("ticket_id") == assoc["from_id"]
+            assoc, F.col("ticket_id") == assoc["from_id"], "left"
         ).select("ticket_id", F.col("to_object_id").alias("thread_id"))
         messages = self._shaped_messages(truncate_chars=None)
         per_thread = group_to_array(
@@ -318,11 +327,16 @@ class Engine:
                 F.count(F.col("thread_id")).alias("total_threads"),
                 F.sum(F.coalesce(F.size("messages"), F.lit(0))).alias("total_messages"),
                 F.sort_array(
+                    # when() nulls out the padding row of an unmatched
+                    # ticket; collect_list drops null entries, leaving []
                     F.collect_list(
-                        F.struct(
-                            F.col("thread_id").alias("_sort"),
-                            F.col("thread_id").alias("thread_id"),
-                            F.col("messages").alias("messages"),
+                        F.when(
+                            F.col("thread_id").isNotNull(),
+                            F.struct(
+                                F.col("thread_id").alias("_sort"),
+                                F.col("thread_id").alias("thread_id"),
+                                F.col("messages").alias("messages"),
+                            ),
                         )
                     )
                 ).alias("_threads"),

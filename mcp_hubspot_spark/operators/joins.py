@@ -51,8 +51,16 @@ def dedup_insert(
 
     Returns ``(to_insert, duplicates)``: the anti-join survivors to append
     and the semi-join matches to report. Set semantics, one shuffle each,
-    broadcast when ``new_rows`` is small (the common ingest case). For
-    atomicity the pair maps onto Delta ``MERGE WHEN NOT MATCHED``.
+    broadcast when ``new_rows`` is small (the common ingest case).
+
+    ATOMICITY: like the reference's check-then-insert (two REST calls, no
+    transaction), this pair is NOT atomic — a writer that appends between
+    planning and the append can produce a duplicate. The invariant that IS
+    guaranteed (and pinned by test): against a fixed ``existing`` snapshot,
+    ``to_insert`` and ``duplicates`` PARTITION ``new_rows`` on ``keys`` —
+    disjoint, and their union covers every new row. For transactional
+    semantics swap the append for Delta Lake ``MERGE WHEN NOT MATCHED``
+    (same join shape, ACID log arbitrates concurrent writers).
     """
     on = list(keys)
     to_insert = new_rows.join(existing, on=on, how="left_anti")

@@ -70,6 +70,32 @@ def filtered_scan(
     return out
 
 
+def filtered_scan_with_total(
+    df: DataFrame,
+    filter_groups: list[list] | None = None,
+    sorts: Sequence[tuple[str, str]] = (),
+    limit: int | None = None,
+    properties: Sequence[str] | None = None,
+    total_col: str = "total",
+) -> DataFrame:
+    """Limited page + TOTAL matching count, pre-limit (reference A2: the
+    search response surfaces ``search_response.total`` next to the page,
+    clients/ticket_client.py:213,232-234).
+
+    Two branches off one filtered scan: the top-k page and a single-row
+    count aggregate, recombined by a broadcast cross-join (1 row × k
+    rows). The count is a partial-agg reduce — each task emits one long —
+    so at 100 TB this is a cheap second pass over the scan, never a
+    driver-side collect.
+    """
+    filtered = df
+    if filter_groups:
+        filtered = filtered.filter(compile_filter_groups(filter_groups))
+    page = filtered_scan(filtered, None, sorts, limit, properties)
+    total = filtered.agg(F.count(F.lit(1)).alias(total_col))
+    return page.crossJoin(F.broadcast(total))
+
+
 def semi_lookup(df: DataFrame, ids: DataFrame | Sequence, key: str) -> DataFrame:
     """Batched point-lookup (reference S5/J4:
     clients/conversation_client.py:101-146 — ID batches of 10).

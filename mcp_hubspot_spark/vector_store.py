@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import shutil
 from collections.abc import Sequence
-from datetime import date, timedelta
+from datetime import date
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,7 +49,10 @@ class VectorStore:
 
         Column presence is validated up front — FAISS rejects malformed
         adds at add() time (wrong dim raises); a schemaless append here
-        would instead poison every later search."""
+        would instead poison every later search. Rows are also CAST to the
+        canonical store schema (embedding array<float>, vec_id long) so an
+        array<double> append can't fork the on-disk schema between the
+        empty-store and populated-store states."""
         missing = {c for c in VECTOR_STORE_COLUMNS if c != "date"} - set(df.columns)
         if missing:
             raise ValueError(f"vector store add() missing columns: {sorted(missing)}")
@@ -57,6 +60,14 @@ class VectorStore:
         if "date" not in df.columns:
             stamp = as_of or date.today()
             out = df.withColumn("date", F.lit(stamp.isoformat()).cast("date"))
+        out = out.select(
+            F.col("date").cast("date").alias("date"),
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.col("type").cast("string").alias("type"),
+            F.col("data_json").cast("string").alias("data_json"),
+            F.col("extras").cast("map<string,string>").alias("extras"),
+        )
         (
             out.write.mode("append")
             .partitionBy("date")
@@ -78,31 +89,55 @@ class VectorStore:
             )
         return self.spark.read.option("basePath", self.path).parquet(self.path)
 
+    def _present_dates(self, as_of: date | None = None) -> list[str]:
+        """ISO dates of partitions physically present, newest first,
+        bounded above by ``as_of`` when given. Driver-side directory
+        listing — the same metadata walk Spark's own partition discovery
+        performs, so it costs one filesystem listing, never a data scan."""
+        root = Path(self.path)
+        if not root.exists():
+            return []
+        days = sorted(
+            (p.name.split("=", 1)[1] for p in root.glob("date=*")), reverse=True
+        )
+        if as_of is not None:
+            days = [d for d in days if d <= as_of.isoformat()]
+        return days
+
     def retained(self, as_of: date | None = None) -> DataFrame:
-        """Rows within the rolling retention window (V6,
-        faiss_manager.py:90-104): newest ``max_days`` calendar days
-        relative to ``as_of``. The filter is on the partition column, so
-        Spark prunes non-retained partitions at planning time."""
-        anchor = as_of or date.today()
-        cutoff = anchor - timedelta(days=self.max_days - 1)
-        return self.load().filter(F.col("date") >= F.lit(cutoff.isoformat()))
+        """Rows of the newest ``max_days`` date partitions PRESENT in the
+        store (V6, faiss_manager.py:87-104). The reference retains the
+        newest ``max_days`` per-day index *files* regardless of calendar
+        gaps — after a week idle it still searches the 7 newest existing
+        days — so retention here is rank-by-recency over present
+        partitions, not a calendar cutoff. The isin() filter is on the
+        partition column, so Spark prunes everything else at planning
+        time."""
+        keep = self._present_dates(as_of)[: self.max_days]
+        if not keep:
+            return self.load().limit(0)
+        return self.load().filter(F.col("date").isin(keep))
 
     # ----------------------------------------------------- maintenance
 
     def expire(self, as_of: date | None = None) -> list[str]:
-        """Physically delete expired partitions (the reference unlinks
-        per-day index files at startup, faiss_manager.py:151-172). With
-        plain parquet this is a directory-level partition drop; with Delta
-        it would be ``DELETE WHERE date < cutoff`` + VACUUM."""
-        anchor = as_of or date.today()
-        cutoff = anchor - timedelta(days=self.max_days - 1)
+        """Physically delete everything older than the newest ``max_days``
+        partitions present (the reference unlinks all but the newest
+        ``max_days`` per-day index files at startup,
+        faiss_manager.py:151-172). With plain parquet this is a
+        directory-level partition drop; with Delta it would be
+        ``DELETE WHERE`` + VACUUM."""
+        keep = set(self._present_dates(as_of)[: self.max_days])
         removed: list[str] = []
         root = Path(self.path)
         if not root.exists():
             return removed
+        horizon = as_of.isoformat() if as_of is not None else None
         for part in sorted(root.glob("date=*")):
             day = part.name.split("=", 1)[1]
-            if day < cutoff.isoformat():
+            # partitions newer than as_of are out of scope for a sweep
+            # anchored in the past (test affordance), never deleted
+            if day not in keep and (horizon is None or day <= horizon):
                 shutil.rmtree(part)
                 removed.append(day)
         return removed

@@ -111,6 +111,23 @@ def test_get_tickets_or_groups(engine):
     assert sorted(r.id for r in rows.collect()) == ["t1", "t2"]
 
 
+def test_get_tickets_with_total(engine):
+    """A2: the limited page carries the PRE-limit matching total, as the
+    reference surfaces search_response.total next to the page
+    (ticket_client.py:213,232-234)."""
+    groups = [
+        [{"propertyName": "hs_pipeline_stage", "operator": "EQ", "value": "4"}],
+        [{"propertyName": "hs_ticket_status", "operator": "EQ", "value": "closed"}],
+    ]
+    rows = engine.get_tickets(filter_groups=groups, limit=1, with_total=True).collect()
+    assert len(rows) == 1  # page is limited...
+    assert rows[0].total == 2  # ...but total counts every match
+    # unfiltered: total == table size regardless of page size
+    all_rows = engine.get_tickets(limit=2, with_total=True).collect()
+    assert len(all_rows) == 2
+    assert all(r.total == 3 for r in all_rows)
+
+
 def test_ticket_conversation_threads_counts(engine):
     rows = {r.ticket_id: r for r in
             engine.get_ticket_conversation_threads(["t1", "t2"]).collect()}
@@ -123,8 +140,17 @@ def test_ticket_conversation_threads_counts(engine):
 
 
 def test_ticket_threads_empty_edges(engine):
+    """A ticket with no conversation edges still yields a row with
+    zeroed counts and an empty threads array — the reference returns
+    _create_empty_ticket_threads_response, not a missing ticket
+    (ticket_client.py:276-278)."""
     rows = engine.get_ticket_conversation_threads(["t3"]).collect()
-    assert rows == []  # no edges → no row (reference returns empty list)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.ticket_id == "t3"
+    assert r.total_threads == 0
+    assert r.total_messages == 0
+    assert list(r.threads) == []
 
 
 def test_recent_emails_archived_filter_and_coalesce(engine):

@@ -383,3 +383,70 @@ def test_approx_quantiles_close_to_exact(spark):
             # between neighbors — at sf0.001 (~100 docs/lang) one
             # inter-element gap can be ~10% of the value
             assert abs(a - e) <= max(20, 0.15 * e), (lang, a, e)
+
+
+def test_dedup_insert_partitions_new_rows(spark):
+    """J3 protocol pin (reference clients/contact_client.py:79-87): the
+    check-then-insert pair is non-atomic by design (two jobs, like the
+    reference's two REST calls), but against a fixed snapshot the outputs
+    must PARTITION new_rows on the dedup keys: disjoint, union-complete,
+    and consistent with the existing table."""
+    from mcp_hubspot_spark.operators.joins import dedup_insert
+
+    existing = spark.createDataFrame(
+        [("ann", "lee", "acme"), ("bob", "wu", "globex")],
+        "firstname string, lastname string, company string",
+    )
+    new_rows = spark.createDataFrame(
+        [
+            ("ann", "lee", "acme"),      # dup
+            ("cid", "may", "acme"),      # fresh
+            ("bob", "wu", "globex"),     # dup
+            ("dee", "fox", "initech"),   # fresh
+            ("dee", "fox", "initech"),   # fresh, repeated in the batch
+        ],
+        "firstname string, lastname string, company string",
+    )
+    to_insert, duplicates = dedup_insert(
+        new_rows, existing, keys=["firstname", "lastname", "company"]
+    )
+    ins = {tuple(r) for r in to_insert.collect()}
+    dup = {tuple(r) for r in duplicates.collect()}
+    assert ins == {("cid", "may", "acme"), ("dee", "fox", "initech")}
+    assert dup == {("ann", "lee", "acme"), ("bob", "wu", "globex")}
+    # disjoint + union-complete over the distinct key space of new_rows
+    assert ins.isdisjoint(dup)
+    assert ins | dup == {tuple(r) for r in new_rows.distinct().collect()}
+    # the non-atomic re-check: appending the survivors then re-running
+    # reports them all as duplicates (idempotent second pass)
+    grown = existing.unionByName(to_insert)
+    again_ins, again_dup = dedup_insert(new_rows, grown,
+                                        keys=["firstname", "lastname", "company"])
+    assert again_ins.count() == 0
+    assert {tuple(r) for r in again_dup.collect()} == ins | dup
+
+
+def test_sentence_transformer_smoke_if_available(spark):
+    """V1 real-model parity (reference server.py:81-87 pins
+    all-MiniLM-L6-v2 / 384-d): exercised only where the library exists;
+    asserts the reference's dims and the unit-norm invariant that keeps
+    similarity = 1 - d/2 valid (utils.py:100-108)."""
+    import math
+
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from mcp_hubspot_spark.functions.embedding import embed_column
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 3)
+    rows = docs.select(
+        embed_column(
+            "text", model_name="sentence-transformers/all-MiniLM-L6-v2"
+        ).alias("emb")
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r.emb) == 384
+        assert math.isclose(
+            sum(float(x) * float(x) for x in r.emb), 1.0, abs_tol=1e-3
+        )

@@ -119,6 +119,10 @@ def test_asof_join_is_single_shuffle_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "Union" in plan
+    # EXACTLY one key shuffle (the window's hashpartitioning); the only
+    # other exchange is the final presentation sort (rangepartitioning)
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("rangepartitioning") <= 1
 
 
 def test_range_join_is_equi_join_not_nested_loop(spark):

@@ -46,6 +46,17 @@ def test_retention_window(store):
     assert retained.filter(F.col("vec_id") % 10 >= 7).count() == 0
 
 
+def test_retention_survives_calendar_gaps(store):
+    """The reference retains the newest max_days index FILES regardless of
+    calendar gaps (faiss_manager.py:87-99): after a long idle stretch it
+    still searches the 7 newest existing days. An as_of far past the last
+    append must therefore still see 7 partitions, not zero."""
+    retained = store.retained(as_of=ANCHOR + timedelta(days=100))
+    days = {r.date.isoformat() for r in retained.select("date").distinct().collect()}
+    assert len(days) == 7
+    assert max(days) == ANCHOR.isoformat()
+
+
 def test_expire_deletes_partitions(store):
     removed = store.expire(as_of=ANCHOR)
     assert removed == [
@@ -86,6 +97,30 @@ def test_search_type_filter(store, spark):
     emb = load_table(spark, SF, "embeddings")
     q = emb.filter(F.col("vec_id") == 2).collect()[0].embedding
     assert store.search(q, k=3, as_of=ANCHOR, types=["other"]).count() == 0
+
+
+def test_add_casts_to_canonical_schema(spark, tmp_path):
+    """add() casts appended rows to the canonical store schema so an
+    array<double> append can't fork the on-disk schema between the
+    empty-store and populated-store states (parquet schema-merge would
+    otherwise fail across appends)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    vs = VectorStore(spark, str(tmp_path / "vs"))
+    emb = load_table(spark, SF, "embeddings").limit(5)
+    doubled = emb.select(
+        F.col("vec_id").cast("int").alias("vec_id"),  # wrong: int not long
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.lit("document").alias("type"),
+        F.lit("{}").alias("data_json"),
+        F.lit(None).cast("map<string,string>").alias("extras"),
+    )
+    vs.add(doubled, as_of=ANCHOR)
+    loaded = vs.load()
+    schema = {f.name: f.dataType for f in loaded.schema.fields}
+    assert schema["embedding"] == ArrayType(FloatType(), True)
+    assert schema["vec_id"].simpleString() == "bigint"
+    assert loaded.count() == 5
 
 
 def test_engine_tools_index_results_into_store(spark, tmp_path):
