@@ -52,6 +52,9 @@ HEADLINE = [
     "salted_flag_totals",       # skew-safe two-phase aggregation
     "knn_batch_matmul",         # Arrow/numpy block-matmul batched kNN
     "corpus_clean_stats",       # composite quality->dedup->stats pipeline
+    "dedup_clusters",           # LSH pairs -> connected components
+    "contaminated_docs",        # benchmark n-gram decontamination
+    "events_funnel",            # conditional-min funnel progression
 ]
 
 

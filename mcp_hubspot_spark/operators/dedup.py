@@ -428,3 +428,114 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# -------------------------------------------------- connected components
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive dedup clusters from a pair list: every node labeled with
+    the MIN node id of its connected component (the canonical-document
+    convention — keep the row whose id == its cluster_id, drop the rest).
+
+    This is the step after LSH/simhash pair-finding that a real pipeline
+    needs: near-dup relations are not transitive, so A~B and B~C must
+    collapse into ONE {A,B,C} cluster before survivor selection.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — l(v) <- min(l(v), min over neighbors l(u)) until no label
+    changes. Each round is one equi-join (edges x labels, key-partitioned
+    shuffle) + one min-aggregate; ``localCheckpoint`` truncates the plan
+    between rounds so lineage doesn't grow with iterations. Rounds needed
+    = component diameter; dedup graphs are near-cliques (diameter 1-3), so
+    this converges in 2-4 rounds. For adversarial high-diameter graphs
+    (long chains) the published fix is alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce"),
+    which this function's interface can host unchanged.
+
+    ``nodes``: optional one-column frame of ALL node ids; isolated nodes
+    (no edges) then surface as singleton clusters of themselves — a dedup
+    report usually wants every document listed, matched or not.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .distinct()
+    )
+    labels = sym.select(F.col("_s").alias(node_col)).distinct()
+    if nodes is not None:
+        labels = labels.unionByName(
+            nodes.select(F.col(nodes.columns[0]).alias(node_col))
+        ).distinct()
+    labels = labels.select(node_col, F.col(node_col).alias("_label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label per node = min label among its neighbors
+        neighbor_min = (
+            sym.join(labels, sym["_d"] == labels[node_col])
+            .groupBy("_s")
+            .agg(F.min("_label").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels[node_col] == neighbor_min["_s"], "left")
+            .select(
+                node_col,
+                F.col("_label").alias("_old"),
+                F.least(F.col("_label"), F.coalesce("_nmin", "_label")).alias("_label"),
+            )
+        )
+        # one small action per round: the iteration count is the algorithm,
+        # not a driver-side data loop — each round's data flow is fully
+        # distributed, and localCheckpoint keeps the plan depth constant
+        updated = updated.localCheckpoint(eager=True)
+        labels = updated.select(node_col, "_label")
+        if updated.filter(F.col("_label") < F.col("_old")).isEmpty():
+            break
+    return labels.select(node_col, F.col("_label").alias(label_col))
+
+
+# ----------------------------------------------------- decontamination
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    doc_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: which training docs contain any token
+    n-gram that also appears in an evaluation/benchmark corpus (the
+    standard 13-gram overlap test used to scrub eval sets out of
+    pretraining data).
+
+    Plan shape: the benchmark side is exploded to its distinct n-grams and
+    BROADCAST — benchmark corpora are tiny (millions of n-grams) next to
+    100 TB of training text, so the doc side is a single linear scan with
+    a map-side hash probe, no shuffle of document data at all; only the
+    (doc_id, hits) pairs that survive reach the one small aggregate
+    shuffle. At larger benchmark sizes, hash each n-gram to 8 bytes
+    (xxhash64) before the broadcast to cut the build side ~10x.
+    """
+    bench_ngrams = (
+        benchmark.select(
+            F.col(bench_id).alias("bench_id"),
+            F.explode(word_shingles(text_col, n)).alias("_ng"),
+        )
+        .distinct()
+    )
+    doc_ngrams = docs.select(
+        F.col(doc_id), F.explode(word_shingles(text_col, n)).alias("_ng")
+    )
+    hits = doc_ngrams.join(F.broadcast(bench_ngrams), on="_ng")
+    return hits.groupBy(doc_id).agg(
+        F.countDistinct("_ng").alias("n_contaminated_ngrams"),
+        F.countDistinct("bench_id").alias("n_benchmarks_hit"),
+    )

@@ -1123,12 +1123,9 @@ _duck_sig = (
     f"x -> (({_duck_a})[p] * x + ({_duck_b})[p]) % {MINHASH_PRIME})))"
 )
 
-# MinHash + LSH banding near-dup pairs (bands=4, rows_per_band=2): the
-# candidate join shuffles band keys, never document pairs (the n²-avoider).
-@_q(
-    "minhash_lsh_pairs",
-    f"""
-    WITH corpus AS ({_PLANT_SQL}),
+# Shared LSH-pair CTE chain: reused by the pair query's oracle AND the
+# connected-components cluster oracle (same candidate generation).
+_LSH_CTES = f"""corpus AS ({_PLANT_SQL}),
     t AS (SELECT doc_id, {_duck_shingles(3)} AS sh FROM corpus),
     h AS (
         SELECT doc_id,
@@ -1149,7 +1146,14 @@ _duck_sig = (
                         a.sig AS sa, b.sig AS sb
         FROM banded a JOIN banded b USING (band)
         WHERE a.doc_id < b.doc_id
-    )
+    )"""
+
+# MinHash + LSH banding near-dup pairs (bands=4, rows_per_band=2): the
+# candidate join shuffles band keys, never document pairs (the n²-avoider).
+@_q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH {_LSH_CTES}
     SELECT id_a, id_b,
            round(len(list_filter(range(1, {_MINHASH_PERMS + 1}),
                  i -> sa[i] = sb[i]))::DOUBLE / {_MINHASH_PERMS}, 6) AS sig_jaccard
@@ -1170,6 +1174,97 @@ def minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         shingle_n=3,
         min_jaccard=0.25,
     ).orderBy("id_a", "id_b")
+
+
+# Transitive dedup CLUSTERS: LSH pairs → connected components → every
+# corpus doc labeled with min(doc_id) of its component (singletons label
+# themselves). Near-dup similarity is not transitive, so pair output alone
+# can't drive survivor selection — this is the step that makes it usable.
+# Oracle: recursive CTE transitive closure over the SAME pair set.
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+              i -> sa[i] = sb[i]))::DOUBLE / {_MINHASH_PERMS} >= 0.25
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b AS s, id_a AS d FROM edges
+    ),
+    reach(node, peer) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.node, sym.d FROM reach r JOIN sym ON sym.s = r.peer
+    )
+    SELECT node AS doc_id, min(peer) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+
+    corpus = _planted_corpus(spark, sf)
+    pairs = minhash_lsh_pairs(
+        corpus, num_perm=_MINHASH_PERMS, bands=4, shingle_n=3, min_jaccard=0.25
+    )
+    return connected_components(
+        pairs.select("id_a", "id_b"),
+        nodes=corpus.select("doc_id"),
+        node_col="doc_id",
+        label_col="cluster_id",
+    ).orderBy("doc_id")
+
+
+# Benchmark DECONTAMINATION: training docs sharing any token 5-gram with
+# the "benchmark" corpus (docs 0-9). Candidates are docs 10-59 plus 50
+# planted rows (candidate text ++ a full benchmark doc) that are
+# contaminated by construction. The benchmark n-gram set broadcasts; the
+# doc side never shuffles.
+@_q(
+    "contaminated_docs",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT doc_id AS bench_id, unnest({_duck_shingles(5)}) AS ng
+        FROM documents WHERE doc_id < 10
+    ),
+    cand AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id < 60
+        UNION ALL
+        SELECT c.doc_id + 20000 AS doc_id, c.text || ' ' || b.text AS text
+        FROM documents c JOIN documents b ON b.doc_id = c.doc_id % 10
+        WHERE c.doc_id >= 10 AND c.doc_id < 60
+    ),
+    cng AS (SELECT doc_id, unnest({_duck_shingles(5)}) AS ng FROM cand)
+    SELECT doc_id,
+           COUNT(DISTINCT ng) AS n_contaminated_ngrams,
+           COUNT(DISTINCT bench_id) AS n_benchmarks_hit
+    FROM cng JOIN bench USING (ng)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def contaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    cand_nat = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 60)
+    ).select("doc_id", "text")
+    planted = (
+        cand_nat.alias("c")
+        .join(bench.alias("b"), F.col("c.doc_id") % 10 == F.col("b.doc_id"))
+        .select(
+            (F.col("c.doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("c.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    cand = fan_out(cand_nat.unionByName(planted))
+    return ngram_contamination(cand, bench, n=5).orderBy("doc_id")
 
 
 def _duck_simhash_expr() -> str:
@@ -2226,6 +2321,301 @@ def orders_page_with_total(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Per-user MOVING AVERAGE over a 3-row event frame (W: rolling frame
+# aggregation — the windowed-frame family beside rank/lag). One key
+# shuffle for the window; the 3-term frame sum is order-fixed on both
+# engines, so the doubles compare exactly.
+@_q(
+    "events_moving_avg",
+    f"""
+    SELECT user_id, event_id,
+           strftime(ts, '{ISO_DUCK}') AS ts_iso,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS mov_avg
+    FROM events
+    WHERE user_id < 100
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events").filter(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", ISO).alias("ts_iso"),
+        F.round(F.avg("value").over(w), 6).alias("mov_avg"),
+    ).orderBy("user_id", "ts_iso", "event_id")
+
+
+# ARGMIN per group via single-pass struct-min (cheapest lineitem per
+# part): min(struct(price, orderkey, suppkey)) rides the partial agg —
+# ONE shuffle of 3-field structs, no window sort, no self-join. The
+# scale-preferred argmin/argmax idiom.
+@_q(
+    "cheapest_line_per_part",
+    """
+    SELECT l_partkey,
+           l_extendedprice AS min_price,
+           l_orderkey AS min_orderkey,
+           l_suppkey AS min_suppkey
+    FROM (
+        SELECT l_partkey, l_extendedprice, l_orderkey, l_suppkey,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice, l_orderkey, l_suppkey) AS rn
+        FROM lineitem WHERE l_partkey < 200
+    )
+    WHERE rn = 1
+    ORDER BY l_partkey
+    """,
+)
+def cheapest_line_per_part(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_partkey") < 200)
+    m = F.min(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_orderkey").alias("o"),
+            F.col("l_suppkey").alias("s"),
+        )
+    )
+    return (
+        li.groupBy("l_partkey")
+        .agg(m.alias("_m"))
+        .select(
+            "l_partkey",
+            F.col("_m.p").alias("min_price"),
+            F.col("_m.o").alias("min_orderkey"),
+            F.col("_m.s").alias("min_suppkey"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# Global TOP-K n-grams (corpus vocabulary profiling): explode bigrams →
+# map-side partial count → one shuffle on the bigram key → TakeOrdered
+# top 20. The classic word-count shape with a bounded result.
+@_q(
+    "top_bigrams",
+    f"""
+    WITH b AS (
+        SELECT unnest({_duck_shingles(2)}) AS bigram
+        FROM documents
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def top_bigrams(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import word_shingles
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return (
+        docs.select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+# Grouped STATS aggregates (stddev / correlation): dispersion + linear
+# dependence per order priority. Rounded to 4 — the one-pass moment
+# accumulators on both engines agree far past that.
+@_q(
+    "order_priority_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(stddev_samp(o_totalprice), 2) AS price_stddev,
+           round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 4)
+               AS price_cust_corr,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS price_avg
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def order_priority_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("price_stddev"),
+            F.round(
+                F.corr("o_totalprice", F.col("o_custkey").cast("double")), 4
+            ).alias("price_cust_corr"),
+            # decimal-exact sum over float division: the double sum's
+            # partial-agg order differs between engines; decimal's doesn't
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("price_avg"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# FUNNEL analysis: users who progressed view → click → purchase in strict
+# timestamp order. One aggregation pass: per (user, step) min-ts via
+# conditional min — no self-joins (the naive 3-way self-join shuffles the
+# event table three times; this shuffles small (user, 3×ts) rows once).
+@_q(
+    "events_funnel",
+    """
+    WITH s AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_view_click,
+           CAST(count(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 END)
+                AS BIGINT) AS n_full_funnel
+    FROM s
+    """,
+)
+def events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_buy") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+# INTERSECT / EXCEPT set operators over customer key sets: customers
+# ordering in both halves of the date range vs. only the early half
+# (churn shape). Distinct-set semantics — each side is a pre-aggregated
+# key set, so the set op shuffles keys, not orders.
+@_q(
+    "customer_churn_sets",
+    """
+    WITH mid AS (
+        SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2
+               AS mid_us
+        FROM orders
+    ),
+    early AS (
+        SELECT DISTINCT o_custkey FROM orders, mid
+        WHERE epoch_us(o_orderdate) < mid_us
+    ),
+    late AS (
+        SELECT DISTINCT o_custkey FROM orders, mid
+        WHERE epoch_us(o_orderdate) >= mid_us
+    ),
+    boths AS (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late),
+    churned AS (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+    SELECT 'retained' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+    FROM boths
+    UNION ALL
+    SELECT 'churned' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+    FROM churned
+    ORDER BY cohort
+    """,
+)
+def customer_churn_sets(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    # midpoint as exact integer microseconds — interval/2 arithmetic
+    # rounds differently across engines; a 1-row agg collected driver-side
+    # is a bounded query-shape constant, like a kNN query vector
+    # NTZ → TZ cast is epoch-exact under the session's UTC timezone
+    ts_us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    lo_us, hi_us = orders.agg(
+        F.min(ts_us).alias("lo"), F.max(ts_us).alias("hi")
+    ).first()
+    mid_us = (lo_us + hi_us) // 2
+    early = orders.filter(ts_us < mid_us).select("o_custkey").distinct()
+    late = orders.filter(ts_us >= mid_us).select("o_custkey").distinct()
+    boths = early.intersect(late).agg(F.count(F.lit(1)).alias("n_customers"))
+    churned = early.subtract(late).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        boths.select(F.lit("retained").alias("cohort"), "n_customers")
+        .unionByName(churned.select(F.lit("churned").alias("cohort"), "n_customers"))
+        .orderBy("cohort")
+    )
+
+
+# COHORT RETENTION: users grouped by first-seen day, tracked over
+# day-offsets since that first day. Two aggregation passes — per-user
+# min-ts (one shuffle on user), then (cohort_day, offset) counts (one
+# shuffle on the small cohort keys). The training-telemetry staple.
+@_q(
+    "user_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort, day_offset
+    """,
+)
+def user_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+        )
+        .orderBy("cohort", "day_offset")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -2312,7 +2702,10 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 # query stays registered (runnable + oracle-gated by tests/the verify
 # gate) — rotation changes driver-check priority, not coverage.
 #
-# Rotated-out variants and their in-window representative:
+# Rotated-out variants and their in-window representative (every rotated
+# query has a GREEN CORRECTNESS_r01 entry on record; new-family queries
+# that have never had a driver entry take priority over re-confirming
+# r01-green variants):
 #   knn_cosine               → knn_l2 (same scan/top-k plan, other metric;
 #                              cosine math checked via embedding_neardup_*)
 #   minhash_signatures       → minhash_lsh_pairs (computes signatures)
@@ -2322,29 +2715,47 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #   knn_batch                → knn_batch_matmul (same semantics, both paths
 #                              cross-checked equal in tests)
 #   priority_class_counts    → order_counts_by_status + corpus_clean_stats
-#   events_sliding           → events_hourly (same windowed-agg operator,
-#                              sliding pinned by pytest + bench)
+#   events_sliding/sessions  → events_hourly (windowed-agg family) +
+#                              events_sessionized (sessionization family)
 #   doc_excerpts             → canonical_json_docs (F3 truncation pinned by
 #                              api-parity tests)
 #   nation_customer_supplier_sets → customer_status_sets (same group-to-set
 #                              assembly; r01-green, yielding its slot)
+#   recent_orders            → orders_page_with_total (same sorted-limited
+#                              scan plan + the A2 count companion)
+#   semi_lookup_lines        → parts_without_lineitem (semi/anti pair; the
+#                              IN-list path also pinned by api tests)
+#   orders_last_30d          → user_cohort_retention (date arithmetic)
+#   scan_union_distinct      → customer_churn_sets (set-op family:
+#                              union covered beside intersect/except)
+#   events_user_gaps         → events_moving_avg + events_user_cumulative
+#                              (lag/frame/cumulative window family)
+#   ngram_jaccard_pairs      → contaminated_docs (token-shingle inverted-
+#                              index join) + minhash_lsh_pairs
+#   doc_length_quantiles     → order_priority_stats (grouped stats; exact
+#                              interpolated percentile stays pytest+oracle)
+#   orders_status_pivot      → orders_rollup (grouping-sets family; pivot
+#                              is conditional-agg sugar over the same scan)
 _CHECK_PRIORITY = [
-    "recent_orders", "filtered_scan_or_groups", "contains_token_docs",
-    "customer_order_activity", "semi_lookup_lines", "parts_without_lineitem",
+    "filtered_scan_or_groups", "contains_token_docs",
+    "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "order_counts_by_status", "top_orders_per_customer",
-    "orders_last_30d", "pricing_summary", "events_json_props",
+    "pricing_summary", "events_json_props",
     "canonical_json_docs", "shipping_priority", "revenue_by_nation",
-    "knn_l2", "exact_dedup_groups", "ngram_jaccard_pairs", "token_stats",
+    "knn_l2", "exact_dedup_groups", "token_stats",
     "order_value_histogram", "tfidf_top_terms", "lang_id", "doc_fingerprints",
-    "doc_quality", "events_hourly", "events_sessions", "scan_union_distinct",
+    "doc_quality", "events_hourly",
     "minhash_lsh_pairs", "simhash_neardup_pairs", "embedding_neardup_lsh",
     "ivf_search", "customer_status_sets", "events_asof_click",
-    "events_user_gaps", "events_near_pairs", "orders_rollup",
-    "doc_length_quantiles", "salted_flag_totals", "knn_batch_matmul",
+    "events_near_pairs", "orders_rollup",
+    "salted_flag_totals", "knn_batch_matmul",
     "corpus_clean_stats", "doc_zscore_by_source", "label_centroids",
-    "orders_status_pivot", "doc_token_positions", "doc_hash_split",
+    "doc_token_positions", "doc_hash_split",
     "events_user_cumulative", "doc_first_number", "fuzzy_name_pairs",
     "events_sessionized", "orders_page_with_total",
+    "dedup_clusters", "contaminated_docs", "events_moving_avg",
+    "cheapest_line_per_part", "top_bigrams", "order_priority_stats",
+    "events_funnel", "customer_churn_sets", "user_cohort_retention",
 ]
 
 

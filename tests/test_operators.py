@@ -450,3 +450,24 @@ def test_sentence_transformer_smoke_if_available(spark):
         assert math.isclose(
             sum(float(x) * float(x) for x in r.emb), 1.0, abs_tol=1e-3
         )
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation must traverse a diameter-4 chain (multiple
+    rounds), keep disjoint components separate, and surface isolated
+    nodes as singleton clusters of themselves."""
+    from mcp_hubspot_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),   # chain: cluster 1
+         (10, 11), (11, 10),               # duplicate edge both ways
+         (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(n,) for n in
+                                   [1, 2, 3, 4, 5, 10, 11, 20, 21, 22, 99]],
+                                  "node long")
+    out = {r.node: r.cluster_id for r in
+           connected_components(edges, nodes=nodes, node_col="node").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
