@@ -205,3 +205,49 @@ def enrich_one_to_many(
     conversation_client.py:301-333) with one equi-join; pair with
     aggregates.group_to_array for the nested re-assembly."""
     return parents.join(children, on=key, how=how)
+
+
+def snapshot_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key: Sequence[str] | str,
+    compare: Sequence[str],
+) -> DataFrame:
+    """Snapshot reconciliation (CDC shape): FULL OUTER join two versions
+    of a table on the key and classify each key as ``added`` / ``removed``
+    / ``changed`` / ``unchanged``. The training-data refresh primitive —
+    what changed between two corpus snapshots drives incremental
+    re-embedding and re-deduplication downstream.
+
+    One shuffle per side on the key (a plain equi-join); the compare is a
+    null-safe struct equality (``eqNullSafe``), so NULL payloads diff
+    correctly. At scale, pass a digest column as ``compare`` to avoid
+    carrying wide payloads through the shuffle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    b = before.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare]).alias("_bv"),
+    )
+    a = after.select(
+        *[F.col(k).alias(f"_ak_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare]).alias("_av"),
+    )
+    cond = None
+    for k in keys:
+        eq = b[f"_bk_{k}"] == a[f"_ak_{k}"]
+        cond = eq if cond is None else cond & eq
+    joined = b.join(a, cond, "full_outer")
+    status = (
+        F.when(b[f"_bk_{keys[0]}"].isNull(), F.lit("added"))
+        .when(a[f"_ak_{keys[0]}"].isNull(), F.lit("removed"))
+        .when(F.col("_bv").eqNullSafe(F.col("_av")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(b[f"_bk_{k}"], a[f"_ak_{k}"]).alias(k)
+            for k in keys
+        ],
+        status.alias("diff_status"),
+    )

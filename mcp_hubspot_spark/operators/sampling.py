@@ -55,3 +55,31 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(alias, expr)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep each row with its stratum's
+    rate, decided by the row's hash bucket — the reproducible counterpart
+    of ``df.sampleBy`` (whose membership shifts with partitioning).
+    Training-data mixing in practice: up-/down-weight sources or languages
+    with an exact, re-runnable keep set.
+
+    Zero shuffle: the bucket and the keep-filter are scan-stage
+    projections; at 100 TB the filter prunes rows before anything moves.
+    """
+    b = split_bucket(id_col, seed)
+    thresh = F.lit(int(round(default_rate * _BUCKETS)))
+    expr = None
+    for stratum, rate in rates.items():
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(round(rate * _BUCKETS)))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = thresh if expr is None else expr.otherwise(thresh)
+    return df.filter(b < thresh)

@@ -129,3 +129,31 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .select(id_col, "term", "tf", "df",
                 F.round(F.col("_tfidf_raw"), 4).alias("tfidf"), "rnk")
     )
+
+
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def redact_pii(
+    text_col: Column | str,
+) -> tuple[Column, Column, Column]:
+    """Training-data PII scrub: replace email addresses and long digit
+    runs (phone/account numbers) with typed placeholders. Returns
+    (redacted_text, n_emails, n_numbers) columns.
+
+    Pure regexp expressions — codegen'd JVM-side, zero shuffle, and the
+    patterns stick to the regex subset Java and RE2 interpret identically
+    (character classes + bounded repetition; no backrefs/lookaround), so
+    an external engine can re-verify the scrub byte-for-byte.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    redacted = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    # count digit runs on the email-redacted text so digits inside an
+    # email (already scrubbed) aren't double-counted
+    n_numbers = F.size(
+        F.regexp_extract_all(redacted, F.lit(PII_LONG_DIGITS_RE), F.lit(0))
+    )
+    redacted = F.regexp_replace(redacted, PII_LONG_DIGITS_RE, "<NUM>")
+    return redacted, n_emails, n_numbers

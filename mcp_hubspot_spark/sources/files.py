@@ -1,0 +1,109 @@
+"""File-format sources and sinks beyond parquet (ingestion surface).
+
+The reference ingests from REST JSON; a standalone engine needs the file
+equivalents: schema-enforced JSONL and CSV readers with corrupt-record
+capture, and a partitioned parquet writer with dynamic partition
+overwrite (refresh ONE day/source without rewriting the table — the
+backfill primitive for date-partitioned corpora).
+
+Scale notes baked in:
+  * explicit schema on every read — schema inference is a full extra pass
+    over 100 TB and can mis-type sparse columns; PERMISSIVE +
+    ``_corrupt_record`` quarantines bad lines instead of killing the job
+    (badRecordsPath would externalize them; the column keeps it portable)
+  * JSONL/CSV are line-splittable (uncompressed or zstd-seekable), so a
+    large file still fans out across executors; gzip is NOT splittable —
+    one 100 GB .gz = one task — hence the docstring warning, not a guard
+  * the writer partitions by low-cardinality keys only (date/source):
+    every distinct partition value is a directory; partitioning by a
+    high-cardinality key melts the filesystem's namespace
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, StringType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_capture(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    multiline: bool = False,
+) -> DataFrame:
+    """Schema-enforced JSON-lines read. Malformed lines land in
+    ``_corrupt_record`` (PERMISSIVE) instead of failing the scan — filter
+    ``valid_rows`` / ``corrupt_rows`` downstream."""
+    return (
+        spark.read.schema(_with_corrupt_capture(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("multiLine", multiline)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Schema-enforced CSV read with corrupt-record capture (same contract
+    as ``read_jsonl``)."""
+    return (
+        spark.read.schema(_with_corrupt_capture(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def valid_rows(df: DataFrame) -> DataFrame:
+    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+
+def corrupt_rows(df: DataFrame) -> DataFrame:
+    """Spark refuses a query whose only referenced column from a raw
+    JSON/CSV scan is the corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN); per its own guidance the parsed
+    result is cached first, then filtered."""
+    return df.cache().filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "append",
+    dynamic_overwrite: bool = False,
+) -> None:
+    """Partitioned parquet sink. With ``dynamic_overwrite=True`` an
+    overwrite replaces ONLY the partitions present in ``df`` (dynamic
+    partitionOverwriteMode) — the idempotent daily-backfill write; static
+    overwrite would truncate the whole table first."""
+    spark = df.sparkSession
+    writer = df.write.partitionBy(*partition_by).format("parquet")
+    if dynamic_overwrite:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try:
+            writer.mode("overwrite").save(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        writer.mode(mode).save(path)

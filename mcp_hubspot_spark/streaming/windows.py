@@ -63,3 +63,32 @@ def session_stream(
             "session_value",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts_r",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: right events landing within
+    ``[left_ts, left_ts + within]`` for the same key (the streaming twin
+    of the batch ``range_join`` — click→purchase attribution shape).
+
+    Both sides carry a watermark and the join condition carries the time
+    bound, which is what lets Spark EXPIRE join state: a buffered left row
+    can stop waiting once the right watermark passes ``left_ts + within``.
+    Without the bound the state store grows forever — the stream-stream
+    equivalent of the n² trap.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

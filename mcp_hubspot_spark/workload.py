@@ -2616,6 +2616,152 @@ def user_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# PII REDACTION: scrub emails + long digit runs with typed placeholders
+# (training-data compliance scrub). Docs 0-99 are planted with synthetic
+# contact lines so the patterns actually fire; pure regexp projection —
+# zero shuffle, scan-stage compute.
+@_q(
+    "redact_pii_docs",
+    """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@example.com or +1 555' || (1000000 + doc_id)::VARCHAR
+                    AS text
+        FROM documents WHERE doc_id < 100
+    ),
+    e AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+                   AS n_emails,
+               regexp_replace(text,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                   '<EMAIL>', 'g') AS t1
+        FROM planted
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '[0-9]{7,}')) AS INT) AS n_numbers
+    FROM e
+    ORDER BY doc_id
+    """,
+)
+def redact_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import redact_pii
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555"),
+            (F.col("doc_id") + 1_000_000).cast("string"),
+        ).alias("text"),
+    )
+    redacted, n_emails, n_numbers = redact_pii("text")
+    return planted.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_numbers.cast("int").alias("n_numbers"),
+    ).orderBy("doc_id")
+
+
+# SNAPSHOT DIFF (CDC reconciliation): two deterministic "versions" of
+# orders — deletes (key % 7 = 0 missing from B), inserts (key % 5 = 0
+# missing from A), updates (price bumped where key % 3 = 0) — FULL OUTER
+# joined and classified added/removed/changed/unchanged.
+@_q(
+    "orders_snapshot_diff",
+    """
+    WITH a AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 <> 0 AND o_orderkey < 20000
+    ),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + CAST(1.0 AS DOUBLE)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderkey % 5 <> 0 AND o_orderkey < 20000
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice = b.o_totalprice
+                     AND a.o_orderstatus = b.o_orderstatus THEN 'unchanged'
+                ELSE 'changed' END AS diff_status,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM a FULL OUTER JOIN b USING (o_orderkey)
+    GROUP BY 1
+    ORDER BY diff_status
+    """,
+)
+def orders_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.joins import snapshot_diff
+
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 20000)
+    before = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    after = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.col("o_totalprice") + F.lit(1.0).cast("double"),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    diff = snapshot_diff(
+        before, after, key="o_orderkey", compare=["o_totalprice", "o_orderstatus"]
+    )
+    return (
+        diff.groupBy("diff_status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("diff_status")
+    )
+
+
+# Deterministic STRATIFIED SAMPLE: per-language keep rates decided by the
+# row's hash bucket (reproducible sampleBy) — the training-data source-
+# mixing primitive. Zero shuffle: bucket + filter are scan-stage.
+@_q(
+    "stratified_sample_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bkt
+        FROM documents
+    )
+    SELECT doc_id, lang FROM b
+    WHERE bkt < CASE lang WHEN 'en' THEN 500000
+                          WHEN 'de' THEN 250000
+                          ELSE 100000 END
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import hash_stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    return hash_stratified_sample(
+        docs.select("doc_id", "lang"),
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+        id_col="doc_id",
+        default_rate=0.1,
+        seed="mix",
+    ).orderBy("doc_id")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -2736,14 +2882,20 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #                              interpolated percentile stays pytest+oracle)
 #   orders_status_pivot      → orders_rollup (grouping-sets family; pivot
 #                              is conditional-agg sugar over the same scan)
+#   order_value_histogram    → order_priority_stats (numeric profiling agg)
+#   doc_fingerprints         → doc_hash_split + exact_dedup_groups (md5
+#                              fingerprint expressions over the same scan)
+#   contains_token_docs      → filtered_scan_or_groups (predicate family;
+#                              CONTAINS_TOKEN pinned by the property test
+#                              vs python evaluation)
 _CHECK_PRIORITY = [
-    "filtered_scan_or_groups", "contains_token_docs",
+    "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "order_counts_by_status", "top_orders_per_customer",
     "pricing_summary", "events_json_props",
     "canonical_json_docs", "shipping_priority", "revenue_by_nation",
     "knn_l2", "exact_dedup_groups", "token_stats",
-    "order_value_histogram", "tfidf_top_terms", "lang_id", "doc_fingerprints",
+    "tfidf_top_terms", "lang_id",
     "doc_quality", "events_hourly",
     "minhash_lsh_pairs", "simhash_neardup_pairs", "embedding_neardup_lsh",
     "ivf_search", "customer_status_sets", "events_asof_click",
@@ -2756,6 +2908,7 @@ _CHECK_PRIORITY = [
     "dedup_clusters", "contaminated_docs", "events_moving_avg",
     "cheapest_line_per_part", "top_bigrams", "order_priority_stats",
     "events_funnel", "customer_churn_sets", "user_cohort_retention",
+    "redact_pii_docs", "orders_snapshot_diff", "stratified_sample_docs",
 ]
 
 

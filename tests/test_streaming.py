@@ -210,3 +210,52 @@ def test_lag_sessionization_agrees_with_session_window(spark):
     )
     native = {r.user_id: r.n_sessions for r in sw.collect()}
     assert lag_based == native
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the pairs the equivalent batch join produces (click→purchase within
+    30 min per user), once the availableNow run drains."""
+    from mcp_hubspot_spark.streaming import interval_join_stream
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("ts_r"),
+            F.col("event_id").alias("buy_id"),
+        )
+        return clicks, buys
+
+    batch = spark.read.parquet(events_stream_dir)
+    bc, bb = split(batch)
+    expected = {
+        (r.click_id, r.buy_id)
+        for r in bc.join(
+            bb,
+            (bc.user_id == bb.user_id_r)
+            & (bb.ts_r >= bc.ts)
+            & (bb.ts_r <= bc.ts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one pair"
+
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    sc, sb = split(stream)
+    sb = sb.withColumnRenamed("user_id_r", "user_id")
+    joined = interval_join_stream(
+        sc, sb, key="user_id", left_ts="ts", right_ts="ts_r"
+    )
+    q = (
+        joined.select("click_id", "buy_id")
+        .writeStream.format("memory")
+        .queryName("ssjoin_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.buy_id) for r in spark.table("ssjoin_mem").collect()}
+    assert got == expected
