@@ -2762,6 +2762,105 @@ def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Distribution-position window functions: percent_rank / cume_dist /
+# ntile over per-customer spend (the "where does this entity sit in the
+# distribution" analytics staple). One shuffle for the agg, one for the
+# global sort — the global window is the documented scale caveat: a
+# single ORDER BY over all rows serializes into one task per window, so
+# at 100 TB you bucket into percentile BANDS via approx quantiles first.
+@_q(
+    "customer_spend_percentile",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           round(total_spend, 2) AS total_spend,
+           round(percent_rank() OVER w, 6) AS spend_pct_rank,
+           round(cume_dist() OVER w, 6) AS spend_cume_dist,
+           CAST(ntile(10) OVER w AS INT) AS decile
+    FROM spend
+    WINDOW w AS (ORDER BY total_spend, o_custkey)
+    ORDER BY o_custkey
+    """,
+)
+def customer_spend_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").asc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    ).orderBy("o_custkey")
+
+
+# Decorrelated "above the group average" filter — the correlated-subquery
+# shape (orders larger than their customer's mean). Spark-first: a window
+# average on the partition key, NOT a self-join with an aggregated copy —
+# one shuffle total, and no second scan of orders.
+@_q(
+    "orders_above_customer_avg",
+    """
+    WITH x AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY o_custkey) AS cust_avg,
+               count(*) OVER (PARTITION BY o_custkey) AS n_cust_orders
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           cust_avg
+    FROM x
+    WHERE n_cust_orders >= 3 AND o_totalprice > cust_avg * 1.5
+    ORDER BY o_orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    x = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        # decimal-exact numerator: the filter compares against cust_avg,
+        # and a double window-sum's accumulation order differs across
+        # engines — a boundary row must not flip on a last-ulp difference
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("cust_avg"),
+        F.count(F.lit(1)).over(w).alias("n_cust_orders"),
+    )
+    return (
+        x.filter(
+            (F.col("n_cust_orders") >= 3)
+            & (F.col("o_totalprice") > F.col("cust_avg") * 1.5)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            # NO final round: the decimal-exact numerator makes both
+            # engines' doubles bit-identical, while round() at a half-way
+            # grid point (….42375 → 4 digits) splits HALF_UP vs
+            # nearest-double between engines
+            "cust_avg",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -2811,6 +2910,32 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     ).orderBy("event_type")
+
+
+# PageRank over the customer→supplier purchase graph (orders ⋈ lineitem
+# edges). Iterative join+agg rounds — inherently non-SQL (fixed-point
+# iteration), so rows-only here; the algorithm's invariants (ranks sum to
+# 1, in-degree monotonicity) are pinned by pytest on a known graph.
+@_q("supplier_pagerank")
+def supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf, "orders").filter(F.col("o_orderkey") < 5000)
+    lines = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(lines, orders["o_orderkey"] == lines["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        pagerank(edges, n_iter=5)
+        .withColumn("rank", F.round("rank", 8))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(25)
+    )
 
 
 # Multimodal plumbing: binary payload → mapInPandas feature extraction

@@ -501,3 +501,20 @@ def test_stratified_sample_invariant_to_partitioning(spark):
     many = {r.doc_id for r in
             hash_stratified_sample(docs.repartition(13), **kw).collect()}
     assert one == many and len(one) > 0
+
+
+def test_pagerank_invariants(spark):
+    """Ranks must sum to ~1 (dangling mass redistributed) and a node with
+    strictly more in-links from equal-rank sources must rank higher."""
+    import math
+
+    from mcp_hubspot_spark.operators.graph import pagerank
+
+    # star + chain: hub receives from 3 leaves; tail receives from 1
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "tail")],
+        "src string, dst string",
+    )
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
+    assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
+    assert ranks["hub"] > ranks["tail"] > ranks["a"]
