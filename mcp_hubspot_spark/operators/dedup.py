@@ -415,11 +415,34 @@ def embedding_neardup_pairs(
         # collides in ANY table (explode → join on (table, bucket) →
         # distinct). Recall ≈ 1-(1-p^n_planes)^n_tables per pair, the
         # standard OR-of-ANDs LSH amplification; cost stays n·bucket_size.
+        # sign bits for ALL tables' planes via ONE transform lambda over a
+        # planes-array literal: the dot/sign body is code-generated once
+        # and looped, instead of planes x tables inlined copies (the
+        # inlined form's janino compile took 4-9 s and dominated the
+        # query; same fold order and sign test, so buckets are identical)
+        all_planes = [
+            p
+            for t in range(n_tables)
+            for p in random_hyperplanes(dim, n_planes, seed + t)
+        ]
+        planes_sql = "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in p) + ")" for p in all_planes
+        ) + ")"
+        bits_sql = (
+            f"transform({planes_sql}, p -> CASE WHEN "
+            f"aggregate(zip_with(`{vec_col}`, p, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+        weights = ", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(n_planes))
         structs = ", ".join(
             f"named_struct('t', {t}, 'b', "
-            f"({_lsh_bucket_sql(vec_col, random_hyperplanes(dim, n_planes, seed + t))}))"
+            f"aggregate(zip_with(slice(_bits, {t * n_planes + 1}, {n_planes}), "
+            f"array({weights}), (b, w) -> b * w), CAST(0 AS BIGINT), "
+            f"(acc, x) -> acc + x))"
             for t in range(n_tables)
         )
+        base = base.withColumn("_bits", F.expr(bits_sql))
         buckets = F.expr(f"array({structs})")
         banded = base.select(
             id_col, vec_col, F.explode(buckets).alias("_bucket")
@@ -485,6 +508,10 @@ def connected_components(
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
         .distinct()
+        # materialize ONCE: the edge list joins into every round, and an
+        # upstream pipeline (e.g. the whole LSH candidate generation)
+        # would otherwise re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("_s").alias(node_col)).distinct()
     if nodes is not None:

@@ -40,7 +40,12 @@ def pagerank(
     check is an extra action, and ~10 rounds is the published
     rule-of-thumb for rank stabilization at damping 0.85.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the edge list once — it joins into every round, and any
+    # upstream pipeline (e.g. a fact-table join producing the edges) must
+    # not re-execute per iteration
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -48,7 +53,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = (
+        e.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(n_iter):
         contrib = (
@@ -58,21 +67,23 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
         )
-        # dangling mass = rank not shipped anywhere this round
+        # dangling mass = rank not shipped anywhere this round; folded
+        # into the update as a broadcast 1-row cross-join so each round
+        # is ONE materialized job, not a collect + a job
         dangling = (
             ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()
-            .m
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_m") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
