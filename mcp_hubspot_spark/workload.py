@@ -2861,6 +2861,106 @@ def orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Corpus-frequency QUALITY SCORE (LM-lite): per doc, the mean log10
+# corpus-frequency of its bigrams — the frequency-based fluency proxy
+# used for pretraining quality filters. Two passes: global bigram counts
+# (one shuffle), broadcast the (bounded, top-50k) frequency table back,
+# per-doc mean over an exploded join (docs never shuffle).
+@_q(
+    "doc_bigram_lm_score",
+    f"""
+    WITH b AS (
+        SELECT unnest({_duck_shingles(2)}) AS bigram
+        FROM documents
+    ),
+    freq AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 50000
+    ),
+    db AS (
+        SELECT doc_id, unnest({_duck_shingles(2)}) AS bigram
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT db.doc_id,
+           CAST(count(freq.bigram) AS BIGINT) AS n_known,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(CASE WHEN freq.n IS NOT NULL
+                          THEN log10(freq.n::DOUBLE) ELSE 0.0 END), 6)
+               AS lm_score
+    FROM db LEFT JOIN freq USING (bigram)
+    GROUP BY db.doc_id
+    ORDER BY db.doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    freq = (
+        fan_out(docs)
+        .select(F.explode(word_shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50_000)
+    )
+    db = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("bigram")
+    )
+    joined = db.join(F.broadcast(freq), "bigram", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("n").alias("n_known"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("n").isNotNull(),
+                        F.log10(F.col("n").cast("double")),
+                    ).otherwise(F.lit(0.0))
+                ),
+                6,
+            ).alias("lm_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Per-row ARRAY statistics over embeddings (higher-order-function
+# showcase: reduce/transform inside one projection, no explode, no
+# shuffle) — vector norm, mean, max-abs as scan-stage expressions.
+@_q(
+    "embedding_row_stats",
+    """
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                 x -> x * x))), 6) AS l2_norm,
+           round(list_sum(embedding::DOUBLE[]) / len(embedding), 6) AS mean_val,
+           round(list_max(list_transform(embedding::DOUBLE[],
+                 x -> abs(x))), 6) AS max_abs
+    FROM embeddings
+    WHERE vec_id < 300
+    ORDER BY vec_id
+    """,
+)
+def embedding_row_stats(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf).filter(F.col("vec_id") < 300)
+    v = F.col("embedding")
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    s = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(s / F.size(v), 6).alias("mean_val"),
+        F.round(mx, 6).alias("max_abs"),
+    ).orderBy("vec_id")
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
