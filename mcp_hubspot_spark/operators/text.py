@@ -157,3 +157,55 @@ def redact_pii(
     )
     redacted = F.regexp_replace(redacted, PII_LONG_DIGITS_RE, "<NUM>")
     return redacted, n_emails, n_numbers
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking step
+    in front of every embedding/RAG/pretraining-window pipeline. Returns
+    (id, chunk_idx, chunk_text, n_chunk_tokens), one row per chunk.
+
+    Pure expression plan: tokenize once, explode a stride sequence, slice
+    the token array per chunk — no UDF, no shuffle; output rows are a
+    scan-stage flatMap whose fan-out is len/stride per doc. The final
+    short chunk is kept (standard convention) unless it would be empty;
+    a document shorter than one chunk yields exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens}) or the stride is non-positive"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # smallest start grid point whose chunk reaches the end:
+    # ceil((len - chunk)/stride)*stride, floored at 0 — every token is
+    # covered, no redundant tail chunk when len lands on the grid, and a
+    # doc shorter than one chunk yields the single start 0
+    last_start = F.greatest(
+        (
+            F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride))
+            .cast("long")
+            * F.lit(stride)
+        ),
+        F.lit(0).cast("long"),
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -38,6 +38,10 @@ def load_table(
     # hand us ANY session (the correctness driver builds its own), so set
     # it at runtime too — it is a read-path conf, safe to flip per-query.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Same hardening for the timezone: every temporal rendering in the
+    # workload (ISO strings, to_date, NTZ→TZ casts) assumes UTC — on a
+    # non-UTC host a foreign session would silently shift timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     # nanosecond-precision parquet timestamps arrive as long (see
     # session._DEFAULTS nanosAsLong): convert to microsecond timestamps.

@@ -2961,6 +2961,50 @@ def embedding_row_stats(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Document CHUNKING: overlapping 64-token windows, stride 48 (the step
+# in front of every embedding/RAG pipeline). Pure explode+slice
+# expressions — scan-stage flatMap, no UDF, no shuffle.
+@_q(
+    "doc_chunks",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < 100
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               generate_series(
+                   0,
+                   greatest(CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) * 48,
+                            0),
+                   48) AS starts
+        FROM t
+    ),
+    x AS (
+        SELECT doc_id, toks, unnest(starts) AS start
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           CAST(least(len(toks) - start, 64) AS INT) AS n_chunk_tokens
+    FROM x
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return (
+        chunk_documents(docs, chunk_tokens=64, overlap=16)
+        .withColumn("chunk_idx", F.col("chunk_idx").cast("int"))
+        .withColumn("n_chunk_tokens", F.col("n_chunk_tokens").cast("int"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -3113,6 +3157,8 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #   contains_token_docs      → filtered_scan_or_groups (predicate family;
 #                              CONTAINS_TOKEN pinned by the property test
 #                              vs python evaluation)
+#   doc_token_positions      → doc_chunks (posexplode/slice family; the
+#                              chunking op is the richer representative)
 _CHECK_PRIORITY = [
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
@@ -3127,7 +3173,7 @@ _CHECK_PRIORITY = [
     "events_near_pairs", "orders_rollup",
     "salted_flag_totals", "knn_batch_matmul",
     "corpus_clean_stats", "doc_zscore_by_source", "label_centroids",
-    "doc_token_positions", "doc_hash_split",
+    "doc_chunks", "doc_hash_split",
     "events_user_cumulative", "doc_first_number", "fuzzy_name_pairs",
     "events_sessionized", "orders_page_with_total",
     "dedup_clusters", "contaminated_docs", "events_moving_avg",

@@ -518,3 +518,28 @@ def test_pagerank_invariants(spark):
     ranks = {r.node: r.rank for r in pagerank(edges, n_iter=10).collect()}
     assert math.isclose(sum(ranks.values()), 1.0, abs_tol=1e-9)
     assert ranks["hub"] > ranks["tail"] > ranks["a"]
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk coverage semantics: short doc → one chunk; exact-multiple
+    length → no redundant tail chunk; every token covered; overlap
+    honored between consecutive chunks."""
+    from mcp_hubspot_spark.operators.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, words(5)), (2, words(8)), (3, words(13))], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=2)
+    rows = sorted(
+        ((r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in out.collect())
+    )
+    # doc 1 (5 toks < 8): single short chunk; doc 2 (exactly 8): single
+    # chunk, no tail; doc 3 (13): starts 0 and 6 -> sizes 8 and 7
+    assert rows == [(1, 0, 5), (2, 0, 8), (3, 0, 8), (3, 1, 7)]
+    d3 = {r.chunk_idx: r.chunk_text.split() for r in
+          out.filter(F.col("doc_id") == 3).collect()}
+    assert d3[0][-2:] == d3[1][:2]  # 2-token overlap
+    assert d3[0][:1] == ["w0"] and d3[1][-1:] == ["w12"]  # full coverage
