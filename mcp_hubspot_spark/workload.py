@@ -3082,10 +3082,38 @@ def supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Multimodal plumbing: binary payload → mapInPandas feature extraction
-# (decode stubbed — deterministic fake; the Spark-side schema/partitioning/
-# batching is the real thing under test).
-@_q("media_features")
+# Multimodal plumbing: binary payload → mapInPandas feature extraction.
+# The decode is stubbed with a deterministic sha256-derived fake — which
+# makes it ORACLE-CHECKABLE: DuckDB recomputes the same digest-derived
+# pseudo-dimensions and 8-d feature, so the whole Arrow/mapInPandas
+# plumbing (schema, batching, null handling) is hash-verified, not just
+# row-counted. A real codec (decode_fn injection) would drop the oracle.
+@_q(
+    "media_features",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+               text
+        FROM documents WHERE doc_id < 100
+    ),
+    h AS (
+        SELECT media_id, kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               sha256(text) AS hx
+        FROM m
+    )
+    SELECT media_id, kind, byte_len,
+           hx AS sha256,
+           CAST(64 + ('0x' || substr(hx, 1, 2))::INT AS INT) AS width,
+           CAST(64 + ('0x' || substr(hx, 3, 2))::INT AS INT) AS height,
+           list_transform(range(2, 10),
+               k -> ((('0x' || substr(hx, 2 * k + 1, 2))::INT / 255.0))::FLOAT4)
+               AS feature
+    FROM h
+    ORDER BY media_id
+    """,
+)
 def media_features_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import documents_as_media, extract_media_features
 
@@ -3159,6 +3187,11 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #                              vs python evaluation)
 #   doc_token_positions      → doc_chunks (posexplode/slice family; the
 #                              chunking op is the richer representative)
+#   doc_hash_split           → stratified_sample_docs (same md5-bucket
+#                              membership core + partition-invariance
+#                              pytest); slot goes to media_features, whose
+#                              sha256-derived fake decode makes the whole
+#                              mapInPandas plumbing hash-checkable
 _CHECK_PRIORITY = [
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
@@ -3173,7 +3206,7 @@ _CHECK_PRIORITY = [
     "events_near_pairs", "orders_rollup",
     "salted_flag_totals", "knn_batch_matmul",
     "corpus_clean_stats", "doc_zscore_by_source", "label_centroids",
-    "doc_chunks", "doc_hash_split",
+    "doc_chunks", "media_features",
     "events_user_cumulative", "doc_first_number", "fuzzy_name_pairs",
     "events_sessionized", "orders_page_with_total",
     "dedup_clusters", "contaminated_docs", "events_moving_avg",
