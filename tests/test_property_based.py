@@ -144,3 +144,42 @@ def test_range_join_matches_brute_force(spark, left, right, bounds):
         if lk == rk and lower <= (rt - lt) * 1_000_000 <= upper
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=8),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_reconstructs_tokens(spark, lens, chunk, overlap):
+    """Invariant: dropping each chunk's overlapping prefix (after chunk 0)
+    and concatenating reconstructs the exact token sequence — no token
+    lost, duplicated, or reordered — for any doc length / chunk / overlap."""
+    from hypothesis import assume
+
+    from mcp_hubspot_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    stride = chunk - overlap
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text.split()))
+    for i, n in enumerate(lens):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        rebuilt = list(chunks[0])
+        for prev, cur in zip(chunks, chunks[1:]):
+            # consecutive chunks agree on the shared region
+            shared = min(len(prev) - stride, len(cur))
+            assert prev[stride:stride + shared] == cur[:shared]
+            rebuilt.extend(cur[len(prev) - stride:])
+        assert rebuilt == [f"t{i}_{j}" for j in range(n)]
