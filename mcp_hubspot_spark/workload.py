@@ -3005,6 +3005,60 @@ def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Broadcast NON-EQUI interval join: events attributed to a tiny derived
+# "campaign window" dimension by ts containment. The deliberate
+# counterpoint to the banded range_join: with a BOUNDED broadcast side
+# (dozens of intervals), BroadcastNestedLoopJoin is the RIGHT plan — the
+# fact side streams through codegen once, no shuffle, no bucketing; the
+# banded equi-join only wins when both sides are large.
+@_q(
+    "events_campaign_attribution",
+    """
+    WITH bounds AS (
+        SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    campaigns AS (
+        SELECT i AS campaign_id,
+               lo + ((hi - lo) * i) // 8 AS start_us,
+               lo + ((hi - lo) * (i + 2)) // 8 AS end_us
+        FROM range(0, 6) t(i), bounds
+    )
+    SELECT campaign_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events e JOIN campaigns c
+      ON epoch_us(e.ts) >= c.start_us AND epoch_us(e.ts) < c.end_us
+    GROUP BY campaign_id
+    ORDER BY campaign_id
+    """,
+)
+def events_campaign_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = events.agg(
+        F.min(ts_us).alias("lo"), F.max(ts_us).alias("hi")
+    ).first()
+    rows = [
+        (i, lo + ((hi - lo) * i) // 8, lo + ((hi - lo) * (i + 2)) // 8)
+        for i in range(6)
+    ]
+    campaigns = spark.createDataFrame(
+        rows, "campaign_id long, start_us long, end_us long"
+    )
+    joined = events.join(
+        F.broadcast(campaigns),
+        (ts_us >= F.col("start_us")) & (ts_us < F.col("end_us")),
+    )
+    return (
+        joined.groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("campaign_id")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
