@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _WS = r"\s+"
 
@@ -128,6 +129,109 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df",
                 F.round(F.col("_tfidf_raw"), 4).alias("tfidf"), "rnk")
+    )
+
+
+def ngram_list(toks: Column, n: int) -> Column:
+    """Positional n-grams WITH multiplicity (unlike the shingle sets used
+    by MinHash) — the repetition signals need duplicate counts. Empty
+    array for docs shorter than n (a bare ``sequence(0, size-n)`` would
+    silently generate a DESCENDING range and fabricate n-grams)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    n-gram in the same document: (total - distinct) / total, 0.0 for
+    docs with no n-grams. Gopher-style repetition quality signal."""
+    grams = ngram_list(toks, n)
+    total = F.size(grams)
+    dups = (total - F.size(F.array_distinct(grams))).cast("double")
+    return F.when(total > 0, F.round(dups / total, 4)).otherwise(F.lit(0.0))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition signals: top-unigram fraction
+    and duplicate 2-/3-gram fractions (Rae et al. 2021 §A1.1 use these to
+    drop degenerate, loopy documents before pretraining).
+
+    Scale shape: the n-gram fractions are pure array expressions (linear
+    per row, zero shuffle). The top-unigram fraction needs a per-doc token
+    histogram — computed the linear relational way (explode -> (doc, tok)
+    count -> per-doc max/sum) rather than an O(distinct x n) nested array
+    scan, so long documents cost O(n). The (doc_id, tok) groupBy partial-
+    aggregates map-side and its output is vocabulary-bounded per doc; the
+    final join back to the n-gram side is doc_id-to-doc_id (co-partitioned
+    by the same shuffle when AQE aligns keys).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = df.select(
+        F.col(id_col),
+        dup_ngram_frac(toks, 2).alias("dup_2gram_frac"),
+        dup_ngram_frac(toks, 3).alias("dup_3gram_frac"),
+    )
+    uni = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tok"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 4
+            ).alias("top_unigram_frac"),
+        )
+    )
+    return uni.join(grams, id_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+    capacity: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style pretraining batches):
+    within each shard, documents are concatenated in id order and cut into
+    fixed ``capacity``-token training sequences. Returns one row per doc
+    with its shard-local token offset, the sequence it starts in, and
+    whether it straddles a sequence boundary (would be split).
+
+    Scale shape: one window partitioned by the shard key — shards pack
+    independently and in parallel. A shard must fit one task's sort, so
+    at 100 TB the shard key is (source, date-bucket) or finer, never a
+    handful of mega-shards; the packing math is key-granularity-agnostic.
+    """
+    n_tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long")
+    return (
+        df.select(shard_col, F.col(id_col), n_tok.cast("long").alias("n_tok"))
+        .withColumn("tok_offset", offset)
+        .select(
+            shard_col,
+            id_col,
+            "n_tok",
+            "tok_offset",
+            (F.col("tok_offset") / capacity).cast("long").alias("seq_id"),
+            (
+                ((F.col("tok_offset") + F.col("n_tok") - 1) / capacity).cast("long")
+                != (F.col("tok_offset") / capacity).cast("long")
+            ).alias("straddles"),
+        )
     )
 
 

@@ -3059,6 +3059,160 @@ def events_campaign_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): top-unigram
+# fraction via the linear explode->histogram path (never the O(distinct*n)
+# nested-array scan), duplicate 2-/3-gram fractions as pure array
+# expressions. The standard pre-training filter for degenerate loopy text.
+@_q(
+    "doc_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_tokens()} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(toks) - 1, 0)),
+                              i -> array_to_string(toks[i+1:i+2], ' ')) AS g2,
+               list_transform(range(0, greatest(len(toks) - 2, 0)),
+                              i -> array_to_string(toks[i+1:i+3], ' ')) AS g3
+        FROM t
+    ),
+    gf AS (
+        SELECT doc_id,
+               round(CASE WHEN len(g2) > 0 THEN
+                   (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+                   ELSE 0.0 END, 4) AS dup_2gram_frac,
+               round(CASE WHEN len(g3) > 0 THEN
+                   (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+                   ELSE 0.0 END, 4) AS dup_3gram_frac
+        FROM g
+    ),
+    u AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(max(c)::DOUBLE / sum(c), 4) AS top_unigram_frac
+        FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, top_unigram_frac, dup_2gram_frac, dup_3gram_frac
+    FROM u JOIN gf USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import repetition_features
+
+    docs = load_table(spark, sf, "documents")
+    return repetition_features(docs).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "top_unigram_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+    ).orderBy("doc_id")
+
+
+# Concat-and-chunk sequence packing (GPT-style pretraining batches):
+# per-source shards pack independently — one window per shard key, no
+# global sort. Boundary-straddling docs are flagged (they would be split
+# across training sequences).
+@_q(
+    "packed_sequences",
+    r"""
+    WITH t AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ),
+    o AS (
+        SELECT source, doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+        FROM t
+    )
+    SELECT source, doc_id, n_tok, tok_offset,
+           CAST(tok_offset // 256 AS BIGINT) AS seq_id,
+           ((tok_offset + n_tok - 1) // 256) != (tok_offset // 256)
+               AS straddles
+    FROM o ORDER BY source, doc_id
+    """,
+)
+def packed_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import pack_sequences
+
+    docs = load_table(spark, sf, "documents")
+    return pack_sequences(docs, capacity=256).orderBy("source", "doc_id")
+
+
+# Quality filter with per-doc reject reasons (C4/Gopher-style filter
+# pipeline audit trail: which rule killed each doc, first-match-wins).
+# Composes the repetition signals with the length rule — all expression-
+# side, one histogram shuffle, thresholds tuned to split the corpus.
+@_q(
+    "quality_filter_docs",
+    f"""
+    WITH t AS (SELECT doc_id, {_duck_tokens()} AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(0, greatest(len(toks) - 1, 0)),
+                              i -> array_to_string(toks[i+1:i+2], ' ')) AS g2
+        FROM t
+    ),
+    u AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(max(c)::DOUBLE / sum(c), 4) AS tf
+        FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+    ),
+    j AS (
+        -- thresholds compare the ROUNDED signals, mirroring the Spark
+        -- side exactly (repetition_features emits round(x, 4)) so
+        -- boundary values cannot flip between engines
+        SELECT u.doc_id, n_tok, tf,
+               round((len(g2) - len(list_distinct(g2)))::DOUBLE
+                     / greatest(len(g2), 1), 4) AS d2
+        FROM u JOIN g ON u.doc_id = g.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN n_tok < 20 THEN 'too_short'
+                WHEN tf > 0.15 THEN 'repetitive_unigram'
+                WHEN d2 > 0.06 THEN 'repetitive_2gram'
+           END AS reject_reason,
+           (CASE WHEN n_tok < 20 THEN 'too_short'
+                 WHEN tf > 0.15 THEN 'repetitive_unigram'
+                 WHEN d2 > 0.06 THEN 'repetitive_2gram'
+            END) IS NULL AS keep
+    FROM j ORDER BY doc_id
+    """,
+)
+def quality_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import repetition_features
+
+    docs = load_table(spark, sf, "documents")
+    feats = repetition_features(docs)
+    reason = (
+        F.when(F.col("n_tok") < 20, F.lit("too_short"))
+        .when(F.col("top_unigram_frac") > 0.15, F.lit("repetitive_unigram"))
+        .when(F.col("dup_2gram_frac") > 0.06, F.lit("repetitive_2gram"))
+    )
+    return (
+        feats.select(
+            "doc_id",
+            reason.alias("reject_reason"),
+            reason.isNull().alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -3293,15 +3447,26 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #                              pytest); slot goes to media_features, whose
 #                              sha256-derived fake decode makes the whole
 #                              mapInPandas plumbing hash-checkable
+#   canonical_json_docs      → doc_repetition (r01-green; F10 canonical
+#                              JSON stays pinned by api-parity pytest and
+#                              the verify gate; slot goes to the new
+#                              repetition-signal family)
+#   token_stats              → packed_sequences (r01-green; token counting
+#                              is re-exercised by doc_repetition.n_tok and
+#                              corpus_clean_stats.total_tokens; slot goes
+#                              to the new sequence-packing family)
+#   doc_quality              → quality_filter_docs (r01-green; the filter
+#                              composes the same quality signals plus the
+#                              repetition features into keep/reject+reason)
 _CHECK_PRIORITY = [
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "order_counts_by_status", "top_orders_per_customer",
     "pricing_summary", "events_json_props",
-    "canonical_json_docs", "shipping_priority", "revenue_by_nation",
-    "knn_l2", "exact_dedup_groups", "token_stats",
+    "doc_repetition", "shipping_priority", "revenue_by_nation",
+    "knn_l2", "exact_dedup_groups", "packed_sequences",
     "tfidf_top_terms", "lang_id",
-    "doc_quality", "events_hourly",
+    "quality_filter_docs", "events_hourly",
     "minhash_lsh_pairs", "simhash_neardup_pairs", "embedding_neardup_lsh",
     "ivf_search", "customer_status_sets", "events_asof_click",
     "events_near_pairs", "orders_rollup",

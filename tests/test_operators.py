@@ -543,3 +543,60 @@ def test_chunk_documents_edges(spark):
           out.filter(F.col("doc_id") == 3).collect()}
     assert d3[0][-2:] == d3[1][:2]  # 2-token overlap
     assert d3[0][:1] == ["w0"] and d3[1][-1:] == ["w12"]  # full coverage
+
+
+def test_repetition_features_match_python(spark):
+    """Cross-check the relational repetition signals against a direct
+    Python computation (Gopher §A1.1 definitions) on hand-built docs,
+    including the shorter-than-n edge where the n-gram list is empty."""
+    from collections import Counter
+
+    from mcp_hubspot_spark.operators.text import repetition_features
+
+    texts = {
+        1: "a b a b a b",          # loopy: high dup 2-gram
+        2: "w x y z",              # all distinct
+        3: "q",                    # shorter than any n-gram
+        4: "m m m m m m m m",      # single repeated token
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_features(df).collect()}
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        counts = Counter(toks)
+        for n, col in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+            grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+            want = round((len(grams) - len(set(grams))) / len(grams), 4) if grams else 0.0
+            assert got[doc_id][col] == want, (doc_id, col)
+        assert got[doc_id]["n_tok"] == len(toks)
+        assert got[doc_id]["top_unigram_frac"] == round(
+            max(counts.values()) / len(toks), 4
+        )
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing invariants per shard: offsets are the exclusive prefix sum
+    of token counts in id order; seq_id = offset // capacity; straddles
+    iff the doc's token span crosses a capacity boundary."""
+    from mcp_hubspot_spark.operators.text import pack_sequences
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    cap = 64
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pack_sequences(docs, capacity=cap).collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["source"], []).append(r)
+    assert len(by_shard) > 1
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        expect_offset = 0
+        for r in shard_rows:
+            assert r["tok_offset"] == expect_offset
+            assert r["seq_id"] == r["tok_offset"] // cap
+            assert r["straddles"] == (
+                (r["tok_offset"] + r["n_tok"] - 1) // cap != r["seq_id"]
+            )
+            expect_offset += r["n_tok"]

@@ -219,3 +219,37 @@ def test_tfidf_doc_frequency_join_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # 1-row n_docs cross join
     assert "SortMergeJoin" not in plan
+
+
+def test_campaign_attribution_is_broadcast_nested_loop(spark):
+    """Non-equi interval join against a BOUNDED derived dimension must be
+    BroadcastNestedLoopJoin (fact streams once, no shuffle) — the
+    deliberate counterpoint to the banded range join, which only wins when
+    both sides are large."""
+    plan = plan_of(QUERIES["events_campaign_attribution"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_histogram_is_single_shuffle_partial_agg(spark):
+    """The top-unigram histogram must partial-aggregate map-side (one
+    (doc_id, tok) HashAggregate pair), never collect token arrays."""
+    plan = plan_of(QUERIES["doc_repetition"](spark, SF))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_shuffles_only_on_shard_key(spark):
+    """pack_sequences must sort within shard partitions (window over
+    source) — exactly one Exchange on the shard key, no global sort."""
+    from mcp_hubspot_spark.operators.text import pack_sequences
+
+    df = pack_sequences(load_table(spark, SF, "documents"))
+    plan = plan_of(df)
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.lstrip().startswith("(") and l.rstrip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(source" in plan
