@@ -83,3 +83,50 @@ def hash_stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     thresh = thresh if expr is None else expr.otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    target_pct: dict[str, int],
+    id_col: str,
+    seed: str = "42",
+) -> DataFrame:
+    """Resample toward a TARGET MIXTURE (pre-training data mixing: "40% en,
+    20% de, ..."): per-group keep-rate = min(1, target_share * N / n_g),
+    computed FROM the data, applied via the deterministic hash bucket.
+    Groups absent from ``target_pct`` are dropped. A group below its target
+    keeps everything (rate caps at 1 — hash sampling can only down-weight;
+    up-weighting needs repetition, a separate op).
+
+    Exactness: the keep test is ``bucket * 100 * n_g < pct * N * BUCKETS``
+    in DECIMAL(38,0) — pure integer arithmetic, no float rate whose
+    engine-specific rounding could flip a boundary row (DuckDB checks the
+    same inequality in HUGEINT). At 100 TB the products reach ~1e20, past
+    int64 — hence decimal, which Tungsten still evaluates JVM-side.
+
+    Scale shape: the per-group counts are a groupBy whose output is
+    group-cardinality-sized (tiny), broadcast back; the row-side test is a
+    scan-stage projection + filter. One small shuffle, nothing row-sized
+    moves.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    total = df.agg(F.count("*").alias("_n"))
+    pct = None
+    for g, p in target_pct.items():
+        cond = F.col(group_col) == g
+        pct = F.when(cond, p) if pct is None else pct.when(cond, p)
+    pct = F.coalesce(pct, F.lit(0))
+    dec = "decimal(38,0)"
+    keep = (
+        split_bucket(id_col, seed).cast(dec) * F.lit(100).cast(dec)
+        * F.col("_n_g").cast(dec)
+    ) < (
+        pct.cast(dec) * F.col("_n").cast(dec) * F.lit(_BUCKETS).cast(dec)
+    )
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(total))
+        .filter(keep)
+        .drop("_n_g", "_n")
+    )

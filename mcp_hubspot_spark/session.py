@@ -32,6 +32,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Read-side split size; at 100 TB, ~128 MiB splits keep task counts sane.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Split-size FLOOR. Spark's split size is
+    # min(maxPartitionBytes, max(openCostInBytes, totalBytes/minPartitionNum));
+    # the 4 MiB default models HDFS/S3 seek cost and is right at cluster
+    # scale, but on local page-cached files it forces every table smaller
+    # than 4 MiB into ONE task — a 2.7 MB orders scan ran 1-of-32 cores.
+    # 256 KiB keeps small local scans parallel while totalBytes/minPartitionNum
+    # (not this floor) still governs real multi-GB inputs.
+    "spark.sql.files.openCostInBytes": str(256 * 1024),
     "spark.sql.parquet.compression.codec": "zstd",
     # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and let
     # the catalog convert to a microsecond timestamp (matches DuckDB, whose

@@ -103,3 +103,22 @@ def first_seen_dedup(events: DataFrame, ttl_ms: int = 7 * 86_400_000) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Built-in streaming dedup: ``dropDuplicatesWithinWatermark`` keeps
+    the first arrival per key and lets the engine evict key state once the
+    event-time watermark passes ``delay`` — state is bounded by TIME, not
+    by a TTL on inactivity. Prefer this JVM-native operator over the
+    ``applyInPandasWithState`` path (``first_seen_dedup``) whenever the
+    eviction policy is expressible as a watermark; the custom path exists
+    for policies that aren't (per-key processing-time TTL, first-by-
+    secondary-ordering selection)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

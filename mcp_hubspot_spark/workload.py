@@ -1219,6 +1219,87 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# End-to-end dedup REPORT: detect (LSH) → cluster (connected components)
+# → drop (keep min-id per cluster) with token accounting — the artifact a
+# pipeline owner actually ships: how many docs/tokens did dedup remove,
+# per surviving representative. One extra doc_id-keyed join + a cluster_id
+# groupBy on top of dedup_clusters; everything stays relational.
+@_q(
+    "dedup_survivor_report",
+    rf"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+              i -> sa[i] = sb[i]))::DOUBLE / {_MINHASH_PERMS} >= 0.25
+    ),
+    sym AS (
+        SELECT id_a AS s, id_b AS d FROM edges
+        UNION
+        SELECT id_b AS s, id_a AS d FROM edges
+    ),
+    reach(node, peer) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT r.node, sym.d FROM reach r JOIN sym ON sym.s = r.peer
+    ),
+    clusters AS (
+        SELECT node AS doc_id, min(peer) AS cluster_id
+        FROM reach GROUP BY node
+    ),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+        FROM corpus
+    )
+    SELECT c.cluster_id AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN t.doc_id = c.cluster_id THEN n_tok ELSE 0 END)
+               AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN t.doc_id != c.cluster_id THEN n_tok ELSE 0 END)
+               AS BIGINT) AS dropped_tokens
+    FROM clusters c JOIN toks t USING (doc_id)
+    GROUP BY c.cluster_id
+    ORDER BY survivor_id
+    """,
+)
+def dedup_survivor_report(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import connected_components, minhash_lsh_pairs
+    from .operators.text import token_count
+
+    corpus = _planted_corpus(spark, sf)
+    pairs = minhash_lsh_pairs(
+        corpus, num_perm=_MINHASH_PERMS, bands=4, shingle_n=3, min_jaccard=0.25
+    )
+    clusters = connected_components(
+        pairs.select("id_a", "id_b"),
+        nodes=corpus.select("doc_id"),
+        node_col="doc_id",
+        label_col="cluster_id",
+    )
+    toks = corpus.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    is_survivor = F.col("doc_id") == F.col("cluster_id")
+    return (
+        clusters.join(toks, "doc_id")
+        .groupBy(F.col("cluster_id").alias("survivor_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+            F.sum(F.when(is_survivor, F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.sum(F.when(~is_survivor, F.col("n_tok")).otherwise(0)).alias(
+                "dropped_tokens"
+            ),
+        )
+        .orderBy("survivor_id")
+    )
+
+
 # Benchmark DECONTAMINATION: training docs sharing any token 5-gram with
 # the "benchmark" corpus (docs 0-9). Candidates are docs 10-59 plus 50
 # planted rows (candidate text ++ a full benchmark doc) that are
@@ -2760,6 +2841,64 @@ def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
         default_rate=0.1,
         seed="mix",
     ).orderBy("doc_id")
+
+
+# Target-mixture resampling (pre-training data mixing: rebalance the
+# corpus toward "40% en, 20% de, ..."): keep-rates computed FROM the data
+# (min(1, share*N/n_g)), applied by integer-exact hash-bucket comparison
+# in DECIMAL/HUGEINT so no float rate can flip a boundary row between
+# engines. Down-weights over-represented languages; under-target groups
+# keep all rows (rate caps at 1).
+@_q(
+    "mixture_resample_docs",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM documents),
+    t(lang, pct) AS (VALUES ('en', 40), ('de', 20), ('fr', 15),
+                            ('es', 15), ('zh', 10)),
+    kept AS (
+        SELECT d.lang
+        FROM documents d
+        JOIN c USING (lang) JOIN t USING (lang) CROSS JOIN tot
+        WHERE ('0x' || substr(md5('42:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 * 100::HUGEINT * n_g
+              < pct::HUGEINT * n * 1000000
+    )
+    SELECT c.lang, CAST(c.n_g AS BIGINT) AS n_before,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           t.pct AS target_pct
+    FROM c
+    JOIN t ON c.lang = t.lang
+    LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang) k
+        ON c.lang = k.lang
+    ORDER BY c.lang
+    """,
+)
+def mixture_resample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import mixture_resample
+
+    targets = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    kept = (
+        mixture_resample(docs, "lang", targets, id_col="doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    pct = None
+    for g, p in targets.items():
+        cond = F.col("lang") == g
+        pct = F.when(cond, p) if pct is None else pct.when(cond, p)
+    return (
+        before.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            pct.cast("int").alias("target_pct"),
+        )
+        .orderBy("lang")
+    )
 
 
 # Distribution-position window functions: percent_rank / cume_dist /

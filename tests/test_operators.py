@@ -600,3 +600,36 @@ def test_pack_sequences_invariants(spark, sf_dir):
                 (r["tok_offset"] + r["n_tok"] - 1) // cap != r["seq_id"]
             )
             expect_offset += r["n_tok"]
+
+
+def test_mixture_resample_invariants(spark, sf_dir):
+    """Membership is a pure function of the row (partition-invariant),
+    under-target groups keep every row (rate caps at 1), groups absent
+    from the target mixture are dropped, and kept counts land within
+    bucket-granularity of the target."""
+    from mcp_hubspot_spark.operators.sampling import mixture_resample
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    targets = {"en": 40, "zh": 10}
+    kept = mixture_resample(docs, "lang", targets, id_col="doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    # partition-invariance: same membership from a reshuffled input
+    ids_repart = {
+        r.doc_id
+        for r in mixture_resample(
+            docs.repartition(13), "lang", targets, id_col="doc_id"
+        ).collect()
+    }
+    assert ids == ids_repart
+    by_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept_by_lang = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(kept_by_lang) <= set(targets)  # absent groups dropped
+    n_total = sum(by_lang.values())
+    for lang, pct in targets.items():
+        target_n = pct / 100 * n_total
+        if by_lang[lang] <= target_n:
+            assert kept_by_lang[lang] == by_lang[lang]  # caps at keep-all
+        else:
+            # binomial-ish tolerance around the target
+            assert abs(kept_by_lang[lang] - target_n) < 0.3 * target_n + 5

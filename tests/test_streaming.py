@@ -259,3 +259,33 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     q.awaitTermination(120)
     got = {(r.click_id, r.buy_id) for r in spark.table("ssjoin_mem").collect()}
     assert got == expected
+
+
+def test_watermarked_dedup_stream(spark, tmp_path):
+    """Built-in dropDuplicatesWithinWatermark twin of first_seen_dedup:
+    exactly one surviving row per key across micro-batches."""
+    from mcp_hubspot_spark.streaming.stateful import watermarked_dedup
+
+    events = load_table(spark, SF, "events").filter(F.col("user_id") < 10)
+    d = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(d / "b1"))
+    events.coalesce(1).write.parquet(str(d / "b2"))  # same keys again
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        watermarked_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("wm_dedup").collect()
+    assert len(rows) == len({r.user_id for r in rows})
+    assert {r.user_id for r in rows} == {
+        r.user_id for r in events.select("user_id").distinct().collect()
+    }
