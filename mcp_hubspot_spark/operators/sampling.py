@@ -85,6 +85,79 @@ def hash_stratified_sample(
     return df.filter(b < thresh)
 
 
+def exact_k_holdout(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: str = "eval",
+) -> DataFrame:
+    """EXACTLY k rows per stratum (eval/holdout sets need exact counts,
+    not rate-based expectation): rank rows within each stratum by their
+    hash bucket (id as tiebreaker — total order, fully deterministic) and
+    keep the first k. A group smaller than k keeps all its rows.
+
+    Scale shape: one shuffle on the stratum key for the window. The
+    window input can be pre-shrunk when k << group size by a cheap
+    rate-filter on the same bucket (keep rate ~ 4k/n_g) before ranking —
+    noted, not applied, since it needs a count pass; at eval-set sizes
+    the plain window is fine.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def upsample_repeat(
+    df: DataFrame,
+    group_col: str,
+    factor_pct: dict[str, int],
+    id_col: str,
+    seed: str = "up",
+) -> DataFrame:
+    """Up-weight groups by REPETITION (hash sampling can only drop rows;
+    hitting a mixture target for an under-represented group means
+    repeating its rows): factor 250 (percent) emits every row 2 times
+    plus a 3rd copy for the hash-chosen 50% of rows. Output carries
+    ``copy_idx`` (0-based) so downstream shuffling/packing can interleave
+    copies instead of clustering them. Groups absent from ``factor_pct``
+    pass through with factor 100.
+
+    Deterministic and integer-exact: the fractional copy is decided by
+    ``bucket * 100 < (factor % 100) * BUCKETS`` — same bucket math as the
+    down-sampler, reproducible in any engine. Zero shuffle: explode of a
+    per-row sequence in the scan stage; output size = sum(factor_g *
+    n_g), the fan-out is the point.
+    """
+    fac = None
+    for g, p in factor_pct.items():
+        cond = F.col(group_col) == g
+        fac = F.when(cond, p) if fac is None else fac.when(cond, p)
+    fac = F.coalesce(fac, F.lit(100))
+    whole = (fac / 100).cast("long")
+    extra = (
+        split_bucket(id_col, seed) * 100 < (fac % 100) * F.lit(_BUCKETS)
+    ).cast("long")
+    n_copies = whole + extra
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)
+            ).alias("copy_idx"),
+        )
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     group_col: str,

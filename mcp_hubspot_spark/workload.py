@@ -2901,6 +2901,74 @@ def mixture_resample_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Exact-k per-stratum holdout (eval sets need exact counts, not
+# rate-based expectation): rank by hash bucket within each language,
+# keep the first 10 — deterministic, partition-invariant membership.
+@_q(
+    "eval_holdout_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('eval:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bkt
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rk
+        FROM b
+    )
+    SELECT doc_id, lang FROM r WHERE rk <= 10 ORDER BY doc_id
+    """,
+)
+def eval_holdout_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import exact_k_holdout
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return exact_k_holdout(docs, "lang", k=10, id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+# Mixture UP-weighting by repetition (hash sampling only drops rows; an
+# under-represented group hits its target by repeating): zh x2.5, fr
+# x1.5, fractional copies hash-chosen, copy_idx emitted for downstream
+# interleaving. Zero shuffle — scan-stage sequence explode.
+@_q(
+    "upsample_repeat_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('up:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bkt
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, lang, bkt,
+               CASE lang WHEN 'zh' THEN 250 WHEN 'fr' THEN 150
+                         ELSE 100 END AS fac
+        FROM b
+    ),
+    n AS (
+        SELECT doc_id, lang,
+               fac // 100 + CASE WHEN bkt * 100 < (fac % 100) * 1000000
+                                 THEN 1 ELSE 0 END AS n_copies
+        FROM f
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+    FROM n WHERE n_copies > 0
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def upsample_repeat_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import upsample_repeat
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return upsample_repeat(
+        docs, "lang", {"zh": 250, "fr": 150}, id_col="doc_id"
+    ).orderBy("doc_id", "copy_idx")
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

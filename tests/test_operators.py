@@ -633,3 +633,49 @@ def test_mixture_resample_invariants(spark, sf_dir):
         else:
             # binomial-ish tolerance around the target
             assert abs(kept_by_lang[lang] - target_n) < 0.3 * target_n + 5
+
+
+def test_exact_k_holdout_counts_and_invariance(spark, sf_dir):
+    """Exactly min(k, group size) rows per stratum; membership is
+    partition-invariant."""
+    from mcp_hubspot_spark.operators.sampling import exact_k_holdout
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    k = 7
+    kept = exact_k_holdout(docs, "lang", k=k, id_col="doc_id")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {lang: min(k, n) for lang, n in sizes.items()}
+    ids = {r.doc_id for r in kept.collect()}
+    ids2 = {
+        r.doc_id
+        for r in exact_k_holdout(
+            docs.repartition(11), "lang", k=k, id_col="doc_id"
+        ).collect()
+    }
+    assert ids == ids2
+
+
+def test_upsample_repeat_copy_counts(spark, sf_dir):
+    """Every row of an up-weighted group appears floor(f/100) or
+    ceil(f/100) times, group totals land near f% of the original, and
+    copy_idx is a dense 0..n-1 per doc."""
+    from collections import Counter
+
+    from mcp_hubspot_spark.operators.sampling import upsample_repeat
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = upsample_repeat(docs, "lang", {"zh": 250}, id_col="doc_id").collect()
+    per_doc = Counter((r.lang, r.doc_id) for r in out)
+    for (lang, _), n in per_doc.items():
+        assert n in ((2, 3) if lang == "zh" else (1,))
+    by_doc_idx: dict[int, set] = {}
+    for r in out:
+        by_doc_idx.setdefault(r.doc_id, set()).add(r.copy_idx)
+    for doc_id, idxs in by_doc_idx.items():
+        assert idxs == set(range(len(idxs)))
+    n_zh = sum(1 for r in docs.collect() if r.lang == "zh")
+    n_zh_out = sum(n for (lang, _), n in per_doc.items() if lang == "zh")
+    assert abs(n_zh_out - 2.5 * n_zh) < 0.35 * n_zh + 5
