@@ -22,6 +22,7 @@ Scale paths beyond brute force:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -352,3 +353,76 @@ def ivf_topk(
         F.broadcast(probe_cells), on=centroid_id, how="left_semi"
     )
     return knn(pruned, query_vec, k=k, vec_col=vec_col, id_cols=id_cols)
+
+
+def rp_sign_matrix(
+    d_in: int, d_out: int, seed: str = "rp"
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for random projection (Achlioptas
+    2003: sign entries satisfy the JL lemma like Gaussians do). Derived
+    from md5 at PLAN time — row-independent constants, reproducible in
+    any engine (the oracle embeds the same literals), zero per-row
+    hashing."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def random_sign_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    d_in: int = 64,
+    d_out: int = 8,
+    seed: str = "rp",
+) -> DataFrame:
+    """Dimensionality reduction by random sign projection — the standard
+    shrink-before-ANN step at scale (project 768-d to 64-d, bucket/search
+    in the small space, re-rank survivors in the original space). Output
+    is EXPLODED to (id, dim_idx, value) scalar rows so downstream engines
+    compare element-wise without nested-array float semantics.
+
+    Plan shape: the sign matrix is a literal baked into the expression —
+    a pure scan-stage projection, zero shuffle, codegen'd JVM-side. Each
+    output dim is one ordered fold (aggregate over zip_with), so float
+    summation order is fixed left-to-right and engine-reproducible. For
+    very large d_in*d_out (>~50k literals) the expression tree gets heavy
+    to compile — switch to the Arrow/numpy matmul pattern
+    (``knn_batch_matmul``) there; the semantics stay identical.
+    """
+    signs = rp_sign_matrix(d_in, d_out, seed)
+    scale = 1.0 / math.sqrt(d_out)
+    vec = F.col(vec_col)
+
+    def proj(j: int) -> Column:
+        s = F.array(*[F.lit(float(x)) for x in signs[j]])
+        return F.aggregate(
+            F.zip_with(vec, s, lambda x, sg: x.cast("double") * sg),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) * F.lit(scale)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("dim_idx"),
+                F.round(proj(j), 4).alias("value"),
+            )
+            for j in range(d_out)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(id_col, F.col("_p.dim_idx"), F.col("_p.value"))

@@ -2969,6 +2969,50 @@ def upsample_repeat_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id", "copy_idx")
 
 
+# Random sign projection (Achlioptas/JL): shrink embeddings before ANN —
+# the standard 100 TB move (search the small space, re-rank survivors in
+# the original). Sign matrix is md5-derived at PLAN time and baked into
+# both expressions as literals; output exploded to scalar rows so the
+# compare never hinges on nested-array float semantics.
+def _rp_literals() -> tuple[str, float]:
+    from .operators.vector import rp_sign_matrix
+
+    signs = rp_sign_matrix(64, 8, seed="rp")
+    duck = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(x) for x in row) + "]" for row in signs
+        )
+        + "]"
+    )
+    import math as _math
+
+    return duck, 1.0 / _math.sqrt(8)
+
+
+_RP_DUCK, _RP_SCALE = _rp_literals()
+
+
+@_q(
+    "embedding_projection",
+    f"""
+    SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
+           round(list_sum(list_transform(range(1, 65),
+                     i -> embedding[i]::DOUBLE * ({_RP_DUCK})[j + 1][i]))
+                 * {_RP_SCALE!r}, 4) AS value
+    FROM embeddings, unnest(range(0, 8)) AS t(j)
+    ORDER BY vec_id, dim_idx
+    """,
+)
+def embedding_projection(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import random_sign_projection
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    return random_sign_projection(
+        emb, d_in=64, d_out=8, seed="rp"
+    ).orderBy("vec_id", "dim_idx")
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

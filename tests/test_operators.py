@@ -679,3 +679,45 @@ def test_upsample_repeat_copy_counts(spark, sf_dir):
     n_zh = sum(1 for r in docs.collect() if r.lang == "zh")
     n_zh_out = sum(n for (lang, _), n in per_doc.items() if lang == "zh")
     assert abs(n_zh_out - 2.5 * n_zh) < 0.35 * n_zh + 5
+
+
+def test_random_sign_projection_matches_numpy(spark, sf_dir):
+    """The expression-side projection must equal the numpy matmul with
+    the same sign matrix (the documented high-dim alternative path), and
+    roughly preserve pairwise distance ordering (JL sanity)."""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import (
+        random_sign_projection,
+        rp_sign_matrix,
+    )
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.limit(50).collect()
+    got = {
+        (r.vec_id, r.dim_idx): r.value
+        for r in random_sign_projection(emb, d_in=64, d_out=8).collect()
+    }
+    S = np.array(rp_sign_matrix(64, 8), dtype=np.float64)  # (8, 64)
+    scale = 1.0 / np.sqrt(8)
+    V = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for vid, v in V.items():
+        want = (S @ v) * scale
+        for j in range(8):
+            assert abs(got[(vid, j)] - round(float(want[j]), 4)) <= 1e-4
+    # JL sanity: E[||Pv||^2] = ||v||^2 for the 1/sqrt(d_out)-scaled sign
+    # matrix, so the mean projected/original distance ratio sits near 1.
+    # (Distance CORRELATION is meaningless here: random synthetic
+    # embeddings have concentrated pairwise distances, so the orig-vs-
+    # proj scatter is noise around a single point.)
+    ids = sorted(V)[:20]
+    P = {vid: np.array([got[(vid, j)] for j in range(8)]) for vid in ids}
+    ratios = []
+    for i in range(len(ids)):
+        for k in range(i + 1, len(ids)):
+            o = float(np.linalg.norm(V[ids[i]] - V[ids[k]]))
+            p = float(np.linalg.norm(P[ids[i]] - P[ids[k]]))
+            ratios.append(p / o)
+    mean_ratio = float(np.mean(ratios))
+    assert 0.6 < mean_ratio < 1.4, mean_ratio
