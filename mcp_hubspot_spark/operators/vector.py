@@ -387,6 +387,8 @@ def random_sign_projection(
     d_in: int = 64,
     d_out: int = 8,
     seed: str = "rp",
+    exploded: bool = True,
+    out_col: str = "proj",
 ) -> DataFrame:
     """Dimensionality reduction by random sign projection — the standard
     shrink-before-ANN step at scale (project 768-d to 64-d, bucket/search
@@ -414,6 +416,12 @@ def random_sign_projection(
             lambda acc, x: acc + x,
         ) * F.lit(scale)
 
+    if not exploded:
+        # array form for downstream distance math; elements ROUNDED like
+        # the exploded form so any cross-engine ranking built on these
+        # projections starts from bit-identical inputs
+        arr = F.array(*[F.round(proj(j), 4) for j in range(d_out)])
+        return df.select(F.col(id_col), arr.alias(out_col))
     pairs = F.array(
         *[
             F.struct(

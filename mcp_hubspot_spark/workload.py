@@ -3013,6 +3013,96 @@ def embedding_projection(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id", "dim_idx")
 
 
+# Projected-search-then-exact-rerank: the reason the projection exists.
+# Candidate generation runs entirely in the 8-d space (top-30 by
+# projected L2 — 8x less arithmetic + memory traffic per comparison at
+# scale), then ONLY the 30 survivors pay the exact 64-d distance. Both
+# stages rank on distances computed from the ROUNDED projections /
+# doubles, so candidate sets and final order are engine-identical.
+@_q(
+    "projected_knn_rerank",
+    f"""
+    WITH p AS (
+        SELECT vec_id,
+               list_transform(range(0, 8),
+                   j -> round(list_sum(list_transform(range(1, 65),
+                            i -> embedding[i]::DOUBLE * ({_RP_DUCK})[j + 1][i]))
+                        * {_RP_SCALE!r}, 4)) AS pv
+        FROM embeddings
+    ),
+    q AS (SELECT pv AS qpv FROM p WHERE vec_id = 0),
+    cand AS (
+        SELECT p.vec_id,
+               list_sum(list_transform(range(1, 9),
+                   i -> (p.pv[i] - q.qpv[i]) * (p.pv[i] - q.qpv[i]))) AS pd
+        FROM p, q
+        ORDER BY pd ASC, vec_id ASC
+        LIMIT 30
+    ),
+    qe AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    exact AS (
+        SELECT c.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (e.embedding[i]::DOUBLE - qe.qv[i])
+                        * (e.embedding[i]::DOUBLE - qe.qv[i]))) AS distance
+        FROM cand c JOIN embeddings e USING (vec_id), qe
+    )
+    SELECT CAST(row_number() OVER (ORDER BY distance ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, round(distance, 4) AS distance
+    FROM exact
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def projected_knn_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import random_sign_projection
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    proj = random_sign_projection(
+        emb, d_in=64, d_out=8, seed="rp", exploded=False
+    )
+    qp = proj.filter(F.col("vec_id") == 0).select(F.col("proj").alias("qpv"))
+    pd = F.aggregate(
+        F.zip_with(
+            F.col("proj"), F.col("qpv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        proj.crossJoin(F.broadcast(qp))
+        .select("vec_id", pd.alias("pd"))
+        .orderBy(F.col("pd").asc(), F.col("vec_id").asc())
+        .limit(30)
+    )
+    emb_d = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "ev"
+        ),
+    )
+    qe = emb_d.filter(F.col("vec_id") == 0).select(F.col("ev").alias("qv"))
+    exact_d = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        cand.select("vec_id")
+        .join(emb_d, "vec_id")
+        .crossJoin(F.broadcast(qe))
+        .select("vec_id", exact_d.alias("distance"))
+    )
+    top = exact.orderBy(F.col("distance").asc(), F.col("vec_id").asc()).limit(5)
+    w = Window.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "vec_id",
+        F.round(F.col("distance"), 4).alias("distance"),
+    )
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

@@ -721,3 +721,42 @@ def test_random_sign_projection_matches_numpy(spark, sf_dir):
             ratios.append(p / o)
     mean_ratio = float(np.mean(ratios))
     assert 0.6 < mean_ratio < 1.4, mean_ratio
+
+
+def test_projected_rerank_recall_on_planted_neighbors(spark):
+    """Project->candidates->exact-rerank must find PLANTED near
+    neighbors. (On iid-random corpora distance contrast vanishes and any
+    pruning loses — recall there measures the data, not the operator, so
+    the guarantee is pinned on a corpus with real neighbor structure.)"""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import (
+        random_sign_projection,
+        rp_sign_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 64))
+    noise = base[:10] + 0.05 * rng.normal(size=(10, 64))
+    V = np.vstack([base, noise])  # ids 40..49 are near-dups of 0..9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = random_sign_projection(
+        df, d_in=64, d_out=16, seed="rp", exploded=False
+    ).collect()
+    P = {r.vec_id: np.array(r.proj) for r in proj}
+    hits = 0
+    for qid in range(10):
+        pq = P[qid]
+        cand = sorted(
+            (float(((P[i] - pq) ** 2).sum()), i) for i in P if i != qid
+        )[:10]
+        exact = min(
+            (float(((V[i] - V[qid]) ** 2).sum()), i)
+            for _, i in cand
+        )
+        if exact[1] == qid + 40:
+            hits += 1
+    assert hits >= 9, hits  # planted twin found for >=9/10 queries
