@@ -3788,6 +3788,20 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #                              pytest); slot goes to media_features, whose
 #                              sha256-derived fake decode makes the whole
 #                              mapInPandas plumbing hash-checkable
+#   shipping_priority        → events_campaign_attribution (r01-green;
+#                              the selective 3-way join shape is also
+#                              customer_order_activity; slot goes to the
+#                              broadcast non-equi interval join family,
+#                              which had no in-window representative)
+#   knn_batch_matmul         → projected_knn_rerank (r01-green; the
+#                              pandas-matmul path stays pytest-pinned
+#                              equal to knn_batch; slot goes to the
+#                              projection + exact-rerank pipeline)
+#   stratified_sample_docs   → mixture_resample_docs (subsumes the
+#                              bucket-threshold keep mechanism and adds
+#                              data-derived rates; stratified membership
+#                              core stays pinned by partition-invariance
+#                              pytest + the verify gate)
 #   canonical_json_docs      → doc_repetition (r01-green; F10 canonical
 #                              JSON stays pinned by api-parity pytest and
 #                              the verify gate; slot goes to the new
@@ -3804,14 +3818,14 @@ _CHECK_PRIORITY = [
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "order_counts_by_status", "top_orders_per_customer",
     "pricing_summary", "events_json_props",
-    "doc_repetition", "shipping_priority", "revenue_by_nation",
+    "doc_repetition", "events_campaign_attribution", "revenue_by_nation",
     "knn_l2", "exact_dedup_groups", "packed_sequences",
     "tfidf_top_terms", "lang_id",
     "quality_filter_docs", "events_hourly",
     "minhash_lsh_pairs", "simhash_neardup_pairs", "embedding_neardup_lsh",
     "ivf_search", "customer_status_sets", "events_asof_click",
     "events_near_pairs", "orders_rollup",
-    "salted_flag_totals", "knn_batch_matmul",
+    "salted_flag_totals", "projected_knn_rerank",
     "corpus_clean_stats", "doc_zscore_by_source", "label_centroids",
     "doc_chunks", "media_features",
     "events_user_cumulative", "doc_first_number", "fuzzy_name_pairs",
@@ -3819,7 +3833,7 @@ _CHECK_PRIORITY = [
     "dedup_clusters", "contaminated_docs", "events_moving_avg",
     "cheapest_line_per_part", "top_bigrams", "order_priority_stats",
     "events_funnel", "customer_churn_sets", "user_cohort_retention",
-    "redact_pii_docs", "orders_snapshot_diff", "stratified_sample_docs",
+    "redact_pii_docs", "orders_snapshot_diff", "mixture_resample_docs",
 ]
 
 
