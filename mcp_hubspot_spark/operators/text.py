@@ -235,6 +235,70 @@ def pack_sequences(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """Line-level boilerplate removal (C4 §2.1 drops lines shared across
+    documents — footers, nav bars, cookie banners): a line occurring in
+    >= ``min_doc_freq`` DISTINCT documents is boilerplate; documents are
+    rebuilt from their surviving lines in original order. Returns
+    (id, cleaned_text, n_lines, n_removed).
+
+    Scale shape: explode lines -> (line -> distinct-doc count) groupBy
+    (map-side partial agg; output is distinct-line-bounded and heavily
+    skew-resistant because identical lines collapse early). The
+    boilerplate set is the FILTERED tail (df >= k) — far smaller than the
+    line vocabulary — broadcast for the anti-join, so document lines
+    never shuffle. Rebuild is a groupBy(doc) of surviving lines with
+    sort_array over (line_idx, line) structs — per-doc arrays bounded by
+    document length, same shape as order_lines_nested.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(common), "line", "left_anti")
+    n_lines = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("line_idx", "line"))
+                ),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (
+                F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PII_LONG_DIGITS_RE = r"[0-9]{7,}"
 

@@ -3103,6 +3103,77 @@ def projected_knn_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Line-level boilerplate removal (C4 §2.1: drop lines shared across many
+# docs — footers/nav/cookie banners). Corpus plants two footer lines on
+# overlapping doc subsets; lines in >=5 distinct docs are scrubbed and
+# docs are rebuilt from surviving lines in order. Cleaned text compared
+# by md5 (hash-compact, byte-exact).
+@_q(
+    "remove_boilerplate_docs",
+    """
+    WITH corpus AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || 'subscribe to our newsletter today'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN chr(10) || 'all rights reserved worldwide'
+                       ELSE '' END AS text
+        FROM documents WHERE doc_id < 100
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    l AS (
+        SELECT doc_id, i - 1 AS line_idx, ls[i] AS line
+        FROM s, unnest(range(1, len(ls) + 1)) AS t(i)
+    ),
+    common AS (
+        SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc_id) >= 5
+    ),
+    kept AS (SELECT l.* FROM l ANTI JOIN common USING (line)),
+    nl AS (
+        SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+        FROM corpus
+    ),
+    rb AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS cleaned_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT nl.doc_id,
+           md5(coalesce(rb.cleaned_text, '')) AS cleaned_md5,
+           CAST(nl.n_lines AS BIGINT) AS n_lines,
+           CAST(nl.n_lines - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nl LEFT JOIN rb USING (doc_id)
+    ORDER BY nl.doc_id
+    """,
+)
+def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import remove_boilerplate_lines
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    footer1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.lit("\nsubscribe to our newsletter today"),
+    ).otherwise(F.lit(""))
+    footer2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit("\nall rights reserved worldwide"),
+    ).otherwise(F.lit(""))
+    corpus = docs.select(
+        "doc_id", F.concat(F.col("text"), footer1, footer2).alias("text")
+    )
+    out = remove_boilerplate_lines(corpus, min_doc_freq=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

@@ -760,3 +760,23 @@ def test_projected_rerank_recall_on_planted_neighbors(spark):
         if exact[1] == qid + 40:
             hits += 1
     assert hits >= 9, hits  # planted twin found for >=9/10 queries
+
+
+def test_remove_boilerplate_lines_edges(spark):
+    """Shared lines are scrubbed, unique lines survive in order, and a
+    document that is ENTIRELY boilerplate rebuilds to empty text with
+    n_removed == n_lines."""
+    from mcp_hubspot_spark.operators.text import remove_boilerplate_lines
+
+    footer = "all rights reserved"
+    rows = [(i, f"unique line {i}\n{footer}") for i in range(5)]
+    rows.append((5, footer))                    # pure boilerplate
+    rows.append((6, "solo doc\nsecond line"))   # nothing shared
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_doc_freq=3).collect()}
+    for i in range(5):
+        assert out[i].cleaned_text == f"unique line {i}"
+        assert (out[i].n_lines, out[i].n_removed) == (2, 1)
+    assert out[5].cleaned_text == "" and out[5].n_removed == 1
+    assert out[6].cleaned_text == "solo doc\nsecond line"
+    assert out[6].n_removed == 0
