@@ -107,3 +107,14 @@ def write_partitioned(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     else:
         writer.mode(mode).save(path)
+
+
+def read_evolved_parquet(spark, path: str) -> DataFrame:
+    """Read a partitioned parquet table whose partitions were written
+    under DIFFERENT schema versions (columns added over time — the normal
+    state of a 100 TB table fed by a year of daily jobs). ``mergeSchema``
+    unions the per-file schemas at footer-read time; rows from partitions
+    predating a column surface it as null. Column REMOVAL/retype is not
+    papered over — conflicting types still fail loudly, which is the
+    behavior you want (silent coercion corrupts downstream casts)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -83,3 +83,57 @@ def test_dynamic_overwrite_replaces_only_touched_partitions(spark, tmp_path):
     rows = {(r.id, r.v, str(r.day)) for r in spark.read.parquet(out).collect()}
     # day=01 untouched, day=02 fully replaced
     assert rows == {(1, "keep", "2024-01-01"), (9, "fresh", "2024-01-02")}
+
+
+def test_schema_evolution_merge_across_partitions(spark, tmp_path):
+    """Daily partitions written under different schema versions read back
+    as one unioned schema, old rows null-filling the added column."""
+    from mcp_hubspot_spark.sources.files import (
+        read_evolved_parquet,
+        write_partitioned,
+    )
+
+    p = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01")], "id long, payload string, day string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 0.9, "2024-01-02")],
+        "id long, payload string, quality double, day string",
+    )
+    write_partitioned(v1, p, ["day"])
+    write_partitioned(v2, p, ["day"])
+    got = read_evolved_parquet(spark, p)
+    assert set(got.columns) == {"id", "payload", "quality", "day"}
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].quality is None and rows[2].quality == 0.9
+
+
+def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Stop-and-restart with the SAME checkpoint must not reprocess
+    already-committed files: each doc lands in the store exactly once."""
+    from mcp_hubspot_spark.sources.catalog import load_table
+    from mcp_hubspot_spark.streaming.ingest import stream_embed_to_store
+    from mcp_hubspot_spark.vector_store import VectorStore
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    store = VectorStore(spark, str(tmp_path / "store"))
+    docs.filter(F.col("doc_id") < 5).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(str(src) + "/*")
+    q = stream_embed_to_store(stream, store, checkpoint_dir=ckpt, dim=16)
+    q.awaitTermination(120)
+    # second batch of NEW docs, restart from the same checkpoint
+    docs.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 8)).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    stream2 = spark.readStream.schema(docs.schema).parquet(str(src) + "/*")
+    q2 = stream_embed_to_store(stream2, store, checkpoint_dir=ckpt, dim=16)
+    q2.awaitTermination(120)
+    vec_ids = [r.vec_id for r in store.load().select("vec_id").collect()]
+    assert sorted(vec_ids) == list(range(8))  # once each, no replay of f1
