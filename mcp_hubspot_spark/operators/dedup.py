@@ -343,6 +343,48 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_overlap: float = 0.8,
+) -> DataFrame:
+    """Containment dedup via the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|)
+    — catches a short document embedded inside a long one (quote farms,
+    wrapper pages, doc+boilerplate concatenations), where Jaccard divides
+    by the UNION and scores arbitrarily low however complete the
+    containment. RefinedWeb-style substring dedup, set-approximated at
+    shingle granularity.
+
+    Same inverted-index join shape (and scale caveat — LSH pre-filter
+    first at 100 TB) as ``ngram_jaccard_pairs``; only the denominator
+    differs, which is exactly why it is a separate named operator: the
+    two scores answer different dedup questions.
+    """
+    sized = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).select(id_col, "sh", F.size("sh").alias("n_sh"))
+    inv = sized.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    a = inv.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    overlap = F.col("n_common").cast("double") / F.least("na", "nb")
+    return (
+        inter.select("id_a", "id_b", F.round(overlap, 6).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+
+
 # ------------------------------------------------- embedding near-duplicate
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -757,6 +757,64 @@ def ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Containment dedup via the overlap coefficient |A∩B|/min(|A|,|B|):
+# catches a short doc EMBEDDED in a long one, where jaccard divides by
+# the union and scores ~0.5 for perfect containment. Planted pairs:
+# doc i (<40) fully contained in doc i+7000 = doc_i ++ doc_{i+200} —
+# containment is exactly 1.0 by construction (every shingle of the part
+# is a shingle of the concatenation).
+@_q(
+    "ngram_containment_pairs",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT a.doc_id + 7000 AS doc_id, a.text || ' ' || b.text AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 200
+        WHERE a.doc_id < 40
+    ),
+    t AS (SELECT doc_id, {_duck_shingles(3, "text")} AS sh FROM corpus),
+    s AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM t),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+               count(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / least(na, nb), 6) AS overlap
+    FROM inter
+    WHERE n_common::DOUBLE / least(na, nb) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    sup = (
+        base.alias("a")
+        .join(
+            docs.select(
+                (F.col("doc_id") - 200).alias("doc_id"),
+                F.col("text").alias("tail_text"),
+            ).alias("b"),
+            "doc_id",
+        )
+        .select(
+            (F.col("doc_id") + 7000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("tail_text")).alias(
+                "text"
+            ),
+        )
+    )
+    corpus = fan_out(base.unionByName(sup))
+    return ngram_containment_pairs(
+        corpus, shingle_n=3, min_overlap=0.9
+    ).orderBy("id_a", "id_b")
+
+
 # Token counting (training-data token budget).
 @_q(
     "token_stats",

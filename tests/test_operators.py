@@ -780,3 +780,27 @@ def test_remove_boilerplate_lines_edges(spark):
     assert out[5].cleaned_text == "" and out[5].n_removed == 1
     assert out[6].cleaned_text == "solo doc\nsecond line"
     assert out[6].n_removed == 0
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc embedded in a long one scores overlap ~1.0 but jaccard
+    well below — the reason the overlap coefficient is a separate op."""
+    from mcp_hubspot_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    short = docs.filter(F.col("doc_id") == 1).select("doc_id", "text")
+    long_tail = docs.filter(F.col("doc_id") == 201).select(
+        F.col("text").alias("tail")
+    )
+    sup = short.crossJoin(long_tail).select(
+        F.lit(9001).alias("doc_id"),
+        F.concat("text", F.lit(" "), "tail").alias("text"),
+    )
+    corpus = short.unionByName(sup)
+    ov = ngram_containment_pairs(corpus, min_overlap=0.0).collect()
+    ja = ngram_jaccard_pairs(corpus, min_jaccard=0.0).collect()
+    assert len(ov) == 1 and ov[0].overlap == 1.0
+    assert len(ja) == 1 and ja[0].jaccard < 0.7
