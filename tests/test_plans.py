@@ -253,3 +253,22 @@ def test_sequence_packing_shuffles_only_on_shard_key(spark):
     ]
     assert len(exchanges) == 1, exchanges
     assert "hashpartitioning(source" in plan
+
+
+def test_mixture_resample_broadcasts_group_counts(spark):
+    """The per-group count and total-count sides must broadcast — only
+    the document rows stream; no row-sized shuffle, no sort-merge."""
+    plan = plan_of(QUERIES["mixture_resample_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_common_lines_broadcast_anti_join(spark):
+    """The boilerplate line set (filtered df>=k tail) must broadcast for
+    the anti-join; document lines never shuffle for it."""
+    from mcp_hubspot_spark.operators.text import remove_boilerplate_lines
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    plan = plan_of(remove_boilerplate_lines(docs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
