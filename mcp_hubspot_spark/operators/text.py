@@ -48,14 +48,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     length, punctuation ratio, stopword ratio, uppercase ratio. All are
     classic pre-training quality filters (C4/Gopher-style rules)."""
     t = F.col(text_col)
-    toks = tokens(t)
+    # tokenize ONCE into a staged column — the token array feeds three
+    # downstream expressions, and nested re-tokenization is the measured
+    # trap (see repetition_features)
+    staged = df.select(*df.columns, tokens(t).alias("_toks"))
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     stop = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
     n_upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
-    return df.select(
+    return staged.select(
         *df.columns,
         n_chars.alias("q_chars"),
         n_tok.alias("q_tokens"),
@@ -70,7 +74,12 @@ def language_id(df: DataFrame, text_col: str = "text",
                 alias: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: argmax over languages of marker-token hits.
     Ties break by language code ascending (deterministic)."""
-    toks = tokens(F.lower(F.col(text_col)))
+    # tokenize ONCE: each of the 5 language scores filters the SAME token
+    # array; inlining the tokenizer would re-split the text per language
+    staged = df.select(
+        *df.columns, tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
 
     def _marker_hits(markers: tuple[str, ...]) -> Column:
         arr = F.array(*[F.lit(w) for w in markers])
@@ -80,7 +89,7 @@ def language_id(df: DataFrame, text_col: str = "text",
         _marker_hits(markers).alias(f"_score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select(*df.columns, *scores)
+    scored = staged.select(*df.columns, *scores)
     # argmax via greatest + case chain, ties to alphabetically-first lang
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"_score_{lang}") for lang in langs])

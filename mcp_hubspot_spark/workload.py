@@ -3683,6 +3683,116 @@ def quality_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# END-TO-END TRAINING-DATA PIPELINE: quality filter (length + repetition
+# signals) → exact dedup (keep min doc_id per content hash) → target-
+# mixture resample → pack into 256-token sequences per language shard →
+# per-language corpus report. The composability showcase: every stage is
+# an operator from this library, chained as one lazy plan — Catalyst
+# fuses the scan-stage filters, and only the histogram/dedup/packing
+# shuffles remain. Stage semantics identical to the standalone queries.
+@_q(
+    "training_corpus_pipeline",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {_duck_tokens()} AS toks
+        FROM documents
+    ),
+    u AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+               round(max(c)::DOUBLE / sum(c), 4) AS tf
+        FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+    ),
+    g AS (
+        SELECT doc_id,
+               round((len(g2) - len(list_distinct(g2)))::DOUBLE
+                     / greatest(len(g2), 1), 4) AS d2
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(0, greatest(len(toks) - 1, 0)),
+                                  i -> array_to_string(toks[i+1:i+2], ' ')) AS g2
+            FROM t
+        )
+    ),
+    quality AS (
+        SELECT t.doc_id, t.lang, t.text, u.n_tok
+        FROM t JOIN u ON t.doc_id = u.doc_id JOIN g ON t.doc_id = g.doc_id
+        WHERE u.n_tok >= 20 AND u.tf <= 0.15 AND g.d2 <= 0.06
+    ),
+    deduped AS (
+        SELECT q.* FROM quality q
+        JOIN (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(lower(text))
+        ) reps ON q.doc_id = reps.doc_id
+    ),
+    c AS (SELECT lang, count(*) AS n_g FROM deduped GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM deduped),
+    tgt(lang, pct) AS (VALUES ('en', 40), ('de', 20), ('fr', 15),
+                              ('es', 15), ('zh', 10)),
+    mixed AS (
+        SELECT d.doc_id, d.lang, d.n_tok
+        FROM deduped d JOIN c USING (lang) JOIN tgt USING (lang) CROSS JOIN tot
+        WHERE ('0x' || substr(md5('42:' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000000 * 100::HUGEINT * n_g
+              < pct::HUGEINT * n * 1000000
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) // 256 AS seq_id
+        FROM mixed
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_sequences
+    FROM packed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .operators.sampling import mixture_resample
+    from .operators.text import pack_sequences, repetition_features
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+    feats = repetition_features(docs)
+    quality = (
+        docs.join(
+            feats.filter(
+                (F.col("n_tok") >= 20)
+                & (F.col("top_unigram_frac") <= 0.15)
+                & (F.col("dup_2gram_frac") <= 0.06)
+            ).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    reps = exact_dedup(
+        quality, F.md5(F.lower(F.col("text"))), id_col="doc_id"
+    ).select("doc_id")
+    deduped = quality.join(reps, "doc_id", "left_semi")
+    targets = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
+    mixed = mixture_resample(deduped, "lang", targets, id_col="doc_id")
+    packed = pack_sequences(mixed, shard_col="lang", capacity=256)
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("seq_id").alias("n_sequences"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ======================================================= rows-only ops ====
 # (no SQL oracle — driver records the weaker rows-only check)
 
@@ -3942,6 +4052,14 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #   doc_quality              → quality_filter_docs (r01-green; the filter
 #                              composes the same quality signals plus the
 #                              repetition features into keep/reject+reason)
+#   mixture_resample_docs    → training_corpus_pipeline (the end-to-end
+#                              corpus build runs the SAME integer-exact
+#                              mixture keep-test — a one-row membership
+#                              flip changes the per-lang counts — plus
+#                              quality filter, exact dedup, and packing
+#                              in one composed lazy plan; the standalone
+#                              resample stays pinned by the DECIMAL/
+#                              HUGEINT rate pytest + the verify gate)
 _CHECK_PRIORITY = [
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
@@ -3962,7 +4080,7 @@ _CHECK_PRIORITY = [
     "dedup_clusters", "contaminated_docs", "events_moving_avg",
     "cheapest_line_per_part", "top_bigrams", "order_priority_stats",
     "events_funnel", "customer_churn_sets", "user_cohort_retention",
-    "redact_pii_docs", "orders_snapshot_diff", "mixture_resample_docs",
+    "redact_pii_docs", "orders_snapshot_diff", "training_corpus_pipeline",
 ]
 
 
