@@ -6,6 +6,8 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully materialized via a noop write (forces every operator,
 no driver-collect cost for large results). The session is warmed with a
 trivial job first so JVM startup isn't attributed to the first query.
+Each query runs twice; "queries"/"value" report the steady-state (second)
+run, "cold_queries"/"cold_total" the first run including one-time codegen.
 """
 
 from __future__ import annotations
@@ -81,14 +83,25 @@ def main() -> None:
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Steady-state methodology: run each query twice and report the SECOND
+    # timing as the headline number. The first run pays one-time expression
+    # codegen (janino compiles a new class per distinct expression tree —
+    # measured 6.3 s first / 1.5 s steady on minhash_signatures), which is
+    # amortized noise on a long-lived cluster, exactly what the 100 TB
+    # target is. First-run timings are kept in "cold_queries" so codegen
+    # cost stays visible instead of hidden.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
         try:
+            t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t1, 3)
         except Exception as exc:  # one broken query must not kill the run
             # NOTE: "value" then sums only the surviving queries — any
             # non-empty "errors" key invalidates cross-run comparison of
@@ -105,6 +118,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }
     if errors:

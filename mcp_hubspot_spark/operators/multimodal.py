@@ -123,20 +123,27 @@ def frame_sample_plan(
                 dur = int(r["duration_ms"] or 0)
                 payload = r["payload"] or b""
                 if sample_fn is not None:
-                    frames = sample_fn(payload, every_n_ms)
+                    digests = [
+                        hashlib.sha256(fb).hexdigest()
+                        for fb in sample_fn(payload, every_n_ms)
+                    ]
                 else:
+                    # stub digests stay VARCHAR-derivable (hex-digest
+                    # string + ':' + index) so a SQL oracle can recompute
+                    # them — DuckDB's sha256 only accepts VARCHAR
                     n = max(dur // every_n_ms, 0)
-                    frames = [
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    phex = hashlib.sha256(payload).hexdigest()
+                    digests = [
+                        hashlib.sha256(f"{phex}:{i}".encode()).hexdigest()
                         for i in range(n)
                     ]
-                for i, fb in enumerate(frames):
+                for i, fx in enumerate(digests):
                     rows.append(
                         {
                             "media_id": r["media_id"],
                             "frame_idx": i,
                             "frame_ts_ms": i * every_n_ms,
-                            "frame_sha256": hashlib.sha256(fb).hexdigest(),
+                            "frame_sha256": fx,
                         }
                     )
             yield pd.DataFrame(

@@ -14,7 +14,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
@@ -59,6 +59,16 @@ def load_table(
                     f.name,
                     F.timestamp_micros(F.expr(f"`{f.name}` div 1000")),
                 )
+            elif isinstance(f.dataType, TimestampType) and isinstance(
+                actual.get(f.name), TimestampNTZType
+            ):
+                # parquet written as plain timestamp[us] with
+                # isAdjustedToUTC=false arrives as TIMESTAMP_NTZ, which
+                # unix_micros()/withWatermark() reject. The session tz is
+                # forced to UTC above, so the cast is value-preserving
+                # (wall-clock micros == instant micros) and restores the
+                # TIMESTAMP type every temporal operator expects.
+                df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
     if columns is not None:
         df = df.select(*columns)
     return df

@@ -3942,9 +3942,14 @@ def supplier_pagerank(spark: SparkSession, sf: str) -> DataFrame:
            hx AS sha256,
            CAST(64 + ('0x' || substr(hx, 1, 2))::INT AS INT) AS width,
            CAST(64 + ('0x' || substr(hx, 3, 2))::INT AS INT) AS height,
-           list_transform(range(2, 10),
-               k -> ((('0x' || substr(hx, 2 * k + 1, 2))::INT / 255.0))::FLOAT4)
-               AS feature
+           (('0x' || substr(hx, 5, 2))::INT / 255.0)::FLOAT4 AS f0,
+           (('0x' || substr(hx, 7, 2))::INT / 255.0)::FLOAT4 AS f1,
+           (('0x' || substr(hx, 9, 2))::INT / 255.0)::FLOAT4 AS f2,
+           (('0x' || substr(hx, 11, 2))::INT / 255.0)::FLOAT4 AS f3,
+           (('0x' || substr(hx, 13, 2))::INT / 255.0)::FLOAT4 AS f4,
+           (('0x' || substr(hx, 15, 2))::INT / 255.0)::FLOAT4 AS f5,
+           (('0x' || substr(hx, 17, 2))::INT / 255.0)::FLOAT4 AS f6,
+           (('0x' || substr(hx, 19, 2))::INT / 255.0)::FLOAT4 AS f7
     FROM h
     ORDER BY media_id
     """,
@@ -3956,11 +3961,45 @@ def media_features_q(spark: SparkSession, sf: str) -> DataFrame:
     # worker overhead dominating (measured 2.3s → 5.2s); at real scale the
     # binary payloads arrive in many file splits already
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
-    return extract_media_features(documents_as_media(docs)).orderBy("media_id")
+    feats = extract_media_features(documents_as_media(docs))
+    # the operator keeps `feature` array-typed; the oracle-gated query
+    # flattens it to f0..f7 scalars because the driver's canonicalizer
+    # (pandas lexsort) cannot hash list-valued cells
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "sha256",
+        "width",
+        "height",
+        *[F.col("feature")[i].alias(f"f{i}") for i in range(8)],
+    ).orderBy("media_id")
 
 
-# Multimodal frame-sampling fan-out (one row per pseudo-frame).
-@_q("media_frame_sample")
+# Multimodal frame-sampling fan-out (one row per pseudo-frame). The stub
+# digest is VARCHAR-derivable by design (multimodal.py frame stub), so the
+# whole mapInPandas fan-out is hash-verified, not just row-counted.
+@_q(
+    "media_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(n_chars * 100 AS BIGINT) AS duration_ms
+        FROM documents WHERE doc_id < 20
+    ),
+    f AS (
+        SELECT media_id, text,
+               unnest(range(duration_ms // 10000)) AS i
+        FROM m
+    )
+    SELECT media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 10000 AS BIGINT) AS frame_ts_ms,
+           sha256(sha256(text) || ':' || i) AS frame_sha256
+    FROM f
+    ORDER BY media_id, frame_idx
+    """,
+)
 def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.multimodal import documents_as_media, frame_sample_plan
 
@@ -4060,27 +4099,57 @@ def media_frame_sample_q(spark: SparkSession, sf: str) -> DataFrame:
 #                              in one composed lazy plan; the standalone
 #                              resample stays pinned by the DECIMAL/
 #                              HUGEINT rate pytest + the verify gate)
+# Round-3 window: the never-driver-checked round-2 additions take the 15
+# slots of twice-green variants whose logic a remaining in-window
+# representative still exercises (rotation rationale above still applies;
+# the r1/r2-green evidence for the rotated-out names is on record in
+# CORRECTNESS_r01/r02). Rotated out this round, with in-window cover:
+#   order_counts_by_status   → orders_page_with_total (A2 count companion)
+#   top_orders_per_customer  → cheapest_line_per_part (window-rank-filter)
+#   events_moving_avg        → events_user_cumulative (window-frame family)
+#   customer_status_sets     → customer_churn_sets (set assembly + ops)
+#   simhash_neardup_pairs    → minhash_lsh_pairs + embedding_neardup_lsh
+#                              (banded near-dup join family)
+#   lang_id                  → quality_filter_docs (composes the signals)
+#   top_bigrams              → tfidf_top_terms (token-frequency agg)
+#   redact_pii_docs          → doc_first_number (regex scalar family)
+#   orders_snapshot_diff     → customer_churn_sets + parts_without_lineitem
+#                              (set-diff / anti-join family)
+#   events_funnel            → salted_flag_totals (conditional agg)
+#   user_cohort_retention    → events_campaign_attribution (date arith +
+#                              ISO rendering F1-F2/F12-F13)
+#   fuzzy_name_pairs         → ngram_containment_pairs (token-overlap
+#                              inverted-index join, now in-window)
+#   label_centroids          → doc_zscore_by_source (grouped-map pandas)
+#   doc_chunks               → media_frame_sample (explode fan-out, now
+#                              in-window) + reconstruction property test
+#   order_priority_stats     → orders_rollup (grouping-sets is the richer
+#                              grouped-stats representative)
 _CHECK_PRIORITY = [
+    # red→green flips this round (NTZ normalization + canon-safe shape)
+    "events_asof_click", "events_near_pairs", "events_sessionized",
+    "media_features",
+    # never-driver-checked round-2 additions (priority per rotation doc)
+    "ngram_containment_pairs", "remove_boilerplate_docs",
+    "eval_holdout_docs", "upsample_repeat_docs", "embedding_projection",
+    "supplier_pagerank", "dedup_survivor_report", "doc_bigram_lm_score",
+    "mixture_resample_docs", "stratified_sample_docs",
+    "customer_spend_percentile", "orders_above_customer_avg",
+    "embedding_row_stats", "doc_hash_split", "media_frame_sample",
+    # retained family representatives
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
-    "order_lines_nested", "order_counts_by_status", "top_orders_per_customer",
-    "pricing_summary", "events_json_props",
+    "order_lines_nested", "pricing_summary", "events_json_props",
     "doc_repetition", "events_campaign_attribution", "revenue_by_nation",
     "knn_l2", "exact_dedup_groups", "packed_sequences",
-    "tfidf_top_terms", "lang_id",
-    "quality_filter_docs", "events_hourly",
-    "minhash_lsh_pairs", "simhash_neardup_pairs", "embedding_neardup_lsh",
-    "ivf_search", "customer_status_sets", "events_asof_click",
-    "events_near_pairs", "orders_rollup",
-    "salted_flag_totals", "projected_knn_rerank",
-    "corpus_clean_stats", "doc_zscore_by_source", "label_centroids",
-    "doc_chunks", "media_features",
-    "events_user_cumulative", "doc_first_number", "fuzzy_name_pairs",
-    "events_sessionized", "orders_page_with_total",
-    "dedup_clusters", "contaminated_docs", "events_moving_avg",
-    "cheapest_line_per_part", "top_bigrams", "order_priority_stats",
-    "events_funnel", "customer_churn_sets", "user_cohort_retention",
-    "redact_pii_docs", "orders_snapshot_diff", "training_corpus_pipeline",
+    "tfidf_top_terms", "quality_filter_docs", "events_hourly",
+    "minhash_lsh_pairs", "embedding_neardup_lsh", "ivf_search",
+    "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
+    "corpus_clean_stats", "doc_zscore_by_source",
+    "events_user_cumulative", "doc_first_number",
+    "orders_page_with_total", "dedup_clusters", "contaminated_docs",
+    "cheapest_line_per_part", "customer_churn_sets",
+    "training_corpus_pipeline",
 ]
 
 
