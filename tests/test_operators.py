@@ -804,3 +804,77 @@ def test_containment_catches_what_jaccard_misses(spark):
     ja = ngram_jaccard_pairs(corpus, min_jaccard=0.0).collect()
     assert len(ov) == 1 and ov[0].overlap == 1.0
     assert len(ja) == 1 and ja[0].jaccard < 0.7
+
+
+# ------------------------------------------- round-3 beyond-reference ops
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    from mcp_hubspot_spark.operators.sampling import global_shuffle
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(docs, "doc_id", seed="ep0", n_shards=8)
+    rows = a.collect()
+    # every row gets exactly one (shard, pos); pos is 1..n within shard
+    assert len(rows) == 1000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # physical-plan independence: a repartitioned input yields the SAME
+    # assignment (the whole point vs ORDER BY rand())
+    b = global_shuffle(docs.repartition(13), "doc_id", seed="ep0", n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+    # a different seed produces a different order
+    c = global_shuffle(docs, "doc_id", seed="ep1", n_shards=8)
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, c.collect()))
+
+
+def test_canonicalize_text_collapses_trivial_variants(spark):
+    from mcp_hubspot_spark.operators.text import canonicalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO--WORLD??"),
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.norm_text for r in canonicalize_text(df).collect()}
+    assert out[1] == out[2] == out[3] == "hello world"
+    assert out[4] == "different text"
+    # idempotent: canonicalizing the canonical form is a no-op
+    df2 = spark.createDataFrame(
+        [(1, out[1])], "doc_id long, text string"
+    )
+    assert canonicalize_text(df2).first().norm_text == out[1]
+
+
+def test_quantize_embeddings_error_bound_and_zero_vector(spark):
+    from mcp_hubspot_spark.operators.vector import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 127.5]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero: must not divide by zero
+            (3, [-2.5, 2.5, 1e-8, -1e-8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df)
+    deq = dequantize_embeddings(q, out_col="deq")
+    for r in deq.collect():
+        assert all(-127 <= int(v) <= 127 for v in r.qvec)
+        for x, xhat in zip(r.embedding, r.deq):
+            # symmetric quantization error bound: half a quantization step
+            assert abs(float(x) - float(xhat)) <= r.q_scale / 2 + 1e-6
+    zero = {r.vec_id: r for r in deq.collect()}[2]
+    assert list(zero.qvec) == [0, 0, 0, 0]
+    assert all(v == 0.0 for v in zero.deq)

@@ -137,3 +137,118 @@ def test_streaming_restart_resumes_from_checkpoint(spark, tmp_path):
     q2.awaitTermination(120)
     vec_ids = [r.vec_id for r in store.load().select("vec_id").collect()]
     assert sorted(vec_ids) == list(range(8))  # once each, no replay of f1
+
+
+# ------------------------------------------------- snapshot table (MERGE)
+
+
+def _snap_rows(tbl, version=None):
+    return {
+        r.id: (r.name, r.score) for r in tbl.read(version=version).collect()
+    }
+
+
+def test_snapshot_merge_updates_and_inserts(spark, tmp_path):
+    """MERGE semantics: matched keys replaced by the update row, unmatched
+    update rows inserted, untouched rows carried forward."""
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(20)],
+        "id long, name string, score double",
+    )
+    tbl.create(base, keys=["id"], n_buckets=8)
+    assert tbl.version() == 0
+    assert _snap_rows(tbl) == {i: (f"n{i}", float(i)) for i in range(20)}
+
+    updates = spark.createDataFrame(
+        [(3, "UP3", 30.0), (7, "UP7", 70.0), (99, "NEW", 9.9)],
+        "id long, name string, score double",
+    )
+    assert tbl.merge_upsert(updates) == 1
+    got = _snap_rows(tbl)
+    assert got[3] == ("UP3", 30.0) and got[7] == ("UP7", 70.0)
+    assert got[99] == ("NEW", 9.9)
+    assert len(got) == 21
+    assert got[5] == ("n5", 5.0)  # untouched row intact
+    # time travel: v0 still reads the pre-merge snapshot
+    assert _snap_rows(tbl, version=0) == {
+        i: (f"n{i}", float(i)) for i in range(20)
+    }
+
+
+def test_snapshot_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Scale contract: the new version directory contains ONLY the buckets
+    the update batch touched — merge cost ∝ touched data, not table size."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    root = tmp_path / "t"
+    tbl = SnapshotTable(spark, str(root))
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(200)],
+        "id long, name string, score double",
+    )
+    tbl.create(base, keys=["id"], n_buckets=16)
+    one = spark.createDataFrame(
+        [(42, "UP", 1.0)], "id long, name string, score double"
+    )
+    tbl.merge_upsert(one)
+    expected_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(42).cast("long")), F.lit(16)).cast("int")
+    ).collect()[0][0]
+    v1_buckets = [
+        d for d in os.listdir(root / "v_1") if d.startswith("_bucket=")
+    ]
+    assert v1_buckets == [f"_bucket={expected_bucket}"]
+    # manifest still maps the other 15 buckets to v_0 by reference
+    assert len(_snap_rows(tbl)) == 200
+
+
+def test_snapshot_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a writer whose base version was superseded
+    must fail with SnapshotConflictError, not silently drop the winner."""
+    import pytest as _pytest
+
+    from mcp_hubspot_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, name string, score double"
+    )
+    tbl.create(base, keys=["id"], n_buckets=4)
+    u = spark.createDataFrame(
+        [(2, "b", 2.0)], "id long, name string, score double"
+    )
+    tbl.merge_upsert(u)
+    # simulate a concurrent writer: stale expected_version at commit time
+    stale = {"version": 5, "keys": ["id"], "n_buckets": 4, "buckets": {}}
+    with _pytest.raises(SnapshotConflictError):
+        tbl._commit(stale, expected_version=0)
+    assert tbl.version() == 1  # losing commit left the table untouched
+
+
+def test_snapshot_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    tbl = SnapshotTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)],
+        "id long, name string, score double",
+    )
+    tbl.create(base, keys=["id"], n_buckets=8)
+    v = tbl.delete_where(F.col("id") >= 40)
+    assert v == 1
+    assert sorted(_snap_rows(tbl)) == list(range(40))
+    # no-op delete creates no new version
+    assert tbl.delete_where(F.col("id") >= 1000) == 1
+    assert sorted(_snap_rows(tbl)) == list(range(40))
