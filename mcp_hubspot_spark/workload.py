@@ -4248,6 +4248,16 @@ def quantized_embedding_error(spark: SparkSession, sf: str) -> DataFrame:
 #                              in-window) + reconstruction property test
 #   order_priority_stats     → orders_rollup (grouping-sets is the richer
 #                              grouped-stats representative)
+#   knn_l2                   → projected_knn_rerank (exact 64-d distance +
+#                              rank shape re-run as its rerank stage) +
+#                              ivf_search (per-cell exact top-k); slot goes
+#                              to quantized_embedding_error (never checked)
+#   exact_dedup_groups       → training_corpus_pipeline (runs the same
+#                              md5-digest exact dedup inside the composed
+#                              plan); slot goes to canonical_text_docs
+#   doc_repetition           → quality_filter_docs (composes the same
+#                              repetition features into keep/reject);
+#                              slot goes to global_shuffle_docs
 _CHECK_PRIORITY = [
     # red→green flips this round (NTZ normalization + canon-safe shape)
     "events_asof_click", "events_near_pairs", "events_sessionized",
@@ -4259,12 +4269,14 @@ _CHECK_PRIORITY = [
     "mixture_resample_docs", "stratified_sample_docs",
     "customer_spend_percentile", "orders_above_customer_avg",
     "embedding_row_stats", "doc_hash_split", "media_frame_sample",
+    # round-3 additions (never driver-checked; same priority rule)
+    "global_shuffle_docs", "canonical_text_docs", "quantized_embedding_error",
     # retained family representatives
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
-    "doc_repetition", "events_campaign_attribution", "revenue_by_nation",
-    "knn_l2", "exact_dedup_groups", "packed_sequences",
+    "events_campaign_attribution", "revenue_by_nation",
+    "packed_sequences",
     "tfidf_top_terms", "quality_filter_docs", "events_hourly",
     "minhash_lsh_pairs", "embedding_neardup_lsh", "ivf_search",
     "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
