@@ -1,0 +1,222 @@
+"""Sketch-based operators: Bloom-filter membership pre-filtering and
+KMV (k-minimum-values) distinct-count estimation.
+
+Why sketches at 100 TB: the exact decontamination join
+(``dedup.ngram_contamination``) broadcasts the benchmark n-gram SET — fine
+for millions of n-grams, but a 10^9-n-gram blocklist is tens of GB as
+strings and stops being broadcastable long before the doc side stops being
+huge. A Bloom filter compresses membership to ~10 bits/element with a
+tunable false-positive rate, so the same blocklist is ~1 GB of longs —
+shippable to every executor — and the doc side stays a single linear scan
+with a map-side bitset probe; only the tiny surviving fraction reaches an
+exact confirming join (which removes the false positives, so the operator
+output stays EXACT).
+
+Parity anchor: the reference filters records client-side against in-memory
+id sets (e.g. dedup existence checks, `clients/contact_client.py:79-87`);
+the Bloom pre-filter is that membership test re-expressed as a
+constant-space, cluster-shippable bitset.
+
+Everything here is pure Spark expressions (codegen'd, JVM-side); the only
+driver-side data is the bitset itself (bounded by construction) and it is
+embedded as a literal array so every task probes process-local memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "bloom_build",
+    "bloom_might_contain",
+    "bloom_prefiltered_contamination",
+    "kmv_distinct",
+]
+
+
+def _positions(value: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k bit positions for a value via Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with h1=xxhash64, h2=murmur3. Both hashes are
+    reduced mod m BEFORE combining so the arithmetic never overflows a
+    long under ANSI semantics (m <= 2^30 in practice)."""
+    h1 = F.pmod(F.xxhash64(value), F.lit(num_bits))
+    h2 = F.pmod(F.hash(value).cast("long"), F.lit(num_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    values: DataFrame,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom bitset over ``values[col]`` distributively and return
+    it as ``num_bits/64`` longs.
+
+    Plan shape: each value expands to its k (word_index, bit_mask) pairs,
+    then ONE groupBy(word_index).bit_or(mask) — map-side partial OR means
+    each partition sends at most ``num_bits/64`` rows to the shuffle
+    regardless of input size; the collect is bounded by the bitset size
+    (8 KiB per 2^16 bits), never by the data. Size ``num_bits`` ~10x the
+    expected distinct count for ~1% false positives with k=5.
+    """
+    assert num_bits % 64 == 0
+    pos = _positions(F.col(col), num_bits, num_hashes)
+    pairs = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (p / 64).cast("int").alias("w"),
+                        F.call_function(
+                            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                        ).alias("m"),
+                    )
+                    for p in pos
+                ]
+            )
+        ).alias("pm")
+    )
+    rows = (
+        pairs.select(F.col("pm.w").alias("w"), F.col("pm.m").alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["mask"]
+    return words
+
+
+def bloom_might_contain(
+    value: Column, words: list[int], num_hashes: int = 5
+) -> Column:
+    """Membership probe against a built bitset: true iff all k bits are
+    set. The bitset rides along as ONE literal array column — a single
+    broadcast-like constant in the codegen'd plan, probed with
+    element_at + shift, no join, no shuffle."""
+    num_bits = len(words) * 64
+    lit_words = F.array(*[F.lit(w) for w in words])
+    pos = _positions(value, num_bits, num_hashes)
+    checks = [
+        F.call_function(
+            "shiftrightunsigned",
+            F.element_at(lit_words, (p / 64).cast("int") + 1),
+            (p % 64).cast("int"),
+        ).bitwiseAND(F.lit(1))
+        == 1
+        for p in pos
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_prefiltered_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    doc_id: str = "doc_id",
+    bench_id: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom pre-filter: EXACT output
+    (same contract as ``dedup.ngram_contamination`` — per-doc count of
+    n-grams shared with the benchmark corpus), but the doc side is first
+    thinned by a constant-space bitset probe so the confirming join only
+    sees candidate n-grams.
+
+    Two-phase exactness argument: Bloom filters have no false negatives,
+    so every truly-contaminated n-gram survives the probe; the exact
+    broadcast join then discards the (tunably rare) false positives.
+    At 100 TB this is the difference between joining every doc n-gram
+    (shuffle-free but CPU-bound on a giant broadcast hash map) and
+    probing a bitset that fits in L2/L3 with only ~FPR + true-hit
+    fraction of n-grams ever touching the hash join.
+    """
+    from .dedup import word_shingles
+
+    bench_ngrams = (
+        benchmark.select(
+            F.col(bench_id).alias("bench_id"),
+            F.explode(word_shingles(text_col, n)).alias("_ng"),
+        )
+        .distinct()
+    )
+    words = bloom_build(
+        bench_ngrams.select("_ng").distinct(), "_ng", num_bits, num_hashes
+    )
+    doc_ngrams = docs.select(
+        F.col(doc_id), F.explode(word_shingles(text_col, n)).alias("_ng")
+    )
+    candidates = doc_ngrams.filter(
+        bloom_might_contain(F.col("_ng"), words, num_hashes)
+    )
+    hits = candidates.join(F.broadcast(bench_ngrams), on="_ng")
+    return hits.groupBy(doc_id).agg(
+        F.countDistinct("_ng").alias("n_contaminated_ngrams"),
+        F.countDistinct("bench_id").alias("n_benchmarks_hit"),
+    )
+
+
+# 2^60 as a double (exact): the KMV hash domain size.
+_KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Deterministic KMV (k-minimum-values / bottom-k) distinct-count
+    estimate per group: hash each value to a uniform 60-bit integer
+    (md5-derived, so ENGINE-PORTABLE — DuckDB computes the identical
+    sketch, which is what makes this estimator exactly oracle-checkable,
+    unlike HLL whose register layout is engine-private), keep the k
+    smallest DISTINCT hashes, and estimate
+    ``distinct ≈ (k-1) / (h_k / 2^60)``. Groups with fewer than k
+    distinct values report their exact distinct count.
+
+    Plan shape — two-phase and mergeable, the defining sketch property:
+    phase 1 reduces each (group, input-partition) to its k smallest
+    distinct hashes (sorted-array slice, bounded k longs); phase 2 merges
+    those k-lists per group (bounded k * n_partitions longs) and takes the
+    global bottom-k. No full per-group value list is ever materialized on
+    the reduce side, so a group with 10^9 distinct users costs the same
+    shuffle bytes as one with 10^3. Returns group_cols + (n_sketch,
+    est_distinct).
+    """
+    h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    partial = (
+        df.select(*group_cols, h.alias("_h"))
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy(*group_cols, "_p")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"))
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_mins")))),
+            1,
+            k,
+        ).alias("_mins")
+    )
+    n_sketch = F.size("_mins")
+    kth = F.element_at("_mins", k)
+    return merged.select(
+        *group_cols,
+        n_sketch.cast("long").alias("n_sketch"),
+        F.when(n_sketch < k, n_sketch.cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / kth.cast("double")
+        )
+        .alias("est_distinct"),
+    )

@@ -1426,6 +1426,98 @@ def contaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_contamination(cand, bench, n=5).orderBy("doc_id")
 
 
+# Bloom-PREFILTERED decontamination: same exact contract as
+# contaminated_docs (the bitset has no false negatives; the confirming
+# broadcast join removes false positives) but the doc side is thinned by a
+# constant-space Bloom probe first — the 100 TB path when the benchmark
+# n-gram set outgrows a broadcastable join table but still fits as ~10
+# bits/element of bitset. Different params from contaminated_docs (7-grams,
+# candidates 10-110) so the two checks don't collapse into one.
+@_q(
+    "bloom_decontaminated_docs",
+    f"""
+    WITH bench AS (
+        SELECT DISTINCT doc_id AS bench_id, unnest({_duck_shingles(7)}) AS ng
+        FROM documents WHERE doc_id < 10
+    ),
+    cand AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id < 110
+        UNION ALL
+        SELECT c.doc_id + 30000 AS doc_id, c.text || ' ' || b.text AS text
+        FROM documents c JOIN documents b ON b.doc_id = c.doc_id % 10
+        WHERE c.doc_id >= 10 AND c.doc_id < 110
+    ),
+    cng AS (SELECT doc_id, unnest({_duck_shingles(7)}) AS ng FROM cand)
+    SELECT doc_id,
+           COUNT(DISTINCT ng) AS n_contaminated_ngrams,
+           COUNT(DISTINCT bench_id) AS n_benchmarks_hit
+    FROM cng JOIN bench USING (ng)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def bloom_decontaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketch import bloom_prefiltered_contamination
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    cand_nat = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 110)
+    ).select("doc_id", "text")
+    planted = (
+        cand_nat.alias("c")
+        .join(bench.alias("b"), F.col("c.doc_id") % 10 == F.col("b.doc_id"))
+        .select(
+            (F.col("c.doc_id") + 30000).alias("doc_id"),
+            F.concat(F.col("c.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    cand = cand_nat.unionByName(planted)
+    return bloom_prefiltered_contamination(cand, bench, n=7).orderBy("doc_id")
+
+
+_KMV_K = 64
+
+
+# KMV (bottom-k) distinct sketch — deterministic and md5-based, so the
+# DuckDB oracle computes the IDENTICAL sketch and the estimate hash-matches
+# exactly (unlike HLL, whose registers are engine-private; that path is
+# approx_distinct_users with a tolerance pytest). The mergeable two-phase
+# build is the point at scale: a group with 10^9 distinct users ships the
+# same k longs per partition as one with 10^3.
+@_q(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sketch,
+           CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} * 1152921504606846976.0
+                     / CAST(max(h) AS DOUBLE)
+           END AS est_distinct
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketch import kmv_distinct
+
+    events = load_table(spark, sf, "events")
+    return kmv_distinct(
+        events, ["event_type"], "user_id", k=_KMV_K
+    ).orderBy("event_type")
+
+
 def _duck_simhash_expr() -> str:
     from .operators.dedup import SIMHASH_BITS
 

@@ -878,3 +878,90 @@ def test_quantize_embeddings_error_bound_and_zero_vector(spark):
     zero = {r.vec_id: r for r in deq.collect()}[2]
     assert list(zero.qvec) == [0, 0, 0, 0]
     assert all(v == 0.0 for v in zero.deq)
+
+
+# ------------------------------------------------------------- sketches
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    from mcp_hubspot_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(1000).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("v")
+    )
+    words = bloom_build(members, "v", num_bits=1 << 14, num_hashes=5)
+    # no false negatives — every inserted value probes true
+    n_found = members.filter(bloom_might_contain(F.col("v"), words)).count()
+    assert n_found == 1000
+    # false-positive rate stays near theory (~1% at 10 bits/elem, k=5)
+    others = spark.range(10_000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("v")
+    )
+    n_fp = others.filter(bloom_might_contain(F.col("v"), words)).count()
+    assert n_fp < 500, f"FPR {n_fp / 10_000:.3f} far above design point"
+
+
+def test_bloom_prefilter_matches_exact_contamination(spark):
+    """The Bloom pre-filter must not change the operator's output: exact
+    two-phase (probe + confirming join) equals the plain broadcast join."""
+    from mcp_hubspot_spark.operators.dedup import ngram_contamination
+    from mcp_hubspot_spark.operators.sketch import (
+        bloom_prefiltered_contamination,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.filter(F.col("doc_id") < 8).select("doc_id", "text")
+    cand = docs.filter(
+        (F.col("doc_id") >= 8) & (F.col("doc_id") < 80)
+    ).select("doc_id", "text")
+    # plant guaranteed contamination: candidate text ++ benchmark text
+    planted = (
+        cand.alias("c")
+        .join(bench.alias("b"), F.col("c.doc_id") % 8 == F.col("b.doc_id"))
+        .select(
+            (F.col("c.doc_id") + 5000).alias("doc_id"),
+            F.concat("c.text", F.lit(" "), "b.text").alias("text"),
+        )
+    )
+    corpus = cand.unionByName(planted)
+    exact = {
+        tuple(r)
+        for r in ngram_contamination(corpus, bench, n=5).collect()
+    }
+    via_bloom = {
+        tuple(r)
+        for r in bloom_prefiltered_contamination(corpus, bench, n=5).collect()
+    }
+    assert exact == via_bloom
+    assert len(via_bloom) >= 60  # the planted rows all surface
+
+
+def test_kmv_estimate_tolerance_and_partition_invariance(spark):
+    from mcp_hubspot_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, SF, "events")
+    est = {
+        r.event_type: (r.n_sketch, r.est_distinct)
+        for r in kmv_distinct(events, ["event_type"], "user_id", k=64).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for g, ex in exact.items():
+        n_sketch, e = est[g]
+        if ex < 64:
+            assert e == float(ex), (g, e, ex)  # small groups are exact
+        else:
+            # KMV rse ~ 1/sqrt(k-1) ≈ 12.6%; allow 4 sigma
+            assert abs(e - ex) <= 0.5 * ex + 3, (g, e, ex)
+    # sketch is data-determined, not partitioning-determined
+    resharded = kmv_distinct(
+        events.repartition(13, "event_id"), ["event_type"], "user_id", k=64
+    )
+    est2 = {r.event_type: (r.n_sketch, r.est_distinct) for r in resharded.collect()}
+    assert est == est2
