@@ -460,3 +460,133 @@ def canonicalize_text(
     c = F.regexp_replace(c, "[^a-z0-9]+", " ")
     c = F.trim(F.regexp_replace(c, " +", " "))
     return df.withColumn(out_col, c)
+
+
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Global keep-first line dedup (the RefinedWeb / exact-substring family
+    at line granularity): a line's FIRST occurrence in corpus order
+    (doc id, then position) survives; every later copy — in other docs or
+    later in the same doc — is dropped. Contrast with
+    ``remove_boilerplate_lines``, which drops ALL copies of high-frequency
+    lines; keep-first preserves exactly one.
+
+    Scale shape: lines are keyed by md5 digest so the two shuffles move
+    32-byte keys + small payloads, never full line text on the build side:
+    (1) groupBy(digest).min(order_key) — map-side partial min, output
+    bounded by distinct lines; (2) join lines back on digest and keep the
+    row whose order_key equals the minimum (the join condition re-checks
+    the key, so a digest collision could only merge identical-by-md5
+    lines). Rebuild is the same per-doc bounded sort_array assembly as
+    boilerplate removal. Returns (id, cleaned_text, n_lines, n_removed).
+    """
+    okey = (F.col(id_col) * F.lit(1_000_000) + F.col("line_idx")).alias("_okey")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    ).select(id_col, "line_idx", "line", okey, F.md5("line").alias("_lh"))
+    first = lines.groupBy("_lh").agg(F.min("_okey").alias("_first"))
+    kept = lines.join(first, "_lh").filter(F.col("_okey") == F.col("_first"))
+    n_lines = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), "\n")).alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s.getField("line"),
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return n_lines.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Sparck Jones idf, Lucene-style
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``) of documents against a fixed
+    query-term list. Returns (id, score) for docs matching >= 1 term.
+
+    Scale shape: the doc side is ONE linear scan — tokens are filtered to
+    the query terms map-side (array_intersect-style before any explode),
+    so the exploded row count is bounded by |query| * matching docs, not
+    corpus token count. Per-term document frequencies and the corpus
+    (N, avgdl) scalars are tiny aggregates broadcast back in. Per-doc
+    scores sum the per-term contributions in SORTED TERM ORDER via a
+    fixed-order fold rather than a shuffle-order float sum, so results
+    are bit-stable across partitionings (and engines).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("double").alias("_dl"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in sorted(query_terms)])
+    hits = base.select(
+        id_col,
+        "_dl",
+        F.explode(
+            F.filter(F.col("_toks"), lambda t: F.array_contains(terms, t))
+        ).alias("_term"),
+    )
+    tf = hits.groupBy(id_col, "_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_tf"),
+        F.first("_dl").alias("_dl"),
+    )
+    dfreq = tf.groupBy("_term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "_term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * (F.col("_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+                    )
+                )
+            ).alias("_c"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_term", "_c"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_c"),
+        ).alias("score")
+    )

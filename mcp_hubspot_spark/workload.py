@@ -3344,6 +3344,142 @@ def remove_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Keep-FIRST line dedup (RefinedWeb-style exact dedup at line granularity):
+# unlike boilerplate removal (drops every copy of frequent lines), the
+# first occurrence in corpus order survives and later copies are dropped.
+# Corpus: docs 0-99 shaped into 3 lines (shared-per-lang header, body,
+# shared footer) plus planted rows 10000+d re-using body text of doc d%20
+# — so headers survive only in the first doc of each lang, the footer only
+# in doc 0, and every planted body is scrubbed while originals keep theirs.
+@_q(
+    "dedup_lines_docs",
+    """
+    WITH corpus AS (
+        SELECT doc_id,
+               'shared header for ' || lang || chr(10) || text || chr(10)
+               || 'common footer line' AS text
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT d.doc_id + 10000 AS doc_id,
+               'shared header for ' || d.lang || chr(10) || s.text || chr(10)
+               || 'common footer line' AS text
+        FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 20
+        WHERE d.doc_id < 100
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    l AS (
+        SELECT doc_id, i - 1 AS line_idx, ls[i] AS line
+        FROM s, unnest(range(1, len(ls) + 1)) AS t(i)
+    ),
+    first AS (
+        SELECT line, min(doc_id * 1000000 + line_idx) AS fk
+        FROM l GROUP BY line
+    ),
+    kept AS (
+        SELECT l.* FROM l JOIN first
+        ON l.line = first.line AND l.doc_id * 1000000 + l.line_idx = first.fk
+    ),
+    nl AS (
+        SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM corpus
+    ),
+    rb AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY line_idx) AS cleaned_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT nl.doc_id,
+           md5(coalesce(rb.cleaned_text, '')) AS cleaned_md5,
+           CAST(nl.n_lines AS BIGINT) AS n_lines,
+           CAST(nl.n_lines - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+    FROM nl LEFT JOIN rb USING (doc_id)
+    ORDER BY nl.doc_id
+    """,
+)
+def dedup_lines_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import dedup_lines_keep_first
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    shape = lambda did, lang, text: F.concat(  # noqa: E731
+        F.lit("shared header for "), lang, F.lit("\n"), text,
+        F.lit("\ncommon footer line"),
+    )
+    originals = docs.select(
+        "doc_id", shape("doc_id", F.col("lang"), F.col("text")).alias("text")
+    )
+    planted = (
+        docs.alias("d")
+        .join(
+            docs.alias("s"),
+            F.col("s.doc_id") == F.col("d.doc_id") % 20,
+        )
+        .select(
+            (F.col("d.doc_id") + 10000).alias("doc_id"),
+            shape("d.doc_id", F.col("d.lang"), F.col("s.text")).alias("text"),
+        )
+    )
+    out = dedup_lines_keep_first(originals.unionByName(planted))
+    return out.select(
+        "doc_id",
+        F.md5(F.col("cleaned_text")).alias("cleaned_md5"),
+        "n_lines",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "window", "hash"]
+
+
+# BM25 ranked retrieval over the documents table — the lexical-search
+# complement to the vector kNN family (reference semantic search,
+# faiss_manager.py; a production corpus search runs both and fuses).
+# Per-term contributions are folded in sorted term order so the float sum
+# is bit-stable across engines and partitionings.
+@_q(
+    "bm25_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_duck_tokens()} AS toks,
+               CAST(len({_duck_tokens()}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base
+    ),
+    hits AS (
+        SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains({['hash', 'spark', 'window']!r}, t))) AS term
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        FROM hits GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT doc_id, term,
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT doc_id,
+               list_sum(list(c ORDER BY term)) AS score
+        FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bm25_scores
+
+    docs = load_table(spark, sf, "documents")
+    scores = bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+    return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(15)
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

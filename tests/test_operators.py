@@ -965,3 +965,54 @@ def test_kmv_estimate_tolerance_and_partition_invariance(spark):
     )
     est2 = {r.event_type: (r.n_sketch, r.est_distinct) for r in resharded.collect()}
     assert est == est2
+
+
+def test_dedup_lines_keep_first_global_invariant(spark):
+    """After keep-first dedup, every distinct line survives EXACTLY once
+    across the whole corpus, and the survivor is the first occurrence."""
+    from mcp_hubspot_spark.operators.text import dedup_lines_keep_first
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 30)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("header\n"), "text", F.lit("\nfooter")
+        ).alias("text"),
+    )
+    out = dedup_lines_keep_first(corpus)
+    kept_lines = out.select(
+        F.explode(F.split("cleaned_text", "\n")).alias("line")
+    ).filter(F.col("line") != "")
+    dup = kept_lines.groupBy("line").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    # first-occurrence wins: doc 0 keeps header+footer, doc 1 loses both
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].n_removed == 0
+    assert rows[1].n_removed == 2
+    # partition invariance
+    out2 = dedup_lines_keep_first(corpus.repartition(7, "doc_id"))
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_bm25_ranks_term_rich_docs_and_is_partition_stable(spark):
+    from mcp_hubspot_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 50)
+    planted = spark.createDataFrame(
+        [(9001, "spark window hash spark window hash spark"),
+         (9002, "spark only here"),
+         (9003, "nothing relevant at all")],
+        "doc_id long, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    scores = {r.doc_id: r.score for r in bm25_scores(corpus, ["spark", "window", "hash"]).collect()}
+    assert 9003 not in scores  # zero-match docs are absent
+    assert scores[9001] > scores[9002]
+    # fixed-order fold => bit-identical across partitionings
+    scores2 = {
+        r.doc_id: r.score
+        for r in bm25_scores(
+            corpus.repartition(11, "doc_id"), ["spark", "window", "hash"]
+        ).collect()
+    }
+    assert scores == scores2
