@@ -4506,6 +4506,18 @@ def quantized_embedding_error(spark: SparkSession, sf: str) -> DataFrame:
 #   doc_repetition           → quality_filter_docs (composes the same
 #                              repetition features into keep/reject);
 #                              slot goes to global_shuffle_docs
+# Round-3 additions (bloom decontamination, KMV sketch, keep-first line
+# dedup, BM25) enter the window under the same never-checked-first rule;
+# the four twice-green slots they take, with in-window cover:
+#   revenue_by_nation        → pricing_summary + customer_order_activity
+#                              (scan-agg + multi-join agg families)
+#   corpus_clean_stats       → training_corpus_pipeline (the composed
+#                              quality→dedup→stats pipeline, superset)
+#   minhash_lsh_pairs        → dedup_clusters (runs the SAME LSH banding
+#                              join as its first stage, then CC on top)
+#   contaminated_docs        → bloom_decontaminated_docs (same exact
+#                              broadcast-confirm contamination contract,
+#                              plus the bitset pre-filter; 7-gram params)
 _CHECK_PRIORITY = [
     # red→green flips this round (NTZ normalization + canon-safe shape)
     "events_asof_click", "events_near_pairs", "events_sessionized",
@@ -4519,18 +4531,20 @@ _CHECK_PRIORITY = [
     "embedding_row_stats", "doc_hash_split", "media_frame_sample",
     # round-3 additions (never driver-checked; same priority rule)
     "global_shuffle_docs", "canonical_text_docs", "quantized_embedding_error",
+    "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
+    "bm25_search",
     # retained family representatives
     "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
-    "events_campaign_attribution", "revenue_by_nation",
+    "events_campaign_attribution",
     "packed_sequences",
     "tfidf_top_terms", "quality_filter_docs", "events_hourly",
-    "minhash_lsh_pairs", "embedding_neardup_lsh", "ivf_search",
+    "embedding_neardup_lsh", "ivf_search",
     "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
-    "corpus_clean_stats", "doc_zscore_by_source",
+    "doc_zscore_by_source",
     "events_user_cumulative", "doc_first_number",
-    "orders_page_with_total", "dedup_clusters", "contaminated_docs",
+    "orders_page_with_total", "dedup_clusters",
     "cheapest_line_per_part", "customer_churn_sets",
     "training_corpus_pipeline",
 ]
