@@ -57,6 +57,10 @@ HEADLINE = [
     "dedup_clusters",           # LSH pairs -> connected components
     "contaminated_docs",        # benchmark n-gram decontamination
     "events_funnel",            # conditional-min funnel progression
+    "bloom_decontaminated_docs",  # bitset-prefiltered decontamination
+    "kmv_distinct_users",       # mergeable bottom-k distinct sketch
+    "dedup_lines_docs",         # keep-first global line dedup
+    "bm25_search",              # lexical ranked retrieval
 ]
 
 

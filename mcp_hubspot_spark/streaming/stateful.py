@@ -25,8 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -121,4 +123,73 @@ def watermarked_dedup(
     secondary-ordering selection)."""
     return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         list(keys)
+    )
+
+
+_KMV_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_sketch", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+_KMV_STATE = StructType([StructField("mins", ArrayType(LongType()))])
+
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _make_kmv_fn(k: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        mins = list(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdfs:
+            seen.update(int(h) for h in pdf["_h"])
+        mins = sorted(seen)[:k]
+        state.update((mins,))
+        n = len(mins)
+        est = float(n) if n < k else (k - 1) * _KMV_DOMAIN / float(mins[-1])
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_sketch": [n], "est_distinct": [est]}
+        )
+
+    return fn
+
+
+def streaming_kmv_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Incremental KMV distinct-count sketch per key: the streaming twin of
+    ``operators.sketch.kmv_distinct``. State per key is the bottom-k
+    distinct 60-bit hashes (k longs, CONSTANT regardless of stream length
+    or true cardinality — the property that makes a distinct count
+    maintainable incrementally at all). Each micro-batch merges its hashes
+    into the state and emits the refreshed estimate, so after the stream
+    drains the latest row per key equals the batch sketch over the same
+    data — pinned by the batch-agreement test.
+
+    The hash is computed JVM-side (md5 expression) before the rows reach
+    the pandas state function; only (key, hash) pairs cross the Arrow
+    boundary.
+    """
+    from pyspark.sql import functions as F
+
+    hashed = events.select(
+        F.col(key_col).alias("event_type"),
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _make_kmv_fn(k),
+        outputStructType=_KMV_OUT,
+        stateStructType=_KMV_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -34,7 +34,13 @@ from mcp_hubspot_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
+from mcp_hubspot_spark.operators.sketch import (
+    bloom_prefiltered_contamination,
+    kmv_distinct,
+)
 from mcp_hubspot_spark.operators.text import (
+    bm25_scores,
+    dedup_lines_keep_first,
     pack_sequences,
     quality_features,
     remove_boilerplate_lines,
@@ -144,6 +150,20 @@ def main() -> None:
             "knn_l2_80k": lambda: knn(embs, probe, k=10),
             "knn_matmul_32q_80k": lambda: knn_batch_matmul(
                 embs, queries, k=10
+            ),
+            # benchmark = 200 base docs (8k 7-grams); candidates = all 200k
+            "bloom_decontaminate_200k": lambda: bloom_prefiltered_contamination(
+                docs,
+                docs.filter(F.col("doc_id") % 1000 == 0).select("doc_id", "text"),
+                n=7,
+                num_bits=1 << 18,
+            ),
+            "kmv_distinct_200k": lambda: kmv_distinct(
+                docs, ["lang"], "doc_id", k=256
+            ),
+            "dedup_lines_keep_first_200k": lambda: dedup_lines_keep_first(docs),
+            "bm25_search_200k": lambda: bm25_scores(
+                docs, ["spark", "window", "hash"]
             ),
         }
 

@@ -272,3 +272,47 @@ def test_boilerplate_common_lines_broadcast_anti_join(spark):
     plan = plan_of(remove_boilerplate_lines(docs))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bloom_probe_is_mapside_filter_no_join(spark):
+    """The Bloom membership probe must be a plain Filter over the scan —
+    no join, no exchange — with only the confirming join touching the
+    (tiny) surviving fraction."""
+    from mcp_hubspot_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.range(200).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("v")
+    )
+    words = bloom_build(members, "v", num_bits=1 << 12)
+    docs = load_table(spark, SF, "documents")
+    probed = docs.filter(bloom_might_contain(F.col("text"), words))
+    plan = plan_of(probed)
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_customer_order_activity_aggregates_before_join(spark):
+    """The fact table must be reduced by a partial aggregate BELOW the
+    join (pre-aggregation pushdown done by hand): the plan has an
+    aggregate on l_orderkey before any join sees lineitem rows, and no
+    countDistinct expand anywhere."""
+    plan = plan_of(QUERIES["customer_order_activity"](spark, SF))
+    assert "Expand" not in plan
+    # first (deepest) hash aggregate groups by l_orderkey — the pre-agg
+    agg_lines = [l for l in plan.splitlines() if "Keys [1]: [l_orderkey" in l]
+    assert agg_lines, plan
+
+
+def test_kmv_sketch_is_two_phase_bounded_merge(spark):
+    """KMV must reduce per (group, partition) before the per-group merge:
+    two aggregate levels, and the final exchange carries only k-bounded
+    arrays (no full value list crosses the shuffle)."""
+    from mcp_hubspot_spark.operators.sketch import kmv_distinct
+
+    events = load_table(spark, SF, "events")
+    plan = plan_of(kmv_distinct(events, ["event_type"], "user_id", k=16))
+    assert plan.count("HashAggregate") >= 4 or "ObjectHashAggregate" in plan
+    assert "slice" in plan or "collect_set" in plan

@@ -289,3 +289,49 @@ def test_watermarked_dedup_stream(spark, tmp_path):
     assert {r.user_id for r in rows} == {
         r.user_id for r in events.select("user_id").distinct().collect()
     }
+
+
+def test_streaming_kmv_agrees_with_batch_sketch(spark, tmp_path):
+    """Incremental KMV: after the stream drains, each key's final estimate
+    equals the batch sketch over the same rows — merging bottom-k sets
+    across micro-batches loses nothing the batch pass keeps."""
+    from mcp_hubspot_spark.operators.sketch import kmv_distinct
+    from mcp_hubspot_spark.streaming.stateful import streaming_kmv_distinct
+
+    events = load_table(spark, SF, "events")
+    d = tmp_path / "ev"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    other.coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_kmv_distinct(stream, k=32)
+        .writeStream.format("memory")
+        .queryName("kmv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: n_sketch and est_distinct are both monotonically
+    # nondecreasing across merges, so max per key = the final emission
+    got = {
+        r.event_type: (r.n_sketch, round(r.est_distinct, 6))
+        for r in spark.table("kmv")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_sketch").alias("n_sketch"),
+            F.max("est_distinct").alias("est_distinct"),
+        )
+        .collect()
+    }
+    want = {
+        r.event_type: (r.n_sketch, round(r.est_distinct, 6))
+        for r in kmv_distinct(events, ["event_type"], "user_id", k=32).collect()
+    }
+    assert got == want
