@@ -61,6 +61,7 @@ HEADLINE = [
     "kmv_distinct_users",       # mergeable bottom-k distinct sketch
     "dedup_lines_docs",         # keep-first global line dedup
     "bm25_search",              # lexical ranked retrieval
+    "incremental_dedup_docs",   # new-vs-corpus LSH delta dedup
 ]
 
 

@@ -17,7 +17,7 @@ DuckDB oracle can reproduce them string-for-string).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import positional_ngrams, tokens
@@ -630,4 +630,88 @@ def ngram_contamination(
     return hits.groupBy(doc_id).agg(
         F.countDistinct("_ng").alias("n_contaminated_ngrams"),
         F.countDistinct("bench_id").alias("n_benchmarks_hit"),
+    )
+
+
+# --------------------------------------------- incremental (new-vs-corpus)
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.25,
+) -> DataFrame:
+    """Incremental near-dup check: which NEW documents duplicate the
+    EXISTING corpus — the production corpus-refresh case (a daily crawl
+    lands; only new-vs-old needs checking, the old-vs-old quadrant was
+    settled in previous runs; the reference's check-then-insert dedup,
+    `clients/contact_client.py:79-87`, is this same contract at row
+    granularity).
+
+    Plan shape: both sides get banded MinHash signatures, then ONE
+    equi-join on band key restricted to new×old — with |new| << |corpus|
+    the per-band bucket join is bounded by the small side, and at scale
+    the corpus side's banded signatures are a PERSISTED index (build once,
+    append daily) so each increment only scans the delta. No old×old or
+    new×new candidate ever forms.
+
+    Returns one row per matched new doc: (id, n_matches, best_jaccard,
+    best_match_id) with ties on jaccard broken by smallest corpus id.
+    """
+    if bands < 1 or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}) evenly"
+        )
+    rows_per_band = num_perm // bands
+
+    def banded(df: DataFrame, suffix: str) -> DataFrame:
+        sigs = df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            minhash_signature(F.col(text_col), num_perm, shingle_n).alias(
+                f"sig_{suffix}"
+            ),
+        )
+        return sigs.select(
+            f"id_{suffix}",
+            f"sig_{suffix}",
+            F.explode(
+                minhash_bands(F.col(f"sig_{suffix}"), bands, rows_per_band)
+            ).alias("band"),
+        )
+
+    cand = (
+        banded(new_docs, "new")
+        .join(banded(corpus, "old"), "band")
+        .select("id_new", "sig_new", "id_old", "sig_old")
+        .distinct()
+    )
+    jac = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_new"), F.col("sig_old"), lambda x, y: x == y
+                ),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_perm
+    )
+    matches = cand.select(
+        "id_new", "id_old", F.round(jac, 6).alias("jac")
+    ).filter(F.col("jac") >= min_jaccard)
+    w = Window.partitionBy("id_new")
+    return (
+        matches.withColumn("_best", F.max("jac").over(w))
+        .groupBy(F.col("id_new").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("jac").alias("best_jaccard"),
+            F.min(
+                F.when(F.col("jac") == F.col("_best"), F.col("id_old"))
+            ).alias("best_match_id"),
+        )
     )

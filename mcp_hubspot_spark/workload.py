@@ -1297,6 +1297,95 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# INCREMENTAL dedup: new docs (the daily delta) checked against the
+# EXISTING corpus only — no old×old or new×new candidates ever form.
+# Corpus = docs 0-199; new = clean docs 200-249 plus planted mutations of
+# docs 0-49 (id+40000, suffix-mutated → high-jaccard near-dups of their
+# source). Output: one row per matched new doc with match count, best
+# signature-jaccard, and the best-matching corpus id (ties → smallest id).
+@_q(
+    "incremental_dedup_docs",
+    f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 200
+    ),
+    newdocs AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 200 AND doc_id < 250
+        UNION ALL
+        SELECT doc_id + 40000 AS doc_id, text || ' qq ww ee' AS text
+        FROM documents WHERE doc_id < 50
+    ),
+    ho AS (
+        SELECT doc_id, list_transform({_duck_shingles(3)},
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME}) AS hs
+        FROM corpus
+    ),
+    hn AS (
+        SELECT doc_id, list_transform({_duck_shingles(3)},
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_PRIME}) AS hs
+        FROM newdocs
+    ),
+    so AS (SELECT doc_id, {_duck_sig} AS sig FROM ho),
+    sn AS (SELECT doc_id, {_duck_sig} AS sig FROM hn),
+    bo AS (
+        SELECT doc_id AS id_old, sig AS sig_old,
+               unnest(list_transform(range(0, 4),
+                   b -> b || ':' || md5(array_to_string(
+                        list_transform(sig[b*2+1 : b*2+2], x -> x::VARCHAR), '|')))) AS band
+        FROM so
+    ),
+    bn AS (
+        SELECT doc_id AS id_new, sig AS sig_new,
+               unnest(list_transform(range(0, 4),
+                   b -> b || ':' || md5(array_to_string(
+                        list_transform(sig[b*2+1 : b*2+2], x -> x::VARCHAR), '|')))) AS band
+        FROM sn
+    ),
+    cand AS (
+        SELECT DISTINCT id_new, sig_new, id_old, sig_old
+        FROM bn JOIN bo USING (band)
+    ),
+    m AS (
+        SELECT id_new, id_old,
+               round(len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+                     i -> sig_new[i] = sig_old[i]))::DOUBLE / {_MINHASH_PERMS}, 6) AS jac
+        FROM cand
+        WHERE len(list_filter(range(1, {_MINHASH_PERMS + 1}),
+              i -> sig_new[i] = sig_old[i]))::DOUBLE / {_MINHASH_PERMS} >= 0.25
+    ),
+    b AS (SELECT *, max(jac) OVER (PARTITION BY id_new) AS best FROM m)
+    SELECT id_new AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches,
+           max(jac) AS best_jaccard,
+           min(CASE WHEN jac = best THEN id_old END) AS best_match_id
+    FROM b GROUP BY id_new
+    ORDER BY doc_id
+    """,
+)
+def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import incremental_lsh_dedup
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    new_nat = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 250)
+    ).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee")).alias("text"),
+    )
+    new_docs = fan_out(new_nat.unionByName(planted))
+    return incremental_lsh_dedup(
+        new_docs,
+        corpus,
+        num_perm=_MINHASH_PERMS,
+        bands=4,
+        shingle_n=3,
+        min_jaccard=0.25,
+    ).orderBy("doc_id")
+
+
 # End-to-end dedup REPORT: detect (LSH) → cluster (connected components)
 # → drop (keep min-id per cluster) with token accounting — the artifact a
 # pipeline owner actually ships: how many docs/tokens did dedup remove,
@@ -4518,6 +4607,11 @@ def quantized_embedding_error(spark: SparkSession, sf: str) -> DataFrame:
 #   contaminated_docs        → bloom_decontaminated_docs (same exact
 #                              broadcast-confirm contamination contract,
 #                              plus the bitset pre-filter; 7-gram params)
+#   filtered_scan_or_groups  → orders_page_with_total (filtered+pushed
+#                              scan shape) + the predicate-compiler
+#                              property test vs python eval; slot goes to
+#                              incremental_dedup_docs (new-vs-corpus LSH,
+#                              never checked)
 _CHECK_PRIORITY = [
     # red→green flips this round (NTZ normalization + canon-safe shape)
     "events_asof_click", "events_near_pairs", "events_sessionized",
@@ -4532,9 +4626,8 @@ _CHECK_PRIORITY = [
     # round-3 additions (never driver-checked; same priority rule)
     "global_shuffle_docs", "canonical_text_docs", "quantized_embedding_error",
     "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
-    "bm25_search",
+    "bm25_search", "incremental_dedup_docs",
     # retained family representatives
-    "filtered_scan_or_groups",
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
     "events_campaign_attribution",

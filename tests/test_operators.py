@@ -1016,3 +1016,70 @@ def test_bm25_ranks_term_rich_docs_and_is_partition_stable(spark):
         ).collect()
     }
     assert scores == scores2
+
+
+def test_incremental_lsh_dedup_new_vs_corpus_only(spark):
+    """Planted mutated copies must match their corpus source; clean new
+    docs must not appear; and new×new duplicates must NOT pair with each
+    other (only the new×old quadrant exists)."""
+    from mcp_hubspot_spark.operators.dedup import incremental_lsh_dedup
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    # two planted news per source doc — mutual near-dups of EACH OTHER too
+    p1 = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" aa bb")).alias("text"),
+    )
+    p2 = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat("text", F.lit(" cc dd")).alias("text"),
+    )
+    out = incremental_lsh_dedup(
+        p1.unionByName(p2), corpus, num_perm=16, bands=8, min_jaccard=0.2
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    # every planted new doc matches, and its best match is its source
+    hit = [i for i in range(20) if (i + 1000) in rows and rows[i + 1000].best_match_id == i]
+    assert len(hit) >= 18, f"recall too low: {len(hit)}"
+    # matches only reference the corpus id range — never another new doc
+    assert all(r.best_match_id < 100 for r in rows.values())
+
+
+def test_python_udtf_lateral_sentence_split(spark):
+    """§2.11 UDTF surface: lateral-joined sentence splitter fans each doc
+    into ordered sentence rows."""
+    from mcp_hubspot_spark.functions.table_functions import SplitSentences
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    df = spark.createDataFrame(
+        [(1, "One two. Three four five! Six?"), (2, ""), (3, "Solo")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sentence_idx
+        """
+    ).collect()
+    got = [(r.doc_id, r.sentence_idx, r.sentence, r.n_words) for r in rows]
+    assert got == [
+        (1, 0, "One two.", 2),
+        (1, 1, "Three four five!", 3),
+        (1, 2, "Six?", 1),
+        (3, 0, "Solo", 1),
+    ]
+
+
+def test_python_udtf_data_dependent_iteration(spark):
+    from mcp_hubspot_spark.functions.table_functions import BisectRanges
+
+    spark.udtf.register("bisect_ranges", BisectRanges)
+    rows = spark.sql(
+        "SELECT * FROM bisect_ranges(8, 5) ORDER BY step"
+    ).collect()
+    assert [(r.step, r.lo, r.hi) for r in rows] == [
+        (0, 0, 8), (1, 5, 8), (2, 5, 6),
+    ]
