@@ -153,3 +153,42 @@ def test_engine_tools_index_results_into_store(spark, tmp_path):
     engine.get_recent_conversations(limit=2, truncate_chars=5)
     conv = store.load().filter(F.col("type") == "hubspot_conversation")
     assert conv.count() == 2
+
+
+def test_ivf_index_build_search_and_partition_pruning(spark, tmp_path):
+    """Persisted IVF: search equals exact kNN when probing enough cells,
+    and the physical scan reads ONLY the probed cell partitions."""
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.sources.catalog import load_table
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb, n_cells=8)
+
+    # probing ALL cells must equal the exact scan (IVF is exact within
+    # probed cells — recall loss comes only from unprobed cells)
+    got = [(r.vec_id, round(r.distance, 6)) for r in idx.search(probe, k=5, nprobe=8).collect()]
+    want = [(r.vec_id, round(r.distance, 6)) for r in knn(emb, probe, k=5).collect()]
+    assert got == want
+    # nprobe=1 must still find the query's own vector (it lives in the
+    # nearest cell by construction)
+    top1 = idx.search(probe, k=1, nprobe=1).first()
+    assert top1.vec_id == 3 and top1.distance < 1e-9
+
+    # partition pruning: the pruned scan plans strictly fewer partitions
+    import io
+    from contextlib import redirect_stdout
+
+    cells = spark.read.option("basePath", str(tmp_path / "ivf" / "cells")).parquet(
+        str(tmp_path / "ivf" / "cells")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cells.filter(F.col("cell_id").isin([0])).explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell_id" in plan
