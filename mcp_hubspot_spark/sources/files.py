@@ -118,3 +118,45 @@ def read_evolved_parquet(spark, path: str) -> DataFrame:
     papered over — conflicting types still fail loudly, which is the
     behavior you want (silent coercion corrupts downstream casts)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_sized(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 1_000,
+) -> int:
+    """Size-targeted parquet sink: pick the output file count so each file
+    lands near ``target_file_bytes`` — the operational fix for the two
+    failure modes of naive writes at 100 TB: thousands of KB-sized files
+    (metadata pressure, slow listings, per-file open cost on every later
+    read) after a high-parallelism job, or a handful of multi-GB files
+    (no read parallelism) after a coalesced one.
+
+    Estimate: sample up to ``sample_rows`` rows, measure their
+    parquet-encoded size via Arrow with the same compression family, and
+    scale by the (cheap, count()-based) row count. The estimate only
+    steers file COUNT — a 2x error means 64 MiB or 256 MiB files, both
+    fine — so a bounded sample is the right cost/precision trade.
+    Returns the partition count used.
+    """
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.write.mode("overwrite").parquet(path)
+        return 1
+    sample = df.limit(min(sample_rows, n_rows)).toPandas()
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pandas(sample, preserve_index=False),
+        buf,
+        compression="zstd",
+    )
+    est_total = buf.getbuffer().nbytes * (n_rows / max(1, len(sample)))
+    n_parts = max(1, int(est_total // target_file_bytes) + 1)
+    df.repartition(n_parts).write.mode("overwrite").parquet(path)
+    return n_parts

@@ -3569,6 +3569,46 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(15)
 
 
+# ANALYZE-TABLE profiling: per-column stats in ONE scan/aggregate (long
+# format). Exact countDistinct (Expand-based) for oracle-checkability; the
+# documented 100 TB swap is approx_count_distinct / the KMV sketch with an
+# identical output schema.
+@_q(
+    "profile_orders",
+    """
+    SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+           count(o_custkey) AS n_non_null,
+           count(DISTINCT o_custkey) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_value,
+           CAST(max(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*), count(o_orderkey),
+           count(DISTINCT o_orderkey),
+           CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import profile_table
+
+    orders = load_table(spark, sf, "orders")
+    return profile_table(
+        orders, ["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"]
+    ).orderBy("column_name")
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

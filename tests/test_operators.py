@@ -1083,3 +1083,17 @@ def test_python_udtf_data_dependent_iteration(spark):
     assert [(r.step, r.lo, r.hi) for r in rows] == [
         (0, 0, 8), (1, 5, 8), (2, 5, 6),
     ]
+
+
+def test_profile_table_null_accounting(spark):
+    from mcp_hubspot_spark.operators.profiling import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x long, y string",
+    )
+    rows = {r.column_name: r for r in profile_table(df, ["x", "y"]).collect()}
+    assert rows["x"].n_rows == 4 and rows["x"].n_non_null == 3
+    assert rows["x"].n_distinct == 3 and rows["x"].min_value == "1"
+    assert rows["y"].n_non_null == 3 and rows["y"].n_distinct == 2
+    assert rows["y"].min_value == "a" and rows["y"].max_value == "b"

@@ -3,6 +3,8 @@ quarantine, partitioned writes, dynamic partition overwrite."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -252,3 +254,21 @@ def test_snapshot_delete_where(spark, tmp_path):
     # no-op delete creates no new version
     assert tbl.delete_where(F.col("id") >= 1000) == 1
     assert sorted(_snap_rows(tbl)) == list(range(40))
+
+
+def test_write_sized_targets_file_count(spark, tmp_path):
+    """Size-targeted writer: a small byte target yields multiple files, a
+    huge one collapses to a single file — and the data round-trips."""
+    from mcp_hubspot_spark.sources.files import write_sized
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    small = str(tmp_path / "small")
+    n_small = write_sized(docs, small, target_file_bytes=16 * 1024)
+    big = str(tmp_path / "big")
+    n_big = write_sized(docs, big, target_file_bytes=1 << 30)
+    assert n_big == 1 and n_small > 1
+    files_small = [p for p in Path(small).glob("*.parquet")]
+    assert len(files_small) == n_small
+    assert spark.read.parquet(small).count() == docs.count()
+    assert spark.read.parquet(big).count() == docs.count()
