@@ -30,6 +30,7 @@ __all__ = [
     "bloom_build",
     "bloom_might_contain",
     "bloom_prefiltered_contamination",
+    "hash_sample_quantiles",
     "kmv_distinct",
 ]
 
@@ -219,4 +220,67 @@ def kmv_distinct(
             F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / kth.cast("double")
         )
         .alias("est_distinct"),
+    )
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    id_col: "Column | str",
+    value_col: "Column | str",
+    qs: list[float],
+    m: int = 2000,
+) -> DataFrame:
+    """Quantile estimation over a deterministic bottom-m hash sample: hash
+    each row's unique id to a uniform 60-bit integer, keep the m rows with
+    the smallest hashes (a fixed uniform sample, independent of physical
+    layout), and return the DISCRETE sample quantiles (element at
+    ceil(q*n) — no interpolation, so no cross-engine float-formula drift).
+
+    This is the KMV trick applied to quantiles: the md5 hash makes the
+    sample — and therefore the estimate — exactly reproducible in any
+    engine, which is what lets an approximate quantile be ORACLE-CHECKED
+    bit-for-bit (percentile_approx/GK sketches are engine-private; that
+    path is ``doc_length_quantiles_approx`` with a tolerance test).
+
+    Plan shape: mergeable two-phase bottom-m — each input partition
+    reduces to at most m (hash, value) pairs (sorted-array slice), the
+    merge flattens k*n_partitions pairs and slices again. No global sort,
+    no full-column shuffle; shuffle bytes are m-bounded. Sample error is
+    the standard ~1/sqrt(m) quantile deviation.
+    """
+    idc = F.col(id_col) if isinstance(id_col, str) else id_col
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = F.conv(F.substring(F.md5(idc.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    base = df.select(h.alias("_h"), vc.cast("double").alias("_v"))
+    partial = (
+        base.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_h", "_v"))), 1, m
+            ).alias("_s")
+        )
+    )
+    merged = partial.agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("_s"))), 1, m
+        ).alias("_s")
+    )
+    vals = F.array_sort(F.transform(F.col("_s"), lambda s: s.getField("_v")))
+    n = F.size("_s")
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.element_at(vals, F.ceil(F.lit(float(q)) * n).cast("int")).alias(
+                    "value"
+                ),
+            )
+            for q in qs
+        ]
+    )
+    return merged.select(F.explode(per_q).alias("_r")).select(
+        F.col("_r.q").alias("q"), F.col("_r.value").alias("value")
     )

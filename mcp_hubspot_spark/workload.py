@@ -3569,6 +3569,46 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(15)
 
 
+# Deterministic bottom-m hash-sample quantiles: the KMV trick applied to
+# quantiles — the md5-selected uniform sample is identical in any engine,
+# so the APPROXIMATE estimate itself hash-matches the oracle exactly
+# (percentile_approx/GK is engine-private; that path is
+# doc_length_quantiles_approx + tolerance test). Discrete quantiles
+# (element at ceil(q*n)) avoid interpolation-formula drift.
+@_q(
+    "sampled_quantiles_lineitem",
+    """
+    WITH s AS (
+        SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+               ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                    AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM lineitem
+        ORDER BY h LIMIT 2000
+    ),
+    r AS (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               count(*) OVER () AS n
+        FROM s
+    )
+    SELECT CAST(q.q AS DOUBLE) AS q, r.v AS value
+    FROM (VALUES (0.25), (0.5), (0.75), (0.9)) AS q(q)
+    JOIN r ON r.rn = CAST(ceil(q.q * r.n) AS BIGINT)
+    ORDER BY q.q
+    """,
+)
+def sampled_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketch import hash_sample_quantiles
+
+    lineitem = load_table(spark, sf, "lineitem")
+    return hash_sample_quantiles(
+        lineitem,
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        "l_extendedprice",
+        qs=[0.25, 0.5, 0.75, 0.9],
+        m=2000,
+    ).orderBy("q")
+
+
 # ANALYZE-TABLE profiling: per-column stats in ONE scan/aggregate (long
 # format). Exact countDistinct (Expand-based) for oracle-checkability; the
 # documented 100 TB swap is approx_count_distinct / the KMV sketch with an

@@ -1097,3 +1097,38 @@ def test_profile_table_null_accounting(spark):
     assert rows["x"].n_distinct == 3 and rows["x"].min_value == "1"
     assert rows["y"].n_non_null == 3 and rows["y"].n_distinct == 2
     assert rows["y"].min_value == "a" and rows["y"].max_value == "b"
+
+
+def test_hash_sample_quantiles_tolerance_and_invariance(spark):
+    """The bottom-m hash sample estimate tracks the exact quantiles
+    (~1/sqrt(m) deviation) and is independent of physical partitioning."""
+    from mcp_hubspot_spark.operators.sketch import hash_sample_quantiles
+
+    li = load_table(spark, SF, "lineitem")
+    key = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    est = {
+        r.q: r.value
+        for r in hash_sample_quantiles(li, key, "l_extendedprice", qs, m=1000).collect()
+    }
+    exact = dict(
+        zip(
+            qs,
+            li.agg(
+                F.expr(
+                    "percentile(cast(l_extendedprice as double), array(0.25, 0.5, 0.75, 0.9))"
+                )
+            ).first()[0],
+        )
+    )
+    for q in qs:
+        # rank deviation ~ sqrt(q(1-q)/m): allow 5 sigma of VALUE spread
+        # via a generous relative band on this smooth distribution
+        assert abs(est[q] - exact[q]) / exact[q] < 0.15, (q, est[q], exact[q])
+    est2 = {
+        r.q: r.value
+        for r in hash_sample_quantiles(
+            li.repartition(17, "l_partkey"), key, "l_extendedprice", qs, m=1000
+        ).collect()
+    }
+    assert est == est2
