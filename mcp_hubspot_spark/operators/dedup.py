@@ -507,9 +507,16 @@ def embedding_neardup_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        # a bounded corpus usually arrives as ONE parquet split, and a
+        # cartesian product of 1x1 partitions runs on one core; spreading
+        # the left side makes the (intentionally bounded) exact twin use
+        # the whole machine while the right side broadcasts
+        n_par = base.sparkSession.sparkContext.defaultParallelism
+        a = base.repartition(n_par).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
         b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        pairs = a.crossJoin(b)
+        pairs = a.crossJoin(F.broadcast(b))
     cos = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))

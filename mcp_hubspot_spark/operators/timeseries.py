@@ -1,0 +1,94 @@
+"""Time-series resampling: fixed-grid gap filling with
+last-observation-carried-forward (LOCF).
+
+The missing piece between event streams and model-ready features: sensors
+/ metrics / activity feeds land at irregular times, but joins and
+training windows want one row per (key, grid point). Implemented with the
+same single-shuffle union+window shape as the as-of join
+(``operators.joins.asof_join``) — grid points and observations are
+unioned, ONE window per key ordered by (ts, side, event id) carries the
+last non-null observation forward, and grid rows are kept. No grid×event
+join, no per-key driver loop.
+
+Scale notes: the grid explode is bounded by (time span / step) per key —
+pick the step so that bound is sane (a year at 1-minute grid is 525k rows
+per key; resample hourly first if that is too many). The one window sorts
+(events + grid points) per key, the same cost class as any per-key
+sessionization; keys process independently and in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["resample_locf"]
+
+
+def _bucket_ceil(ts: Column, step_s: int) -> Column:
+    """Smallest step-aligned timestamp >= ts (epoch-aligned buckets)."""
+    step_us = F.lit(int(step_s) * 1_000_000)
+    us = F.unix_micros(ts)
+    rem = F.pmod(us, step_us)
+    return F.timestamp_micros(
+        (us - rem + F.when(rem > 0, step_us).otherwise(F.lit(0))).cast("long")
+    )
+
+
+def resample_locf(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+    step_s: int = 21_600,
+) -> DataFrame:
+    """One row per (key, grid point), where the grid runs from the first
+    epoch-aligned point AT OR AFTER each key's first event through its
+    last event — every grid point therefore has an observation to carry,
+    so ``locf_value`` is never null. Ties (several events at one
+    timestamp) resolve to the highest ``order_col`` — deterministic under
+    any partitioning. Returns (key, grid_ts, locf_value)."""
+    ev = events.select(key_col, ts_col, order_col, value_col)
+    rng = ev.groupBy(key_col).agg(
+        F.min(ts_col).alias("_t0"), F.max(ts_col).alias("_t1")
+    )
+    start = _bucket_ceil(F.col("_t0"), step_s)
+    # a key whose whole history sits strictly between two grid points has
+    # no grid rows at all (sequence() would reject start > stop)
+    grid = rng.filter(start <= F.col("_t1")).select(
+        key_col,
+        F.explode(
+            F.sequence(
+                start,
+                F.col("_t1"),
+                F.expr(f"interval {int(step_s)} seconds"),
+            )
+        ).alias("_gts"),
+    )
+    g = grid.select(
+        key_col,
+        F.col("_gts").alias(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias(order_col),
+        F.lit(None).cast("double").alias(value_col),
+    )
+    e = ev.select(
+        key_col,
+        ts_col,
+        F.lit(0).alias("_side"),
+        F.col(order_col),
+        F.col(value_col).cast("double").alias(value_col),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = g.unionByName(e).withColumn(
+        "_lv", F.last(value_col, ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        key_col,
+        F.col(ts_col).alias("grid_ts"),
+        F.col("_lv").alias("locf_value"),
+    )

@@ -3569,6 +3569,55 @@ def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     return scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(15)
 
 
+# Fixed-grid LOCF resampling: one row per (user, 6h grid point) carrying
+# the last observation forward — the union+window single-shuffle as-of
+# shape, no grid x event join. Ties at one timestamp resolve to the
+# highest event_id (deterministic under any partitioning).
+@_q(
+    "events_resampled_locf",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE user_id < 20
+    ),
+    rng AS (
+        SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM ev GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(
+                   to_timestamp(ceil(epoch(t0) / 21600) * 21600)::TIMESTAMP,
+                   t1, INTERVAL 21600 SECOND)) AS gts
+        FROM rng
+        WHERE to_timestamp(ceil(epoch(t0) / 21600) * 21600)::TIMESTAMP <= t1
+    ),
+    u AS (
+        SELECT user_id, gts AS ts, 1 AS side,
+               NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+        FROM grid
+        UNION ALL
+        SELECT user_id, ts, 0 AS side, event_id, value FROM ev
+    ),
+    f AS (
+        SELECT *,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS lv
+        FROM u
+    )
+    SELECT user_id, ts AS grid_ts, lv AS locf_value
+    FROM f WHERE side = 1
+    ORDER BY user_id, grid_ts
+    """,
+)
+def events_resampled_locf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.timeseries import resample_locf
+
+    events = load_table(spark, sf, "events").filter(F.col("user_id") < 20)
+    return resample_locf(events, step_s=21_600).orderBy("user_id", "grid_ts")
+
+
 # Deterministic bottom-m hash-sample quantiles: the KMV trick applied to
 # quantiles — the md5-selected uniform sample is identical in any engine,
 # so the APPROXIMATE estimate itself hash-matches the oracle exactly

@@ -1132,3 +1132,38 @@ def test_hash_sample_quantiles_tolerance_and_invariance(spark):
         ).collect()
     }
     assert est == est2
+
+
+def test_resample_locf_semantics(spark):
+    """Hand-built series: grid points carry the latest prior observation;
+    same-timestamp ties resolve to the highest event_id; grid starts at
+    the first aligned point at/after the first event (never-null)."""
+    from datetime import datetime
+
+    from mcp_hubspot_spark.operators.timeseries import resample_locf
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), 10, 1.0),
+            (1, datetime(2024, 1, 1, 1, 45), 11, 2.0),
+            (1, datetime(2024, 1, 1, 1, 45), 12, 3.0),  # tie: id 12 wins
+            (1, datetime(2024, 1, 1, 5, 0), 13, 4.0),   # ON a grid point
+            (2, datetime(2024, 1, 1, 0, 10), 20, 9.0),
+            (2, datetime(2024, 1, 1, 0, 50), 21, 8.0),  # span < 1h: no grid
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = resample_locf(
+        ev, step_s=3600
+    ).orderBy("user_id", "grid_ts")
+    rows = [(r.user_id, r.grid_ts.hour, r.locf_value) for r in out.collect()]
+    assert rows == [
+        (1, 1, 1.0),   # 01:00 <- event 00:30
+        (1, 2, 3.0),   # 02:00 <- tie at 01:45 resolves to event_id 12
+        (1, 3, 3.0),
+        (1, 4, 3.0),
+        (1, 5, 4.0),   # event exactly at 05:00 counts
+    ]
+    assert all(r.locf_value is not None for r in out.collect())
+    out2 = resample_locf(ev.repartition(5, "event_id"), step_s=3600)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
