@@ -62,6 +62,9 @@ HEADLINE = [
     "dedup_lines_docs",         # keep-first global line dedup
     "bm25_search",              # lexical ranked retrieval
     "incremental_dedup_docs",   # new-vs-corpus LSH delta dedup
+    "sampled_quantiles_lineitem",  # bottom-m hash-sample quantile sketch
+    "profile_orders",           # single-pass per-column table profile
+    "events_resampled_locf",    # fixed-grid LOCF gap filling
 ]
 
 

@@ -183,3 +183,59 @@ def test_chunk_documents_reconstructs_tokens(spark, lens, chunk, overlap):
             assert prev[stride:stride + shared] == cur[:shared]
             rebuilt.extend(cur[len(prev) - stride:])
         assert rebuilt == [f"t{i}_{j}" for j in range(n)]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    members=st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=60, unique=True),
+    probes=st.lists(st.text(min_size=1, max_size=30), min_size=1, max_size=60),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """For ANY member set, every member probes true; probe results for
+    non-members may be true (FP) but membership must never be missed."""
+    from mcp_hubspot_spark.operators.sketch import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], "v string")
+    words = bloom_build(mdf, "v", num_bits=1 << 10, num_hashes=4)
+    pdf = spark.createDataFrame(
+        [(p,) for p in set(members) | set(probes)], "v string"
+    )
+    got = {
+        r.v
+        for r in pdf.filter(
+            bloom_might_contain(F.col("v"), words, num_hashes=4)
+        ).collect()
+    }
+    assert set(members) <= got
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200),
+    k=st.integers(min_value=8, max_value=64),
+)
+def test_kmv_exact_below_k_and_layout_invariant(spark, values, k):
+    """When a group has fewer than k distinct values the KMV estimate is
+    EXACT; and for any input, any repartitioning yields the same sketch."""
+    from mcp_hubspot_spark.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([(v,) for v in values], "v long").withColumn(
+        "g", F.lit("all")
+    )
+    out = kmv_distinct(df, ["g"], "v", k=k).first()
+    n_distinct = len(set(values))
+    if n_distinct < k:
+        assert out.est_distinct == float(n_distinct)
+    out2 = kmv_distinct(df.repartition(7), ["g"], "v", k=k).first()
+    assert (out.n_sketch, out.est_distinct) == (out2.n_sketch, out2.est_distinct)
