@@ -335,3 +335,76 @@ def test_streaming_kmv_agrees_with_batch_sketch(spark, tmp_path):
         for r in kmv_distinct(events, ["event_type"], "user_id", k=32).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_topk_agrees_with_batch(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas: per-key bounded top-k state
+    across micro-batches equals the batch top-k over the same rows.
+    The new-API state server speaks protobuf; skip where the lib is
+    absent (operator stays import-clean either way)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from mcp_hubspot_spark.streaming.transform_state import (
+        streaming_topk_values,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = load_table(spark, SF, "events").filter(F.col("user_id") < 8)
+        d = tmp_path / "ev"
+        half = events.filter(F.col("event_id") % 2 == 0)
+        other = events.subtract(half)
+        half.coalesce(1).write.parquet(str(d / "b1"))
+        other.coalesce(1).write.parquet(str(d / "b2"))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*")
+        )
+        q = (
+            streaming_topk_values(stream, k=3)
+            .writeStream.format("memory")
+            .queryName("tws_topk")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode: the per-key topk only improves; element-wise max of
+        # emissions per key is unnecessary — take the LAST emission, which
+        # is the lexicographically largest sorted-desc list
+        emitted = spark.table("tws_topk").collect()
+        last: dict[int, list[float]] = {}
+        for r in emitted:
+            cand = [round(float(x), 6) for x in r.topk]
+            if r.user_id not in last or cand >= last[r.user_id]:
+                last[r.user_id] = cand
+        want = {
+            r.user_id: [round(float(x), 6) for x in r.tk]
+            for r in events.groupBy("user_id")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(F.col("value").cast("double")), asc=False),
+                    1,
+                    3,
+                ).alias("tk")
+            )
+            .collect()
+        }
+        assert last == want
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
