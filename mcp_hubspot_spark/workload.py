@@ -3254,12 +3254,20 @@ _RP_DUCK, _RP_SCALE = _rp_literals()
 
 @_q(
     "embedding_projection",
+    # the sign matrix is hoisted into an 8-row CTE (one sign ROW per
+    # output dim) so DuckDB materializes the 512-literal nested list 8
+    # times total instead of once per (row, dim, element) — measured
+    # 30 s → 0.02 s at 500 vectors, bit-identical output
     f"""
+    WITH m AS (
+        SELECT j, ({_RP_DUCK})[j + 1] AS srow
+        FROM unnest(range(0, 8)) AS t(j)
+    )
     SELECT vec_id, CAST(j AS BIGINT) AS dim_idx,
            round(list_sum(list_transform(range(1, 65),
-                     i -> embedding[i]::DOUBLE * ({_RP_DUCK})[j + 1][i]))
+                     i -> embedding[i]::DOUBLE * srow[i]))
                  * {_RP_SCALE!r}, 4) AS value
-    FROM embeddings, unnest(range(0, 8)) AS t(j)
+    FROM embeddings, m
     ORDER BY vec_id, dim_idx
     """,
 )
@@ -3281,13 +3289,14 @@ def embedding_projection(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "projected_knn_rerank",
     f"""
-    WITH p AS (
+    WITH mm AS (SELECT {_RP_DUCK} AS sm),
+    p AS (
         SELECT vec_id,
                list_transform(range(0, 8),
                    j -> round(list_sum(list_transform(range(1, 65),
-                            i -> embedding[i]::DOUBLE * ({_RP_DUCK})[j + 1][i]))
+                            i -> embedding[i]::DOUBLE * sm[j + 1][i]))
                         * {_RP_SCALE!r}, 4)) AS pv
-        FROM embeddings
+        FROM embeddings, mm
     ),
     q AS (SELECT pv AS qpv FROM p WHERE vec_id = 0),
     cand AS (
