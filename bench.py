@@ -65,6 +65,9 @@ HEADLINE = [
     "sampled_quantiles_lineitem",  # bottom-m hash-sample quantile sketch
     "profile_orders",           # single-pass per-column table profile
     "events_resampled_locf",    # fixed-grid LOCF gap filling
+    "weighted_sample_docs",     # A-ES weighted top-k sampling
+    "cms_heavy_hitters",        # count-min-sketch frequency estimates
+    "temperature_mixture_docs", # count-derived tempered resampling
 ]
 
 

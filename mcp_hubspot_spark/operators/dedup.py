@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import positional_ngrams, tokens
-from .vector import cosine_similarity, dot
+from .vector import dot, l2_norm
 
 
 # ------------------------------------------------------------------ exact
@@ -490,20 +490,33 @@ def embedding_neardup_pairs(
             f"(acc, x) -> acc + x))"
             for t in range(n_tables)
         )
-        base = base.withColumn("_bits", F.expr(bits_sql))
+        # L2 norm computed ONCE per row before the pair join: the cosine
+        # verify then pays one interpreted fold (the dot) per candidate
+        # pair instead of three — same floats (norm arithmetic is
+        # identical either side of the join), 2/3 less HOF work on the
+        # n·bucket_size verify stage
+        base = base.withColumn("_bits", F.expr(bits_sql)).withColumn(
+            "_n", l2_norm(F.col(vec_col))
+        )
         buckets = F.expr(f"array({structs})")
         banded = base.select(
-            id_col, vec_col, F.explode(buckets).alias("_bucket")
+            id_col, vec_col, "_n", F.explode(buckets).alias("_bucket")
         )
         a = banded.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "_bucket"
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("na"),
+            "_bucket",
         )
         b = banded.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "_bucket"
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_n").alias("nb"),
+            "_bucket",
         )
         pairs = (
             a.join(b, on=["_bucket"])
-            .select("id_a", "id_b", "va", "vb")
+            .select("id_a", "id_b", "va", "vb", "na", "nb")
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
@@ -512,12 +525,19 @@ def embedding_neardup_pairs(
         # the left side makes the (intentionally bounded) exact twin use
         # the whole machine while the right side broadcasts
         n_par = base.sparkSession.sparkContext.defaultParallelism
-        a = base.repartition(n_par).select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        normed = base.withColumn("_n", l2_norm(F.col(vec_col)))
+        a = normed.repartition(n_par).select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("na"),
         )
-        b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        b = normed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_n").alias("nb"),
+        )
         pairs = a.crossJoin(F.broadcast(b))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cosine"))

@@ -244,3 +244,91 @@ def global_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_key")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirtes 2006, algorithm A-ES): each row draws a uniform u from its
+    stable id, gets key = ln(u) / w, and the k largest keys are the
+    sample. Inclusion probability is proportional to weight, exactly the
+    weighted-reservoir semantics — but expressed as a dataless top-k so
+    it runs distributed instead of as a sequential reservoir.
+
+    The uniform is md5-derived (u = 60-bit hash / 2^60, nudged off zero),
+    so the chosen set is a pure function of (seed, id, weight): same rows
+    win on any cluster, any partitioning, any engine — the DuckDB oracle
+    reproduces the selection bit-for-bit. ln(u)/w is the monotone-
+    equivalent of the paper's u^(1/w) without pow's extra rounding.
+
+    Plan shape: scan-stage key projection + ``orderBy().limit(k)`` =
+    TakeOrderedAndProject (per-partition size-k heaps, m-bounded merge).
+    No shuffle of the data itself; at 100 TB only k rows cross the wire.
+    Rows with weight <= 0 are excluded (zero mass), matching A-ES.
+    """
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    idc = F.col(id_col)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), idc.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # (h + 1) / 2^60: strictly in (0, 1], ln defined everywhere
+    u = (h + F.lit(1).cast("long")).cast("double") / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / wc.cast("double")
+    return (
+        df.filter(wc > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), idc.asc())
+        .limit(k)
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.7,
+    id_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-pretraining
+    standard, e.g. XLM-R: sample language l with p_l ∝ (c_l/N)^alpha,
+    alpha < 1 flattening the distribution toward small groups). Unlike
+    ``mixture_resample`` the rates are DERIVED from the corpus counts,
+    not supplied: per-row keep-rate r_l = (c_l / c_min)^(alpha-1) — the
+    smallest group keeps everything (r=1), larger groups are downsampled
+    with exponent alpha-1 < 0, which realizes exactly the p_l ∝ c_l^alpha
+    sampled mixture.
+
+    Cross-engine exactness: the float pow is rounded to 6 decimals and
+    converted to an integer bucket threshold (rate * 1e6 vs the 60-bit
+    md5 bucket), so membership is an integer compare both engines agree
+    on. Scale shape identical to mixture_resample: one tiny group-count
+    shuffle broadcast back, keep-test in the scan stage.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
+    cmin = counts.agg(F.min("_n_g").alias("_n_min"))
+    rate = F.round(
+        F.pow(
+            F.col("_n_g").cast("double") / F.col("_n_min").cast("double"),
+            F.lit(alpha - 1.0),
+        ),
+        6,
+    )
+    thresh = F.round(rate * _BUCKETS).cast("long")
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(cmin))
+        .withColumn("keep_rate", rate)
+        .filter(split_bucket(id_col, seed) < thresh)
+        .drop("_n_g", "_n_min")
+    )

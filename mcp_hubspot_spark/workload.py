@@ -3641,7 +3641,7 @@ def events_resampled_locf(spark: SparkSession, sf: str) -> DataFrame:
                ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
                     AS VARCHAR)), 1, 15))::BIGINT AS h
         FROM lineitem
-        ORDER BY h LIMIT 2000
+        ORDER BY h, v LIMIT 2000
     ),
     r AS (
         SELECT v, row_number() OVER (ORDER BY v) AS rn,
@@ -4608,6 +4608,136 @@ def quantized_embedding_error(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Weighted sampling without replacement (Efraimidis-Spirtes A-ES):
+# inclusion probability proportional to weight, expressed as a
+# deterministic md5-keyed top-k so it runs as TakeOrderedAndProject
+# instead of a sequential reservoir. Output is rank + id + weight (no
+# float key column — the selection and order are what's checked).
+@_q(
+    "weighted_sample_docs",
+    """
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               ln((('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))
+                       ::BIGINT + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT)
+               AS rank,
+           doc_id, n_chars AS weight
+    FROM k ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    s = weighted_sample(docs, "n_chars", k=50, id_col="doc_id", seed="ws")
+    w = Window.orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+    return s.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+    )
+
+
+# Count-min-sketch heavy hitters: exact top-20 term frequencies beside
+# their CMS point estimates (one-sided error: estimate >= truth). The
+# sketch is depth*width = 1024 integer cells regardless of vocabulary
+# size — the fixed-space frequency summary for unbounded token streams.
+@_q(
+    "cms_heavy_hitters",
+    r"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                   AS term
+        FROM documents
+    ),
+    tc AS (
+        SELECT term, count(*) AS cnt FROM tok WHERE term <> ''
+        GROUP BY term
+    ),
+    cells AS (
+        SELECT j,
+               ('0x' || substr(md5('cms:' || j::VARCHAR || ':' || term),
+                               1, 15))::BIGINT % 256 AS bucket,
+               CAST(sum(cnt) AS BIGINT) AS cell_count
+        FROM tc, unnest(range(0, 4)) AS r(j)
+        GROUP BY 1, 2
+    ),
+    top AS (SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 20)
+    SELECT t.term, t.cnt AS exact_count,
+           CAST(min(c.cell_count) AS BIGINT) AS cms_estimate
+    FROM top t, unnest(range(0, 4)) AS r(j)
+    JOIN cells c
+      ON c.j = r.j
+     AND c.bucket = ('0x' || substr(md5('cms:' || r.j::VARCHAR || ':'
+                         || t.term), 1, 15))::BIGINT % 256
+    GROUP BY 1, 2
+    ORDER BY exact_count DESC, term
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketch import cms_build, cms_estimate
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    sketch = cms_build(tc, "term", "cnt", depth=4, width=256, seed="cms")
+    top = tc.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(20)
+    est = cms_estimate(
+        sketch, top.select("term"), "term", depth=4, width=256, seed="cms"
+    )
+    return (
+        top.join(est, "term")
+        .select(
+            "term",
+            F.col("cnt").alias("exact_count"),
+            "cms_estimate",
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("term").asc())
+    )
+
+
+# Temperature-based mixture resampling (XLM-R style): keep-rates DERIVED
+# from corpus counts (r_l = (c_l/c_min)^(alpha-1)), not supplied — the
+# smallest language keeps everything, larger ones are flattened toward
+# the alpha-tempered mixture. Membership is the integer bucket compare.
+@_q(
+    "temperature_mixture_docs",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+    m AS (SELECT min(n_g) AS n_min FROM c),
+    r AS (
+        SELECT lang,
+               round(pow(n_g::DOUBLE / n_min, -0.5), 6) AS keep_rate,
+               CAST(round(round(pow(n_g::DOUBLE / n_min, -0.5), 6)
+                          * 1000000) AS BIGINT) AS thresh
+        FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.keep_rate
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 15))
+              ::BIGINT % 1000000 < r.thresh
+    ORDER BY d.doc_id
+    """,
+)
+def temperature_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import temperature_mixture
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        temperature_mixture(docs, "lang", alpha=0.5, id_col="doc_id",
+                            seed="temp")
+        .select("doc_id", "lang", "keep_rate")
+        .orderBy("doc_id")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -4750,6 +4880,23 @@ def quantized_embedding_error(spark: SparkSession, sf: str) -> DataFrame:
 #                              property test vs python eval; slot goes to
 #                              incremental_dedup_docs (new-vs-corpus LSH,
 #                              never checked)
+# Third-wave round-3 additions (weighted A-ES sampling, count-min-sketch
+# heavy hitters, temperature mixture) enter under the same rule; the
+# three twice-green slots they take, with in-window cover:
+#   tfidf_top_terms          → cms_heavy_hitters (token-frequency agg
+#                              family — the CMS query runs the same
+#                              wordcount shuffle as its exact side; the
+#                              tf-idf broadcast-join plan stays pinned by
+#                              its plan-audit pytest + the verify gate)
+#   doc_first_number         → weighted_sample_docs (regex-scalar family
+#                              twice green and pinned by api-parity
+#                              pytest; slot goes to the weighted-sampling
+#                              family, never checked)
+#   events_user_cumulative   → temperature_mixture_docs (window-frame
+#                              family twice green; running frames also
+#                              exercised in-window by events_sessionized's
+#                              gap running-sum and customer_spend_
+#                              percentile's percent_rank)
 _CHECK_PRIORITY = [
     # red→green flips this round (NTZ normalization + canon-safe shape)
     "events_asof_click", "events_near_pairs", "events_sessionized",
@@ -4765,16 +4912,16 @@ _CHECK_PRIORITY = [
     "global_shuffle_docs", "canonical_text_docs", "quantized_embedding_error",
     "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
     "bm25_search", "incremental_dedup_docs",
+    "weighted_sample_docs", "cms_heavy_hitters", "temperature_mixture_docs",
     # retained family representatives
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
     "events_campaign_attribution",
     "packed_sequences",
-    "tfidf_top_terms", "quality_filter_docs", "events_hourly",
+    "quality_filter_docs", "events_hourly",
     "embedding_neardup_lsh", "ivf_search",
     "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
     "doc_zscore_by_source",
-    "events_user_cumulative", "doc_first_number",
     "orders_page_with_total", "dedup_clusters",
     "cheapest_line_per_part", "customer_churn_sets",
     "training_corpus_pipeline",

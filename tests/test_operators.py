@@ -1167,3 +1167,104 @@ def test_resample_locf_semantics(spark):
     assert all(r.locf_value is not None for r in out.collect())
     out2 = resample_locf(ev.repartition(5, "event_id"), step_s=3600)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_weighted_sample_matches_bruteforce_and_layout_invariant(spark):
+    """A-ES selection is a pure function of (seed, id, weight): the chosen
+    set equals a python brute-force of the same key formula, and survives
+    any repartitioning. Higher-weight rows are sampled more often."""
+    import hashlib
+    import math as m
+
+    from mcp_hubspot_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"ws:{i}".encode()).hexdigest()[:15], 16)
+        return m.log((h + 1) / float(1 << 60)) / w
+
+    expect = sorted(
+        ((key(i, w), i) for i, w in rows), reverse=True
+    )[:40]
+    expect_ids = sorted(i for _, i in expect)
+
+    got = weighted_sample(df, "w", k=40, id_col="doc_id", seed="ws")
+    assert sorted(r.doc_id for r in got.collect()) == expect_ids
+    got2 = weighted_sample(
+        df.repartition(13, "w"), "w", k=40, id_col="doc_id", seed="ws"
+    )
+    assert sorted(r.doc_id for r in got2.collect()) == expect_ids
+    # weight-proportional inclusion: mean weight of the sample must
+    # exceed the population mean (weights 1..7, uniform)
+    mean_w = sum(r.w for r in got.collect()) / 40
+    assert mean_w > sum(w for _, w in rows) / len(rows)
+    # weight <= 0 rows carry no mass
+    with_zero = spark.createDataFrame(
+        rows + [(999, 0)], "doc_id long, w long"
+    )
+    got3 = weighted_sample(with_zero, "w", k=400, id_col="doc_id", seed="ws")
+    assert 999 not in {r.doc_id for r in got3.collect()}
+
+
+def test_cms_one_sided_error_and_bounded_size(spark):
+    """Count-min guarantees estimate >= exact for every queried term, the
+    sketch never exceeds depth*width cells, and cell totals conserve the
+    stream mass (each occurrence lands in exactly one bucket per row)."""
+    from mcp_hubspot_spark.operators.sketch import cms_build, cms_estimate
+
+    tc = spark.createDataFrame(
+        [(f"t{i}", (i % 13) + 1) for i in range(500)], "term string, cnt long"
+    )
+    sketch = cms_build(tc, depth=4, width=64, seed="x")
+    cells = sketch.collect()
+    assert len(cells) <= 4 * 64
+    total = sum(r.cnt for r in tc.collect())
+    per_row = {}
+    for r in cells:
+        per_row[r.row_idx] = per_row.get(r.row_idx, 0) + r.cell_count
+    assert all(v == total for v in per_row.values())
+
+    est = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(sketch, tc, depth=4, width=64, seed="x").collect()
+    }
+    exact = {r.term: r.cnt for r in tc.collect()}
+    assert all(est[t] >= exact[t] for t in exact)
+    # a term absent from the stream still answers (possibly > 0 — CMS
+    # error is one-sided), never negative
+    ghost = spark.createDataFrame([("nope",)], "term string")
+    g = cms_estimate(sketch, ghost, depth=4, width=64, seed="x").collect()
+    assert g[0].cms_estimate >= 0
+
+
+def test_temperature_mixture_rates_and_invariance(spark):
+    """alpha < 1 flattens: the smallest group keeps rate 1.0 (fully
+    retained), larger groups get strictly smaller keep-rates; membership
+    is layout-invariant."""
+    from mcp_hubspot_spark.operators.sampling import temperature_mixture
+
+    rows = (
+        [(i, "small") for i in range(20)]
+        + [(1000 + i, "mid") for i in range(200)]
+        + [(10_000 + i, "big") for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mixture(df, "lang", alpha=0.5, id_col="doc_id")
+    rates = {
+        r.lang: r.keep_rate for r in out.select("lang", "keep_rate").distinct().collect()
+    }
+    assert rates["small"] == 1.0
+    assert rates["big"] < rates["mid"] < 1.0
+    kept = out.groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in kept}
+    assert counts["small"] == 20  # rate 1 keeps everything
+    # downsampling actually bites on the big group
+    assert counts["big"] < 2000
+    out2 = temperature_mixture(
+        df.repartition(11, "doc_id"), "lang", alpha=0.5, id_col="doc_id"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
