@@ -34,8 +34,15 @@ from mcp_hubspot_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
+from mcp_hubspot_spark.operators.sampling import (
+    temperature_mixture,
+    weighted_sample,
+)
 from mcp_hubspot_spark.operators.sketch import (
     bloom_prefiltered_contamination,
+    cms_build,
+    cms_estimate,
+    hash_sample_quantiles,
     kmv_distinct,
 )
 from mcp_hubspot_spark.operators.text import (
@@ -93,6 +100,19 @@ def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
     big_docs.write.mode("overwrite").parquet(dp)
     big_embs.write.mode("overwrite").parquet(ep)
     return dp, ep
+
+
+def _cms_roundtrip(docs):
+    """Build the CMS over the full token stream, then estimate every
+    distinct term's frequency against it (the worst-case probe load)."""
+    from mcp_hubspot_spark.operators.text import tokens
+
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    sketch = cms_build(tc, depth=4, width=1024)
+    return cms_estimate(sketch, tc.select("term"), depth=4, width=1024)
 
 
 def main() -> None:
@@ -165,6 +185,19 @@ def main() -> None:
             "bm25_search_200k": lambda: bm25_scores(
                 docs, ["spark", "window", "hash"]
             ),
+            # TakeOrderedAndProject: 1000 winners out of 200k by A-ES key
+            "weighted_sample_200k": lambda: weighted_sample(
+                docs, "n_chars", k=1000
+            ),
+            "temperature_mixture_200k": lambda: temperature_mixture(
+                docs, "lang", alpha=0.5
+            ),
+            "hash_sample_quantiles_200k": lambda: hash_sample_quantiles(
+                docs, F.col("doc_id"), "n_chars", qs=[0.5, 0.9, 0.99], m=4000
+            ),
+            # wordcount shuffle + 1024-cell sketch + broadcast probe of
+            # the full vocabulary back against it
+            "cms_build_estimate_200k": lambda: _cms_roundtrip(docs),
         }
 
         timings: dict[str, float] = {}

@@ -441,3 +441,43 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_weighted_sample_is_take_ordered_no_global_sort(spark):
+    """A-ES weighted sampling must run as TakeOrderedAndProject (bounded
+    per-partition heaps) — a global Sort+Exchange would shuffle the whole
+    table to pick k rows."""
+    from mcp_hubspot_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    plan = plan_of(weighted_sample(docs, "n_chars", k=50))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cms_probe_broadcasts_sketch_not_stream(spark):
+    """The CMS probe side must broadcast the bounded sketch; the term
+    stream being estimated never hashes into a shuffle join."""
+    from mcp_hubspot_spark.operators.sketch import cms_build, cms_estimate
+    from mcp_hubspot_spark.operators.text import tokens
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    sketch = cms_build(tc, depth=4, width=64)
+    plan = plan_of(cms_estimate(sketch, tc.select("term"), depth=4, width=64))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_broadcasts_counts(spark):
+    """Group counts (group-cardinality-sized) broadcast back to the row
+    side; the membership test stays a scan-stage filter."""
+    from mcp_hubspot_spark.operators.sampling import temperature_mixture
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    plan = plan_of(temperature_mixture(docs, "lang", alpha=0.5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
