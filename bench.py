@@ -68,6 +68,7 @@ HEADLINE = [
     "weighted_sample_docs",     # A-ES weighted top-k sampling
     "cms_heavy_hitters",        # count-min-sketch frequency estimates
     "temperature_mixture_docs", # count-derived tempered resampling
+    "semantic_dedup_docs",      # SemDeDup cell-bucketed embedding dedup
 ]
 
 

@@ -742,3 +742,67 @@ def incremental_lsh_dedup(
             ).alias("best_match_id"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    min_cosine: float = 0.99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space, then deduplicate ONLY within clusters — a row is
+    dropped when a lower-id row in the same cell is cosine-similar above
+    the threshold. The cluster pass is what makes semantic dedup feasible
+    at corpus scale: candidate pairs shrink from n² to sum of per-cell
+    squares, and cross-cell pairs (by construction dissimilar) are never
+    scored.
+
+    Plan shape: centroid assignment is the literal-argmin expression
+    (``vector.assign_cells_literal`` — ZERO shuffle, scan-stage); the
+    within-cell self-join shuffles on cell_id only; L2 norms are
+    precomputed per row so each candidate pair pays a single interpreted
+    fold (the dot). Keep rule is greedy keep-min — deterministic, no
+    iteration: a row survives iff NO smaller-id same-cell row is similar,
+    which needs one anti-join, not a connected-components loop (the
+    transitive-cluster variant is ``dedup_clusters`` on these pairs).
+
+    Returns (id_col, cell_id, is_kept). At 100 TB write the assignment
+    ``partitionBy(cell_id)`` first and the self-join becomes co-located.
+    """
+    from .vector import assign_cells_literal
+
+    assigned = assign_cells_literal(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col
+    ).withColumn("_n", l2_norm(F.col(vec_col)))
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_n").alias("na"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("nb"),
+        "cell_id",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, on="cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= min_cosine)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_dropped", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
+        )
+    )

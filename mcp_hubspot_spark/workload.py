@@ -4738,6 +4738,82 @@ def temperature_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Semantic dedup (SemDeDup): cluster the embedding space via the literal-
+# centroid zero-shuffle argmin, then greedy keep-min cosine dedup WITHIN
+# cells only — candidate pairs shrink from n² to per-cell squares and
+# cross-cell (dissimilar-by-construction) pairs are never scored. The
+# planted +10000 twins land in their base vector's cell and are dropped.
+@_q(
+    "semantic_dedup_docs",
+    """
+    WITH c AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 300
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05
+                             ELSE embedding[i]::DOUBLE END)
+        FROM embeddings WHERE vec_id < 300
+    ),
+    assign AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT b.vec_id, b.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY list_sum(list_transform(
+                                    range(1, len(b.v) + 1),
+                                    i -> (b.v[i] - c.cv[i])
+                                         * (b.v[i] - c.cv[i]))) ASC,
+                                c.cell_id ASC) AS rn
+            FROM base b, c
+        ) WHERE rn = 1
+    ),
+    n AS (
+        SELECT vec_id, v, cell_id,
+               sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> v[i] * v[i]))) AS nv
+        FROM assign
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM n a JOIN n b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                  i -> a.v[i] * b.v[i])) / (a.nv * b.nv) >= 0.99
+    )
+    SELECT a.vec_id, CAST(a.cell_id AS INT) AS cell_id,
+           (d.vec_id IS NULL) AS is_kept
+    FROM assign a LEFT JOIN dropped d USING (vec_id)
+    ORDER BY a.vec_id
+    """,
+)
+def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import semantic_dedup
+
+    emb = _emb_double(spark, sf).filter(F.col("vec_id") < 300)
+    perturbed = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.05)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(perturbed).select("vec_id", "embedding")
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    return semantic_dedup(corpus, cents, min_cosine=0.99).orderBy("vec_id")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -4897,6 +4973,13 @@ def temperature_mixture_docs(spark: SparkSession, sf: str) -> DataFrame:
 #                              exercised in-window by events_sessionized's
 #                              gap running-sum and customer_spend_
 #                              percentile's percent_rank)
+#   ivf_search               → semantic_dedup_docs (same cell-assignment
+#                              family — the SemDeDup query runs the
+#                              richer literal-centroid argmin + within-
+#                              cell join composition; the probe/prune
+#                              search path stays pinned by the ivf_topk
+#                              exactness pytest and the persisted
+#                              IvfIndex partition-pruning tests)
 _CHECK_PRIORITY = [
     # red→green flips this round (NTZ normalization + canon-safe shape)
     "events_asof_click", "events_near_pairs", "events_sessionized",
@@ -4913,13 +4996,14 @@ _CHECK_PRIORITY = [
     "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
     "bm25_search", "incremental_dedup_docs",
     "weighted_sample_docs", "cms_heavy_hitters", "temperature_mixture_docs",
+    "semantic_dedup_docs",
     # retained family representatives
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
     "events_campaign_attribution",
     "packed_sequences",
     "quality_filter_docs", "events_hourly",
-    "embedding_neardup_lsh", "ivf_search",
+    "embedding_neardup_lsh",
     "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
     "doc_zscore_by_source",
     "orders_page_with_total", "dedup_clusters",

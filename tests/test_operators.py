@@ -1268,3 +1268,50 @@ def test_temperature_mixture_rates_and_invariance(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_semantic_dedup_drops_planted_twins_layout_invariant(spark):
+    """Every planted near-twin (higher id, same cell as its base) is
+    dropped; bases survive; assignment + keep decisions are a pure
+    function of the data (layout-invariant)."""
+    from mcp_hubspot_spark.operators.dedup import semantic_dedup
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .filter(F.col("vec_id") < 100)
+    )
+    twins = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.01)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    out = semantic_dedup(corpus, cents, min_cosine=0.999)
+    rows = {r.vec_id: (r.cell_id, r.is_kept) for r in out.collect()}
+    assert len(rows) == 200
+    # a twin shares its base's cell (tiny perturbation) and carries the
+    # higher id -> always dropped
+    for vid in range(100):
+        assert rows[vid + 10000][0] == rows[vid][0]
+        assert rows[vid + 10000][1] is False
+    # at threshold 0.999 distinct base vectors stay distinct
+    assert all(rows[vid][1] for vid in range(100))
+    out2 = semantic_dedup(
+        corpus.repartition(7, "vec_id"), cents, min_cosine=0.999
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, out2.collect())
+    )
