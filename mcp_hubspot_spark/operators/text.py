@@ -590,3 +590,40 @@ def bm25_scores(
             lambda acc, s: acc + s.getField("_c"),
         ).alias("score")
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    len_col: str,
+    batch_size: int = 32,
+    id_col: str = "doc_id",
+    seed: str = "lb",
+) -> DataFrame:
+    """Length-bucketed batching (the pad-efficiency loader layout:
+    batching similar-length sequences bounds padding waste by the bucket
+    width instead of the corpus-max length). Rows land in log2 length
+    buckets; within a bucket they take a deterministic md5-shuffled
+    order (so batches are not corpus-order-correlated) and are cut into
+    fixed-size batches.
+
+    Layout-independent by construction — (bucket, batch, pos) is a pure
+    function of (seed, id, length) — and the same per-shard-parallel
+    shape as ``sampling.global_shuffle``: one hash shuffle on the bucket
+    key, per-bucket sorts run independently, no global coordination.
+    Returns (id_col, len_bucket, batch_id, pos_in_batch).
+    """
+    from pyspark.sql import Window
+
+    lc = F.col(len_col)
+    bucket = F.floor(F.log2(F.greatest(lc, F.lit(1)))).cast("int")
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("len_bucket").orderBy(
+        F.col("_key").asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w) - 1
+    return (
+        df.select(id_col, bucket.alias("len_bucket"), key.alias("_key"))
+        .withColumn("batch_id", (rn / batch_size).cast("long"))
+        .withColumn("pos_in_batch", (rn % batch_size).cast("int"))
+        .drop("_key")
+    )

@@ -4814,6 +4814,41 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(corpus, cents, min_cosine=0.99).orderBy("vec_id")
 
 
+# Length-bucketed batching: the pad-efficiency loader layout — batches
+# of similar-length docs bound padding waste by the bucket width, with a
+# deterministic md5-shuffled order within each bucket so batches are not
+# corpus-order-correlated. Same per-bucket-parallel shape as
+# global_shuffle: one hash shuffle, independent per-bucket sorts.
+@_q(
+    "length_bucketed_batches",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(floor(log2(greatest(n_chars, 1))) AS INT) AS len_bucket,
+               md5('lb:' || doc_id::VARCHAR) AS key
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, len_bucket,
+               row_number() OVER (
+                   PARTITION BY len_bucket ORDER BY key, doc_id) - 1 AS rn
+        FROM b
+    )
+    SELECT doc_id, len_bucket,
+           CAST(rn // 32 AS BIGINT) AS batch_id,
+           CAST(rn % 32 AS INT) AS pos_in_batch
+    FROM r ORDER BY doc_id
+    """,
+)
+def length_bucketed_batches_q(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import length_bucketed_batches
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return length_bucketed_batches(
+        docs, "n_chars", batch_size=32, id_col="doc_id", seed="lb"
+    ).orderBy("doc_id")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -4973,6 +5008,11 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
 #                              exercised in-window by events_sessionized's
 #                              gap running-sum and customer_spend_
 #                              percentile's percent_rank)
+#   events_hourly            → length_bucketed_batches (batching/packing
+#                              family beside in-window packed_sequences;
+#                              the tumbling window() agg is twice green
+#                              AND pinned by the streaming batch-twin
+#                              e2e tests in tests/test_streaming.py)
 #   ivf_search               → semantic_dedup_docs (same cell-assignment
 #                              family — the SemDeDup query runs the
 #                              richer literal-centroid argmin + within-
@@ -4996,13 +5036,13 @@ _CHECK_PRIORITY = [
     "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
     "bm25_search", "incremental_dedup_docs",
     "weighted_sample_docs", "cms_heavy_hitters", "temperature_mixture_docs",
-    "semantic_dedup_docs",
+    "semantic_dedup_docs", "length_bucketed_batches",
     # retained family representatives
     "customer_order_activity", "parts_without_lineitem",
     "order_lines_nested", "pricing_summary", "events_json_props",
     "events_campaign_attribution",
     "packed_sequences",
-    "quality_filter_docs", "events_hourly",
+    "quality_filter_docs",
     "embedding_neardup_lsh",
     "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
     "doc_zscore_by_source",

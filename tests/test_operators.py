@@ -1315,3 +1315,31 @@ def test_semantic_dedup_drops_planted_twins_layout_invariant(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, out2.collect())
     )
+
+
+def test_length_bucketed_batches_bounds_and_invariance(spark):
+    """Each batch holds <= batch_size rows of one length bucket, pos is
+    dense 0..n-1 within a batch, and the layout is a pure function of
+    (seed, id, length)."""
+    from mcp_hubspot_spark.operators.text import length_bucketed_batches
+
+    rows = [(i, 2 ** (i % 8) + i % 5) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = length_bucketed_batches(df, "n", batch_size=16, id_col="doc_id")
+    got = [(r.doc_id, r.len_bucket, r.batch_id, r.pos_in_batch)
+           for r in out.collect()]
+    assert len(got) == 400
+    from collections import defaultdict
+    batches = defaultdict(list)
+    for _, bkt, bid, pos in got:
+        batches[(bkt, bid)].append(pos)
+    for (bkt, bid), ps in batches.items():
+        assert len(ps) <= 16
+        assert sorted(ps) == list(range(len(ps)))  # dense positions
+    out2 = length_bucketed_batches(
+        df.repartition(9, "n"), "n", batch_size=16, id_col="doc_id"
+    )
+    assert sorted(got) == sorted(
+        (r.doc_id, r.len_bucket, r.batch_id, r.pos_in_batch)
+        for r in out2.collect()
+    )
