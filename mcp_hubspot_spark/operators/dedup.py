@@ -806,3 +806,52 @@ def semantic_dedup(
             F.coalesce(~F.col("_dropped"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: flag corpus
+    rows whose embedding is cosine-similar to ANY benchmark/eval row —
+    the paraphrase-robust complement of n-gram decontamination
+    (``ngram_contamination`` catches verbatim overlap; this catches
+    reworded contamination that shares no 7-gram).
+
+    Plan shape mirrors the n-gram variant: the benchmark side is the eval
+    set — small by construction — so it broadcasts and the corpus NEVER
+    shuffles; each corpus row pays |benchmark| interpreted dot-folds with
+    both L2 norms precomputed (scan-stage projections). Best match per
+    corpus row is resolved by a (cosine desc, benchmark id asc) struct
+    max — no window, the pair stream collapses in the same aggregate that
+    dedups it. Returns (id_col, bench_id, cosine) for flagged rows only.
+    At 100 TB: cost is corpus_rows x |bench| x dim multiply-adds in one
+    scan stage; if the benchmark outgrows broadcast, pre-bucket both
+    sides with the hyperplane LSH (``embedding_neardup_pairs``) first.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"),
+        F.col(vec_col).alias("_bv"),
+        l2_norm(F.col(vec_col)).alias("_bn"),
+    )
+    cos = dot(F.col("_cv"), F.col("_bv")) / (F.col("_cn") * F.col("_bn"))
+    return (
+        c.crossJoin(F.broadcast(b))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= min_cosine)
+        .groupBy(F.col("_cid").alias(id_col))
+        .agg(F.max(F.struct(F.col("_cos"), (-F.col("_bid")).alias("_nb"))).alias("_m"))
+        .select(
+            id_col,
+            (-F.col("_m._nb")).alias("bench_id"),
+            F.col("_m._cos").alias("cosine"),
+        )
+    )

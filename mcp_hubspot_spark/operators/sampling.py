@@ -332,3 +332,47 @@ def temperature_mixture(
         .filter(split_bucket(id_col, seed) < thresh)
         .drop("_n_g", "_n_min")
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "42",
+) -> DataFrame:
+    """Cap rows per group at k (the per-domain document cap: head domains
+    would otherwise dominate a crawl-derived corpus), keeping a
+    deterministic hash-chosen subset — membership is a pure function of
+    (seed, id), independent of physical layout, and reproducible in any
+    engine with md5.
+
+    Plan shape — two-phase bottom-k, NOT a global per-group window sort:
+    phase 1 reduces each (group, input-partition) to its k smallest
+    (bucket, id) pairs (bounded array per task), phase 2 merges those
+    k-lists per group and slices the global bottom-k. Shuffle bytes per
+    group are k x n_partitions pairs regardless of group size — a domain
+    with 10^9 pages costs the same shuffle as one with 10^3, which is the
+    whole point (a row_number() window would sort the full head domain in
+    one task). Returns (group_col, id_col, bucket, rank) for survivors,
+    rank 1..k in hash order.
+    """
+    key = F.struct(
+        split_bucket(id_col, seed).alias("b"), F.col(id_col).alias("i")
+    )
+    partial = (
+        df.select(group_col, key.alias("_s"))
+        .withColumn("_p", F.spark_partition_id())
+        .groupBy(group_col, "_p")
+        .agg(F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_m"))
+    )
+    merged = partial.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_m"))), 1, k).alias("_m")
+    )
+    exploded = merged.select(group_col, F.posexplode("_m"))
+    return exploded.select(
+        group_col,
+        F.col("col.i").alias(id_col),
+        F.col("col.b").alias("bucket"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )

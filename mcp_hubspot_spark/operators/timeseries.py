@@ -92,3 +92,46 @@ def resample_locf(
         F.col(ts_col).alias("grid_ts"),
         F.col("_lv").alias("locf_value"),
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    order_col: str = "event_id",
+    iso_fmt: str = "yyyy-MM-dd'T'HH:mm:ss",
+    open_end: str = "9999-12-31T00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 assembly from an append-only event
+    stream: collapse each key's state history into validity intervals —
+    one row per state RUN, with ``valid_from``/``valid_to`` bounds and an
+    ``is_current`` flag on the open interval (closed with the sentinel
+    ``open_end`` so downstream BETWEEN probes need no null handling).
+
+    Change-based (a new interval starts when the state DIFFERS from the
+    previous event's), the counterpart of gap-based sessionization. Plan
+    shape: ONE shuffle on the key serves both window passes — lag() for
+    change detection over the raw events, lead() to close intervals over
+    the change rows (a filter of the first pass, same partitioning, so
+    Catalyst reuses the sort). Ties at one timestamp break on
+    ``order_col``, so the run boundaries are deterministic under any
+    physical layout. At 100 TB keys process independently; the per-key
+    sort is the same cost class as sessionization.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    changes = events.select(
+        key_col, order_col, ts_col, state_col,
+        F.lag(state_col).over(w).alias("_prev"),
+    ).filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    nxt = F.lead(ts_col).over(w2)
+    return changes.select(
+        key_col,
+        F.col(state_col).alias("state"),
+        F.date_format(ts_col, iso_fmt).alias("valid_from_iso"),
+        F.coalesce(F.date_format(nxt, iso_fmt), F.lit(open_end)).alias(
+            "valid_to_iso"
+        ),
+        nxt.isNull().alias("is_current"),
+    )

@@ -591,6 +591,175 @@ def revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DEC_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+    " AS DOUBLE)"
+)
+
+
+def _revenue_expr() -> F.Column:
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("double")
+
+
+# TPC-H Q18-shaped "large-volume order" report: aggregate the fact table
+# FIRST (HAVING over sum(l_quantity)), then join the ~1%-selective key set
+# up through orders and customer. The scale shape: lineitem collapses to
+# one row per qualifying order before any join — the join input is orders
+# count × selectivity, not lineitem count — and the top-20 runs as
+# TakeOrderedAndProject after the joins. AQE picks broadcast for the
+# agg side when the survivor set is small; no hint needed (at 100 TB a
+# 1% key set can exceed broadcast limits, and the shuffle join is right).
+@_q(
+    "big_order_customers",
+    f"""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '{ISO_DUCK}') AS o_orderdate_iso,
+           o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def big_order_customers(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, customer["c_custkey"] == orders["o_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", ISO).alias("o_orderdate_iso"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+# TPC-H Q7-shaped trade-volume matrix: the 6-table join (lineitem ⋈
+# supplier ⋈ nation × orders ⋈ customer ⋈ nation) that exercises Catalyst
+# join reordering. All four dimension joins are broadcasts (nation twice,
+# supplier, customer at these SFs); the ONLY shuffle left in the plan is
+# the lineitem⋈orders equi-join plus the final 1250-group aggregate —
+# at 100 TB that one fact-fact shuffle is the cost, and co-locating
+# lineitem/orders by orderkey (bucketing) removes it entirely.
+@_q(
+    "nation_trade_volume",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           {_DEC_REVENUE} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY cust_nation, supp_nation, ship_year
+    ORDER BY cust_nation, supp_nation, ship_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    lineitem = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cust_nation), F.col("cn_key") == F.col("c_nationkey"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(_revenue_expr().alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+# CUBE over (status, priority): all four grouping sets — per pair, per
+# status, per priority, grand total — in ONE pass over orders (the
+# Expand operator replicates each row once per grouping set before a
+# single hash aggregate; four separate GROUP BYs would be four scans).
+# grouping_id disambiguates real values from the subtotal rows the same
+# way both engines define it (first cube column = most significant bit).
+# Companion to the in-window ROLLUP (`orders_rollup`).
+@_q(
+    "orders_cube",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def orders_cube(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
 # ============================================================== vector ====
 
 def _emb_double(spark: SparkSession, sf: str) -> DataFrame:
@@ -4847,6 +5016,207 @@ def length_bucketed_batches_q(spark: SparkSession, sf: str) -> DataFrame:
     return length_bucketed_batches(
         docs, "n_chars", batch_size=32, id_col="doc_id", seed="lb"
     ).orderBy("doc_id")
+
+
+# Per-domain document cap (head-domain down-weighting for crawl corpora):
+# keep at most k docs per source, chosen by deterministic md5 hash order.
+# The operator is the two-phase bottom-k (per-partition slice, then
+# per-group merge) so a head domain never sorts in one task; the oracle
+# is the semantically-identical window formulation.
+@_q(
+    "domain_capped_docs",
+    """
+    WITH b AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id, bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY bucket, doc_id) AS INT) AS rank
+        FROM b
+    )
+    SELECT source, doc_id, bucket, rank FROM r
+    WHERE rank <= 10
+    ORDER BY source, rank
+    """,
+)
+def domain_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import per_group_cap
+
+    docs = load_table(spark, sf, "documents").select("source", "doc_id")
+    return per_group_cap(docs, "source", "doc_id", k=10, seed="cap").orderBy(
+        "source", "rank"
+    )
+
+
+# Semantic benchmark decontamination: the embedding-space complement of
+# the n-gram variant (`contaminated_docs` catches verbatim 7-gram
+# overlap; this catches paraphrased contamination sharing no n-gram).
+# Benchmark = vecs 0-24; corpus = the rest ∪ planted near-copies of the
+# benchmark (+0.05 on one coordinate). The broadcast benchmark keeps the
+# corpus side shuffle-free, exactly like the n-gram decontamination.
+@_q(
+    "semantic_contaminated_docs",
+    """
+    WITH bench AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id < 25
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= 25
+        UNION ALL
+        SELECT vec_id + 10000,
+               list_transform(range(1, len(embedding) + 1),
+                   i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.05
+                             ELSE embedding[i]::DOUBLE END)
+        FROM embeddings WHERE vec_id < 25
+    ),
+    p AS (
+        SELECT c.vec_id, b.vec_id AS bench_id,
+               list_sum(list_transform(range(1, len(c.v) + 1),
+                   i -> c.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(c.v) + 1),
+                      i -> c.v[i] * c.v[i])))
+                * sqrt(list_sum(list_transform(range(1, len(b.v) + 1),
+                      i -> b.v[i] * b.v[i])))) AS cos
+        FROM corpus c, bench b
+    )
+    SELECT vec_id, bench_id, round(cos, 4) AS cosine
+    FROM (
+        SELECT vec_id, bench_id, cos,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC) AS rn
+        FROM p WHERE cos >= 0.9
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def semantic_contaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import semantic_contamination
+
+    emb = _emb_double(spark, sf)
+    bench = emb.filter(F.col("vec_id") < 25)
+    planted = bench.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.05)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.filter(F.col("vec_id") >= 25).unionByName(planted)
+    return (
+        semantic_contamination(corpus, bench, min_cosine=0.9)
+        .withColumn("cosine", F.round("cosine", 4))
+        .orderBy("vec_id")
+    )
+
+
+# Vocabulary build + coverage report: the tokenizer-prep op — top-V terms
+# by corpus frequency (one wordcount shuffle, then TakeOrderedAndProject
+# for the V cut), broadcast-joined back to score per-source coverage /
+# OOV rate. At 100 TB the vocab stays broadcast-sized by construction
+# (V terms), so the scoring pass is a scan-stage map-side join.
+@_q(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest({_duck_tokens()}) AS term FROM documents
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS c FROM tok GROUP BY term
+            ORDER BY c DESC, term ASC LIMIT 200
+        )
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           round(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS coverage
+    FROM tok t LEFT JOIN vocab v USING (term)
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import tokens
+
+    tok = (
+        load_table(spark, sf, "documents")
+        .select("source", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(200)
+        .select("term", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.when(F.col("_in_vocab"), 1).otherwise(0)).alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.sum(F.when(F.col("_in_vocab"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+# SCD type-2 dimension build from an event stream: collapse each user's
+# event-type history into validity intervals (valid_from/valid_to/
+# is_current) — the standard warehouse "state over time" assembly. One
+# shuffle on user_id serves both window passes (change detection via lag,
+# interval close via lead); change-based, the counterpart of the
+# GAP-based `events_sessionized`.
+@_q(
+    "events_scd2",
+    f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, event_type FROM o
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '{ISO_DUCK}') AS valid_from_iso,
+           coalesce(strftime(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), '{ISO_DUCK}'),
+               '9999-12-31T00:00:00') AS valid_to_iso,
+           (lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM s
+    ORDER BY user_id, valid_from_iso, state
+    """,
+)
+def events_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.timeseries import scd2_intervals
+
+    events = load_table(spark, sf, "events")
+    return scd2_intervals(
+        events, key_col="user_id", ts_col="ts", state_col="event_type",
+        order_col="event_id", iso_fmt=ISO,
+    ).orderBy("user_id", "valid_from_iso", "state")
 
 
 # ================================================ driver-check rotation ====

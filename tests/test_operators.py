@@ -1343,3 +1343,100 @@ def test_length_bucketed_batches_bounds_and_invariance(spark):
         (r.doc_id, r.len_bucket, r.batch_id, r.pos_in_batch)
         for r in out2.collect()
     )
+
+
+def test_per_group_cap_bound_and_layout_invariance(spark):
+    """At most k survivors per group, ranks dense 1..min(k, n_group), and
+    the chosen subset is a pure function of (seed, id) — identical under
+    any repartitioning — and equal to the window-rank formulation."""
+    from mcp_hubspot_spark.operators.sampling import per_group_cap, split_bucket
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, f"g{i % 7}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = per_group_cap(df, "source", "doc_id", k=5, seed="t")
+    got = [(r.source, r.doc_id, r.bucket, r.rank) for r in out.collect()]
+    from collections import defaultdict
+    per = defaultdict(list)
+    for s, i, b, rk in got:
+        per[s].append(rk)
+    for s, rks in per.items():
+        assert len(rks) <= 5
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    # equals the window-rank formulation (the semantics the oracle uses)
+    w = Window.partitionBy("source").orderBy(
+        split_bucket("doc_id", "t"), F.col("doc_id")
+    )
+    ref = (
+        df.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .withColumn("bucket", split_bucket("doc_id", "t"))
+        .select("source", "doc_id", "bucket", "rank")
+    )
+    assert sorted(got) == sorted(map(tuple, ref.collect()))
+    # layout invariance
+    out2 = per_group_cap(df.repartition(11, "doc_id"), "source", "doc_id",
+                         k=5, seed="t")
+    assert sorted(got) == sorted(map(tuple, out2.collect()))
+
+
+def test_semantic_contamination_flags_planted_only(spark):
+    """Planted near-copies of benchmark vectors are flagged against their
+    source vector; unrelated corpus rows are not."""
+    from mcp_hubspot_spark.operators.dedup import semantic_contamination
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    bench = spark.createDataFrame(
+        [(i, unit(i * 1.0)) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    # corpus: two near-copies of bench 1 (ids 100, 101), one far row (200)
+    corpus = spark.createDataFrame(
+        [
+            (100, [math.cos(1.0) + 0.001, math.sin(1.0), 0.0, 0.0]),
+            (101, [math.cos(1.002), math.sin(1.002), 0.0, 0.0]),
+            (200, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_contamination(corpus, bench, min_cosine=0.999)
+    got = {r.vec_id: (r.bench_id, r.cosine) for r in out.collect()}
+    assert set(got) == {100, 101}
+    assert got[100][0] == 1 and got[100][1] >= 0.999
+    assert got[101][0] == 1 and got[101][1] >= 0.999
+
+
+def test_scd2_intervals_tile_and_current(spark):
+    """Intervals per key tile the change timeline (each valid_to equals
+    the next valid_from), exactly one open interval per key, and runs of
+    the same state collapse to one row."""
+    from mcp_hubspot_spark.operators.timeseries import scd2_intervals
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: A A B B A  -> intervals A, B, A
+    for i, s in enumerate("AABBA"):
+        rows.append((1, i, t0 + dt.timedelta(hours=i), s))
+    # user 2: constant -> one interval
+    for i, s in enumerate("CCC"):
+        rows.append((2, 10 + i, t0 + dt.timedelta(hours=i), s))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = scd2_intervals(df).orderBy("user_id", "valid_from_iso").collect()
+    u1 = [r for r in out if r.user_id == 1]
+    u2 = [r for r in out if r.user_id == 2]
+    assert [r.state for r in u1] == ["A", "B", "A"]
+    assert [r.state for r in u2] == ["C"]
+    for seq in (u1, u2):
+        assert sum(r.is_current for r in seq) == 1
+        assert seq[-1].is_current and seq[-1].valid_to_iso.startswith("9999")
+        for a, b in zip(seq, seq[1:]):
+            assert a.valid_to_iso == b.valid_from_iso
+    # layout invariance
+    out2 = scd2_intervals(df.repartition(7, "event_id")).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
