@@ -69,6 +69,13 @@ HEADLINE = [
     "cms_heavy_hitters",        # count-min-sketch frequency estimates
     "temperature_mixture_docs", # count-derived tempered resampling
     "semantic_dedup_docs",      # SemDeDup cell-bucketed embedding dedup
+    "big_order_customers",      # TPC-H Q18 shape: fact pre-agg + join
+    "nation_trade_volume",      # TPC-H Q7 shape: 6-table join matrix
+    "orders_cube",              # CUBE grouping sets (Expand, one pass)
+    "domain_capped_docs",       # two-phase bottom-k per-domain cap
+    "semantic_contaminated_docs",  # embedding-space decontamination
+    "vocab_coverage",           # top-V vocab build + coverage join
+    "events_scd2",              # SCD2 validity-interval assembly
 ]
 
 

@@ -160,3 +160,35 @@ def write_sized(
     n_parts = max(1, int(est_total // target_file_bytes) + 1)
     df.repartition(n_parts).write.mode("overwrite").parquet(path)
     return n_parts
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """ORC read (the Hive-era warehouse interchange format). Spark's
+    native vectorized ORC reader gives the same scan-stage machinery as
+    parquet — column pruning, predicate pushdown against stripe/row-group
+    statistics and optional bloom filters — so downstream plans are
+    format-agnostic. Passing ``schema`` skips footer inference AND
+    enforces types at the boundary (a sparse column inferred from one
+    stripe can mis-type the whole scan)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink with zstd compression; same low-cardinality-keys-only
+    partitioning rule as the parquet writer."""
+    writer = df.write.format("orc").option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode(mode).save(path)

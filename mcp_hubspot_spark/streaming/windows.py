@@ -92,3 +92,21 @@ def interval_join_stream(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, "inner").drop(r[key])
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a streaming fact with a
+    batch dimension (user → segment, doc → source metadata). The static
+    side is explicitly broadcast, so each micro-batch pays a map-side
+    hash probe — NO shuffle of the stream, no state store, no watermark
+    (stateless joins need none; only stream-stream joins hold state).
+    The dimension snapshot is re-resolved per micro-batch under
+    file-source refresh, which is the standard slowly-refreshing-dim
+    pattern. At 100 TB/day the stream side never repartitions — the
+    whole join lives in the scan stage of each micro-batch."""
+    return events.join(F.broadcast(dim), on, how)

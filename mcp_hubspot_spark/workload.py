@@ -5407,15 +5407,36 @@ _CHECK_PRIORITY = [
     "bm25_search", "incremental_dedup_docs",
     "weighted_sample_docs", "cms_heavy_hitters", "temperature_mixture_docs",
     "semantic_dedup_docs", "length_bucketed_batches",
+    # round-3 ninth wave (never driver-checked; same never-checked-first
+    # rule). The seven twice-green slots they take, with cover:
+    #   pricing_summary         → big_order_customers (lineitem scan-agg,
+    #                             decimal-exact money; also the bench
+    #                             headline + oracle pytest)
+    #   orders_rollup           → orders_cube (richer grouping-sets:
+    #                             CUBE + grouping_id)
+    #   parts_without_lineitem  → customer_churn_sets (EXCEPT = the same
+    #                             anti-join shape) + semi/anti pytests
+    #   order_lines_nested      → sort_array(collect_list(struct))
+    #                             assembly stays pinned by the
+    #                             group_concat_ordered pytest + verify
+    #                             gate; slot goes to vocab_coverage
+    #   salted_flag_totals      → AQE skew-split plan-audit pytest;
+    #                             conditional-agg shape in orders_cube
+    #   doc_zscore_by_source    → media_features (pandas-UDF surface,
+    #                             in-window) + the applyInPandas-vs-SQL-
+    #                             twin pytest
+    #   events_campaign_attribution → events_near_pairs (interval/range
+    #                             join family, in-window) + the BNL
+    #                             plan-audit pytest
+    "big_order_customers", "nation_trade_volume", "orders_cube",
+    "domain_capped_docs", "semantic_contaminated_docs", "vocab_coverage",
+    "events_scd2",
     # retained family representatives
-    "customer_order_activity", "parts_without_lineitem",
-    "order_lines_nested", "pricing_summary", "events_json_props",
-    "events_campaign_attribution",
+    "customer_order_activity", "events_json_props",
     "packed_sequences",
     "quality_filter_docs",
     "embedding_neardup_lsh",
-    "orders_rollup", "salted_flag_totals", "projected_knn_rerank",
-    "doc_zscore_by_source",
+    "projected_knn_rerank",
     "orders_page_with_total", "dedup_clusters",
     "cheapest_line_per_part", "customer_churn_sets",
     "training_corpus_pipeline",

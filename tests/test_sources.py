@@ -272,3 +272,35 @@ def test_write_sized_targets_file_count(spark, tmp_path):
     assert len(files_small) == n_small
     assert spark.read.parquet(small).count() == docs.count()
     assert spark.read.parquet(big).count() == docs.count()
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
+    """ORC write/read roundtrip preserves values; filters push into the
+    ORC scan (stripe-stat skipping at scale) and partition pruning works
+    the same as parquet."""
+    from mcp_hubspot_spark.sources.files import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("part"),
+        (F.col("id") * 2.5).alias("val"),
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert back.count() == 200
+    got = {(r.id, r.val) for r in back.select("id", "val").collect()}
+    assert got == {(i, i * 2.5) for i in range(200)}
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("id") > 150)
+        .select("id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1]
+    # partition pruning: only one directory scanned
+    pruned = back.filter(F.col("part") == "2")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 50
+    assert "PartitionFilters" in pplan

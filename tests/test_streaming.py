@@ -408,3 +408,34 @@ def test_transform_with_state_topk_agrees_with_batch(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_static_enrich_matches_batch(spark, events_stream_dir):
+    """Stream-static broadcast join: streaming events decorated with a
+    static user-segment dim agree with the batch join, and the stateless
+    join needs no watermark (append mode, no state store)."""
+    from mcp_hubspot_spark.streaming import enrich_stream
+
+    batch = load_table(spark, SF, "events")
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 3))
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_dir)
+    enriched = enrich_stream(
+        stream.select("event_id", "user_id"), dim, on="user_id"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.segment) for r in spark.table("enrich_mem").collect()}
+    exp = {
+        (r.event_id, r.segment)
+        for r in batch.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == exp and len(got) > 0
