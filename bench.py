@@ -76,6 +76,7 @@ HEADLINE = [
     "semantic_contaminated_docs",  # embedding-space decontamination
     "vocab_coverage",           # top-V vocab build + coverage join
     "events_scd2",              # SCD2 validity-interval assembly
+    "greedy_packed_docs",       # no-split next-fit packing (applyInPandas)
 ]
 
 

@@ -627,3 +627,57 @@ def length_bucketed_batches(
         .withColumn("pos_in_batch", (rn % batch_size).cast("int"))
         .drop("_key")
     )
+
+
+def greedy_pack_docs(
+    df: DataFrame,
+    len_col: str,
+    capacity: int,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Greedy next-fit bin packing WITHOUT splitting documents: walk each
+    shard in deterministic hash order, close the current bin whenever the
+    next doc would overflow ``capacity``. The no-split counterpart of
+    ``pack_sequences`` (which concatenates and cuts at exact boundaries):
+    use this when examples must stay contiguous (instruction tuning,
+    contrastive pairs) and padding waste is the price.
+
+    Sequential state (running fill resets at bin boundaries) is not a
+    window prefix-sum, so this is the textbook ``applyInPandas`` case:
+    per-shard Arrow batches walked in one pass of vectorized-adjacent
+    Python. Shards bound both memory (a shard's rows must fit an
+    executor) and parallelism — at 100 TB pick n_shards ~ cores so every
+    executor packs independently; cross-shard packing quality is
+    irrelevant by symmetry (shards are hash-random samples of the same
+    length distribution). A doc longer than ``capacity`` gets a bin of
+    its own (next-fit semantics), so the op never drops or splits rows.
+    Returns (id_col, shard_id, bin_id) with bin_id dense per shard in
+    walk order.
+    """
+    from .sampling import split_bucket
+
+    prepared = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("long").alias("_len"),
+        split_bucket(id_col, seed).alias("_bucket"),
+    ).withColumn("shard_id", (F.col("_bucket") % n_shards).cast("int"))
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["_bucket", id_col]).reset_index(drop=True)
+        bins = []
+        bin_id, fill = -1, capacity + 1  # force a new bin on the first row
+        for length in pdf["_len"]:
+            if fill + length > capacity:
+                bin_id += 1
+                fill = length
+            else:
+                fill += length
+            bins.append(bin_id)
+        pdf = pdf.assign(bin_id=bins)
+        return pdf[[id_col, "shard_id", "bin_id"]]
+
+    return prepared.groupBy("shard_id").applyInPandas(
+        pack, schema=f"{id_col} long, shard_id int, bin_id long"
+    )

@@ -49,3 +49,30 @@ def stream_embed_to_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_merge_to_table(
+    stream_df: DataFrame,
+    table,
+    checkpoint_dir: str,
+):
+    """Streaming MERGE: upsert each micro-batch into a ``SnapshotTable``
+    via ``foreachBatch`` — the CDC-ingestion pattern (Delta's streaming
+    merge, without the dep). Each micro-batch commits one table version
+    atomically, so readers only ever see batch boundaries. Recovery
+    semantics: the checkpoint makes delivery at-least-once, and because
+    MERGE is key-idempotent (replaying a batch re-asserts the same rows),
+    the table state is exactly-once per key — the standard
+    foreachBatch-merge contract. Returns the StreamingQuery handle."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge_upsert(batch_df)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

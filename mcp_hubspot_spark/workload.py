@@ -5219,6 +5219,51 @@ def events_scd2(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_iso", "state")
 
 
+# Greedy next-fit bin packing without splitting docs: sequential
+# reset-on-overflow state is genuinely not a window prefix-sum, so the
+# Spark side is the textbook applyInPandas shard walk — and the oracle
+# proves it exactly with a recursive CTE stepping row-by-row through the
+# identical hash order. The no-split counterpart of `packed_sequences`.
+@_q(
+    "greedy_packed_docs",
+    """
+    WITH RECURSIVE b AS (
+        SELECT doc_id, n_chars AS len,
+               ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, len, CAST(bucket % 4 AS INT) AS shard_id,
+               row_number() OVER (
+                   PARTITION BY bucket % 4 ORDER BY bucket, doc_id) AS rn
+        FROM b
+    ),
+    walk AS (
+        SELECT shard_id, doc_id, len, rn,
+               CAST(0 AS BIGINT) AS bin_id, len AS fill
+        FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.shard_id, s.doc_id, s.len, s.rn,
+               CASE WHEN w.fill + s.len > 1000 THEN w.bin_id + 1
+                    ELSE w.bin_id END,
+               CASE WHEN w.fill + s.len > 1000 THEN s.len
+                    ELSE w.fill + s.len END
+        FROM walk w JOIN s ON s.shard_id = w.shard_id AND s.rn = w.rn + 1
+    )
+    SELECT doc_id, shard_id, bin_id FROM walk
+    ORDER BY doc_id
+    """,
+)
+def greedy_packed_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import greedy_pack_docs
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    return greedy_pack_docs(
+        docs, "n_chars", capacity=1000, n_shards=4, seed="pack"
+    ).orderBy("doc_id")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -5431,9 +5476,15 @@ _CHECK_PRIORITY = [
     "big_order_customers", "nation_trade_volume", "orders_cube",
     "domain_capped_docs", "semantic_contaminated_docs", "vocab_coverage",
     "events_scd2",
+    #   packed_sequences        → greedy_packed_docs (packing family:
+    #                             the never-checked no-split variant
+    #                             takes the once-green concat-split
+    #                             variant's slot; packed_sequences stays
+    #                             pinned by its r2 green + the single-
+    #                             Exchange plan-audit pytest)
+    "greedy_packed_docs",
     # retained family representatives
     "customer_order_activity", "events_json_props",
-    "packed_sequences",
     "quality_filter_docs",
     "embedding_neardup_lsh",
     "projected_knn_rerank",

@@ -34,7 +34,9 @@ from mcp_hubspot_spark.operators.dedup import (
     minhash_lsh_pairs,
     simhash_fingerprints,
 )
+from mcp_hubspot_spark.operators.dedup import semantic_contamination
 from mcp_hubspot_spark.operators.sampling import (
+    per_group_cap,
     temperature_mixture,
     weighted_sample,
 )
@@ -48,6 +50,7 @@ from mcp_hubspot_spark.operators.sketch import (
 from mcp_hubspot_spark.operators.text import (
     bm25_scores,
     dedup_lines_keep_first,
+    greedy_pack_docs,
     pack_sequences,
     quality_features,
     remove_boilerplate_lines,
@@ -198,6 +201,20 @@ def main() -> None:
             # wordcount shuffle + 1024-cell sketch + broadcast probe of
             # the full vocabulary back against it
             "cms_build_estimate_200k": lambda: _cms_roundtrip(docs),
+            # two-phase bottom-k head-domain cap: 20 sources x 200k docs
+            "per_group_cap_200k": lambda: per_group_cap(
+                docs, "source", "doc_id", k=100
+            ),
+            # eval set = 2k vecs broadcast against the 80k corpus
+            "semantic_contamination_80k": lambda: semantic_contamination(
+                embs.filter(F.col("vec_id") % 40 != 0),
+                embs.filter(F.col("vec_id") % 40 == 0),
+                min_cosine=0.99,
+            ),
+            # applyInPandas next-fit walk over 32 shards of 200k rows
+            "greedy_pack_200k": lambda: greedy_pack_docs(
+                docs, "n_chars", capacity=4096, n_shards=32
+            ),
         }
 
         timings: dict[str, float] = {}

@@ -1440,3 +1440,35 @@ def test_scd2_intervals_tile_and_current(spark):
     # layout invariance
     out2 = scd2_intervals(df.repartition(7, "event_id")).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_greedy_pack_docs_capacity_and_invariance(spark):
+    """No bin exceeds capacity unless it holds a single oversized doc,
+    every row is packed exactly once, bin ids are dense per shard, and
+    the layout is physical-plan independent."""
+    from mcp_hubspot_spark.operators.text import greedy_pack_docs
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(200)]
+    rows.append((999, 5000))  # oversized doc: own bin
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = greedy_pack_docs(df, "n", capacity=1000, n_shards=3, seed="t")
+    got = [(r.doc_id, r.shard_id, r.bin_id) for r in out.collect()]
+    assert len(got) == 201 and len({g[0] for g in got}) == 201
+    lens = dict(rows)
+    from collections import defaultdict
+    fills = defaultdict(int)
+    members = defaultdict(list)
+    for doc, sh, b in got:
+        fills[(sh, b)] += lens[doc]
+        members[(sh, b)].append(doc)
+    for (sh, b), total in fills.items():
+        assert total <= 1000 or len(members[(sh, b)]) == 1
+    for sh in {g[1] for g in got}:
+        bins = sorted({b for _, s, b in got if s == sh})
+        assert bins == list(range(len(bins)))  # dense per shard
+    out2 = greedy_pack_docs(
+        df.repartition(13, "doc_id"), "n", capacity=1000, n_shards=3, seed="t"
+    )
+    assert sorted(got) == sorted(
+        (r.doc_id, r.shard_id, r.bin_id) for r in out2.collect()
+    )

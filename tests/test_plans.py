@@ -481,3 +481,34 @@ def test_temperature_mixture_broadcasts_counts(spark):
     plan = plan_of(temperature_mixture(docs, "lang", alpha=0.5))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_per_group_cap_is_two_phase_no_window(spark):
+    """The per-domain cap must run as the mergeable two-phase bottom-k
+    (partial per (group, partition), merge per group) — never a Window
+    row_number over fully-sorted groups, whose head-domain task is the
+    scale killer."""
+    from mcp_hubspot_spark.operators.sampling import per_group_cap
+
+    docs = load_table(spark, SF, "documents").select("source", "doc_id")
+    plan = plan_of(per_group_cap(docs, "source", "doc_id", k=10))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + merge phases
+    assert "Sort [source" not in plan  # no per-group full sort
+
+
+def test_semantic_contamination_broadcasts_benchmark(spark):
+    """The eval/benchmark side must broadcast; the corpus side streams
+    through the scan stage without an Exchange before the cosine filter."""
+    from mcp_hubspot_spark.operators.dedup import semantic_contamination
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = semantic_contamination(
+        emb.filter(F.col("vec_id") >= 25), emb.filter(F.col("vec_id") < 25)
+    )
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

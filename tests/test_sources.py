@@ -304,3 +304,105 @@ def test_orc_roundtrip_pushdown_and_pruning(spark, tmp_path):
     pplan = pruned._jdf.queryExecution().executedPlan().toString()
     assert pruned.count() == 50
     assert "PartitionFilters" in pplan
+
+
+def test_table_changes_cdc_between_versions(spark, tmp_path):
+    """Version-to-version change feed classifies added/changed rows (and
+    removed via delete), matches a brute-force full diff, and reads only
+    manifest-changed buckets."""
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+    from mcp_hubspot_spark.operators.joins import snapshot_diff
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "id long, payload string"
+    )
+    t.create(base, keys=["id"], n_buckets=8)
+    ups = spark.createDataFrame(
+        [(1, "CHANGED"), (2, "v2"), (100, "NEW")], "id long, payload string"
+    )
+    t.merge_upsert(ups)  # v1: id=1 changed, id=2 overwritten same, id=100 new
+    got = {
+        (r.id, r.diff_status) for r in t.table_changes(0, 1).collect()
+    }
+    assert got == {(1, "changed"), (100, "added")}
+    # brute-force equality on the full table pair
+    brute = {
+        (r.id, r.diff_status)
+        for r in snapshot_diff(t.read(0), t.read(1), "id", ["payload"])
+        .filter(F.col("diff_status") != "unchanged")
+        .collect()
+    }
+    assert got == brute
+    v2 = t.delete_where(F.col("id") == 5)
+    got2 = {(r.id, r.diff_status) for r in t.table_changes(1, v2).collect()}
+    assert got2 == {(5, "removed")}
+
+
+def test_compact_merges_fragmented_buckets(spark, tmp_path):
+    """Repeated merges fragment bucket dirs into many files; compact
+    rewrites them to one file each, preserves rows exactly, bumps the
+    version, and leaves the pre-compaction version readable."""
+    import glob
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(60)], "id long, val long"
+    )
+    t.create(base, keys=["id"], n_buckets=4)
+    for round_ in range(3):
+        ups = spark.createDataFrame(
+            [(i, i * 10 + round_ + 1) for i in range(0, 60, 5)],
+            "id long, val long",
+        )
+        t.merge_upsert(ups)
+    before_rows = sorted(map(tuple, t.read().collect()))
+    v_before = t.version()
+
+    def files_per_bucket():
+        m = t._read_manifest()
+        return {
+            b: len(glob.glob(
+                f"{t.root}/{m['buckets'][b]}/_bucket={b}/*.parquet"))
+            for b in m["buckets"]
+        }
+
+    v_after = t.compact()
+    assert v_after == v_before + 1
+    assert all(n == 1 for n in files_per_bucket().values())
+    assert sorted(map(tuple, t.read().collect())) == before_rows
+    # time travel to the fragmented version still works
+    assert sorted(map(tuple, t.read(v_before).collect())) == before_rows
+    # idempotent: nothing fragmented -> no new version
+    assert t.compact() == v_after
+
+
+def test_vacuum_reclaims_unreferenced_versions(spark, tmp_path):
+    """Vacuum deletes version dirs nothing references, keeps every dir
+    the current manifest points into (even old ones still owning
+    buckets), and the current read is unaffected."""
+    import os
+    import pytest as _pytest
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(40)], "id long, val string"
+    )
+    t.create(base, keys=["id"], n_buckets=4)
+    # touch ONLY bucket(s) containing id=0 twice: v_1 becomes fully
+    # superseded by v_2, while v_0 still owns the untouched buckets
+    for r in range(2):
+        t.merge_upsert(
+            spark.createDataFrame([(0, f"r{r}")], "id long, val string")
+        )
+    before = sorted(map(tuple, t.read().collect()))
+    deleted = t.vacuum()
+    assert deleted == ["v_1"]  # v_0 partially live, v_2 current
+    assert sorted(os.listdir(t.root)).count("v_1") == 0
+    assert sorted(map(tuple, t.read().collect())) == before
+    # time travel beyond the horizon is gone
+    with _pytest.raises(Exception):
+        t.read(1).collect()

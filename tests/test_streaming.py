@@ -439,3 +439,29 @@ def test_stream_static_enrich_matches_batch(spark, events_stream_dir):
         for r in batch.select("event_id", "user_id").join(dim, "user_id").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_merge_to_table(spark, tmp_path):
+    """foreachBatch streaming MERGE: file-streamed updates land in the
+    SnapshotTable with upsert semantics and the final state equals the
+    batch merge of the same updates."""
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+    from mcp_hubspot_spark.streaming.ingest import stream_merge_to_table
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(10)], "id long, payload string"
+    )
+    t.create(base, keys=["id"], n_buckets=4)
+    upd_dir = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(3, "streamed"), (11, "streamed-new")], "id long, payload string"
+    ).write.parquet(upd_dir)
+    stream = spark.readStream.schema("id long, payload string").parquet(upd_dir)
+    q = stream_merge_to_table(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r.id, r.payload) for r in t.read().collect()}
+    exp = {(i, "base") for i in range(10) if i != 3} | {
+        (3, "streamed"), (11, "streamed-new")
+    }
+    assert got == exp
