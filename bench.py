@@ -77,6 +77,10 @@ HEADLINE = [
     "vocab_coverage",           # top-V vocab build + coverage join
     "events_scd2",              # SCD2 validity-interval assembly
     "greedy_packed_docs",       # no-split next-fit packing (applyInPandas)
+    "orders_unpivot",           # wide->long melt (UNPIVOT)
+    "rolling_7d_active_users",  # sliding-window DISTINCT via bounded fan-out
+    "events_value_outliers_mad",  # grouped exact-median MAD outlier flags
+    "user_value_trend",         # decimal-exact grouped least-squares trend
 ]
 
 
@@ -103,13 +107,15 @@ def main() -> None:
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Steady-state methodology: run each query twice and report the SECOND
-    # timing as the headline number. The first run pays one-time expression
+    # Steady-state methodology: run each query three times; the headline
+    # is the MIN of runs 2-3. The first run pays one-time expression
     # codegen (janino compiles a new class per distinct expression tree —
     # measured 6.3 s first / 1.5 s steady on minhash_signatures), which is
     # amortized noise on a long-lived cluster, exactly what the 100 TB
-    # target is. First-run timings are kept in "cold_queries" so codegen
-    # cost stays visible instead of hidden.
+    # target is — and run 2 alone is still noisy (codegen of the second
+    # plan variant + GC can inflate it up to 3x; observed on orders_cube).
+    # First-run timings are kept in "cold_queries" so codegen cost stays
+    # visible instead of hidden.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -119,9 +125,12 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             cold[name] = round(time.perf_counter() - t0, 3)
-            t1 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t1, 3)
+            steady = []
+            for _ in range(2):
+                t1 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                steady.append(time.perf_counter() - t1)
+            timings[name] = round(min(steady), 3)
         except Exception as exc:  # one broken query must not kill the run
             # NOTE: "value" then sums only the surviving queries — any
             # non-empty "errors" key invalidates cross-run comparison of

@@ -5264,6 +5264,227 @@ def greedy_packed_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# UNPIVOT (wide → long): the inverse of the status pivot — melt the
+# per-priority count columns back into (priority, n) rows. Spark's
+# unpivot/melt and SQL UNPIVOT agree on semantics: value columns become
+# rows, NULL cells are dropped by default on both engines (ids with no
+# row for a priority simply produce no output row).
+@_q(
+    "orders_unpivot",
+    """
+    WITH wide AS (
+        SELECT o_orderstatus,
+               CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS urgent,
+               CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT)
+                   AS medium,
+               CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT)
+                   AS low
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, priority, n FROM wide
+    UNPIVOT (n FOR priority IN (urgent, medium, low))
+    ORDER BY o_orderstatus, priority
+    """,
+)
+def orders_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "urgent"
+        ),
+        F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias(
+            "medium"
+        ),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=["urgent", "medium", "low"],
+            variableColumnName="priority",
+            valueColumnName="n",
+        )
+        .orderBy("o_orderstatus", "priority")
+    )
+
+
+# Rolling 7-day distinct actives per day: the classic sliding-window
+# DISTINCT, which no window frame can express (distinct doesn't
+# decompose). The scale shape: explode each event into the <=7 window
+# days it contributes to — a bounded fan-out of window/step = 7, NOT a
+# per-day self-join over the history — then one (day, user) dedup and
+# one count per day. Day boundaries are UTC dates on both engines.
+@_q(
+    "rolling_7d_active_users",
+    """
+    WITH ev AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    fan AS (
+        SELECT d + INTERVAL (i) DAY AS win_day, user_id
+        FROM ev, range(0, 7) t(i)
+    ),
+    bounds AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events)
+    SELECT strftime(win_day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM fan, bounds
+    WHERE win_day <= dmax
+    GROUP BY win_day
+    ORDER BY day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    ev = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dmax = events.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    fan = ev.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_day"),
+        "user_id",
+    ).filter(F.col("win_day") <= F.lit(dmax))
+    return (
+        fan.groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format("win_day", "yyyy-MM-dd").alias("day"), "active_7d"
+        )
+        .orderBy("day")
+    )
+
+
+# Robust outlier flags per event_type: median + MAD (median absolute
+# deviation), the outlier rule that a few extreme values cannot corrupt
+# (unlike mean/stddev z-scores, whose own statistics the outliers drag).
+# Two grouped exact-median passes (value, then |value - median|) — each
+# an exact sort-based percentile per group, the same engine pairing the
+# quantile queries pinned — then a broadcast join of the tiny per-type
+# stats back onto the stream to flag |x - med| > 3 * MAD.
+@_q(
+    "events_value_outliers_mad",
+    """
+    WITH med AS (
+        SELECT event_type, median(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type, any_value(m.med) AS med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round(m.med, 4) AS type_median,
+           round(m.mad, 4) AS type_mad
+    FROM events e JOIN mad m USING (event_type)
+    WHERE abs(e.value - m.med) > 3 * m.mad
+    ORDER BY e.event_id
+    """,
+)
+def events_value_outliers_mad(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("type_median"),
+            F.round("mad", 4).alias("type_mad"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# Per-user value trend: grouped least-squares slope/intercept over time.
+# The float trap: regr_slope folds doubles in partition order, so two
+# engines (or two layouts) disagree in the last bits. Instead the four
+# moments (Σx, Σy, Σxy, Σx²) accumulate in DECIMAL — exact, order-free —
+# with x rebased to days since each user's first event (bounded, so the
+# 38-digit budget holds), and the slope division happens once, on exact
+# inputs. One shuffle for the per-user rebase min, one for the moments.
+@_q(
+    "user_value_trend",
+    """
+    WITH r AS (
+        SELECT user_id, value,
+               CAST(epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                    AS DECIMAL(38,6)) / 86400000000.0 AS x
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, CAST(count(*) AS DECIMAL(38,6)) AS n,
+               sum(CAST(x AS DECIMAL(38,6))) AS sx,
+               sum(CAST(value AS DECIMAL(38,6))) AS sy,
+               sum(CAST(x AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6))) AS sxy,
+               sum(CAST(x AS DECIMAL(38,6)) * CAST(x AS DECIMAL(38,6))) AS sxx
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope_per_day,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)
+                    * (CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE)))
+                 / CAST(n AS DOUBLE), 4) AS intercept
+    FROM m
+    WHERE n * sxx - sx * sx <> 0
+    ORDER BY user_id
+    """,
+)
+def user_value_trend(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id")
+    x = (
+        (
+            F.unix_micros(F.col("ts"))
+            - F.min(F.unix_micros(F.col("ts"))).over(w)
+        ).cast("decimal(38,6)")
+        / F.lit(86400000000.0)
+    ).cast("decimal(38,6)")
+    r = events.select("user_id", F.col("value"), x.alias("x"))
+    m = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,6)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sy"),
+        F.sum(F.col("x") * F.col("value").cast("decimal(38,6)")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        m.filter(den != 0)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(slope, 4).alias("slope_per_day"),
+            F.round(
+                (F.col("sy").cast("double") - F.col("sx").cast("double") * slope)
+                / F.col("n").cast("double"),
+                4,
+            ).alias("intercept"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -5483,13 +5704,23 @@ _CHECK_PRIORITY = [
     #                             pinned by its r2 green + the single-
     #                             Exchange plan-audit pytest)
     "greedy_packed_docs",
+    #   cheapest_line_per_part  → rolling_7d_active_users (the sliding-
+    #                             DISTINCT family had no in-window
+    #                             representative; struct-ordered argmin
+    #                             stays exercised in-window by
+    #                             semantic_contaminated_docs' struct-max
+    #                             best-match and pinned by its r2 green).
+    #                             orders_unpivot (also new) stays
+    #                             pytest+verify-gated, first in line for
+    #                             the next rotation.
+    "rolling_7d_active_users",
     # retained family representatives
     "customer_order_activity", "events_json_props",
     "quality_filter_docs",
     "embedding_neardup_lsh",
     "projected_knn_rerank",
     "orders_page_with_total", "dedup_clusters",
-    "cheapest_line_per_part", "customer_churn_sets",
+    "customer_churn_sets",
     "training_corpus_pipeline",
 ]
 
