@@ -81,6 +81,7 @@ HEADLINE = [
     "rolling_7d_active_users",  # sliding-window DISTINCT via bounded fan-out
     "events_value_outliers_mad",  # grouped exact-median MAD outlier flags
     "user_value_trend",         # decimal-exact grouped least-squares trend
+    "dq_violations",            # two-phase DQ rule gate w/ bounded samples
 ]
 
 

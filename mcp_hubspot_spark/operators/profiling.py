@@ -50,3 +50,81 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+def dq_checks(
+    df: DataFrame,
+    rules: list[tuple[str, "F.Column"]],
+    id_col: str,
+    sample_k: int = 5,
+) -> DataFrame:
+    """Data-quality rule evaluation in ONE scan: each rule is a boolean
+    Column that must hold per row; the report gives per-rule violation
+    counts, violation rate, and a bounded sample of offending ids (the
+    triage handle — never the full violation set, which at 100 TB could
+    be the table).
+
+    Shape: two-phase conditional aggregates — phase 1 reduces each input
+    partition to per-rule (count, k smallest violating ids); phase 2
+    merges counts by sum and id-samples by flatten+slice. The SHUFFLE is
+    therefore bounded at k ids x partitions per rule no matter how many
+    rows violate; map-side set size is bounded by the partition (the
+    usual partial-agg memory class, spillable). One output row per rule.
+    """
+    prepared = df.withColumn("_p", F.spark_partition_id())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        viol = ~pred
+        aggs += [
+            F.sum(F.when(viol, 1).otherwise(0)).alias(f"__{name}__v"),
+            F.slice(
+                F.array_sort(F.collect_set(F.when(viol, F.col(id_col)))),
+                1,
+                sample_k,
+            ).alias(f"__{name}__ids"),
+        ]
+    part = prepared.groupBy("_p").agg(*aggs)
+    merged_aggs = [F.sum("__n").alias("__n")]
+    for name, _ in rules:
+        merged_aggs += [
+            F.sum(f"__{name}__v").alias(f"__{name}__v"),
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(f"__{name}__ids")))
+                ),
+                1,
+                sample_k,
+            ).alias(f"__{name}__ids"),
+        ]
+    row = part.agg(*merged_aggs)
+    stack_args = ", ".join(
+        f"'{name}', `__{name}__v`, `__{name}__ids`" for name, _ in rules
+    )
+    long = row.selectExpr(
+        "__n",
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations, sample_ids)",
+    )
+    return long.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations") / F.col("__n"), 6).alias(
+            "violation_rate"
+        ),
+        F.col("sample_ids").cast("array<string>").alias("sample_ids"),
+    )
+
+
+def referential_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Orphaned-foreign-key report: child rows whose ``fk`` has no match
+    in ``parent.pk`` (referential integrity, the join-key half of DQ).
+    A LEFT ANTI join — one shuffle, or none when the parent key set
+    broadcasts. Returns the orphan child keys with occurrence counts."""
+    orphans = child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    return orphans.groupBy(fk).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -5485,6 +5485,63 @@ def user_value_trend(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Data-quality gate: rule violations counted in one two-phase scan with
+# a bounded k-smallest offending-id sample per rule (the triage handle —
+# never the full violation set). Rules picked to have real violations in
+# this data. Sample ids render as a joined string (driver-canon-safe).
+@_q(
+    "dq_violations",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM orders),
+    r AS (
+        SELECT 'price_cap' AS rule,
+               CAST(count(*) FILTER (NOT (o_totalprice <= 450000.0)) AS BIGINT)
+                   AS n_violations,
+               list_sort(list(DISTINCT o_orderkey)
+                   FILTER (NOT (o_totalprice <= 450000.0)))[1:5] AS ids
+        FROM orders
+        UNION ALL
+        SELECT 'status_domain',
+               CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O')) AS BIGINT),
+               list_sort(list(DISTINCT o_orderkey)
+                   FILTER (o_orderstatus NOT IN ('F', 'O')))[1:5]
+        FROM orders
+        UNION ALL
+        SELECT 'priority_specified',
+               CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT),
+               list_sort(list(DISTINCT o_orderkey)
+                   FILTER (o_orderpriority = '4-NOT SPECIFIED'))[1:5]
+        FROM orders
+    )
+    SELECT rule, n_violations,
+           round(n_violations::DOUBLE / n_rows, 6) AS violation_rate,
+           array_to_string(list_transform(ids, i -> i::VARCHAR), ',')
+               AS sample_ids
+    FROM r, n
+    ORDER BY rule
+    """,
+)
+def dq_violations(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import dq_checks
+
+    orders = load_table(spark, sf, "orders")
+    rules = [
+        ("price_cap", F.col("o_totalprice") <= 450000.0),
+        ("status_domain", F.col("o_orderstatus").isin("F", "O")),
+        ("priority_specified", F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+    ]
+    return (
+        dq_checks(orders, rules, id_col="o_orderkey", sample_k=5)
+        .select(
+            "rule",
+            "n_violations",
+            "violation_rate",
+            F.array_join("sample_ids", ",").alias("sample_ids"),
+        )
+        .orderBy("rule")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -5710,9 +5767,10 @@ _CHECK_PRIORITY = [
     #                             stays exercised in-window by
     #                             semantic_contaminated_docs' struct-max
     #                             best-match and pinned by its r2 green).
-    #                             orders_unpivot (also new) stays
-    #                             pytest+verify-gated, first in line for
-    #                             the next rotation.
+    #                             orders_unpivot, events_value_outliers_mad,
+    #                             user_value_trend, dq_violations (also
+    #                             new) stay pytest+verify-gated, first in
+    #                             line for the next rotation window.
     "rolling_7d_active_users",
     # retained family representatives
     "customer_order_activity", "events_json_props",

@@ -1472,3 +1472,49 @@ def test_greedy_pack_docs_capacity_and_invariance(spark):
     assert sorted(got) == sorted(
         (r.doc_id, r.shard_id, r.bin_id) for r in out2.collect()
     )
+
+
+def test_dq_checks_counts_and_bounded_sample(spark):
+    """Violation counts are exact, rates correct, the id sample is the k
+    GLOBALLY smallest violating ids (two-phase merge), and results are
+    layout-invariant."""
+    from mcp_hubspot_spark.operators.profiling import dq_checks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "id long, v long"
+    )
+    rules = [("v_under_7", F.col("v") < 7), ("v_nonneg", F.col("v") >= 0)]
+    out = {r.rule: r for r in dq_checks(df, rules, "id", sample_k=4).collect()}
+    assert out["v_under_7"].n_violations == 30
+    assert abs(out["v_under_7"].violation_rate - 0.3) < 1e-9
+    # smallest violating ids are 7, 8, 9, 17
+    assert out["v_under_7"].sample_ids == ["17", "7", "8", "9"] or sorted(
+        int(x) for x in out["v_under_7"].sample_ids
+    ) == [7, 8, 9, 17]
+    assert out["v_nonneg"].n_violations == 0
+    assert out["v_nonneg"].sample_ids == []
+    out2 = {
+        r.rule: r
+        for r in dq_checks(
+            df.repartition(17, "id"), rules, "id", sample_k=4
+        ).collect()
+    }
+    for k in out:
+        assert out2[k].n_violations == out[k].n_violations
+        assert sorted(out2[k].sample_ids) == sorted(out[k].sample_ids)
+
+
+def test_referential_violations_finds_orphans(spark):
+    from mcp_hubspot_spark.operators.profiling import referential_violations
+
+    parent = spark.createDataFrame([(i,) for i in range(5)], "pk long")
+    child = spark.createDataFrame(
+        [(1, "a"), (4, "b"), (9, "c"), (9, "d"), (12, "e")],
+        "fk long, payload string",
+    )
+    got = {
+        (r.fk, r.n_rows)
+        for r in referential_violations(child, parent, "fk", "pk").collect()
+    }
+    assert got == {(9, 2), (12, 1)}

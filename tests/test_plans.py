@@ -512,3 +512,37 @@ def test_semantic_contamination_broadcasts_benchmark(spark):
     plan = plan_of(out)
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_nation_trade_volume_broadcasts_all_dims(spark):
+    """The Q7-shaped 6-table join must broadcast every dimension join
+    (nation x2, supplier, customer at these SFs) — the only shuffle
+    joins allowed are fact-fact. The shipdate filter must push into the
+    lineitem scan."""
+    plan = plan_of(QUERIES["nation_trade_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_big_order_customers_preaggregates_fact(spark):
+    """Q18 shape: lineitem must collapse through a HashAggregate BEFORE
+    any join touches it (the join input is per-order rows, not line
+    items), and the top-20 must run as TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["big_order_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the aggregate over l_orderkey appears below the joins in the tree:
+    # formatted explain lists operators bottom-up per branch; assert both
+    # phases of the partial agg exist and no CartesianProduct snuck in
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_distinct_fanout_is_bounded_explode(spark):
+    """The sliding-DISTINCT must run as the 7x bounded explode + one
+    dedup aggregate — never a per-day self-join over the event history
+    (no join operator at all in the plan)."""
+    plan = plan_of(QUERIES["rolling_7d_active_users"](spark, SF))
+    assert "Generate" in plan and "explode" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan
