@@ -82,6 +82,9 @@ HEADLINE = [
     "events_value_outliers_mad",  # grouped exact-median MAD outlier flags
     "user_value_trend",         # decimal-exact grouped least-squares trend
     "dq_violations",            # two-phase DQ rule gate w/ bounded samples
+    "order_value_bootstrap_ci", # single-scan Poisson bootstrap CI (64 reps)
+    "hard_negatives",           # boundary-mining kNN with label exclusion
+    "mixture_plan",             # integer-exact token-budget allocation
 ]
 
 

@@ -376,3 +376,94 @@ def per_group_cap(
         F.col("col.b").alias("bucket"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+# Poisson(1) CDF thresholds (k = 0..8): a uniform u maps to the count of
+# thresholds it clears — the inverse-CDF draw, as comparisons against
+# shared literals so every engine derives the identical replica weights.
+POISSON1_CDF = [
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508, 0.9999988748,
+]
+
+_U_DENOM = float(1 << 60)
+
+
+def bootstrap_uniform(id_col: Column | str, replica: Column, seed: str) -> Column:
+    """Deterministic uniform in [0,1) per (row, replica): 60 md5 bits of
+    (seed, replica, id) — a pure function of the row, reproducible in any
+    engine, independent across replicas."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), replica.cast("string"), c.cast("string"))
+    )
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_U_DENOM)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicas: int = 64,
+    seed: str = "boot",
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group mean via POISSON
+    bootstrap (Poisson(1) replica weights) — the distributed bootstrap:
+    classical resampling needs n draws WITH replacement per replica
+    (global coordination), Poisson weights are independent per row, so
+    all B replicas materialize in ONE scan as a bounded xB fan-out,
+    weights decided row-locally from the md5 uniform. The replica-mean
+    distribution then collapses per group (B tiny values) and the CI is
+    its [lo, hi] quantile — exact interpolation both engines share.
+
+    Exactness: replica sums accumulate in DECIMAL (weight x value), so
+    replica means are order-free; the only float math is the final
+    division + quantile interpolation over B values, identical sequences
+    on both engines. Groups where a replica draws total weight 0
+    (possible only for tiny groups) drop that replica deterministically.
+    Returns (group, n_rows, mean_value, ci_lo, ci_hi).
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("_b")
+    u = bootstrap_uniform(id_col, F.col("_b"), seed)
+    w = sum(
+        F.when(u >= F.lit(t), 1).otherwise(0) for t in POISSON1_CDF
+    ).alias("_w")
+    fanned = (
+        df.select(
+            group_col,
+            F.col(id_col),
+            F.col(value_col).cast("decimal(18,2)").alias("_v"),
+            b,
+        )
+        .withColumn("_w", w)
+        .drop(id_col)
+    )
+    reps = (
+        fanned.groupBy(group_col, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .select(
+            group_col,
+            (F.col("_ws").cast("double") / F.col("_wn").cast("double")).alias(
+                "_mean_b"
+            ),
+        )
+    )
+    base = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+    ci = reps.groupBy(group_col).agg(
+        F.expr(f"percentile(_mean_b, {lo})").alias("ci_lo"),
+        F.expr(f"percentile(_mean_b, {hi})").alias("ci_hi"),
+    )
+    return base.join(ci, group_col)

@@ -5542,6 +5542,202 @@ def dq_violations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Poisson-bootstrap confidence interval for the mean order value per
+# status: the DISTRIBUTED bootstrap — Poisson(1) replica weights are
+# independent per row (no global with-replacement draw), so all B
+# replicas run in one scan as a bounded xB fan-out. Replica sums are
+# decimal-exact; the md5-derived uniforms and shared CDF literals make
+# the whole randomized estimator engine-reproducible, so even the CI
+# bounds hash-match the oracle.
+def _poisson_w_sql(u_expr: str) -> str:
+    from .operators.sampling import POISSON1_CDF
+
+    return " + ".join(
+        f"CASE WHEN {u_expr} >= {t!r} THEN 1 ELSE 0 END" for t in POISSON1_CDF
+    )
+
+
+@_q(
+    "order_value_bootstrap_ci",
+    f"""
+    WITH fan AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS v, i AS b,
+               ('0x' || substr(md5('boot:' || i::VARCHAR || ':'
+                    || o_orderkey::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                   / 1152921504606846976.0 AS u
+        FROM orders, range(0, 64) t(i)
+    ),
+    reps AS (
+        SELECT o_orderstatus, b,
+               CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+        FROM (SELECT o_orderstatus, v, b, {_poisson_w_sql('u')} AS w FROM fan)
+        GROUP BY o_orderstatus, b
+        HAVING sum(w) > 0
+    ),
+    base AS (
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS mean_value
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_rows, round(mean_value, 4) AS mean_value,
+           round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+           round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+    FROM base JOIN reps USING (o_orderstatus)
+    GROUP BY o_orderstatus, n_rows, mean_value
+    ORDER BY o_orderstatus
+    """,
+)
+def order_value_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sampling import poisson_bootstrap_ci
+
+    orders = load_table(spark, sf, "orders")
+    return (
+        poisson_bootstrap_ci(
+            orders, "o_orderstatus", "o_totalprice", id_col="o_orderkey",
+            n_replicas=64, seed="boot",
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            F.round("mean_value", 4).alias("mean_value"),
+            F.round("ci_lo", 4).alias("ci_lo"),
+            F.round("ci_hi", 4).alias("ci_hi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# Hard-negative mining for embedding-model training: for each query
+# vector, the top-k most similar corpus rows with a DIFFERENT label —
+# near misses that teach the model the decision boundary (random
+# negatives are too easy). Same broadcast shape as batched kNN: queries
+# broadcast, corpus streams, per-query top-k via window over the
+# filtered candidate stream.
+@_q(
+    "hard_negatives",
+    """
+    WITH q AS (
+        SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    p AS (
+        SELECT qid, cid,
+               list_sum(list_transform(range(1, len(qv) + 1),
+                   i -> qv[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                      i -> qv[i] * qv[i])))
+                * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                      i -> cv[i] * cv[i])))) AS cos
+        FROM q JOIN c ON qlabel <> clabel
+    )
+    SELECT qid, cid AS negative_id, CAST(rk AS INT) AS rank,
+           round(cos, 4) AS cosine
+    FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rk
+        FROM p
+    ) WHERE rk <= 3
+    ORDER BY qid, rank
+    """,
+)
+def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("cv"),
+    )
+    from .operators.vector import dot, l2_norm
+
+    cos = dot(F.col("qv"), F.col("cv")) / (
+        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("qlabel") != F.col("clabel"))
+        .select("qid", "cid", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "qid",
+            F.col("cid").alias("negative_id"),
+            F.col("rk").cast("int").alias("rank"),
+            F.round("cos", 4).alias("cosine"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+# Mixture planning: the allocation step BEFORE mixture resampling —
+# given a global token budget and target per-language shares, derive
+# integer-exact keep rates (parts-per-million, so the downstream
+# hash-bucket membership test and this plan agree bit-for-bit with any
+# engine; no float floor boundary anywhere). A language with less data
+# than its allocation caps at keep_rate = 1 (the leftover budget is a
+# policy decision, surfaced as planned vs budget).
+@_q(
+    "mixture_plan",
+    """
+    WITH avail AS (
+        SELECT lang, CAST(sum(n_chars) AS BIGINT) AS avail_chars
+        FROM documents GROUP BY lang
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM avail)
+    SELECT lang, avail_chars,
+           CAST(least(1000000,
+                100000000000 // (n_langs * avail_chars)) AS BIGINT)
+               AS keep_rate_ppm,
+           CAST(avail_chars
+                * least(1000000,
+                        100000000000 // (n_langs * avail_chars))
+                // 1000000 AS BIGINT) AS planned_chars
+    FROM avail, k
+    ORDER BY lang
+    """,
+)
+def mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("avail_chars")
+    )
+    n_langs = avail.select(
+        F.count(F.lit(1)).cast("long").alias("n_langs")
+    )
+    # `div` (integral divide) everywhere — Spark's `/` on longs returns
+    # DOUBLE, whose truncation can disagree with exact integer floor at
+    # representation boundaries; DuckDB's `//` is exact, so must we be
+    rate = F.least(
+        F.lit(1000000).cast("long"),
+        F.expr("100000000000 div (n_langs * avail_chars)"),
+    ).cast("long")
+    return (
+        avail.crossJoin(F.broadcast(n_langs))
+        .withColumn("keep_rate_ppm", rate)
+        .select(
+            "lang",
+            "avail_chars",
+            "keep_rate_ppm",
+            F.expr("(avail_chars * keep_rate_ppm) div 1000000")
+            .cast("long")
+            .alias("planned_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

@@ -32,9 +32,9 @@ from mcp_hubspot_spark.operators.dedup import (
     connected_components,
     embedding_neardup_pairs,
     minhash_lsh_pairs,
+    semantic_contamination_matmul,
     simhash_fingerprints,
 )
-from mcp_hubspot_spark.operators.dedup import semantic_contamination
 from mcp_hubspot_spark.operators.sampling import (
     per_group_cap,
     temperature_mixture,
@@ -205,8 +205,10 @@ def main() -> None:
             "per_group_cap_200k": lambda: per_group_cap(
                 docs, "source", "doc_id", k=100
             ),
-            # eval set = 2k vecs broadcast against the 80k corpus
-            "semantic_contamination_80k": lambda: semantic_contamination(
+            # eval set = 2k vecs broadcast against the 80k corpus; the
+            # BLAS backend (one matmul per Arrow batch) — the expression
+            # variant is the oracle twin and ~50x slower at this |bench|
+            "semantic_contamination_80k": lambda: semantic_contamination_matmul(
                 embs.filter(F.col("vec_id") % 40 != 0),
                 embs.filter(F.col("vec_id") % 40 == 0),
                 min_cosine=0.99,

@@ -1518,3 +1518,68 @@ def test_referential_violations_finds_orphans(spark):
         for r in referential_violations(child, parent, "fk", "pk").collect()
     }
     assert got == {(9, 2), (12, 1)}
+
+
+def test_poisson_bootstrap_ci_sane_and_invariant(spark):
+    """CI brackets the point estimate, is ordered, narrows with sample
+    size, and is a pure function of (seed, ids) — layout-invariant."""
+    from mcp_hubspot_spark.operators.sampling import poisson_bootstrap_ci
+
+    rows = [(i, "big", float(100 + (i * 17) % 50)) for i in range(2000)]
+    rows += [(10_000 + i, "small", float(100 + (i * 17) % 50)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {
+        r.g: r
+        for r in poisson_bootstrap_ci(
+            df, "g", "v", id_col="id", n_replicas=64
+        ).collect()
+    }
+    for g, r in out.items():
+        assert r.ci_lo <= r.mean_value <= r.ci_hi, (g, r)
+        assert r.ci_lo < r.ci_hi
+    width = lambda r: r.ci_hi - r.ci_lo
+    assert width(out["big"]) < width(out["small"])  # more data, tighter CI
+    out2 = {
+        r.g: r
+        for r in poisson_bootstrap_ci(
+            df.repartition(23, "id"), "g", "v", id_col="id", n_replicas=64
+        ).collect()
+    }
+    for g in out:
+        assert abs(out[g].ci_lo - out2[g].ci_lo) < 1e-9
+        assert abs(out[g].ci_hi - out2[g].ci_hi) < 1e-9
+
+
+def test_semantic_contamination_matmul_agrees_with_expr(spark):
+    """The BLAS backend flags the same rows with the same best matches as
+    the oracle-gated expression variant on clear-margin data."""
+    from mcp_hubspot_spark.operators.dedup import (
+        semantic_contamination,
+        semantic_contamination_matmul,
+    )
+    from mcp_hubspot_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    bench = emb.filter(F.col("vec_id") < 25)
+    planted = bench.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.when(
+                i == 1, F.element_at(F.col("embedding"), i) + F.lit(0.05)
+            ).otherwise(F.element_at(F.col("embedding"), i)),
+        ).alias("embedding"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 25).unionByName(planted)
+    e = {
+        (r.vec_id, r.bench_id, round(r.cosine, 6))
+        for r in semantic_contamination(corpus, bench, 0.9).collect()
+    }
+    m = {
+        (r.vec_id, r.bench_id, round(r.cosine, 6))
+        for r in semantic_contamination_matmul(corpus, bench, 0.9).collect()
+    }
+    assert e == m and len(e) == 25
