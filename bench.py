@@ -85,6 +85,8 @@ HEADLINE = [
     "order_value_bootstrap_ci", # single-scan Poisson bootstrap CI (64 reps)
     "hard_negatives",           # boundary-mining kNN with label exclusion
     "mixture_plan",             # integer-exact token-budget allocation
+    "event_type_lift",          # session co-occurrence association lift
+    "orders_monthly_growth",    # MoM/YoY growth over aggregated series
 ]
 
 

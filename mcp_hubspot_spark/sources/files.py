@@ -192,3 +192,27 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode(mode).save(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 100_000,
+    compress: bool = True,
+) -> int:
+    """Corpus-delivery sink: JSON-lines shards of ~``rows_per_shard``
+    rows each — the standard interchange for training-data handoff
+    (loaders stream shards independently; shard count = download/read
+    parallelism). gzip is the right call HERE even though it is not
+    splittable: each shard is already a parallelism unit sized for one
+    reader, and delivery bandwidth matters more than re-scan flexibility
+    (keep parquet as the processing-side format). Row count is exact
+    (one count()), shard count = ceil(n / rows_per_shard), rows are
+    hash-spread so shards are near-uniform. Returns the shard count."""
+    n = df.count()
+    shards = max(1, -(-n // rows_per_shard))
+    writer = df.repartition(shards).write.mode("overwrite")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+    return shards

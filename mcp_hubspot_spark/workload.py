@@ -5738,6 +5738,161 @@ def mixture_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Co-occurrence association ("market basket" over sessions): lift of
+# event-type pairs within the gap-based sessions — lift(a,b) =
+# P(ab) / (P(a)P(b)) as a pure ratio of INTEGER session counts (never
+# log/PMI, whose libm last-ulp differences across engines could flip a
+# rounded digit). Pairs come from a within-session self-join of the
+# DISTINCT types — bounded at types²/2 per session (≤10 here), never an
+# event-level n². One session shuffle feeds distinct, pairs, and counts.
+@_q(
+    "event_type_lift",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+    n AS (SELECT count(DISTINCT (user_id, session_id)) AS n_sessions FROM st),
+    ta AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY event_type),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_ab
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_both,
+           round(n_ab::DOUBLE * n_sessions / (x.n_t * y.n_t), 4) AS lift
+    FROM pairs
+    JOIN ta x ON x.event_type = type_a
+    JOIN ta y ON y.event_type = type_b
+    CROSS JOIN n
+    ORDER BY type_a, type_b
+    """,
+)
+def event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    st = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.sum(new_session)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("session_id"),
+        )
+        .distinct()
+    )
+    n_sessions = st.select("user_id", "session_id").distinct().count()
+    ta = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, on=["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.lit(n_sessions)
+        / (F.col("x_nt") * F.col("y_nt"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(ta.select(F.col("event_type").alias("type_a"),
+                                  F.col("n_t").alias("x_nt"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(ta.select(F.col("event_type").alias("type_b"),
+                                  F.col("n_t").alias("y_nt"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_both"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# Month-over-month growth reporting: aggregate to a monthly revenue
+# series (decimal-exact), then lag-based deltas on the TINY aggregated
+# frame — the two-stage shape that keeps window math off the fact table
+# (the window runs over ~80 month rows, not 1.5M orders). Growth is a
+# ratio of exact decimal sums; only the final division is float.
+@_q(
+    "orders_monthly_growth",
+    """
+    WITH m AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY month
+    )
+    SELECT month, round(revenue, 2) AS revenue, n_orders,
+           coalesce(round(revenue / lag(revenue) OVER (ORDER BY month) - 1,
+                          4), 0.0) AS mom_growth,
+           coalesce(round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1,
+                          4), 0.0) AS yoy_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        "n_orders",
+        F.coalesce(
+            F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 4),
+            F.lit(0.0),
+        ).alias("mom_growth"),
+        F.coalesce(
+            F.round(F.col("revenue") / F.lag("revenue", 12).over(w) - 1, 4),
+            F.lit(0.0),
+        ).alias("yoy_growth"),
+    ).orderBy("month")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

@@ -406,3 +406,28 @@ def test_vacuum_reclaims_unreferenced_versions(spark, tmp_path):
     # time travel beyond the horizon is gone
     with _pytest.raises(Exception):
         t.read(1).collect()
+
+
+def test_write_jsonl_shards_roundtrip(spark, tmp_path):
+    """Sharded JSONL export: shard count targets rows_per_shard, rows
+    roundtrip exactly through the schema-enforced reader."""
+    import glob
+    from mcp_hubspot_spark.sources.files import read_jsonl, write_jsonl_shards
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = spark.range(0, 1000).select(
+        "id", F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    path = str(tmp_path / "export")
+    shards = write_jsonl_shards(df, path, rows_per_shard=300)
+    assert shards == 4
+    files = glob.glob(f"{path}/part-*.json.gz")
+    assert len(files) == 4
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    back = read_jsonl(spark, path, schema)
+    assert back.count() == 1000
+    got = {(r.id, r.text) for r in back.select("id", "text").collect()}
+    assert got == {(i, f"doc {i}") for i in range(1000)}
