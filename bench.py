@@ -87,6 +87,7 @@ HEADLINE = [
     "mixture_plan",             # integer-exact token-budget allocation
     "event_type_lift",          # session co-occurrence association lift
     "orders_monthly_growth",    # MoM/YoY growth over aggregated series
+    "bpe_merges",               # iterative BPE vocab training (k rounds)
 ]
 
 

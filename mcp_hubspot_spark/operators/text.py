@@ -681,3 +681,68 @@ def greedy_pack_docs(
     return prepared.groupBy("shard_id").applyInPandas(
         pack, schema=f"{id_col} long, shard_id int, bin_id long"
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+) -> "list[tuple[int, str, str, int]]":
+    """Learn the first ``k`` BPE merges over the corpus's character
+    sequences — the core of tokenizer TRAINING (Sennrich et al. 2016):
+    repeatedly count adjacent symbol pairs and fuse the most frequent
+    one. Spaces become '_' word markers, so merges never cross words via
+    the separator.
+
+    Iterative and data-dependent (each round's pair table depends on the
+    previous round's merge), so the driver loop collects ONE bounded row
+    per round (the argmax pair — same class as the IVF centroid
+    collect); all heavy work stays distributed: pair counting is the
+    shifted-array zip + explode + count shuffle, merge application is a
+    pure string fold per doc (greedy left-to-right, exactly BPE's scan
+    order: the accumulator ends with ' '+left and the next symbol equals
+    right ⇒ fuse). Ties break (count desc, pair asc) so the learned
+    vocabulary is deterministic on any engine or layout — the DuckDB
+    oracle replays the identical k rounds with list_reduce. At real
+    scale BPE is trained on a hash-sample of the corpus (it converges on
+    counts, not rows) — compose with ``hash_stratified_sample``.
+
+    Returns the merge table as plain rows: (rank, lhs, rhs, n_pairs).
+    """
+    syms = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), " ", "_"), ""),
+        lambda x: x != "",
+    )
+    work = df.select(F.col(id_col), syms.alias("_syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pairs = work.select(
+            F.explode(
+                F.when(
+                    F.size("_syms") >= 2, positional_ngrams(F.col("_syms"), 2)
+                ).otherwise(F.array())
+            ).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .first()
+        )
+        if top is None:
+            break
+        lhs, rhs = top["pair"].split(" ", 1)
+        merges.append((rank, lhs, rhs, int(top["c"])))
+        folded = F.aggregate(
+            F.col("_syms"),
+            F.lit(""),
+            lambda acc, x: F.when(
+                (x == F.lit(rhs)) & acc.endswith(F.lit(" " + lhs)),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        work = work.select(
+            id_col, F.split(F.ltrim(folded), " ").alias("_syms")
+        )
+    return merges

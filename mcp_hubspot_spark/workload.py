@@ -5893,6 +5893,61 @@ def orders_monthly_growth(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("month")
 
 
+# BPE tokenizer training (first k merges): iterative, data-dependent
+# vocab learning with an EXACT oracle — the DuckDB twin unrolls the same
+# k rounds (count adjacent pairs → argmax with (count desc, pair asc)
+# ties → greedy left-to-right fuse via list_reduce). Each driver-loop
+# round collects exactly one bounded row (the argmax pair).
+def _bpe_oracle(k: int, doc_limit: int) -> str:
+    fold = (
+        "string_split(ltrim(list_reduce([''] || syms, (acc, x) -> "
+        "CASE WHEN x = m{r}.b AND ends_with(acc, ' ' || m{r}.a) "
+        "THEN acc || x ELSE acc || ' ' || x END)), ' ')"
+    )
+    pair_count = (
+        "SELECT pair, count(*) AS c FROM ("
+        "SELECT unnest(list_transform(range(0, greatest(len(syms) - 1, 0)), "
+        "i -> syms[i + 1] || ' ' || syms[i + 2])) AS pair FROM s{p}) "
+        "GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1"
+    )
+    ctes = [
+        "s0 AS (SELECT doc_id, list_filter(regexp_split_to_array("
+        f"replace(lower(text), ' ', '_'), ''), x -> x <> '') AS syms "
+        f"FROM documents WHERE doc_id < {doc_limit})"
+    ]
+    for r in range(1, k + 1):
+        ctes.append(f"p{r} AS ({pair_count.format(p=r - 1)})")
+        ctes.append(
+            f"m{r} AS (SELECT string_split(pair, ' ')[1] AS a, "
+            f"string_split(pair, ' ')[2] AS b, c FROM p{r})"
+        )
+        if r < k:
+            ctes.append(
+                f"s{r} AS (SELECT doc_id, {fold.format(r=r)} AS syms "
+                f"FROM s{r - 1}, m{r})"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS rank, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS n_pairs "
+        f"FROM m{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT * FROM (" + selects
+        + ") ORDER BY rank"
+    )
+
+
+@_q("bpe_merges", _bpe_oracle(k=4, doc_limit=100))
+def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bpe_learn_merges
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    merges = bpe_learn_merges(docs, k=4)
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, n_pairs long"
+    ).orderBy("rank")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

@@ -1583,3 +1583,49 @@ def test_semantic_contamination_matmul_agrees_with_expr(spark):
         for r in semantic_contamination_matmul(corpus, bench, 0.9).collect()
     }
     assert e == m and len(e) == 25
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """The distributed BPE trainer learns the same merge table as a
+    plain-python greedy reference on a crafted corpus, and is
+    layout-invariant."""
+    from mcp_hubspot_spark.operators.text import bpe_learn_merges
+    from collections import Counter
+
+    texts = ["the cat sat", "the hat", "that cat", "the the the"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def py_bpe(texts, k):
+        seqs = [list(t.lower().replace(" ", "_")) for t in texts]
+        merges = []
+        for rank in range(1, k + 1):
+            counts = Counter()
+            for s in seqs:
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] += 1
+            if not counts:
+                break
+            # count desc, pair-string asc (the engine tie-break)
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+            )
+            merges.append((rank, a, b, c))
+            out = []
+            for s in seqs:
+                ns = []
+                for x in s:
+                    if ns and ns[-1] == a and x == b:
+                        ns[-1] = a + b
+                    else:
+                        ns.append(x)
+                out.append(ns)
+            seqs = out
+        return merges
+
+    expected = py_bpe(texts, 3)
+    got = bpe_learn_merges(df, k=3)
+    assert got == expected
+    got2 = bpe_learn_merges(df.repartition(5, "doc_id"), k=3)
+    assert got2 == expected
