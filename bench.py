@@ -88,6 +88,8 @@ HEADLINE = [
     "event_type_lift",          # session co-occurrence association lift
     "orders_monthly_growth",    # MoM/YoY growth over aggregated series
     "bpe_merges",               # iterative BPE vocab training (k rounds)
+    "bpe_compression",          # apply learned merges, per-lang ratio
+    "orders_value_drift",       # two-window histogram drift (L1)
 ]
 
 

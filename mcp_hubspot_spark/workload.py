@@ -5948,6 +5948,134 @@ def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("rank")
 
 
+# The APPLY side of BPE: tokenize the corpus with the learned merge
+# table and report per-language compression (symbols before/after; the
+# ratio a tokenizer team watches per language to catch under-served
+# scripts). The oracle replays training AND application.
+def _bpe_apply_oracle(k: int, doc_limit: int) -> str:
+    base = _bpe_oracle(k, doc_limit)
+    with_part = base[: base.rindex(" SELECT * FROM (")]
+    fold = (
+        "string_split(ltrim(list_reduce([''] || syms, (acc, x) -> "
+        f"CASE WHEN x = m{k}.b AND ends_with(acc, ' ' || m{k}.a) "
+        f"THEN acc || x ELSE acc || ' ' || x END)), ' ')"
+    )
+    return (
+        with_part
+        + f", s{k} AS (SELECT doc_id, {fold} AS syms FROM s{k - 1}, m{k}), "
+        + "stats AS (SELECT d.lang, CAST(sum(len(s0.syms)) AS BIGINT) "
+        + "AS n_chars_total, CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens "
+        + f"FROM s{k} s JOIN s0 ON s.doc_id = s0.doc_id "
+        + "JOIN documents d ON d.doc_id = s.doc_id GROUP BY d.lang) "
+        + "SELECT lang, n_chars_total, n_tokens, "
+        + "round(n_chars_total::DOUBLE / n_tokens, 4) AS compression "
+        + "FROM stats ORDER BY lang"
+    )
+
+
+@_q("bpe_compression", _bpe_apply_oracle(k=4, doc_limit=100))
+def bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bpe_learn_merges
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    merges = bpe_learn_merges(docs, k=4)
+    syms = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), " ", "_"), ""),
+        lambda x: x != "",
+    )
+    work = docs.select("doc_id", "lang", syms.alias("_syms")).withColumn(
+        "_n0", F.size("_syms")
+    )
+    def _merge_fold(lhs: str, rhs: str):
+        def fold(acc, x):
+            return F.when(
+                (x == F.lit(rhs)) & acc.endswith(F.lit(" " + lhs)),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x))
+
+        return fold
+
+    for _, lhs, rhs, _n in merges:
+        folded = F.aggregate(F.col("_syms"), F.lit(""), _merge_fold(lhs, rhs))
+        work = work.select(
+            "doc_id", "lang", "_n0", F.split(F.ltrim(folded), " ").alias("_syms")
+        )
+    return (
+        work.groupBy("lang")
+        .agg(
+            F.sum("_n0").cast("long").alias("n_chars_total"),
+            F.sum(F.size("_syms")).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_chars_total",
+            "n_tokens",
+            F.round(
+                F.col("n_chars_total").cast("double") / F.col("n_tokens"), 4
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Distribution drift between two periods (the retrain trigger in ML
+# ops): fixed-width histograms of order value for a reference and a
+# current window, full-outer-joined on bucket with L1 contributions —
+# integer counts and one final ratio, so no libm (a PSI's ln() would
+# cost cross-engine last-ulp risk for zero extra signal here). Both
+# histograms build in ONE scan via conditional aggregation.
+@_q(
+    "orders_value_drift",
+    """
+    WITH h AS (
+        SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 10)
+                   AS bucket,
+               CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1998-07-01')
+                   AS BIGINT) AS n_ref,
+               CAST(count(*) FILTER (o_orderdate >= TIMESTAMP '1998-07-01')
+                   AS BIGINT) AS n_cur
+        FROM orders GROUP BY bucket
+    ),
+    t AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM h)
+    SELECT bucket, n_ref, n_cur,
+           round(n_ref::DOUBLE / t_ref, 6) AS p_ref,
+           round(n_cur::DOUBLE / t_cur, 6) AS p_cur,
+           round(abs(n_cur::DOUBLE / t_cur - n_ref::DOUBLE / t_ref), 6)
+               AS l1_contrib
+    FROM h, t
+    ORDER BY bucket
+    """,
+)
+def orders_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    split = F.lit("1998-07-01").cast("timestamp")
+    h = orders.groupBy(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(10)
+        ).alias("bucket")
+    ).agg(
+        F.count(F.when(F.col("o_orderdate") < split, 1)).alias("n_ref"),
+        F.count(F.when(F.col("o_orderdate") >= split, 1)).alias("n_cur"),
+    )
+    t = h.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round(F.abs(p_cur - p_ref), 6).alias("l1_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
