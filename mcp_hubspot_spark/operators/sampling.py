@@ -389,15 +389,42 @@ POISSON1_CDF = [
 _U_DENOM = float(1 << 60)
 
 
-def bootstrap_uniform(id_col: Column | str, replica: Column, seed: str) -> Column:
-    """Deterministic uniform in [0,1) per (row, replica): 60 md5 bits of
-    (seed, replica, id) — a pure function of the row, reproducible in any
-    engine, independent across replicas."""
+_BOOT_PRIME = 1_000_000_007
+
+
+def bootstrap_constants(n_replicas: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Affine rehash constants per replica (same scheme as the minhash
+    permutations: one expensive hash per ROW, cheap integer mixes per
+    replica)."""
+    from .dedup import minhash_perm_constants
+
+    return minhash_perm_constants(n_replicas, seed)
+
+
+def row_hash32(id_col: Column | str, seed: str) -> Column:
+    """32-bit row hash (md5 prefix) — computed ONCE per row, in the
+    projection BEFORE any replica fan-out."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.md5(
-        F.concat_ws(":", F.lit(seed), replica.cast("string"), c.cast("string"))
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def affine_uniform(h: Column, replica: Column, n_replicas: int) -> Column:
+    """Deterministic uniform in [0,1) per (row, replica), engine-portable
+    AND one-md5-per-row: each replica affinely rehashes the shared row
+    hash mod a prime — B replicas cost B integer mults, not B md5s (the
+    md5 MUST be projected before the explode; inlined after it, Spark
+    re-evaluates it per fanned row). The same hash-once/affine-permute
+    economics as the minhash signature, for the same reason."""
+    a, b = bootstrap_constants(n_replicas)
+    av = F.element_at(F.array(*[F.lit(x) for x in a]), replica + 1)
+    bv = F.element_at(F.array(*[F.lit(x) for x in b]), replica + 1)
+    return ((av * h + bv) % F.lit(_BOOT_PRIME)).cast("double") / F.lit(
+        float(_BOOT_PRIME)
     )
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("double") / F.lit(_U_DENOM)
 
 
 def poisson_bootstrap_ci(
@@ -419,46 +446,63 @@ def poisson_bootstrap_ci(
     distribution then collapses per group (B tiny values) and the CI is
     its [lo, hi] quantile — exact interpolation both engines share.
 
-    Exactness: replica sums accumulate in DECIMAL (weight x value), so
-    replica means are order-free; the only float math is the final
-    division + quantile interpolation over B values, identical sequences
-    on both engines. Groups where a replica draws total weight 0
-    (possible only for tiny groups) drop that replica deterministically.
+    Exactness: values quantize to integer CENTS via one exact decimal
+    cast in the scan stage, so every replica sum is a pure LONG
+    (order-free); the only float math is the final division + quantile
+    interpolation over B values, identical sequences on both engines.
+    Groups where a replica draws total weight 0 (possible only for tiny
+    groups) drop that replica deterministically.
+
+    Plan shape: one md5 per ROW (replica uniforms are affine rehashes of
+    the shared 32-bit hash), the Poisson draw is a short-circuit CASE
+    ladder over the ascending CDF (≈2 branch evaluations on average —
+    P(w<=1)=0.74 — vs always-9 for a sum of indicators), and the xB
+    explode feeds a partial aggregate keyed (group, replica) whose
+    map-side combine collapses everything before the shuffle. A "wide"
+    2B-aggregate-expressions alternative (no explode) was measured
+    SLOWER end-to-end: 128 large generated expressions blow past janino
+    limits and compile for tens of seconds.
     Returns (group, n_rows, mean_value, ci_lo, ci_hi).
     """
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("_b")
-    u = bootstrap_uniform(id_col, F.col("_b"), seed)
-    w = sum(
-        F.when(u >= F.lit(t), 1).otherwise(0) for t in POISSON1_CDF
-    ).alias("_w")
+    u = affine_uniform(F.col("_h"), F.col("_b"), n_replicas)
+    w = F.when(u < F.lit(POISSON1_CDF[0]), 0)
+    for i, t in enumerate(POISSON1_CDF[1:], start=1):
+        w = w.when(u < F.lit(t), i)
+    w = w.otherwise(len(POISSON1_CDF)).alias("_w")
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
     fanned = (
         df.select(
             group_col,
-            F.col(id_col),
-            F.col(value_col).cast("decimal(18,2)").alias("_v"),
-            b,
+            cents.alias("_vc"),
+            row_hash32(id_col, seed).alias("_h"),
         )
+        .select(group_col, "_vc", "_h", b)
         .withColumn("_w", w)
-        .drop(id_col)
+        .drop("_h")
     )
     reps = (
         fanned.groupBy(group_col, "_b")
         .agg(
-            F.sum(F.col("_w") * F.col("_v")).alias("_ws"),
+            F.sum(F.col("_w") * F.col("_vc")).alias("_ws"),
             F.sum("_w").alias("_wn"),
         )
         .filter(F.col("_wn") > 0)
         .select(
             group_col,
-            (F.col("_ws").cast("double") / F.col("_wn").cast("double")).alias(
-                "_mean_b"
-            ),
+            (
+                F.col("_ws").cast("double")
+                / F.lit(100.0)
+                / F.col("_wn").cast("double")
+            ).alias("_mean_b"),
         )
     )
     base = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            F.sum((F.col(value_col).cast("decimal(18,2)") * 100).cast("long"))
+            .cast("double")
+            / F.lit(100.0)
             / F.count(F.lit(1))
         ).alias("mean_value"),
     )

@@ -5557,27 +5557,44 @@ def _poisson_w_sql(u_expr: str) -> str:
     )
 
 
+def _boot_ab_sql() -> tuple[str, str]:
+    from .operators.sampling import bootstrap_constants
+
+    a, b = bootstrap_constants(64)
+    return (
+        "[" + ", ".join(str(x) for x in a) + "]",
+        "[" + ", ".join(str(x) for x in b) + "]",
+    )
+
+
+_BOOT_A, _BOOT_B = _boot_ab_sql()
+
+
 @_q(
     "order_value_bootstrap_ci",
     f"""
     WITH fan AS (
-        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS v, i AS b,
-               ('0x' || substr(md5('boot:' || i::VARCHAR || ':'
-                    || o_orderkey::VARCHAR), 1, 15))::BIGINT::DOUBLE
-                   / 1152921504606846976.0 AS u
+        SELECT o_orderstatus,
+               (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS v, i AS b,
+               ((({_BOOT_A})[i + 1]
+                 * ('0x' || substr(md5('boot:' || o_orderkey::VARCHAR),
+                                   1, 8))::BIGINT
+                 + ({_BOOT_B})[i + 1]) % 1000000007)::DOUBLE
+                   / 1000000007.0 AS u
         FROM orders, range(0, 64) t(i)
     ),
     reps AS (
         SELECT o_orderstatus, b,
-               CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+               CAST(sum(w * v) AS DOUBLE) / 100.0
+                   / CAST(sum(w) AS DOUBLE) AS mean_b
         FROM (SELECT o_orderstatus, v, b, {_poisson_w_sql('u')} AS w FROM fan)
         GROUP BY o_orderstatus, b
         HAVING sum(w) > 0
     ),
     base AS (
         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*) AS mean_value
+               CAST(sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)
+                    AS DOUBLE) / 100.0 / count(*) AS mean_value
         FROM orders GROUP BY o_orderstatus
     )
     SELECT o_orderstatus, n_rows, round(mean_value, 4) AS mean_value,
