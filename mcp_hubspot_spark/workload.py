@@ -6319,16 +6319,27 @@ _CHECK_PRIORITY = [
     #                             semantic_contaminated_docs' struct-max
     #                             best-match and pinned by its r2 green).
     #                             orders_unpivot, events_value_outliers_mad,
-    #                             user_value_trend, dq_violations (also
-    #                             new) stay pytest+verify-gated, first in
-    #                             line for the next rotation window.
+    #                             user_value_trend (also new) stay
+    #                             pytest+verify-gated, first in line for
+    #                             the next rotation window.
     "rolling_7d_active_users",
+    #   quality_filter_docs     → bpe_merges (never checked; the quality
+    #                             filter's rule chain runs INSIDE the
+    #                             in-window training_corpus_pipeline — the
+    #                             cover already documented above — so the
+    #                             slot goes to the iterative BPE trainer,
+    #                             a family with no driver history at all)
+    #   dedup_clusters          → dq_violations (never checked; connected
+    #                             components runs INSIDE the in-window
+    #                             dedup_survivor_report (LSH→CC→keep-min),
+    #                             so the standalone CC query yields its
+    #                             slot to the data-quality gate family)
+    "bpe_merges", "dq_violations",
     # retained family representatives
     "customer_order_activity", "events_json_props",
-    "quality_filter_docs",
     "embedding_neardup_lsh",
     "projected_knn_rerank",
-    "orders_page_with_total", "dedup_clusters",
+    "orders_page_with_total",
     "customer_churn_sets",
     "training_corpus_pipeline",
 ]

@@ -465,3 +465,49 @@ def test_stream_merge_to_table(spark, tmp_path):
         (3, "streamed"), (11, "streamed-new")
     }
     assert got == exp
+
+
+def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """Per-micro-batch drift log: a batch drawn from the reference
+    distribution scores near zero; a shifted batch scores high."""
+    from mcp_hubspot_spark.streaming.monitor import (
+        histogram_fractions,
+        stream_drift_monitor,
+    )
+    from pyspark.sql import functions as F
+
+    ref_df = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("double").alias("v")
+    )
+    ref = histogram_fractions(ref_df, "v", bucket_width=10.0, max_bucket=20)
+    src = str(tmp_path / "src")
+    # batch A: same distribution; batch B: shifted by +150 (all clamp);
+    # written as two plain files so maxFilesPerTrigger=1 yields 2 batches
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    vals = [float(i % 100) for i in range(1000)]
+    pq.write_table(pa.table({"v": vals}), src + "/a.parquet")
+    pq.write_table(
+        pa.table({"v": [v + 150 for v in vals]}), src + "/b.parquet"
+    )
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    log = str(tmp_path / "log")
+    q = stream_drift_monitor(
+        stream, ref, "v", bucket_width=10.0, max_bucket=20,
+        log_path=log, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        ((r.n_rows, r.l1_drift) for r in spark.read.parquet(log).collect())
+    )
+    drifts = sorted(d for _, d in rows)
+    assert len(rows) >= 2
+    assert drifts[0] < 0.05      # in-distribution batch
+    assert drifts[-1] > 1.0      # fully shifted batch (disjoint support)
