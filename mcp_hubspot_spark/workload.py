@@ -5664,22 +5664,24 @@ def order_value_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import dot, l2_norm
+
+    # norms precomputed per ROW before the pair join — one interpreted
+    # fold per candidate pair (the dot), not three (dot + both norms)
     emb = _emb_double(spark, sf)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
         F.col("embedding").alias("cv"),
+        l2_norm(F.col("embedding")).alias("cn"),
     )
-    from .operators.vector import dot, l2_norm
-
-    cos = dot(F.col("qv"), F.col("cv")) / (
-        l2_norm(F.col("qv")) * l2_norm(F.col("cv"))
-    )
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     pairs = (
         c.join(F.broadcast(q), F.col("qlabel") != F.col("clabel"))
         .select("qid", "cid", cos.alias("cos"))
