@@ -7,11 +7,27 @@ from .dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_contamination,
+    semantic_contamination,
+    semantic_contamination_matmul,
+    semantic_dedup,
     simhash,
 )
 from .graph import pagerank
-from .sampling import hash_split, hash_stratified_sample
-from .text import chunk_documents, redact_pii
+from .profiling import dq_checks, profile_table, referential_violations
+from .sampling import (
+    hash_split,
+    hash_stratified_sample,
+    per_group_cap,
+    poisson_bootstrap_ci,
+    weighted_sample,
+)
+from .text import (
+    bpe_learn_merges,
+    chunk_documents,
+    greedy_pack_docs,
+    redact_pii,
+)
+from .timeseries import resample_locf, scd2_intervals
 
 __all__ = [
     "filtered_scan",
@@ -29,10 +45,23 @@ __all__ = [
     "exact_dedup",
     "minhash_lsh_pairs",
     "ngram_contamination",
+    "semantic_contamination",
+    "semantic_contamination_matmul",
+    "semantic_dedup",
     "simhash",
     "pagerank",
+    "dq_checks",
+    "profile_table",
+    "referential_violations",
     "hash_split",
     "hash_stratified_sample",
+    "per_group_cap",
+    "poisson_bootstrap_ci",
+    "weighted_sample",
+    "bpe_learn_merges",
     "chunk_documents",
+    "greedy_pack_docs",
     "redact_pii",
+    "resample_locf",
+    "scd2_intervals",
 ]

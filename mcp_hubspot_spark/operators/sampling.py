@@ -386,9 +386,6 @@ POISSON1_CDF = [
     0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508, 0.9999988748,
 ]
 
-_U_DENOM = float(1 << 60)
-
-
 _BOOT_PRIME = 1_000_000_007
 
 

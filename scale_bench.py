@@ -36,6 +36,7 @@ from mcp_hubspot_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from mcp_hubspot_spark.operators.sampling import (
+    hash_stratified_sample,
     per_group_cap,
     temperature_mixture,
     weighted_sample,
@@ -49,6 +50,7 @@ from mcp_hubspot_spark.operators.sketch import (
 )
 from mcp_hubspot_spark.operators.text import (
     bm25_scores,
+    bpe_learn_merges,
     dedup_lines_keep_first,
     greedy_pack_docs,
     pack_sequences,
@@ -223,6 +225,30 @@ def main() -> None:
         cold: dict[str, float] = {}
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
+
+        # BPE trains on a hash-sample (counts converge; the documented
+        # scale contract) — 4 merges over a ~2.5% deterministic sample
+        # of the 200k corpus, timed like the DataFrame cases but via its
+        # driver-loop API (returns plain rows, nothing to noop-write)
+        def bpe_case():
+            sample = hash_stratified_sample(
+                docs, "lang", {}, id_col="doc_id", default_rate=0.025
+            )
+            return bpe_learn_merges(sample, k=4)
+
+        try:
+            t0 = time.perf_counter()
+            out = bpe_case()
+            cold["bpe_merges_5k_sample"] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            out = bpe_case()
+            timings["bpe_merges_5k_sample"] = round(
+                time.perf_counter() - t1, 3
+            )
+            rows["bpe_merges_5k_sample"] = len(out)
+        except Exception as exc:
+            errors["bpe_merges_5k_sample"] = f"{type(exc).__name__}: {exc}"[:200]
+
         for name, fn in cases.items():
             try:
                 t0 = time.perf_counter()
