@@ -5,6 +5,8 @@ from .windows import (
     session_stream,
 )
 from .incremental import IncrementalReader
+from .ingest import stream_embed_to_store, stream_merge_to_table
+from .monitor import histogram_fractions, stream_drift_monitor
 
 __all__ = [
     "enrich_stream",
@@ -12,4 +14,8 @@ __all__ = [
     "interval_join_stream",
     "session_stream",
     "IncrementalReader",
+    "stream_embed_to_store",
+    "stream_merge_to_table",
+    "histogram_fractions",
+    "stream_drift_monitor",
 ]
