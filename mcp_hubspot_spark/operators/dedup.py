@@ -889,11 +889,19 @@ def semantic_contamination_matmul(
         .orderBy(id_col)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "semantic_contamination_matmul: benchmark is empty — nothing "
+            "to screen against (an empty eval set almost certainly means "
+            "a broken upstream filter, not 'no contamination')"
+        )
     import numpy as np
 
     bench_ids = np.array([r[0] for r in rows], dtype=np.int64)
     bmat = np.array([r[1] for r in rows], dtype=np.float64)
-    bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+    bnorms = np.linalg.norm(bmat, axis=1, keepdims=True)
+    bnorms[bnorms == 0] = 1.0  # zero-vector bench rows: cos=0, never NaN
+    bmat = bmat / bnorms
 
     def flag(batches):
         for pdf in batches:

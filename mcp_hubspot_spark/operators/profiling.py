@@ -19,7 +19,11 @@ to string only at the edge for the uniform long-format schema.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
+
+_RULE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
 
 def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -30,6 +34,45 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs += [
             F.count(F.col(c)).alias(f"__{c}__nn"),
             F.countDistinct(F.col(c)).alias(f"__{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__{c}__nn`, `__{c}__nd`, `__{c}__min`, `__{c}__max`"
+        for c in cols
+    )
+    return row.selectExpr(
+        "__n as n_rows",
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column_name, n_non_null, n_distinct, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_non_null").cast("long").alias("n_non_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+def profile_table_approx(
+    df: DataFrame, cols: list[str], rsd: float = 0.05
+) -> DataFrame:
+    """The 100 TB twin of :func:`profile_table`: identical output schema,
+    but ``n_distinct`` is HyperLogLog++ (``approx_count_distinct``) with
+    relative standard deviation ``rsd``. The exact form's multiple
+    ``countDistinct`` aggregates trigger a row-multiplying Expand (one
+    input replica per distinct column — a 5-column profile shuffles ~5x
+    the table); HLL++ sketches are plain partial-merge aggregates, so
+    this variant stays a single no-Expand pass no matter how many
+    columns are profiled (plan-audited in tests/test_plans.py). Exact
+    stays the oracle twin at test SFs; this is the default at scale."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__{c}__nn"),
+            F.approx_count_distinct(F.col(c), rsd).alias(f"__{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"__{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"__{c}__max"),
         ]
@@ -64,17 +107,35 @@ def dq_checks(
     triage handle — never the full violation set, which at 100 TB could
     be the table).
 
-    Shape: two-phase conditional aggregates — phase 1 reduces each input
-    partition to per-rule (count, k smallest violating ids); phase 2
-    merges counts by sum and id-samples by flatten+slice. The SHUFFLE is
-    therefore bounded at k ids x partitions per rule no matter how many
-    rows violate; map-side set size is bounded by the partition (the
-    usual partial-agg memory class, spillable). One output row per rule.
+    NULL handling: a rule that evaluates to NULL (e.g. a price-cap rule
+    on a NULL price) counts as a VIOLATION — the safe default for a
+    quality gate; rules that want 3VL pass-through must say so
+    explicitly (``col.isNull() | pred``). Rule names must match
+    ``[A-Za-z0-9_]+`` (they are used as column aliases and inside a
+    ``stack()`` SQL string).
+
+    Shape: two-phase conditional aggregates — phase 1 reduces each
+    (rule, input-partition) to a count plus its violating-id set, phase 2
+    merges counts by sum and id-samples by flatten+slice. The phase-1
+    exchange carries the FULL per-(partition)-rule ``collect_set``
+    buffers (``slice`` is a result expression, applied after the
+    aggregate completes), so its volume is O(violating rows) — bounded
+    per task and spillable, but not k-bounded; only the phase-2 merge
+    shuffle is k-bounded. What the two-phase shape buys is that no
+    single task ever sorts or holds the global violation set — the
+    per-partition buffers are the usual partial-agg memory class. One
+    output row per rule.
     """
+    for name, _ in rules:
+        if not _RULE_NAME.match(name):
+            raise ValueError(
+                f"rule name {name!r} must match [A-Za-z0-9_]+ "
+                "(used as a column alias and inside stack() SQL)"
+            )
     prepared = df.withColumn("_p", F.spark_partition_id())
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in rules:
-        viol = ~pred
+        viol = F.coalesce(~pred, F.lit(True))
         aggs += [
             F.sum(F.when(viol, 1).otherwise(0)).alias(f"__{name}__v"),
             F.slice(

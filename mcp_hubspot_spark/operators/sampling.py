@@ -349,13 +349,18 @@ def per_group_cap(
 
     Plan shape — two-phase bottom-k, NOT a global per-group window sort:
     phase 1 reduces each (group, input-partition) to its k smallest
-    (bucket, id) pairs (bounded array per task), phase 2 merges those
-    k-lists per group and slices the global bottom-k. Shuffle bytes per
-    group are k x n_partitions pairs regardless of group size — a domain
-    with 10^9 pages costs the same shuffle as one with 10^3, which is the
-    whole point (a row_number() window would sort the full head domain in
-    one task). Returns (group_col, id_col, bucket, rank) for survivors,
-    rank 1..k in hash order.
+    (bucket, id) pairs, phase 2 merges those k-lists per group and
+    slices the global bottom-k. Honest shuffle accounting: the phase-1
+    exchange carries the FULL per-(group, partition) ``collect_list``
+    buffers (``slice``/``array_sort`` are result expressions, evaluated
+    after the aggregate completes), so its volume is O(rows) of small
+    (bucket, id) pairs — bounded per task and spillable, not k-bounded;
+    only the phase-2 merge shuffle is k x n_partitions pairs per group.
+    What the shape buys is that NO single task ever sorts a whole head
+    domain — a row_number() window would pull a 10^9-page domain into
+    one task's sort, while here every task handles at most one input
+    partition's slice of it. Returns (group_col, id_col, bucket, rank)
+    for survivors, rank 1..k in hash order.
     """
     key = F.struct(
         split_bucket(id_col, seed).alias("b"), F.col(id_col).alias("i")

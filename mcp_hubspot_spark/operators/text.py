@@ -742,7 +742,15 @@ def bpe_learn_merges(
                 F.concat(acc, x),
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
+        # Truncate lineage per round (same pattern as connected_components
+        # / pagerank): without this, round r's first() re-executes ALL
+        # r-1 prior merge folds from the parquet scan — O(k^2) total fold
+        # work, quadratic at a real merge budget. The eager localCheckpoint
+        # materializes the folded symbols once, so every round is
+        # linear-in-corpus regardless of k.
         work = work.select(
             id_col, F.split(F.ltrim(folded), " ").alias("_syms")
         )
+        if rank < k:  # the final fold is never read back — skip its job
+            work = work.localCheckpoint(eager=True)
     return merges

@@ -32,6 +32,12 @@ def histogram_fractions(
         .collect()
     )
     total = sum(r.n for r in rows)
+    if total == 0:
+        raise ValueError(
+            "histogram_fractions: reference is empty — a drift monitor "
+            "needs a non-empty reference distribution (mirrors the "
+            "per-batch n == 0 guard in stream_drift_monitor)"
+        )
     return {int(r.bucket): r.n / total for r in rows}
 
 

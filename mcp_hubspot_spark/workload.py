@@ -5495,22 +5495,22 @@ def user_value_trend(spark: SparkSession, sf: str) -> DataFrame:
     WITH n AS (SELECT count(*) AS n_rows FROM orders),
     r AS (
         SELECT 'price_cap' AS rule,
-               CAST(count(*) FILTER (NOT (o_totalprice <= 450000.0)) AS BIGINT)
+               CAST(count(*) FILTER (NOT coalesce(o_totalprice <= 450000.0, FALSE)) AS BIGINT)
                    AS n_violations,
                list_sort(list(DISTINCT o_orderkey)
-                   FILTER (NOT (o_totalprice <= 450000.0)))[1:5] AS ids
+                   FILTER (NOT coalesce(o_totalprice <= 450000.0, FALSE)))[1:5] AS ids
         FROM orders
         UNION ALL
         SELECT 'status_domain',
-               CAST(count(*) FILTER (o_orderstatus NOT IN ('F', 'O')) AS BIGINT),
+               CAST(count(*) FILTER (NOT coalesce(o_orderstatus IN ('F', 'O'), FALSE)) AS BIGINT),
                list_sort(list(DISTINCT o_orderkey)
-                   FILTER (o_orderstatus NOT IN ('F', 'O')))[1:5]
+                   FILTER (NOT coalesce(o_orderstatus IN ('F', 'O'), FALSE)))[1:5]
         FROM orders
         UNION ALL
         SELECT 'priority_specified',
-               CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT),
+               CAST(count(*) FILTER (NOT coalesce(o_orderpriority != '4-NOT SPECIFIED', FALSE)) AS BIGINT),
                list_sort(list(DISTINCT o_orderkey)
-                   FILTER (o_orderpriority = '4-NOT SPECIFIED'))[1:5]
+                   FILTER (NOT coalesce(o_orderpriority != '4-NOT SPECIFIED', FALSE)))[1:5]
         FROM orders
     )
     SELECT rule, n_violations,
@@ -6266,78 +6266,71 @@ def orders_value_drift(spark: SparkSession, sf: str) -> DataFrame:
 #                              search path stays pinned by the ivf_topk
 #                              exactness pytest and the persisted
 #                              IvfIndex partition-pruning tests)
+# ---- round-4 window -------------------------------------------------
+# Never-checked-first rule, round 4: the 14 oracle-gated queries that
+# have NEVER held a driver slot (all late round-3 waves; named in
+# VERDICT r3 as the remaining pytest-green/driver-green gap) enter at
+# the head of the window. The 14 once-green (r3) slots they take, with
+# the in-window cover that justifies each rotation:
+#   events_asof_click        -> events_near_pairs stays (range/interval
+#                               join family) + the NTZ normalization is
+#                               pinned by the catalog pytest
+#   events_sessionized       -> rolling_7d_active_users + events_scd2
+#                               (window/date family) + sessionize pytest
+#   mixture_resample_docs    -> mixture_plan (incoming: the planning twin
+#                               of the SAME operator family) +
+#                               temperature_mixture_docs in-window
+#   weighted_sample_docs     -> stratified_sample_docs + eval_holdout_docs
+#                               in-window (hash-deterministic sampling
+#                               family) + A-ES pytest
+#   upsample_repeat_docs     -> order_value_bootstrap_ci (incoming: the
+#                               same hash-replica fan-out machinery)
+#   global_shuffle_docs      -> split_bucket ordering runs inside
+#                               in-window stratified/domain-capped/
+#                               holdout queries; pinned by pytest
+#   doc_hash_split           -> same split_bucket family cover as above
+#   media_frame_sample       -> media_features stays (mapInPandas
+#                               multimodal family)
+#   embedding_row_stats      -> embedding_projection +
+#                               quantized_embedding_error in-window
+#                               (array-fold family)
+#   customer_spend_percentile-> orders_above_customer_avg in-window +
+#                               user_value_trend incoming (window/agg
+#                               analytics family)
+#   kmv_distinct_users       -> cms_heavy_hitters in-window +
+#                               sampled_quantiles_lineitem incoming
+#                               (mergeable-sketch family) + the
+#                               KMV batch/stream agreement pytest
+#   big_order_customers      -> nation_trade_volume in-window +
+#                               orders_monthly_growth incoming (TPC-H
+#                               scan-join-agg family; also the bench
+#                               headline + oracle pytest)
+#   vocab_coverage           -> bpe_compression incoming + bm25_search
+#                               in-window (token explode-count family)
+#   supplier_pagerank        -> bpe_merges in-window (checkpointed
+#                               iterative-loop family) +
+#                               dedup_survivor_report (CC iteration
+#                               runs inside it)
 _CHECK_PRIORITY = [
-    # red→green flips this round (NTZ normalization + canon-safe shape)
-    "events_asof_click", "events_near_pairs", "events_sessionized",
-    "media_features",
-    # never-driver-checked round-2 additions (priority per rotation doc)
-    "ngram_containment_pairs", "remove_boilerplate_docs",
-    "eval_holdout_docs", "upsample_repeat_docs", "embedding_projection",
-    "supplier_pagerank", "dedup_survivor_report", "doc_bigram_lm_score",
-    "mixture_resample_docs", "stratified_sample_docs",
-    "customer_spend_percentile", "orders_above_customer_avg",
-    "embedding_row_stats", "doc_hash_split", "media_frame_sample",
-    # round-3 additions (never driver-checked; same priority rule)
-    "global_shuffle_docs", "canonical_text_docs", "quantized_embedding_error",
-    "bloom_decontaminated_docs", "kmv_distinct_users", "dedup_lines_docs",
-    "bm25_search", "incremental_dedup_docs",
-    "weighted_sample_docs", "cms_heavy_hitters", "temperature_mixture_docs",
-    "semantic_dedup_docs", "length_bucketed_batches",
-    # round-3 ninth wave (never driver-checked; same never-checked-first
-    # rule). The seven twice-green slots they take, with cover:
-    #   pricing_summary         → big_order_customers (lineitem scan-agg,
-    #                             decimal-exact money; also the bench
-    #                             headline + oracle pytest)
-    #   orders_rollup           → orders_cube (richer grouping-sets:
-    #                             CUBE + grouping_id)
-    #   parts_without_lineitem  → customer_churn_sets (EXCEPT = the same
-    #                             anti-join shape) + semi/anti pytests
-    #   order_lines_nested      → sort_array(collect_list(struct))
-    #                             assembly stays pinned by the
-    #                             group_concat_ordered pytest + verify
-    #                             gate; slot goes to vocab_coverage
-    #   salted_flag_totals      → AQE skew-split plan-audit pytest;
-    #                             conditional-agg shape in orders_cube
-    #   doc_zscore_by_source    → media_features (pandas-UDF surface,
-    #                             in-window) + the applyInPandas-vs-SQL-
-    #                             twin pytest
-    #   events_campaign_attribution → events_near_pairs (interval/range
-    #                             join family, in-window) + the BNL
-    #                             plan-audit pytest
-    "big_order_customers", "nation_trade_volume", "orders_cube",
-    "domain_capped_docs", "semantic_contaminated_docs", "vocab_coverage",
-    "events_scd2",
-    #   packed_sequences        → greedy_packed_docs (packing family:
-    #                             the never-checked no-split variant
-    #                             takes the once-green concat-split
-    #                             variant's slot; packed_sequences stays
-    #                             pinned by its r2 green + the single-
-    #                             Exchange plan-audit pytest)
-    "greedy_packed_docs",
-    #   cheapest_line_per_part  → rolling_7d_active_users (the sliding-
-    #                             DISTINCT family had no in-window
-    #                             representative; struct-ordered argmin
-    #                             stays exercised in-window by
-    #                             semantic_contaminated_docs' struct-max
-    #                             best-match and pinned by its r2 green).
-    #                             orders_unpivot, events_value_outliers_mad,
-    #                             user_value_trend (also new) stay
-    #                             pytest+verify-gated, first in line for
-    #                             the next rotation window.
-    "rolling_7d_active_users",
-    #   quality_filter_docs     → bpe_merges (never checked; the quality
-    #                             filter's rule chain runs INSIDE the
-    #                             in-window training_corpus_pipeline — the
-    #                             cover already documented above — so the
-    #                             slot goes to the iterative BPE trainer,
-    #                             a family with no driver history at all)
-    #   dedup_clusters          → dq_violations (never checked; connected
-    #                             components runs INSIDE the in-window
-    #                             dedup_survivor_report (LSH→CC→keep-min),
-    #                             so the standalone CC query yields its
-    #                             slot to the data-quality gate family)
+    # never driver-checked (round-3 late waves) — first in line
+    "orders_unpivot", "events_value_outliers_mad", "user_value_trend",
+    "order_value_bootstrap_ci", "hard_negatives", "mixture_plan",
+    "event_type_lift", "orders_monthly_growth", "bpe_compression",
+    "orders_value_drift", "profile_orders", "sampled_quantiles_lineitem",
+    "events_resampled_locf", "doc_token_positions",
+    # once-green (r3) family representatives retained in-window
+    "events_near_pairs", "media_features", "ngram_containment_pairs",
+    "remove_boilerplate_docs", "eval_holdout_docs", "embedding_projection",
+    "dedup_survivor_report", "doc_bigram_lm_score",
+    "stratified_sample_docs", "orders_above_customer_avg",
+    "canonical_text_docs", "quantized_embedding_error",
+    "bloom_decontaminated_docs", "dedup_lines_docs", "bm25_search",
+    "incremental_dedup_docs", "cms_heavy_hitters",
+    "temperature_mixture_docs", "semantic_dedup_docs",
+    "length_bucketed_batches", "nation_trade_volume", "orders_cube",
+    "domain_capped_docs", "semantic_contaminated_docs", "events_scd2",
+    "greedy_packed_docs", "rolling_7d_active_users",
     "bpe_merges", "dq_violations",
-    # retained family representatives
     "customer_order_activity", "events_json_props",
     "embedding_neardup_lsh",
     "projected_knn_rerank",

@@ -1629,3 +1629,89 @@ def test_bpe_learn_merges_matches_python_reference(spark):
     assert got == expected
     got2 = bpe_learn_merges(df.repartition(5, "doc_id"), k=3)
     assert got2 == expected
+
+
+def test_dq_checks_null_predicate_counts_as_violation(spark):
+    """A rule that evaluates to NULL (NULL input) counts as a violation —
+    the safe quality-gate default; 3VL pass-through must be opted into
+    with an explicit isNull() disjunct."""
+    from mcp_hubspot_spark.operators.profiling import dq_checks
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, None), (3, 500.0)], "id long, price double"
+    )
+    out = {
+        r.rule: r
+        for r in dq_checks(
+            df,
+            [
+                ("price_cap", F.col("price") <= 450.0),
+                ("cap_or_null", F.col("price").isNull() | (F.col("price") <= 450.0)),
+            ],
+            "id",
+        ).collect()
+    }
+    # NULL price violates the bare cap rule (ids 2 and 3)...
+    assert out["price_cap"].n_violations == 2
+    assert sorted(int(x) for x in out["price_cap"].sample_ids) == [2, 3]
+    # ...but passes when the rule opts into NULL tolerance.
+    assert out["cap_or_null"].n_violations == 1
+    assert out["cap_or_null"].sample_ids == ["3"]
+
+
+def test_dq_checks_rejects_unsafe_rule_names(spark):
+    from mcp_hubspot_spark.operators.profiling import dq_checks
+    from pyspark.sql import functions as F
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id long")
+    for bad in ["has space", "quo'te", "back`tick", ""]:
+        with pytest.raises(ValueError, match="rule name"):
+            dq_checks(df, [(bad, F.col("id") > 0)], "id")
+
+
+def test_profile_table_approx_matches_exact_within_rsd(spark):
+    """The HLL++ profile twin: identical schema, n_distinct within the
+    sketch tolerance of the exact profile, everything else exact."""
+    from mcp_hubspot_spark.operators.profiling import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice"]
+    exact = {r.column_name: r for r in profile_table(orders, cols).collect()}
+    approx = {
+        r.column_name: r
+        for r in profile_table_approx(orders, cols, rsd=0.02).collect()
+    }
+    assert set(exact) == set(approx)
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_non_null, a.min_value, a.max_value) == (
+            e.n_rows, e.n_non_null, e.min_value, e.max_value
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(5, 0.1 * e.n_distinct)
+
+
+def test_semantic_contamination_matmul_guards(spark):
+    """Empty benchmark raises (never 'no contamination'); zero-norm
+    benchmark rows yield cos=0 instead of NaN-poisoned argmax."""
+    from mcp_hubspot_spark.operators.dedup import semantic_contamination_matmul
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="benchmark is empty"):
+        semantic_contamination_matmul(corpus, empty, 0.9)
+    bench = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (11, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.vec_id, r.bench_id)
+        for r in semantic_contamination_matmul(corpus, bench, 0.9).collect()
+    }
+    assert got == {(1, 11)}  # zero-norm bench row never matches, no NaN

@@ -546,3 +546,18 @@ def test_rolling_distinct_fanout_is_bounded_explode(spark):
     assert "Generate" in plan and "explode" in plan
     for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert op not in plan
+
+
+def test_profile_table_approx_has_no_expand(spark):
+    """The exact profiler's multi-countDistinct costs an Expand (one row
+    replica per distinct column); the HLL++ twin must compile to a plain
+    partial/final aggregate with no Expand regardless of column count."""
+    from mcp_hubspot_spark.operators.profiling import (
+        profile_table,
+        profile_table_approx,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    assert "Expand" in plan_of(profile_table(orders, cols))
+    assert "Expand" not in plan_of(profile_table_approx(orders, cols))

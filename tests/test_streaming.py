@@ -511,3 +511,12 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert len(rows) >= 2
     assert drifts[0] < 0.05      # in-distribution batch
     assert drifts[-1] > 1.0      # fully shifted batch (disjoint support)
+
+
+def test_histogram_fractions_empty_reference_raises(spark):
+    import pytest
+    from mcp_hubspot_spark.streaming.monitor import histogram_fractions
+
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="reference is empty"):
+        histogram_fractions(empty, "v", bucket_width=10.0, max_bucket=5)
