@@ -224,6 +224,57 @@ class IvfIndex:
             cent_rows, "cell_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(str(self.root / "centroids"))
 
+    # ------------------------------------------------------- serving
+
+    MANIFEST_FORMAT = "ivf-parquet/1"
+
+    def export_manifest(self) -> dict:
+        """Write ``manifest.json`` at the index root: metric, dim,
+        centroids, and the per-cell parquet file listing (paths relative
+        to the root). This is the ONLINE-SERVING handoff — an external
+        server (the reference splits serving into its own FAISS process,
+        ``faiss_manager.py``) can pick probe cells from the centroids and
+        mmap exactly the listed files, without a Spark session and
+        without re-deriving the partition layout from a directory walk.
+        One bounded JSON: n_cells centroids + file names, never vectors."""
+        import json
+
+        cents = self.spark.read.parquet(str(self.root / "centroids")).collect()
+        cells_root = self.root / "cells"
+        cells: dict[str, list[str]] = {}
+        for part in sorted(cells_root.glob("cell_id=*")):
+            cid = int(part.name.split("=", 1)[1])
+            cells[str(cid)] = sorted(
+                str(f.relative_to(self.root)) for f in part.glob("*.parquet")
+            )
+        manifest = {
+            "format": self.MANIFEST_FORMAT,
+            "metric": "l2",
+            "dim": len(cents[0].centroid) if cents else 0,
+            "n_cells": len(cents),
+            "centroids": {
+                str(int(r.cell_id)): [float(x) for x in r.centroid]
+                for r in cents
+            },
+            "cells": cells,
+        }
+        (self.root / "manifest.json").write_text(
+            json.dumps(manifest, sort_keys=True)
+        )
+        return manifest
+
+    def read_manifest(self) -> dict | None:
+        """The parsed ``manifest.json``, or None if never exported."""
+        import json
+
+        p = self.root / "manifest.json"
+        if not p.exists():
+            return None
+        m = json.loads(p.read_text())
+        if m.get("format") != self.MANIFEST_FORMAT:
+            raise ValueError(f"unknown IVF manifest format: {m.get('format')!r}")
+        return m
+
     def search(
         self,
         query_vec: Sequence[float],
@@ -234,17 +285,32 @@ class IvfIndex:
     ) -> DataFrame:
         import math
 
-        cents = self.spark.read.parquet(str(self.root / "centroids")).collect()
+        # serving path: centroid selection from the manifest costs zero
+        # Spark jobs (a query should only ever launch the ONE pruned-scan
+        # job); the parquet centroids remain the source of truth when no
+        # manifest has been exported
+        manifest = self.read_manifest()
+        if manifest is not None:
+            cent_pairs = [
+                (int(cid), vec) for cid, vec in manifest["centroids"].items()
+            ]
+        else:
+            cent_pairs = [
+                (int(r.cell_id), r.centroid)
+                for r in self.spark.read.parquet(
+                    str(self.root / "centroids")
+                ).collect()
+            ]
         scored = sorted(
             (
                 (
                     sum(
                         (float(a) - float(b)) ** 2
-                        for a, b in zip(r.centroid, query_vec)
+                        for a, b in zip(centroid, query_vec)
                     ),
-                    int(r.cell_id),
+                    cid,
                 )
-                for r in cents
+                for cid, centroid in cent_pairs
             ),
         )
         probe = [cid for _, cid in scored[: max(1, nprobe)]]

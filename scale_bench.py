@@ -33,6 +33,7 @@ from mcp_hubspot_spark.operators.dedup import (
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     semantic_contamination_matmul,
+    semantic_dedup,
     simhash_fingerprints,
 )
 from mcp_hubspot_spark.operators.sampling import (
@@ -124,7 +125,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=40)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument(
+        "--only",
+        type=str,
+        default=None,
+        help="comma-separated substrings; run only matching cases "
+        "(e.g. --only minhash,dedup_clusters,semantic_dedup,bloom for "
+        "the 1M-doc dedup-chain run)",
+    )
     args = ap.parse_args()
+    only = [s for s in (args.only or "").split(",") if s]
+
+    def wanted(name: str) -> bool:
+        return not only or any(s in name for s in only)
 
     spark = get_spark(app_name="scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,6 +158,7 @@ def main() -> None:
         docs = spark.read.parquet(dp)
         embs = spark.read.parquet(ep)
         n_docs, n_embs = docs.count(), embs.count()
+        dk, ek = f"{n_docs // 1000}k", f"{n_embs // 1000}k"
         probe = [
             float(x)
             for x in embs.filter(F.col("vec_id") == 0).first().embedding
@@ -157,66 +171,95 @@ def main() -> None:
         def lsh_pairs():
             return minhash_lsh_pairs(docs, num_perm=16, bands=4)
 
+        def semdedup():
+            # cluster-then-dedup (SemDeDup): cell count scales with the
+            # corpus so per-cell candidate squares stay bounded as copies
+            # grows — the property the 1M-doc run is meant to demonstrate
+            from mcp_hubspot_spark.operators.vector import train_centroids
+
+            n_cells = max(16, n_embs // 2500)
+            cents = train_centroids(
+                embs.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                n_cells,
+                sample_fraction=min(1.0, 20_000 / max(1, n_embs)),
+            )
+            cent_rows = [
+                (int(r.cell_id), [float(x) for x in r.centroid])
+                for r in cents.collect()
+            ]
+            return semantic_dedup(
+                embs.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                cent_rows,
+                min_cosine=0.999,
+            )
+
         cases = {
-            "minhash_lsh_pairs_200k": lsh_pairs,
-            "dedup_clusters_200k": lambda: connected_components(
+            f"minhash_lsh_pairs_{dk}": lsh_pairs,
+            f"dedup_clusters_{dk}": lambda: connected_components(
                 lsh_pairs().select("id_a", "id_b")
             ),
-            "simhash_fingerprints_200k": lambda: simhash_fingerprints(docs),
+            f"simhash_fingerprints_{dk}": lambda: simhash_fingerprints(docs),
             # dim inferred from the data — a hardcoded wrong dim NULLs the
             # plane dots and collapses everything into one n² bucket
-            "embedding_neardup_lsh_80k": lambda: embedding_neardup_pairs(
+            f"embedding_neardup_lsh_{ek}": lambda: embedding_neardup_pairs(
                 embs, n_planes=12
             ),
-            "repetition_features_200k": lambda: repetition_features(docs),
-            "quality_features_200k": lambda: quality_features(docs),
-            "pack_sequences_200k": lambda: pack_sequences(docs),
-            "remove_boilerplate_200k": lambda: remove_boilerplate_lines(docs),
-            "knn_l2_80k": lambda: knn(embs, probe, k=10),
-            "knn_matmul_32q_80k": lambda: knn_batch_matmul(
+            f"semantic_dedup_{ek}": semdedup,
+            f"repetition_features_{dk}": lambda: repetition_features(docs),
+            f"quality_features_{dk}": lambda: quality_features(docs),
+            f"pack_sequences_{dk}": lambda: pack_sequences(docs),
+            f"remove_boilerplate_{dk}": lambda: remove_boilerplate_lines(docs),
+            f"knn_l2_{ek}": lambda: knn(embs, probe, k=10),
+            f"knn_matmul_32q_{ek}": lambda: knn_batch_matmul(
                 embs, queries, k=10
             ),
-            # benchmark = 200 base docs (8k 7-grams); candidates = all 200k
-            "bloom_decontaminate_200k": lambda: bloom_prefiltered_contamination(
+            # benchmark = base docs sampled 1/1000 (~8k 7-grams at 200k)
+            f"bloom_decontaminate_{dk}": lambda: bloom_prefiltered_contamination(
                 docs,
                 docs.filter(F.col("doc_id") % 1000 == 0).select("doc_id", "text"),
                 n=7,
                 num_bits=1 << 18,
             ),
-            "kmv_distinct_200k": lambda: kmv_distinct(
+            f"kmv_distinct_{dk}": lambda: kmv_distinct(
                 docs, ["lang"], "doc_id", k=256
             ),
-            "dedup_lines_keep_first_200k": lambda: dedup_lines_keep_first(docs),
-            "bm25_search_200k": lambda: bm25_scores(
+            f"dedup_lines_keep_first_{dk}": lambda: dedup_lines_keep_first(docs),
+            f"bm25_search_{dk}": lambda: bm25_scores(
                 docs, ["spark", "window", "hash"]
             ),
-            # TakeOrderedAndProject: 1000 winners out of 200k by A-ES key
-            "weighted_sample_200k": lambda: weighted_sample(
+            # TakeOrderedAndProject: 1000 winners by A-ES key
+            f"weighted_sample_{dk}": lambda: weighted_sample(
                 docs, "n_chars", k=1000
             ),
-            "temperature_mixture_200k": lambda: temperature_mixture(
+            f"temperature_mixture_{dk}": lambda: temperature_mixture(
                 docs, "lang", alpha=0.5
             ),
-            "hash_sample_quantiles_200k": lambda: hash_sample_quantiles(
+            f"hash_sample_quantiles_{dk}": lambda: hash_sample_quantiles(
                 docs, F.col("doc_id"), "n_chars", qs=[0.5, 0.9, 0.99], m=4000
             ),
             # wordcount shuffle + 1024-cell sketch + broadcast probe of
             # the full vocabulary back against it
-            "cms_build_estimate_200k": lambda: _cms_roundtrip(docs),
-            # two-phase bottom-k head-domain cap: 20 sources x 200k docs
-            "per_group_cap_200k": lambda: per_group_cap(
+            f"cms_build_estimate_{dk}": lambda: _cms_roundtrip(docs),
+            # two-phase bottom-k head-domain cap: 20 sources x all docs
+            f"per_group_cap_{dk}": lambda: per_group_cap(
                 docs, "source", "doc_id", k=100
             ),
-            # eval set = 2k vecs broadcast against the 80k corpus; the
+            # eval set = 1/40 of vecs broadcast against the corpus; the
             # BLAS backend (one matmul per Arrow batch) — the expression
             # variant is the oracle twin and ~50x slower at this |bench|
-            "semantic_contamination_80k": lambda: semantic_contamination_matmul(
+            f"semantic_contamination_{ek}": lambda: semantic_contamination_matmul(
                 embs.filter(F.col("vec_id") % 40 != 0),
                 embs.filter(F.col("vec_id") % 40 == 0),
                 min_cosine=0.99,
             ),
-            # applyInPandas next-fit walk over 32 shards of 200k rows
-            "greedy_pack_200k": lambda: greedy_pack_docs(
+            # applyInPandas next-fit walk over 32 shards
+            f"greedy_pack_{dk}": lambda: greedy_pack_docs(
                 docs, "n_chars", capacity=4096, n_shards=32
             ),
         }
@@ -226,30 +269,67 @@ def main() -> None:
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
 
-        # BPE trains on a hash-sample (counts converge; the documented
-        # scale contract) — 4 merges over a ~2.5% deterministic sample
-        # of the 200k corpus, timed like the DataFrame cases but via its
-        # driver-loop API (returns plain rows, nothing to noop-write)
-        def bpe_case():
-            sample = hash_stratified_sample(
-                docs, "lang", {}, id_col="doc_id", default_rate=0.025
-            )
-            return bpe_learn_merges(sample, k=4)
+        def run_special(name, fn, n_out):
+            """Time a driver-loop case (returns plain rows / python values
+            — nothing to noop-write) with the same cold+steady protocol."""
+            if not wanted(name):
+                return
+            try:
+                t0 = time.perf_counter()
+                out = fn()
+                cold[name] = round(time.perf_counter() - t0, 3)
+                t1 = time.perf_counter()
+                out = fn()
+                timings[name] = round(time.perf_counter() - t1, 3)
+                rows[name] = n_out(out)
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-        try:
-            t0 = time.perf_counter()
-            out = bpe_case()
-            cold["bpe_merges_5k_sample"] = round(time.perf_counter() - t0, 3)
-            t1 = time.perf_counter()
-            out = bpe_case()
-            timings["bpe_merges_5k_sample"] = round(
-                time.perf_counter() - t1, 3
+        # BPE trains on a hash-sample (counts converge; the documented
+        # scale contract) — a ~2.5% deterministic sample of the corpus,
+        # via its driver-loop API. Two budgets: k=4 (the oracle-gated
+        # shape) and k=64 (demonstrates the per-round localCheckpoint
+        # keeps the loop linear-per-round — without it k=64 is quadratic)
+        bpe_sample = hash_stratified_sample(
+            docs, "lang", {}, id_col="doc_id", default_rate=0.025
+        )
+        n_sample = bpe_sample.count()
+        sk = f"{max(1, n_sample // 1000)}k_sample"
+        run_special(
+            f"bpe_merges_{sk}", lambda: bpe_learn_merges(bpe_sample, k=4), len
+        )
+        run_special(
+            f"bpe_merges_k64_{sk}",
+            lambda: bpe_learn_merges(bpe_sample, k=64),
+            len,
+        )
+
+        # IVF online-serving latency: build+export once (amortized, not
+        # timed), then a single k=10 / nprobe=7 search — the reference's
+        # serving contract is <=7 per-day indexes probed at k=10
+        # (faiss_manager.py:270-291); here 7 probed cells out of many,
+        # pruned at planning time via the manifest (zero extra jobs)
+        if wanted("ivf_serving"):
+            from mcp_hubspot_spark.vector_store import IvfIndex
+
+            ivf = IvfIndex(spark, str(work / "ivf"))
+            ivf.build(
+                embs.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                n_cells=max(16, n_embs // 2500),
             )
-            rows["bpe_merges_5k_sample"] = len(out)
-        except Exception as exc:
-            errors["bpe_merges_5k_sample"] = f"{type(exc).__name__}: {exc}"[:200]
+            ivf.export_manifest()
+            run_special(
+                f"ivf_serving_latency_{ek}",
+                lambda: ivf.search(probe, k=10, nprobe=7).collect(),
+                len,
+            )
 
         for name, fn in cases.items():
+            if not wanted(name):
+                continue
             try:
                 t0 = time.perf_counter()
                 fn().write.format("noop").mode("overwrite").save()

@@ -192,3 +192,60 @@ def test_ivf_index_build_search_and_partition_pruning(spark, tmp_path):
         cells.filter(F.col("cell_id").isin([0])).explain(True)
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "cell_id" in plan
+
+
+def test_ivf_manifest_export_reopen_and_external_reader(spark, tmp_path):
+    """The serving handoff: export_manifest() writes one JSON with
+    metric/dim/centroids/per-cell file listing; search() after export
+    returns the same hits (centroid pick now Spark-job-free); and an
+    EXTERNAL reader (duckdb, no Spark) using only the manifest — probe
+    cells from the centroids, read exactly the listed files — reproduces
+    the same top-k. That is the contract an online server needs to mmap
+    the cells without re-deriving layout."""
+    import duckdb
+
+    from mcp_hubspot_spark.sources.catalog import load_table
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+
+    root = tmp_path / "ivf"
+    idx = IvfIndex(spark, str(root))
+    idx.build(emb, n_cells=8)
+    before = [(r.vec_id, round(r.distance, 6)) for r in idx.search(probe, k=10, nprobe=3).collect()]
+
+    m = idx.export_manifest()
+    assert m["format"] == IvfIndex.MANIFEST_FORMAT and m["metric"] == "l2"
+    assert m["dim"] == len(probe) and m["n_cells"] == 8
+    assert set(m["centroids"]) == set(m["cells"])
+    for files in m["cells"].values():
+        assert files and all((root / f).exists() for f in files)
+
+    # re-open: a fresh handle reads the manifest; hits are unchanged
+    reopened = IvfIndex(spark, str(root))
+    assert reopened.read_manifest() == m
+    after = [(r.vec_id, round(r.distance, 6)) for r in reopened.search(probe, k=10, nprobe=3).collect()]
+    assert after == before
+
+    # external serving simulation: no Spark — pick nprobe cells from the
+    # manifest centroids, scan only the listed parquet files via duckdb
+    scored = sorted(
+        (sum((a - b) ** 2 for a, b in zip(c, probe)), cid)
+        for cid, c in m["centroids"].items()
+    )
+    files = [str(root / f) for _, cid in scored[:3] for f in m["cells"][cid]]
+    con = duckdb.connect()
+    ext = con.execute(
+        """
+        SELECT vec_id, round(list_sum(list_transform(
+                   list_zip(embedding::DOUBLE[], ?::DOUBLE[]),
+                   p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d
+        FROM read_parquet(?)
+        ORDER BY d, vec_id LIMIT 10
+        """,
+        [probe, files],
+    ).fetchall()
+    assert [(v, d) for v, d in ext] == before
