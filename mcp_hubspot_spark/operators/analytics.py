@@ -1,0 +1,122 @@
+"""Behavioral analytics operators: ordered funnels and Markov transition
+matrices over event streams — the product-analytics staples (conversion
+tracking, session modeling) a pipeline engine serves next to its
+relational core. Reference scope: the reference exposes raw engagement
+feeds (``server.py`` recent-engagements tooling); these operators are
+the aggregate views a consumer of those feeds computes.
+
+Scale stance: every shape here shuffles on ``user_id`` only (the natural
+partition key for behavioral data) and reduces to per-user scalars
+before any global step; nothing materializes per-user event arrays in a
+single task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel with first-touch semantics: a user
+    completes step i at the EARLIEST event of type ``steps[i]`` at or
+    after their step i-1 completion time. Returns one row per step:
+    (step, event_type, n_users, pct_of_first).
+
+    Plan shape — a chain of per-user min aggregations, one per step,
+    joined user-to-user: filter to the step's type, join the previous
+    step's completion times (same user_id hash partitioning every stage,
+    so AQE coalesces into co-located joins), keep events at/after it,
+    take the min. No per-user event arrays, no window over the full
+    stream — a power user with 10^6 events costs 10^6 filter rows, never
+    a single-task sort. The final 3-row count assembly is a union of
+    scalar aggregates; pct_of_first is a window over len(steps) rows.
+    """
+    if not steps:
+        raise ValueError("ordered_funnel needs at least one step")
+    prev: DataFrame | None = None
+    per_step: list[DataFrame] = []
+    for step in steps:
+        e = events.filter(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias("_ts")
+        )
+        if prev is not None:
+            e = (
+                e.join(prev, user_col)
+                .filter(F.col("_ts") >= F.col("_step_ts"))
+                .drop("_step_ts")
+            )
+        cur = e.groupBy(user_col).agg(F.min("_ts").alias("_step_ts"))
+        per_step.append(cur)
+        prev = cur
+    counts: DataFrame | None = None
+    for i, (step, frame) in enumerate(zip(steps, per_step)):
+        c = frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(step).alias("event_type"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.withColumn(
+        "pct_of_first",
+        F.round(F.col("n_users") / F.first("n_users").over(w), 6),
+    ).orderBy("step")
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) adjacent pair in (ts,
+    order_col) order, the transition count and the row-normalized
+    probability. The session-modeling companion to ``event_type_lift``
+    (co-occurrence): lift asks "appear together?", this asks "what comes
+    NEXT?".
+
+    One window pass (lead over user_id partitions — single shuffle on
+    the user key), one small groupBy on the type pair, and a broadcast
+    join against the per-from-type totals (|types|² rows, trivially
+    broadcastable at any corpus size).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_n_from")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.round(
+                F.col("n_transitions") / F.col("_n_from"), 6
+            ).alias("p_transition"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -924,3 +924,77 @@ def semantic_contamination_matmul(
     return corpus.select(id_col, vec_col).mapInPandas(
         flag, schema=f"{id_col} long, bench_id long, cosine double"
     )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Record linkage by edit distance with DELETION-NEIGHBORHOOD
+    blocking (the FastSS scheme): two strings within Levenshtein
+    distance 1 necessarily share a signature in {s} ∪ {s with one char
+    deleted} — equal strings share s itself, a substitution pair shares
+    the deletion at the differing position, an insert/delete pair shares
+    the shorter string. So an explode → equi-join on the signature finds
+    ALL distance-≤1 candidates with an inverted index (L+1 signatures
+    per row), never an n² cross join — the same blocking economics as
+    the n-gram/LSH dedup family, exact instead of probabilistic. The
+    final ``levenshtein`` filter discards the false candidates the
+    blocking admits.
+
+    ``max_dist`` must be 1: the single-deletion neighborhood is complete
+    only for distance ≤ 1 (greater radii need recursive deletions —
+    signature count grows as L^d, a different cost class worth opting
+    into explicitly).
+
+    Returns (key_a, key_b, name_a, name_b, edit_dist), key_a < key_b.
+    At 100 TB: signature fan-out is |name|+1 small strings per row; the
+    join shuffles signatures (grouped by equal prefixes, well-spread);
+    per-signature buckets are tiny for natural name data.
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "deletion_neighborhood_pairs supports max_dist=1 only "
+            "(single-deletion signatures are complete just for d<=1)"
+        )
+    name = F.col(name_col)
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            F.substring(name, F.lit(1), i - 1),
+            F.substring(name, i + 1, F.length(name)),
+        ),
+    )
+    sigs = df.select(
+        F.col(id_col).alias("_key"),
+        name.alias("_name"),
+        F.explode(
+            F.array_union(F.array(name), deletions)
+        ).alias("_sig"),
+    )
+    a = sigs.select(
+        F.col("_key").alias("key_a"),
+        F.col("_name").alias("name_a"),
+        "_sig",
+    )
+    b = sigs.select(
+        F.col("_key").alias("key_b"),
+        F.col("_name").alias("name_b"),
+        "_sig",
+    )
+    cand = (
+        a.join(b, "_sig")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(dist <= max_dist).select(
+        "key_a",
+        "key_b",
+        "name_a",
+        "name_b",
+        dist.cast("int").alias("edit_dist"),
+    )

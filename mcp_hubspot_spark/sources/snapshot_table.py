@@ -152,12 +152,33 @@ class SnapshotTable:
         paths = self._bucket_paths(
             manifest, [int(b) for b in manifest["buckets"]]
         )
-        return self.spark.read.parquet(*paths).drop(_BUCKET)
+        # mergeSchema: after an add-column merge, bucket directories from
+        # different versions legitimately differ by the added nullable
+        # columns; the union schema is the table schema and pre-evolution
+        # rows read the new columns as NULL (footer-merge only — no data
+        # rewrite, exactly Delta's add-column semantics)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .drop(_BUCKET)
+        )
 
-    def merge_upsert(self, updates: DataFrame) -> int:
+    def merge_upsert(
+        self, updates: DataFrame, allow_missing_columns: bool = False
+    ) -> int:
         """MERGE: matched rows (on the table keys) are replaced by their
         update row, unmatched update rows are inserted. Returns the new
         version. Only buckets containing update rows are read or written.
+
+        Schema evolution (pinned contract): columns present in
+        ``updates`` but not in the table are ADDED as nullable — rows in
+        untouched buckets (and pre-evolution versions) read them as NULL
+        via the mergeSchema read; nothing is rewritten outside the
+        touched buckets. Columns present in the table but MISSING from
+        ``updates`` raise by default (this merge is full-row replace, so
+        a silently-narrow batch would NULL matched rows' values); pass
+        ``allow_missing_columns=True`` to opt into exactly that. Update
+        batches must always carry every key column.
         """
         manifest = self._read_manifest()
         keys, nb = manifest["keys"], manifest["n_buckets"]
@@ -165,6 +186,11 @@ class SnapshotTable:
         new_version = expected + 1
         vdir = f"v_{new_version}"
 
+        missing_keys = set(keys) - set(updates.columns)
+        if missing_keys:
+            raise ValueError(
+                f"merge_upsert batch missing key columns: {sorted(missing_keys)}"
+            )
         u = updates.withColumn(_BUCKET, _bucket_expr(keys, nb))
         # bounded collect: at most n_buckets values, never data rows
         touched = sorted(
@@ -174,13 +200,25 @@ class SnapshotTable:
         if existing_paths:
             # leaf-directory reads drop the partition column; recompute it
             # from the keys (deterministic by construction)
-            existing = self.spark.read.parquet(*existing_paths).withColumn(
-                _BUCKET, _bucket_expr(keys, nb)
-            )
+            existing = self.spark.read.option("mergeSchema", "true").parquet(
+                *existing_paths
+            ).withColumn(_BUCKET, _bucket_expr(keys, nb))
+            narrowed = set(existing.columns) - set(u.columns)
+            if narrowed and not allow_missing_columns:
+                raise ValueError(
+                    "merge_upsert batch is missing table columns "
+                    f"{sorted(narrowed)}; matched rows would have them set "
+                    "to NULL (full-row replace). Pass "
+                    "allow_missing_columns=True to allow that."
+                )
             # last-writer-wins within the batch is the caller's contract;
             # against the table it is WHEN MATCHED UPDATE SET * (full-row
-            # replace) + WHEN NOT MATCHED INSERT *
-            merged = existing.join(u, on=keys, how="left_anti").unionByName(u)
+            # replace) + WHEN NOT MATCHED INSERT *. allowMissingColumns
+            # realizes both evolution directions: table rows gain NULL
+            # for added columns, narrow batches (opted in) NULL the rest.
+            merged = existing.join(u, on=keys, how="left_anti").unionByName(
+                u, allowMissingColumns=True
+            )
         else:
             merged = u
         merged.write.partitionBy(_BUCKET).parquet(os.path.join(self.root, vdir))
@@ -209,7 +247,7 @@ class SnapshotTable:
 
         keys, nb = manifest["keys"], manifest["n_buckets"]
         all_buckets = [int(b) for b in manifest["buckets"]]
-        current = self.spark.read.parquet(
+        current = self.spark.read.option("mergeSchema", "true").parquet(
             *self._bucket_paths(manifest, all_buckets)
         ).withColumn(_BUCKET, _bucket_expr(keys, nb))
         touched = sorted(
@@ -219,7 +257,8 @@ class SnapshotTable:
         if not touched:
             return expected  # nothing to delete; no new version
         survivors = (
-            self.spark.read.parquet(*self._bucket_paths(manifest, touched))
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*self._bucket_paths(manifest, touched))
             .withColumn(_BUCKET, _bucket_expr(keys, nb))
             .filter(~condition)
         )
@@ -285,11 +324,23 @@ class SnapshotTable:
         before_paths = self._bucket_paths(m_from, changed)
         after_paths = self._bucket_paths(m_to, changed)
         before = (
-            self.spark.read.parquet(*before_paths) if before_paths else empty
+            self.spark.read.option("mergeSchema", "true").parquet(*before_paths)
+            if before_paths
+            else empty
         )
         after = (
-            self.spark.read.parquet(*after_paths) if after_paths else empty
+            self.spark.read.option("mergeSchema", "true").parquet(*after_paths)
+            if after_paths
+            else empty
         )
+        # columns added by a later merge don't exist in the before-side
+        # files: align them as NULL so the diff classifies a changed value
+        # in an added column as 'changed', not a schema error
+        for c in after.columns:
+            if c not in before.columns:
+                before = before.withColumn(
+                    c, F.lit(None).cast(after.schema[c].dataType)
+                )
         compare = [c for c in after.columns if c not in keys and c != _BUCKET]
         return snapshot_diff(
             before.drop(_BUCKET), after.drop(_BUCKET), keys, compare
@@ -324,7 +375,8 @@ class SnapshotTable:
         new_version = expected + 1
         vdir = f"v_{new_version}"
         (
-            self.spark.read.parquet(*self._bucket_paths(manifest, frag))
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*self._bucket_paths(manifest, frag))
             .withColumn(_BUCKET, _bucket_expr(keys, nb))
             .repartition(len(frag), F.col(_BUCKET))
             .write.partitionBy(_BUCKET)

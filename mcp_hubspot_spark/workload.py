@@ -6095,6 +6095,171 @@ def orders_value_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Ordered conversion funnel (first-touch): step i completes at the
+# earliest event of the step's type at/after step i-1's completion.
+# Chain of per-user min-aggregations joined user-to-user — no per-user
+# arrays, no full-stream window; see operators/analytics.py docstring.
+@_q(
+    "event_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users::DOUBLE /
+                 first_value(n_users) OVER (ORDER BY step), 6)
+               AS pct_of_first
+    FROM n ORDER BY step
+    """,
+)
+def event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import ordered_funnel
+
+    events = load_table(spark, sf, "events")
+    return ordered_funnel(events, ["view", "click", "purchase"])
+
+
+# First-order Markov transition matrix over per-user event sequences:
+# the "what comes NEXT" companion to event_type_lift's co-occurrence.
+@_q(
+    "event_transitions",
+    """
+    WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    tot AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n_transitions,
+           round(n::DOUBLE / n_from, 6) AS p_transition
+    FROM c JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import transition_matrix
+
+    events = load_table(spark, sf, "events")
+    return transition_matrix(events)
+
+
+# NTILE(4) customer-value segmentation: quartile membership is
+# row_number-exact (ties broken by custkey), spend is decimal-exact
+# before the final double cast. At 100 TB the global NTILE would become
+# approx_percentile cutoffs broadcast into a bucket-assign expression
+# (the report only needs boundaries); the window form is the
+# oracle-exact twin at test SFs.
+@_q(
+    "customer_value_quartiles",
+    """
+    WITH s AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT o_custkey, spend,
+               ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+        FROM s
+    )
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(spend) AS DOUBLE) AS min_spend,
+           CAST(max(spend) AS DOUBLE) AS max_spend,
+           round(CAST(sum(spend) AS DOUBLE) / count(*), 6) AS avg_spend
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+)
+def customer_value_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    q = s.withColumn(
+        "quartile",
+        F.ntile(4).over(
+            Window.orderBy(F.col("spend").desc(), F.col("o_custkey").asc())
+        ),
+    )
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("spend").cast("double").alias("min_spend"),
+            F.max("spend").cast("double").alias("max_spend"),
+            F.round(
+                F.sum("spend").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+# Record linkage by edit distance with deletion-neighborhood (FastSS)
+# blocking: inverted-index join on {name} ∪ single-deletions — exact for
+# lev <= 1, never n². Scoped to custkey < 500 so the pair set stays
+# bounded at every SF.
+@_q(
+    "customer_name_linkage",
+    """
+    WITH c AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey < 500
+    ),
+    sigs AS (
+        SELECT c_custkey, c_name,
+               unnest(list_prepend(
+                   c_name,
+                   list_transform(
+                       range(1, length(c_name) + 1),
+                       i -> substr(c_name, 1, i - 1) ||
+                            substr(c_name, i + 1, length(c_name))
+                   ))) AS sig
+        FROM c
+    ),
+    cand AS (
+        SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b
+        FROM sigs a JOIN sigs b
+          ON a.sig = b.sig AND a.c_custkey < b.c_custkey
+    )
+    SELECT key_a, key_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 1
+    ORDER BY key_a, key_b
+    """,
+)
+def customer_name_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import deletion_neighborhood_pairs
+
+    cust = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 500)
+    return deletion_neighborhood_pairs(
+        cust, "c_custkey", "c_name", max_dist=1
+    ).orderBy("key_a", "key_b")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

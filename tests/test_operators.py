@@ -1715,3 +1715,80 @@ def test_semantic_contamination_matmul_guards(spark):
         for r in semantic_contamination_matmul(corpus, bench, 0.9).collect()
     }
     assert got == {(1, 11)}  # zero-norm bench row never matches, no NaN
+
+
+def test_ordered_funnel_first_touch_semantics(spark):
+    """Step order matters: a purchase BEFORE the first click does not
+    count; one at/after it does. pct_of_first is anchored on step 1."""
+    from mcp_hubspot_spark.operators.analytics import ordered_funnel
+
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+        # u2: purchase precedes the click -> stops at click
+        (4, 2, "view"), (5, 2, "purchase"), (6, 2, "click"),
+        # u3: never views -> counts nowhere
+        (7, 3, "click"), (8, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    got = {
+        (r.step, r.event_type, r.n_users, r.pct_of_first)
+        for r in ordered_funnel(df, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {
+        (1, "view", 2, 1.0),
+        (2, "click", 2, 1.0),
+        (3, "purchase", 1, 0.5),
+    }
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark):
+    from mcp_hubspot_spark.operators.analytics import transition_matrix
+
+    events = load_table(spark, SF, "events")
+    rows = transition_matrix(events).collect()
+    assert all(r.n_transitions > 0 for r in rows)
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.p_transition
+    for total in by_from.values():
+        assert abs(total - 1.0) < 1e-4  # rounding of each term to 6dp
+
+
+def test_deletion_neighborhood_pairs_exact_for_dist1(spark):
+    """Blocking finds exactly the lev<=1 pairs a brute-force scan finds —
+    substitution, insertion, and deletion shapes all covered."""
+    from mcp_hubspot_spark.operators.dedup import deletion_neighborhood_pairs
+    import itertools
+    import pytest
+
+    names = ["alpha", "alpba", "alph", "alphaa", "beta", "betta", "gamma"]
+    df = spark.createDataFrame(
+        list(enumerate(names)), "key long, name string"
+    )
+    got = {
+        (r.key_a, r.key_b, r.edit_dist)
+        for r in deletion_neighborhood_pairs(df, "key", "name").collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 4
+    with pytest.raises(ValueError, match="max_dist=1"):
+        deletion_neighborhood_pairs(df, "key", "name", max_dist=2)

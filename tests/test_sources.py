@@ -431,3 +431,55 @@ def test_write_jsonl_shards_roundtrip(spark, tmp_path):
     assert back.count() == 1000
     got = {(r.id, r.text) for r in back.select("id", "text").collect()}
     assert got == {(i, f"doc {i}") for i in range(1000)}
+
+
+def test_snapshot_merge_schema_evolution(spark, tmp_path):
+    """Add-nullable-column on MERGE: the evolved column appears table-wide
+    with NULL for untouched/pre-evolution rows, only touched buckets are
+    rewritten, old versions time-travel with their old schema, CDC across
+    the evolution classifies correctly, and a narrow batch raises unless
+    opted in."""
+    import pytest
+
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(20)], "id long, payload string"
+    )
+    t.create(base, keys=["id"], n_buckets=8)
+
+    # evolve: update batch carries a NEW nullable column
+    updates = spark.createDataFrame(
+        [(3, "p3-new", "gold"), (25, "p25", "silver")],
+        "id long, payload string, tier string",
+    )
+    v1 = t.merge_upsert(updates)
+    got = {(r.id, r.payload, r.tier) for r in t.read().collect()}
+    assert (3, "p3-new", "gold") in got and (25, "p25", "silver") in got
+    # untouched rows read the added column as NULL
+    assert (1, "p1", None) in got and len(got) == 21
+    assert set(t.read().columns) == {"id", "payload", "tier"}
+
+    # time travel: v0 still reads with the pre-evolution schema
+    assert set(t.read(version=0).columns) == {"id", "payload"}
+    assert t.read(version=0).count() == 20
+
+    # CDC across the evolution: inserted + changed rows, no schema error
+    changes = {
+        (r.id, r.diff_status) for r in t.table_changes(0, v1).collect()
+    }
+    assert (3, "changed") in changes and (25, "added") in changes
+
+    # narrow batch (missing a table column) raises by default...
+    narrow = spark.createDataFrame([(7,)], "id long")
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.merge_upsert(narrow)
+    # ...and NULLs the matched row's other columns when opted in
+    v2 = t.merge_upsert(narrow, allow_missing_columns=True)
+    row7 = t.read(version=v2).filter("id = 7").collect()[0]
+    assert (row7.payload, row7.tier) == (None, None)
+
+    # a batch without the key column always raises
+    with pytest.raises(ValueError, match="key columns"):
+        t.merge_upsert(spark.createDataFrame([("x",)], "payload string"))

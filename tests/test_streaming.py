@@ -520,3 +520,45 @@ def test_histogram_fractions_empty_reference_raises(spark):
     empty = spark.createDataFrame([], "v double")
     with pytest.raises(ValueError, match="reference is empty"):
         histogram_fractions(empty, "v", bucket_width=10.0, max_bucket=5)
+
+
+def test_stream_drift_agrees_with_batch_query(spark, tmp_path):
+    """Batch/stream twin agreement (mirrors the KMV agreement test): the
+    streaming monitor's L1 score over the post-split orders, against a
+    reference histogram of the pre-split orders, equals the batch
+    orders_value_drift query's total L1 on the identical split."""
+    from mcp_hubspot_spark.streaming.monitor import (
+        histogram_fractions,
+        stream_drift_monitor,
+    )
+    from mcp_hubspot_spark.workload import orders_value_drift
+
+    orders = load_table(spark, SF, "orders")
+    split = F.lit("1998-07-01").cast("timestamp")
+    ref = histogram_fractions(
+        orders.filter(F.col("o_orderdate") < split).select(
+            F.col("o_totalprice").alias("v")
+        ),
+        "v", bucket_width=50000.0, max_bucket=10,
+    )
+    cur_dir = str(tmp_path / "cur")
+    orders.filter(F.col("o_orderdate") >= split).select(
+        F.col("o_totalprice").cast("double").alias("v")
+    ).coalesce(1).write.parquet(cur_dir)
+    stream = spark.readStream.schema("v double").parquet(cur_dir)
+    log = str(tmp_path / "log")
+    q = stream_drift_monitor(
+        stream, ref, "v", bucket_width=50000.0, max_bucket=10,
+        log_path=log, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    stream_l1 = [r.l1_drift for r in spark.read.parquet(log).collect()]
+    assert len(stream_l1) == 1  # one micro-batch = the whole current side
+
+    batch_rows = orders_value_drift(spark, SF).collect()
+    t_ref = sum(r.n_ref for r in batch_rows)
+    t_cur = sum(r.n_cur for r in batch_rows)
+    batch_l1 = round(
+        sum(abs(r.n_cur / t_cur - r.n_ref / t_ref) for r in batch_rows), 6
+    )
+    assert stream_l1[0] == batch_l1
