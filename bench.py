@@ -90,6 +90,10 @@ HEADLINE = [
     "bpe_merges",               # iterative BPE vocab training (k rounds)
     "bpe_compression",          # apply learned merges, per-lang ratio
     "orders_value_drift",       # two-window histogram drift (L1)
+    "event_funnel",             # first-touch ordered conversion funnel
+    "event_transitions",        # Markov next-event transition matrix
+    "customer_value_quartiles", # NTILE(4) value segmentation
+    "customer_name_linkage",    # deletion-neighborhood edit-distance linkage
 ]
 
 

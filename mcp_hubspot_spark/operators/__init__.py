@@ -1,8 +1,10 @@
 from .scans import filtered_scan, filtered_scan_with_total, recent_scan, semi_lookup
 from .topk import top_k
 from .joins import asof_join, association_expand, dedup_insert, range_join, snapshot_diff
+from .analytics import ordered_funnel, transition_matrix
 from .dedup import (
     connected_components,
+    deletion_neighborhood_pairs,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -10,10 +12,16 @@ from .dedup import (
     semantic_contamination,
     semantic_contamination_matmul,
     semantic_dedup,
+    semantic_dedup_matmul,
     simhash,
 )
 from .graph import pagerank
-from .profiling import dq_checks, profile_table, referential_violations
+from .profiling import (
+    dq_checks,
+    profile_table,
+    profile_table_approx,
+    referential_violations,
+)
 from .sampling import (
     hash_split,
     hash_stratified_sample,
@@ -30,6 +38,11 @@ from .text import (
 from .timeseries import resample_locf, scd2_intervals
 
 __all__ = [
+    "ordered_funnel",
+    "transition_matrix",
+    "deletion_neighborhood_pairs",
+    "semantic_dedup_matmul",
+    "profile_table_approx",
     "filtered_scan",
     "filtered_scan_with_total",
     "recent_scan",

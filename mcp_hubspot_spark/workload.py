@@ -3876,6 +3876,21 @@ def profile_orders(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("column_name")
 
 
+# Rows-only (engine-private estimator, like approx_distinct_users): the
+# HLL++ profiler twin — same schema as profile_orders, n_distinct is a
+# sketch, no Expand in the plan (audited in tests/test_plans.py); the
+# exact profiler above stays the oracle twin. Tolerance is pinned by
+# tests/test_operators.py::test_profile_table_approx_matches_exact_within_rsd.
+@_q("profile_orders_approx")
+def profile_orders_approx(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import profile_table_approx
+
+    orders = load_table(spark, sf, "orders")
+    return profile_table_approx(
+        orders, ["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"]
+    ).orderBy("column_name")
+
+
 # Distribution-position window functions: percent_rank / cume_dist /
 # ntile over per-customer spend (the "where does this entity sit in the
 # distribution" analytics staple). One shuffle for the agg, one for the

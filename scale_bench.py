@@ -33,7 +33,6 @@ from mcp_hubspot_spark.operators.dedup import (
     embedding_neardup_pairs,
     minhash_lsh_pairs,
     semantic_contamination_matmul,
-    semantic_dedup,
     simhash_fingerprints,
 )
 from mcp_hubspot_spark.operators.sampling import (
@@ -66,18 +65,44 @@ from mcp_hubspot_spark.sources.catalog import load_table
 SF_DIR = "/root/testdata/sf0.1"
 
 
+GROUP_SIZE = 40  # near-dup group size is FIXED as the corpus grows
+
+
 def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
-    """Materialize the replicated corpus; returns (docs_path, embs_path)."""
+    """Materialize the replicated corpus; returns (docs_path, embs_path).
+
+    Duplication structure: copies are arranged into near-dup GROUPS of at
+    most ``GROUP_SIZE`` — within a group only a short per-member suffix
+    differs (high-jaccard near-dups); across groups every third word
+    carries a group tag, pushing cross-group shingle jaccard to ~0.2 so
+    LSH banding does not pair them. Growing ``copies`` therefore grows
+    the NUMBER of dup groups, not their size — matching real crawl
+    duplication (bounded dup-group cardinality) and keeping the true
+    pair count LINEAR in corpus size. The earlier single-group design
+    made pairs grow as copies² (108M pairs / JVM OOM at copies=200)
+    purely as a property of the synthetic corpus, not of any operator.
+    """
     docs = load_table(spark, SF_DIR, "documents")
     copy = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")
+    grp = (F.col("copy") / F.lit(GROUP_SIZE)).cast("int")
+    member = F.pmod(F.col("copy"), F.lit(GROUP_SIZE))
+    tagged = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                F.pmod(i, F.lit(3)) == F.lit(0),
+                F.concat(w, F.lit("g"), grp.cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
     big_docs = (
         docs.select("*", copy)
         .select(
             (F.col("doc_id") * copies + F.col("copy")).alias("doc_id"),
-            # near-dup, not exact-dup: each copy gets a distinct short
-            # suffix, so shingle sets overlap heavily but differ
+            # near-dup within the group, far across groups
             F.concat(
-                F.col("text"), F.lit(" variant "), F.col("copy").cast("string")
+                tagged, F.lit(" variant "), member.cast("string")
             ).alias("text"),
             "lang",
             "source",
@@ -86,17 +111,21 @@ def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
         .repartition(32)
     )
     embs = load_table(spark, SF_DIR, "embeddings")
-    dim_idx = F.pmod(F.col("copy"), F.lit(16)).cast("int")
+    dim_idx = F.pmod(member, F.lit(16)).cast("int")
+    grp_dim = F.pmod(grp, F.lit(16)).cast("int")
     big_embs = (
         embs.select("*", copy)
         .select(
             (F.col("vec_id") * copies + F.col("copy")).alias("vec_id"),
-            # deterministic tiny perturbation of one dimension per copy:
-            # copies of a vector stay mutual near-neighbors
+            # tiny per-member perturbation (group members stay mutual
+            # near-neighbors) + a LARGE per-group offset on one dim
+            # (groups point elsewhere): near-dup sets stay GROUP_SIZE-
+            # bounded as copies grows, same rationale as the doc side
             F.transform(
                 "embedding",
                 lambda x, i: x
-                + F.when(i == dim_idx, F.col("copy") * 1e-4).otherwise(0.0),
+                + F.when(i == dim_idx, member * 1e-4).otherwise(0.0)
+                + F.when(i == grp_dim, grp * 0.5).otherwise(0.0),
             ).cast("array<float>").alias("embedding"),
             "label",
         )
@@ -174,7 +203,10 @@ def main() -> None:
         def semdedup():
             # cluster-then-dedup (SemDeDup): cell count scales with the
             # corpus so per-cell candidate squares stay bounded as copies
-            # grows — the property the 1M-doc run is meant to demonstrate
+            # grows — the property the 1M-doc run is meant to demonstrate.
+            # BLAS backend (per-cell blocked matmul, agreement-pinned to
+            # the oracle-gated expression twin; ~20x at this size)
+            from mcp_hubspot_spark.operators.dedup import semantic_dedup_matmul
             from mcp_hubspot_spark.operators.vector import train_centroids
 
             n_cells = max(16, n_embs // 2500)
@@ -190,7 +222,7 @@ def main() -> None:
                 (int(r.cell_id), [float(x) for x in r.centroid])
                 for r in cents.collect()
             ]
-            return semantic_dedup(
+            return semantic_dedup_matmul(
                 embs.select(
                     "vec_id",
                     F.col("embedding").cast("array<double>").alias("embedding"),

@@ -1792,3 +1792,41 @@ def test_deletion_neighborhood_pairs_exact_for_dist1(spark):
     assert got == want and len(want) >= 4
     with pytest.raises(ValueError, match="max_dist=1"):
         deletion_neighborhood_pairs(df, "key", "name", max_dist=2)
+
+
+def test_semantic_dedup_matmul_agrees_with_expr(spark):
+    """The BLAS SemDeDup backend keeps exactly the rows the oracle-gated
+    expression variant keeps, cell-for-cell."""
+    from mcp_hubspot_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_matmul,
+    )
+    from mcp_hubspot_spark.operators.vector import train_centroids
+
+    base = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # plant guaranteed near-dups: a perturbed copy of every 5th vector
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, 1e-4).otherwise(0.0)
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(planted)
+    cents = [
+        (int(r.cell_id), [float(x) for x in r.centroid])
+        for r in train_centroids(base, 8).collect()
+    ]
+    e = {
+        (r.vec_id, r.cell_id, r.is_kept)
+        for r in semantic_dedup(emb, cents, min_cosine=0.98).collect()
+    }
+    m = {
+        (r.vec_id, r.cell_id, r.is_kept)
+        for r in semantic_dedup_matmul(emb, cents, min_cosine=0.98).collect()
+    }
+    assert e == m and len(e) == emb.count()
+    # every planted copy lands in its original's cell and is dropped
+    dropped = {v for v, _, k in e if not k}
+    assert {v for v, _, _ in e if v >= 100000} <= dropped

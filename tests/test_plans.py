@@ -561,3 +561,29 @@ def test_profile_table_approx_has_no_expand(spark):
     cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     assert "Expand" in plan_of(profile_table(orders, cols))
     assert "Expand" not in plan_of(profile_table_approx(orders, cols))
+
+
+def test_deletion_neighborhood_blocking_is_equi_join(spark):
+    """The linkage candidate generation must be an equi-join on the
+    deletion signature (inverted index), never a Cartesian/BNL product —
+    that is the whole point of the blocking."""
+    from mcp_hubspot_spark.operators.dedup import deletion_neighborhood_pairs
+
+    cust = load_table(spark, SF, "customer").filter(F.col("c_custkey") < 500)
+    plan = plan_of(deletion_neighborhood_pairs(cust, "c_custkey", "c_name"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_transition_matrix_broadcasts_totals(spark):
+    """The per-from-type totals (|types| rows) must broadcast; the only
+    big shuffles are the user window and the pair groupBy."""
+    from mcp_hubspot_spark.operators.analytics import transition_matrix
+
+    events = load_table(spark, SF, "events")
+    plan = plan_of(transition_matrix(events))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
