@@ -94,6 +94,7 @@ HEADLINE = [
     "event_transitions",        # Markov next-event transition matrix
     "customer_value_quartiles", # NTILE(4) value segmentation
     "customer_name_linkage",    # deletion-neighborhood edit-distance linkage
+    "supplier_triangles",       # degree-oriented triangle counting
 ]
 
 

@@ -1,7 +1,7 @@
 from .scans import filtered_scan, filtered_scan_with_total, recent_scan, semi_lookup
 from .topk import top_k
 from .joins import asof_join, association_expand, dedup_insert, range_join, snapshot_diff
-from .analytics import ordered_funnel, transition_matrix
+from .analytics import ordered_funnel, percentile_buckets, transition_matrix
 from .dedup import (
     connected_components,
     deletion_neighborhood_pairs,
@@ -15,7 +15,7 @@ from .dedup import (
     semantic_dedup_matmul,
     simhash,
 )
-from .graph import pagerank
+from .graph import pagerank, triangle_count
 from .profiling import (
     dq_checks,
     profile_table,
@@ -39,6 +39,8 @@ from .timeseries import resample_locf, scd2_intervals
 
 __all__ = [
     "ordered_funnel",
+    "triangle_count",
+    "percentile_buckets",
     "transition_matrix",
     "deletion_neighborhood_pairs",
     "semantic_dedup_matmul",

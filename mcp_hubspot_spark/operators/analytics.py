@@ -120,3 +120,33 @@ def transition_matrix(
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def percentile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """The 100 TB twin of a global ``ntile(n)``: bucket membership from
+    BROADCAST approximate-percentile cutoffs instead of a total-order
+    window. ``ntile`` needs every row through one ordered window
+    partition — a single-task sort at any real scale; this shape pays
+    one Greenwald-Khanna sketch pass (``approxQuantile``, driver-bounded
+    to n_buckets-1 numbers) and then assigns buckets as a scan-stage
+    literal comparison chain — no shuffle at all for the assignment.
+
+    Bucket b holds rows with cutoff[b-2] < value <= cutoff[b-1] (bucket 1
+    unbounded below, bucket n unbounded above). Counts per bucket match
+    exact NTILE within the sketch error times n_rows; exact NTILE stays
+    the oracle twin at test SFs (``customer_value_quartiles``).
+    Returns the input plus an int ``bucket`` column.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.stat.approxQuantile(value_col, qs, rel_err)
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(value_col) > c, 1).otherwise(0)
+    return df.withColumn("bucket", bucket.cast("int"))

@@ -6275,6 +6275,57 @@ def customer_name_linkage(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+# Triangle counting over the co-supplier graph (suppliers linked when
+# they supply the same order), degree-oriented so the wedge join is
+# bounded by O(sqrt(m)) out-degrees — the graph-analytics cohesion
+# metric beside pagerank (influence) and connected components
+# (clustering). Oracle: canonical u<v edges, one wedge join + closure.
+@_q(
+    "supplier_triangles",
+    """
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey < 300
+    ),
+    p AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM l a JOIN l b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    nodes AS (
+        SELECT count(DISTINCT x) AS n_nodes
+        FROM (SELECT u AS x FROM p UNION ALL SELECT v FROM p)
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM p e1 JOIN p e2 ON e1.v = e2.u
+        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nodes, tri
+    """,
+)
+def supplier_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    lines = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") < 300
+    ).select("l_orderkey", "l_suppkey")
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

@@ -86,11 +86,16 @@ def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
     copy = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("copy")
     grp = (F.col("copy") / F.lit(GROUP_SIZE)).cast("int")
     member = F.pmod(F.col("copy"), F.lit(GROUP_SIZE))
+    # tag by word VALUE, not position: a position tag makes repeated
+    # phrases distinct per occurrence, inflating the distinct-shingle
+    # sets array_distinct otherwise collapses (measured 6x minhash cost);
+    # a value tag rewrites 1/3 of the VOCABULARY per group — repetition
+    # structure preserved, cross-group jaccard still ~0.2
     tagged = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
-            lambda w, i: F.when(
-                F.pmod(i, F.lit(3)) == F.lit(0),
+            lambda w: F.when(
+                F.pmod(F.abs(F.xxhash64(w)), F.lit(3)) == F.lit(0),
                 F.concat(w, F.lit("g"), grp.cast("string")),
             ).otherwise(w),
         ),

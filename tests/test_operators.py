@@ -1830,3 +1830,60 @@ def test_semantic_dedup_matmul_agrees_with_expr(spark):
     # every planted copy lands in its original's cell and is dropped
     dropped = {v for v, _, k in e if not k}
     assert {v for v, _, _ in e if v >= 100000} <= dropped
+
+
+def test_percentile_buckets_match_ntile_counts(spark):
+    """The broadcast-cutoff bucket twin fills buckets like exact NTILE
+    (within sketch tolerance) and never shuffles for the assignment."""
+    from mcp_hubspot_spark.operators.analytics import percentile_buckets
+    from pyspark.sql import Window
+
+    spend = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+        .withColumn("spend", F.col("spend").cast("double"))
+    )
+    n = spend.count()
+    exact = {
+        r.q: r.c
+        for r in spend.withColumn(
+            "q", F.ntile(4).over(Window.orderBy("spend", "o_custkey"))
+        )
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    approx = {
+        r.bucket: r.c
+        for r in percentile_buckets(spend, "spend", 4)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(approx) == {1, 2, 3, 4}
+    for b in exact:
+        assert abs(approx[b] - exact[b]) <= max(5, 0.02 * n)
+
+
+def test_triangle_count_known_graph(spark):
+    """Hub-and-triangles graph: degree orientation still counts each
+    triangle exactly once; duplicate/reversed/self-loop edges collapse."""
+    from mcp_hubspot_spark.operators.graph import triangle_count
+
+    edges = [
+        # triangle 1-2-3, triangle 3-4-5, edge 5-6 (no triangle)
+        (1, 2), (2, 3), (3, 1),
+        (3, 4), (4, 5), (5, 3),
+        (5, 6),
+        # hub 0 connected to everything (adds triangles with each edge
+        # among 1..6 that it closes: all 7 listed edges)
+        (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6),
+        # noise: duplicates, reversed, self-loop
+        (2, 1), (1, 2), (4, 4),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges) == (7, 13)
+    # triangles: {1,2,3}, {3,4,5}, and 0 with each of the 7 base edges
+    assert row.n_triangles == 9
