@@ -95,6 +95,8 @@ HEADLINE = [
     "customer_value_quartiles", # NTILE(4) value segmentation
     "customer_name_linkage",    # deletion-neighborhood edit-distance linkage
     "supplier_triangles",       # degree-oriented triangle counting
+    "event_funnel_windowed",    # conversion-deadline funnel
+    "supplier_clustering",      # per-node local clustering coefficients
 ]
 
 

@@ -15,7 +15,7 @@ from .dedup import (
     semantic_dedup_matmul,
     simhash,
 )
-from .graph import pagerank, triangle_count
+from .graph import clustering_coefficients, pagerank, triangle_count
 from .profiling import (
     dq_checks,
     profile_table,
@@ -39,6 +39,7 @@ from .timeseries import resample_locf, scd2_intervals
 
 __all__ = [
     "ordered_funnel",
+    "clustering_coefficients",
     "triangle_count",
     "percentile_buckets",
     "transition_matrix",

@@ -25,10 +25,14 @@ def ordered_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel with first-touch semantics: a user
     completes step i at the EARLIEST event of type ``steps[i]`` at or
-    after their step i-1 completion time. Returns one row per step:
+    after their step i-1 completion time — and, when ``within_seconds``
+    is given, no later than that deadline after it (the
+    conversion-window form product analytics actually reports: "clicked
+    within 24h of viewing"). Returns one row per step:
     (step, event_type, n_users, pct_of_first).
 
     Plan shape — a chain of per-user min aggregations, one per step,
@@ -49,11 +53,15 @@ def ordered_funnel(
             user_col, F.col(ts_col).alias("_ts")
         )
         if prev is not None:
-            e = (
-                e.join(prev, user_col)
-                .filter(F.col("_ts") >= F.col("_step_ts"))
-                .drop("_step_ts")
-            )
+            gate = F.col("_ts") >= F.col("_step_ts")
+            if within_seconds is not None:
+                gate = gate & (
+                    F.col("_ts")
+                    <= F.col("_step_ts") + F.expr(
+                        f"INTERVAL {int(within_seconds)} SECONDS"
+                    )
+                )
+            e = e.join(prev, user_col).filter(gate).drop("_step_ts")
         cur = e.groupBy(user_col).agg(F.min("_ts").alias("_step_ts"))
         per_step.append(cur)
         prev = cur
@@ -68,9 +76,11 @@ def ordered_funnel(
     w = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    first = F.first("n_users").over(w)
     return counts.withColumn(
         "pct_of_first",
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6),
+        # try_divide: an empty step 1 yields NULL pct, not a crash
+        F.round(F.try_divide(F.col("n_users"), first), 6),
     ).orderBy("step")
 
 

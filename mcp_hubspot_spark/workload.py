@@ -6326,6 +6326,111 @@ def supplier_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# Conversion-window funnel: each step must land within 48h of the
+# previous step's completion — the deadline form product analytics
+# reports ("clicked within 2 days of viewing").
+@_q(
+    "event_funnel_windowed",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+        GROUP BY e.user_id
+    ),
+    n AS (
+        SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step, event_type, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users::DOUBLE /
+                 first_value(n_users) OVER (ORDER BY step), 6)
+               AS pct_of_first
+    FROM n ORDER BY step
+    """,
+)
+def event_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import ordered_funnel
+
+    events = load_table(spark, sf, "events")
+    return ordered_funnel(
+        events, ["view", "click", "purchase"], within_seconds=48 * 3600
+    )
+
+
+# Per-node local clustering coefficient over the co-supplier graph:
+# triangles_at(v) / C(deg(v), 2) — same degree-oriented wedge join as
+# the global count, corners kept and exploded.
+@_q(
+    "supplier_clustering",
+    """
+    WITH l AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_orderkey < 300
+    ),
+    p AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM l a JOIN l b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT x AS node, count(*) AS degree
+        FROM (SELECT u AS x FROM p UNION ALL SELECT v FROM p)
+        GROUP BY x
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM p e1 JOIN p e2 ON e1.v = e2.u
+        JOIN p e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    per_node AS (
+        SELECT c AS node, count(*) AS n_triangles
+        FROM (SELECT x AS c FROM tri UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY c
+    )
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN coalesce(pn.n_triangles, 0)::DOUBLE
+                           / (d.degree * (d.degree - 1) / 2)
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN per_node pn ON pn.node = d.node
+    ORDER BY d.node
+    """,
+)
+def supplier_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.graph import clustering_coefficients
+
+    lines = load_table(spark, sf, "lineitem").filter(
+        F.col("l_orderkey") < 300
+    ).select("l_orderkey", "l_suppkey")
+    a = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa")
+    )
+    b = lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb")
+    )
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return clustering_coefficients(edges).orderBy("node")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

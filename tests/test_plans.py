@@ -587,3 +587,14 @@ def test_transition_matrix_broadcasts_totals(spark):
     plan = plan_of(transition_matrix(events))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ordered_funnel_no_cartesian_and_user_key_joins(spark):
+    """The funnel's step chain must compile to key joins on the user id
+    (hash-partitioned the same every stage) — never a Cartesian/BNL."""
+    from mcp_hubspot_spark.operators.analytics import ordered_funnel
+
+    events = load_table(spark, SF, "events")
+    plan = plan_of(ordered_funnel(events, ["view", "click", "purchase"]))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

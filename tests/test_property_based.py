@@ -239,3 +239,91 @@ def test_kmv_exact_below_k_and_layout_invariant(spark, values, k):
         assert out.est_distinct == float(n_distinct)
     out2 = kmv_distinct(df.repartition(7), ["g"], "v", k=k).first()
     assert (out.n_sketch, out.est_distinct) == (out2.n_sketch, out2.est_distinct)
+
+
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),     # user
+        st.integers(min_value=0, max_value=40),    # ts (seconds)
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ev_rows, within=st.sampled_from([None, 5, 15]))
+def test_ordered_funnel_matches_python_walk(spark, rows, within):
+    """Funnel counts equal a brute-force per-user python walk — first
+    qualifying event per step, optional conversion deadline."""
+    from mcp_hubspot_spark.operators.analytics import ordered_funnel
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(
+        [(u, t, ty, i) for i, (u, t, ty) in enumerate(rows)],
+        "user_id long, sec long, event_type string, event_id long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    # python oracle: sequential first-qualifying min per step
+    by_user: dict = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        prev_t = None
+        for i, step in enumerate(steps):
+            cand = [
+                t for t, ty in evs
+                if ty == step
+                and (prev_t is None or t >= prev_t)
+                and (prev_t is None or within is None or t <= prev_t + within)
+            ]
+            if not cand:
+                break
+            prev_t = min(cand)
+            counts[i] += 1
+
+    got = {
+        r.step: r.n_users
+        for r in ordered_funnel(df, steps, within_seconds=within).collect()
+    }
+    assert got == {i + 1: c for i, c in enumerate(counts)}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ev_rows)
+def test_transition_matrix_matches_python(spark, rows):
+    """Transition counts equal the pandas/python adjacency walk over
+    (ts, event_id)-ordered per-user sequences."""
+    from collections import Counter
+
+    from mcp_hubspot_spark.operators.analytics import transition_matrix
+
+    df = spark.createDataFrame(
+        [(u, t, ty, i) for i, (u, t, ty) in enumerate(rows)],
+        "user_id long, sec long, event_type string, event_id long",
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+
+    by_user: dict = {}
+    for i, (u, t, ty) in enumerate(rows):
+        by_user.setdefault(u, []).append((t, i, ty))
+    want: Counter = Counter()
+    for evs in by_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] += 1
+
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_matrix(df).collect()
+    }
+    assert got == dict(want)
