@@ -97,6 +97,7 @@ HEADLINE = [
     "supplier_triangles",       # degree-oriented triangle counting
     "event_funnel_windowed",    # conversion-deadline funnel
     "supplier_clustering",      # per-node local clustering coefficients
+    "hybrid_search_rrf",        # BM25 + kNN reciprocal-rank fusion
 ]
 
 

@@ -1,5 +1,6 @@
 from .catalog import load_table, load_tables, register_views
 from .files import read_csv, read_jsonl, valid_rows, corrupt_rows, write_partitioned
+from .zonemap import build_zonemap, read_pruned, write_zordered
 
 __all__ = [
     "load_table",
@@ -10,4 +11,7 @@ __all__ = [
     "valid_rows",
     "corrupt_rows",
     "write_partitioned",
+    "build_zonemap",
+    "read_pruned",
+    "write_zordered",
 ]

@@ -224,6 +224,40 @@ class IvfIndex:
             cent_rows, "cell_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(str(self.root / "centroids"))
 
+    def add(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> None:
+        """Incremental ingest into a built index: assign new vectors to
+        the FROZEN centroids (the same literal-argmin expression as
+        build — zero shuffle on the new batch) and append to the cell
+        partition directories. This is the train/add split FAISS IVF
+        uses (reference ``faiss_manager.py`` appends daily without
+        retraining): centroids drift only across periodic ``build()``
+        rebuilds, which is the standard maintenance contract. If a
+        serving manifest has been exported it is refreshed so the file
+        listing includes the appended cell files."""
+        from .operators.vector import assign_cells_literal
+
+        cents = self.spark.read.parquet(str(self.root / "centroids")).collect()
+        if not cents:
+            raise ValueError("IvfIndex.add() before build(): no centroids")
+        cent_rows = [
+            (int(r.cell_id), [float(x) for x in r.centroid]) for r in cents
+        ]
+        assigned = assign_cells_literal(
+            df.select(id_col, vec_col), cent_rows, vec_col=vec_col
+        )
+        (
+            assigned.write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(str(self.root / "cells"))
+        )
+        if (self.root / "manifest.json").exists():
+            self.export_manifest()
+
     # ------------------------------------------------------- serving
 
     MANIFEST_FORMAT = "ivf-parquet/1"
@@ -282,7 +316,15 @@ class IvfIndex:
         nprobe: int = 2,
         vec_col: str = "embedding",
         id_cols: Sequence[str] = ("vec_id",),
+        where=None,
     ) -> DataFrame:
+        """``where`` (an optional Column predicate over the cell rows)
+        makes this a filtered / hybrid search: the predicate applies
+        INSIDE the pruned cell scan — pushed to the parquet reader when
+        expressible — so metadata-filtered kNN costs the same IO as the
+        unfiltered probe, never a post-join. Note the standard IVF
+        caveat: a highly selective filter empties probed cells before k
+        hits are found; raise nprobe for filtered queries."""
         import math
 
         # serving path: centroid selection from the manifest costs zero
@@ -320,6 +362,8 @@ class IvfIndex:
         ).parquet(str(self.root / "cells"))
         # literal IN-list on the partition column → planning-time pruning
         pruned = cells.filter(F.col("cell_id").isin(probe))
+        if where is not None:
+            pruned = pruned.filter(where)
         return knn(
             pruned.select(
                 *id_cols, F.col(vec_col).cast("array<double>").alias(vec_col)

@@ -6431,6 +6431,113 @@ def supplier_clustering(spark: SparkSession, sf: str) -> DataFrame:
     return clustering_coefficients(edges).orderBy("node")
 
 
+# Hybrid retrieval with reciprocal-rank fusion: BM25 lexical top-20 and
+# embedding-kNN top-20 (vec_id==doc_id in the testdata) fused by
+# RRF(60) — the standard modern search stack (sparse + dense + fusion).
+# Both input rankings are bit-stable (sorted-order BM25 folds; exact L2),
+# so the integer ranks and the fused score hash-match the oracle.
+@_q(
+    "hybrid_search_rrf",
+    f"""
+    WITH base AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+               CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base
+    ),
+    hits AS (
+        SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains(['hash', 'spark', 'window'], t))) AS term
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+               any_value(dl) AS dl
+        FROM hits GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT doc_id, term,
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_sum(list(c ORDER BY term)) DESC, doc_id ASC
+               ) AS INT) AS lex_rank
+        FROM contrib GROUP BY doc_id
+        ORDER BY lex_rank LIMIT 20
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    d AS (
+        SELECT e.vec_id AS doc_id,
+               list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> (e.embedding[i]::DOUBLE - q.qv[i])
+                        * (e.embedding[i]::DOUBLE - q.qv[i]))) AS distance
+        FROM embeddings e, q
+    ),
+    vec AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY distance ASC, doc_id ASC)
+                   AS INT) AS vec_rank
+        FROM d ORDER BY vec_rank LIMIT 20
+    )
+    SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+           lex.lex_rank, vec.vec_rank,
+           round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+                 + coalesce(1.0 / (60 + vec.vec_rank), 0.0), 6) AS rrf_score
+    FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bm25_scores
+    from .operators.vector import knn
+
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [
+        float(x) for x in embs.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    lex = (
+        bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .withColumn(
+            "lex_rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .cast("int"),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    vec = knn(embs, qv, k=20).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    rrf = F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).

@@ -305,6 +305,7 @@ def main() -> None:
         cold: dict[str, float] = {}
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
+        extras: dict[str, float] = {}
 
         def run_special(name, fn, n_out):
             """Time a driver-loop case (returns plain rows / python values
@@ -363,6 +364,30 @@ def main() -> None:
                 lambda: ivf.search(probe, k=10, nprobe=7).collect(),
                 len,
             )
+            # recall@10 at the serving nprobe, measured against exact kNN
+            # over the same 8 query vectors — the quality side of the
+            # latency row (IVF trades recall for pruned IO)
+            try:
+                hit = 0
+                for _, qv in queries[:8]:
+                    exact_ids = {
+                        r.vec_id for r in knn(
+                            embs.select(
+                                "vec_id",
+                                F.col("embedding").cast("array<double>")
+                                .alias("embedding"),
+                            ),
+                            qv, k=10,
+                        ).collect()
+                    }
+                    approx_ids = {
+                        r.vec_id
+                        for r in ivf.search(qv, k=10, nprobe=7).collect()
+                    }
+                    hit += len(exact_ids & approx_ids)
+                extras["ivf_recall_at10_nprobe7"] = round(hit / 80.0, 4)
+            except Exception as exc:
+                errors["ivf_recall"] = f"{type(exc).__name__}: {exc}"[:200]
 
         for name, fn in cases.items():
             if not wanted(name):
@@ -390,6 +415,8 @@ def main() -> None:
             "cold_total": round(sum(cold.values()), 3),
             "rows": rows,
         }
+        if extras:
+            payload["extras"] = extras
         if errors:
             payload["errors"] = errors
         line = json.dumps(payload)

@@ -483,3 +483,44 @@ def test_snapshot_merge_schema_evolution(spark, tmp_path):
     # a batch without the key column always raises
     with pytest.raises(ValueError, match="key columns"):
         t.merge_upsert(spark.createDataFrame([("x",)], "payload string"))
+
+
+def test_zonemap_skipping_and_zorder_both_columns(spark, tmp_path):
+    """Zone-map pruning reads a fraction of files for a selective range
+    and returns exactly the full-scan answer; a Z-ordered layout prunes
+    on EITHER column, where a linear sort only prunes its leading one."""
+    from mcp_hubspot_spark.sources.zonemap import (
+        build_zonemap,
+        read_pruned,
+        write_zordered,
+    )
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.col("id") * 7919, F.lit(n))).alias("a"),
+        (F.pmod(F.col("id") * 104729, F.lit(n))).alias("b"),
+    )
+
+    # linear layout: sorted by a → files contiguous in a, random in b
+    lin = str(tmp_path / "lin")
+    base.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(lin)
+    build_zonemap(spark, lin, ["a", "b"])
+    df, read_a, total = read_pruned(spark, lin, "a", 100, 1500)
+    assert total == 16 and read_a <= 2
+    want = {r.k for r in base.filter(F.col("a").between(100, 1500)).collect()}
+    assert {r.k for r in df.collect()} == want
+    _, read_b_lin, _ = read_pruned(spark, lin, "b", 100, 1500)
+    assert read_b_lin >= 14  # trailing column: linear sort cannot skip
+
+    # z-ordered layout: both columns prune
+    zo = str(tmp_path / "zo")
+    write_zordered(base, zo, "a", "b", n_files=16)
+    build_zonemap(spark, zo, ["a", "b"])
+    dfa, za, ztotal = read_pruned(spark, zo, "a", 100, 1500)
+    dfb, zb, _ = read_pruned(spark, zo, "b", 100, 1500)
+    assert ztotal == 16
+    assert za <= 8 and zb <= 8  # both dimensions skip
+    assert {r.k for r in dfa.collect()} == want
+    wantb = {r.k for r in base.filter(F.col("b").between(100, 1500)).collect()}
+    assert {r.k for r in dfb.collect()} == wantb

@@ -249,3 +249,54 @@ def test_ivf_manifest_export_reopen_and_external_reader(spark, tmp_path):
         [probe, files],
     ).fetchall()
     assert [(v, d) for v, d in ext] == before
+
+
+def test_ivf_incremental_add_and_filtered_search(spark, tmp_path):
+    """add() assigns new vectors to the frozen centroids and appends to
+    the cell partitions (manifest refreshed); all-probe search over the
+    grown index equals exact kNN over the union; a where-predicate
+    filters inside the pruned scan."""
+    import pytest
+
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.sources.catalog import load_table
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    probe = [float(x) for x in emb.filter(F.col("vec_id") == 11).first().embedding]
+
+    root = tmp_path / "ivf"
+    idx = IvfIndex(spark, str(root))
+    with pytest.raises(Exception):
+        idx.add(second)  # add before build must fail loudly
+    idx.build(first, n_cells=8)
+    idx.export_manifest()
+    files_before = sum(
+        len(v) for v in idx.read_manifest()["cells"].values()
+    )
+    idx.add(second)
+    files_after = sum(len(v) for v in idx.read_manifest()["cells"].values())
+    assert files_after > files_before  # manifest refreshed with new files
+
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx.search(probe, k=8, nprobe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.distance, 6)) for r in knn(emb, probe, k=8).collect()
+    ]
+    assert got == want  # odd ids (added batch) are searchable
+
+    odd_only = idx.search(
+        probe, k=8, nprobe=8, where=F.col("vec_id") % 2 == 1
+    ).collect()
+    assert odd_only and all(r.vec_id % 2 == 1 for r in odd_only)
+    want_odd = [
+        (r.vec_id, round(r.distance, 6))
+        for r in knn(second, probe, k=8).collect()
+    ]
+    assert [(r.vec_id, round(r.distance, 6)) for r in odd_only] == want_odd
