@@ -212,6 +212,7 @@ def snapshot_diff(
     after: DataFrame,
     key: Sequence[str] | str,
     compare: Sequence[str],
+    include_values: bool = False,
 ) -> DataFrame:
     """Snapshot reconciliation (CDC shape): FULL OUTER join two versions
     of a table on the key and classify each key as ``added`` / ``removed``
@@ -244,10 +245,14 @@ def snapshot_diff(
         .when(F.col("_bv").eqNullSafe(F.col("_av")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
-    return joined.select(
-        *[
-            F.coalesce(b[f"_bk_{k}"], a[f"_ak_{k}"]).alias(k)
-            for k in keys
-        ],
-        status.alias("diff_status"),
-    )
+    out_cols = [
+        F.coalesce(b[f"_bk_{k}"], a[f"_ak_{k}"]).alias(k) for k in keys
+    ] + [status.alias("diff_status")]
+    if include_values:
+        # the CDC consumers that APPLY deltas (incremental aggregate
+        # maintenance) need the old and new payloads, not just the key
+        out_cols += [
+            F.col("_bv").alias("before"),
+            F.col("_av").alias("after"),
+        ]
+    return joined.select(*out_cols)

@@ -1,0 +1,143 @@
+"""Incremental view maintenance: a (group → count, sum) summary over a
+``SnapshotTable`` kept current by applying CDC DELTAS instead of
+rescanning the base table — the materialized-view refresh path every
+warehouse engine ships (Materialize/Snowflake incremental MVs, Delta
+Live Tables) built from this repo's own pieces: ``SnapshotTable`` versions
+→ ``table_changes`` (reads only buckets whose ownership changed between
+versions) → per-group delta aggregation → summary merge.
+
+Cost model at 100 TB: a refresh reads the CHANGED buckets of the base
+table twice (before/after side of the diff — e.g. ~25 GB for a 1 GB
+merge into a 4096-bucket table) plus the summary (|groups| rows), never
+the full fact table. Sums are maintained in DECIMAL so incremental
+application is exactly associative — the refreshed summary equals the
+direct aggregate bit-for-bit, which the test pins across inserts,
+updates, deletes, and group moves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .snapshot_table import SnapshotTable
+
+_SUM_TYPE = "decimal(28,6)"
+
+
+class IncrementalAggregate:
+    """Maintained ``groupBy(group_col).agg(count, sum(value_col))``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        group_col: str,
+        value_col: str,
+        path: str,
+    ):
+        self.spark = spark
+        self.table = table
+        self.group_col = group_col
+        self.value_col = value_col
+        self.path = str(path)
+
+    # ------------------------------------------------------------ state
+    def _state_path(self) -> str:
+        return os.path.join(self.path, "_state.json")
+
+    def _data_path(self, version: int) -> str:
+        return os.path.join(self.path, f"summary_v{version}")
+
+    def _load_state(self) -> dict:
+        with open(self._state_path()) as fh:
+            return json.load(fh)
+
+    def _commit(self, df: DataFrame, base_version: int) -> None:
+        # summary writes are tiny (|groups| rows); versioned directories
+        # + a pointer swap keep readers consistent, mirroring the base
+        # table's own commit protocol in miniature
+        df.coalesce(1).write.mode("overwrite").parquet(
+            self._data_path(base_version)
+        )
+        tmp = self._state_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump({"base_version": base_version}, fh)
+        os.replace(tmp, self._state_path())
+
+    # -------------------------------------------------------------- API
+    def _direct(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(self.value_col).cast(_SUM_TYPE)).alias("total"),
+        )
+
+    def initialize(self) -> int:
+        """Full scan once; afterwards ``refresh()`` applies deltas."""
+        v = self.table.version()
+        self._commit(self._direct(self.table.read(version=v)), v)
+        return v
+
+    def read(self) -> DataFrame:
+        state = self._load_state()
+        return self.spark.read.parquet(
+            self._data_path(state["base_version"])
+        )
+
+    def refresh(self) -> int:
+        """Advance the summary to the base table's current version by
+        applying the CDC delta: removed/changed rows retract their old
+        (count, value) at the OLD group, added/changed rows assert the
+        new ones at the NEW group — so rows that move between groups are
+        handled by construction. Returns the new base version."""
+        state = self._load_state()
+        v_from = state["base_version"]
+        v_to = self.table.version()
+        if v_to == v_from:
+            return v_to
+        ch = self.table.table_changes(v_from, v_to, include_values=True)
+        retract = ch.filter(
+            F.col("diff_status").isin("removed", "changed")
+        ).select(
+            F.col("before").getField(self.group_col).alias(self.group_col),
+            F.lit(-1).cast("long").alias("_dn"),
+            (-F.col("before").getField(self.value_col).cast(_SUM_TYPE)).alias(
+                "_dv"
+            ),
+        )
+        assert_ = ch.filter(
+            F.col("diff_status").isin("added", "changed")
+        ).select(
+            F.col("after").getField(self.group_col).alias(self.group_col),
+            F.lit(1).cast("long").alias("_dn"),
+            F.col("after").getField(self.value_col).cast(_SUM_TYPE).alias(
+                "_dv"
+            ),
+        )
+        deltas = (
+            retract.unionByName(assert_)
+            .groupBy(self.group_col)
+            .agg(F.sum("_dn").alias("_dn"), F.sum("_dv").alias("_dv"))
+        )
+        merged = (
+            self.read()
+            .join(deltas, self.group_col, "full_outer")
+            .select(
+                self.group_col,
+                (
+                    F.coalesce("n_rows", F.lit(0))
+                    + F.coalesce("_dn", F.lit(0))
+                ).alias("n_rows"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0).cast(_SUM_TYPE))
+                    + F.coalesce(F.col("_dv"), F.lit(0).cast(_SUM_TYPE))
+                ).cast(_SUM_TYPE).alias("total"),
+            )
+            .filter(F.col("n_rows") > 0)  # fully-retracted groups drop out
+        )
+        self._commit(merged, v_to)
+        return v_to

@@ -292,7 +292,10 @@ class SnapshotTable:
             return json.load(fh)
 
     def table_changes(
-        self, v_from: int, v_to: int | None = None
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        include_values: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two committed versions: one row per
         key that was added / removed / changed, classified by
@@ -343,7 +346,11 @@ class SnapshotTable:
                 )
         compare = [c for c in after.columns if c not in keys and c != _BUCKET]
         return snapshot_diff(
-            before.drop(_BUCKET), after.drop(_BUCKET), keys, compare
+            before.drop(_BUCKET),
+            after.drop(_BUCKET),
+            keys,
+            compare,
+            include_values=include_values,
         ).filter(F.col("diff_status") != "unchanged")
 
     def compact(self, max_files_per_bucket: int = 1) -> int:

@@ -524,3 +524,62 @@ def test_zonemap_skipping_and_zorder_both_columns(spark, tmp_path):
     assert {r.k for r in dfa.collect()} == want
     wantb = {r.k for r in base.filter(F.col("b").between(100, 1500)).collect()}
     assert {r.k for r in dfb.collect()} == wantb
+
+
+def test_incremental_aggregate_tracks_direct(spark, tmp_path):
+    """The CDC-maintained summary equals the direct aggregate after
+    inserts, updates, group moves, and deletes — decimal-exact, and
+    without rescanning the base table on refresh."""
+    from mcp_hubspot_spark.sources.incremental_agg import IncrementalAggregate
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id long, grp string, val double",
+    )
+    t.create(base, keys=["id"], n_buckets=8)
+    agg = IncrementalAggregate(spark, t, "grp", "val", str(tmp_path / "agg"))
+    agg.initialize()
+
+    def check():
+        got = {
+            (r.grp, r.n_rows, float(r.total)) for r in agg.read().collect()
+        }
+        want = {
+            (r.grp, r.n_rows, float(r.total))
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(28,6)")).alias("total"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()
+    # inserts + an update + a GROUP MOVE (id 4: g1 -> g0)
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(100, "g0", 5.5), (4, "g0", 40.0), (7, "g1", 7.25)],
+            "id long, grp string, val double",
+        )
+    )
+    assert agg.refresh() == t.version()
+    check()
+    # deletes (drops some of every group)
+    t.delete_where(F.col("id") % 5 == 0)
+    agg.refresh()
+    check()
+    # retract an entire group: move all g2 rows to g0
+    g2 = t.read().filter(F.col("grp") == "g2").select(
+        "id", F.lit("g0").alias("grp"), "val"
+    )
+    t.merge_upsert(g2)
+    agg.refresh()
+    check()
+    assert not agg.read().filter(F.col("grp") == "g2").collect()
+    # no-op refresh
+    v = t.version()
+    assert agg.refresh() == v
