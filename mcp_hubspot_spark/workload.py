@@ -6754,6 +6754,15 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
 #                               iterative-loop family) +
 #                               dedup_survivor_report (CC iteration
 #                               runs inside it)
+#
+# Round-5 forward note (same never-checked-first rule): the nine
+# round-4 additions have no driver history and are first in line for
+# the NEXT window — event_funnel, event_transitions,
+# customer_value_quartiles, customer_name_linkage, supplier_triangles,
+# event_funnel_windowed, supplier_clustering, hybrid_search_rrf, and
+# the rows-only profile_orders_approx. Until then they are pinned by
+# the local oracle replica (tests/test_oracle_parity.py), the verify
+# gate, and their behavioral/property/plan pytests.
 _CHECK_PRIORITY = [
     # never driver-checked (round-3 late waves) — first in line
     "orders_unpivot", "events_value_outliers_mad", "user_value_trend",
