@@ -7,6 +7,13 @@ from .windows import (
 from .incremental import IncrementalReader
 from .ingest import stream_embed_to_store, stream_merge_to_table
 from .monitor import histogram_fractions, stream_drift_monitor
+from .stateful import (
+    first_seen_dedup,
+    running_user_totals,
+    streaming_kmv_distinct,
+    streaming_quantile_sketch,
+    watermarked_dedup,
+)
 
 __all__ = [
     "enrich_stream",
@@ -18,4 +25,9 @@ __all__ = [
     "stream_merge_to_table",
     "histogram_fractions",
     "stream_drift_monitor",
+    "first_seen_dedup",
+    "running_user_totals",
+    "streaming_kmv_distinct",
+    "streaming_quantile_sketch",
+    "watermarked_dedup",
 ]

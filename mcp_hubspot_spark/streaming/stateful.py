@@ -193,3 +193,106 @@ def streaming_kmv_distinct(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_QSK_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("upd", LongType()),
+        StructField("n_sample", LongType()),
+        StructField("q", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_QSK_STATE = StructType(
+    [
+        StructField("hs", ArrayType(LongType())),
+        StructField("vs", ArrayType(DoubleType())),
+        StructField("upd", LongType()),
+    ]
+)
+
+
+def _make_qsketch_fn(m: int, qs: list[float]):
+    import math
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            hs, vs, upd = list(state.get[0]), list(state.get[1]), state.get[2]
+        else:
+            hs, vs, upd = [], [], 0
+        pairs = list(zip(hs, vs))
+        for pdf in pdfs:
+            pairs.extend(
+                zip((int(h) for h in pdf["_h"]), (float(v) for v in pdf["_v"]))
+            )
+        # identical merge rule to the batch twin: bottom-m by (hash,
+        # value) — the deterministic uniform sample is closed under
+        # union, so micro-batch merging loses nothing the batch keeps
+        pairs.sort()
+        pairs = pairs[:m]
+        upd += 1
+        state.update(([h for h, _ in pairs], [v for _, v in pairs], upd))
+        vals = sorted(v for _, v in pairs)
+        n = len(vals)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(qs),
+                "upd": [upd] * len(qs),
+                "n_sample": [n] * len(qs),
+                "q": [float(q) for q in qs],
+                "value": [
+                    vals[max(0, math.ceil(q * n) - 1)] if n else None
+                    for q in qs
+                ],
+            }
+        )
+
+    return fn
+
+
+def streaming_quantile_sketch(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    qs: list[float] | None = None,
+    m: int = 256,
+) -> DataFrame:
+    """Incremental quantile estimation per key: the streaming twin of
+    ``operators.sketch.hash_sample_quantiles``. State per key is the
+    bottom-m (60-bit id-hash, value) pairs — a deterministic uniform
+    sample that is CLOSED UNDER UNION, so merging micro-batches yields
+    exactly the sample the batch operator computes over the same rows;
+    the emitted discrete quantiles (element at ceil(q·n), no
+    interpolation) therefore match the batch twin bit-for-bit after the
+    stream drains — pinned by the agreement test. State is m pairs per
+    key, constant in stream length; ``upd`` is a per-key emission
+    counter so consumers can select each key's final refresh (sample
+    REPLACEMENT can change values without changing n_sample, so a max
+    over n is not enough — unlike KMV, whose estimate is monotone).
+
+    The id hash is the same JVM-side md5 expression as the batch twin;
+    only (key, hash, value) rows cross the Arrow boundary.
+    """
+    from pyspark.sql import functions as F
+
+    qs = qs if qs is not None else [0.5, 0.9, 0.99]
+    hashed = events.select(
+        F.col(key_col).alias("event_type"),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _make_qsketch_fn(m, qs),
+        outputStructType=_QSK_OUT,
+        stateStructType=_QSK_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

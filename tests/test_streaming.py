@@ -562,3 +562,53 @@ def test_stream_drift_agrees_with_batch_query(spark, tmp_path):
         sum(abs(r.n_cur / t_cur - r.n_ref / t_ref) for r in batch_rows), 6
     )
     assert stream_l1[0] == batch_l1
+
+
+def test_streaming_quantile_sketch_agrees_with_batch(spark, tmp_path):
+    """After the stream drains, each key's FINAL emission (max upd)
+    matches the batch bottom-m hash-sample quantiles over the same rows
+    bit-for-bit — the union-closure of the deterministic sample."""
+    from mcp_hubspot_spark.operators.sketch import hash_sample_quantiles
+    from mcp_hubspot_spark.streaming.stateful import streaming_quantile_sketch
+
+    events = load_table(spark, SF, "events")
+    d = tmp_path / "ev"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    events.subtract(half).coalesce(1).write.parquet(str(d / "b2"))
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    qs = [0.5, 0.9]
+    q = (
+        streaming_quantile_sketch(stream, qs=qs, m=64)
+        .writeStream.format("memory")
+        .queryName("qsk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("qsk").collect()
+    max_upd: dict = {}
+    for r in rows:
+        max_upd[r.event_type] = max(max_upd.get(r.event_type, 0), r.upd)
+    got = {
+        (r.event_type, r.q): (r.n_sample, r.value)
+        for r in rows
+        if r.upd == max_upd[r.event_type]
+    }
+    for et in [r.event_type for r in events.select("event_type").distinct().collect()]:
+        want = {
+            r.q: r.value
+            for r in hash_sample_quantiles(
+                events.filter(F.col("event_type") == et),
+                "event_id", "value", qs=qs, m=64,
+            ).collect()
+        }
+        for qq, wv in want.items():
+            n, v = got[(et, qq)]
+            assert v == wv, (et, qq, v, wv)
+            assert n <= 64
