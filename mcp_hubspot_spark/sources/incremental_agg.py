@@ -39,6 +39,14 @@ class IncrementalAggregate:
         value_col: str,
         path: str,
     ):
+        keys = set(table._read_manifest()["keys"])
+        clash = keys & {group_col, value_col}
+        if clash:
+            raise ValueError(
+                f"group/value columns {sorted(clash)} are table keys — "
+                "the CDC feed carries keys as top-level columns, not in "
+                "the before/after payload structs this maintainer reads"
+            )
         self.spark = spark
         self.table = table
         self.group_col = group_col

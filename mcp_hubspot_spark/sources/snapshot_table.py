@@ -353,6 +353,51 @@ class SnapshotTable:
             include_values=include_values,
         ).filter(F.col("diff_status") != "unchanged")
 
+    def restore(self, version: int) -> int:
+        """RESTORE: roll the table back to ``version`` as a NEW commit —
+        the current manifest's bucket pointers are replaced by the old
+        version's, nothing is copied or rewritten (Delta's RESTORE
+        semantics: history moves forward, data directories are reused by
+        reference). Fails if the target version's directories have been
+        vacuumed away. Optimistic-commit protected like every other
+        write. Returns the new version."""
+        manifest = self._read_manifest()
+        expected = manifest["version"]
+        if version == expected:
+            return expected
+        try:
+            target = self._manifest_at(version)
+        except FileNotFoundError:
+            raise ValueError(
+                f"cannot restore to v{version}: its manifest was vacuumed"
+            ) from None
+        missing = [
+            p
+            for p in self._bucket_paths(
+                target, [int(b) for b in target["buckets"]]
+            )
+            if not os.path.isdir(p)
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to v{version}: {len(missing)} bucket "
+                f"directories vacuumed (first: {missing[0]})"
+            )
+        prev = os.path.join(self.root, f"_manifest_v{expected}.json")
+        with open(prev, "w") as fh:
+            json.dump(manifest, fh)
+        new_version = expected + 1
+        self._commit(
+            {
+                "version": new_version,
+                "keys": target["keys"],
+                "n_buckets": target["n_buckets"],
+                "buckets": dict(target["buckets"]),
+            },
+            expected_version=expected,
+        )
+        return new_version
+
     def compact(self, max_files_per_bucket: int = 1) -> int:
         """OPTIMIZE: rewrite fragmented buckets (more than
         ``max_files_per_bucket`` parquet files — the residue of many

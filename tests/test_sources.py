@@ -583,3 +583,42 @@ def test_incremental_aggregate_tracks_direct(spark, tmp_path):
     # no-op refresh
     v = t.version()
     assert agg.refresh() == v
+
+
+def test_snapshot_restore(spark, tmp_path):
+    """RESTORE rolls back by pointer swap as a new commit: contents
+    equal the target version, history keeps moving forward, vacuuming
+    the restore target first makes it fail loudly."""
+    import pytest
+
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"v0-{i}") for i in range(10)], "id long, p string"
+        ),
+        keys=["id"], n_buckets=4,
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(3, "v1-3"), (20, "v1-20")], "id long, p string")
+    )
+    t.merge_upsert(spark.createDataFrame([(5, "v2-5")], "id long, p string"))
+    v0_rows = {(r.id, r.p) for r in t.read(version=0).collect()}
+
+    v3 = t.restore(0)
+    assert v3 == 3 and t.version() == 3
+    assert {(r.id, r.p) for r in t.read().collect()} == v0_rows
+    # forward history intact: v2 still time-travels
+    assert (5, "v2-5") in {(r.id, r.p) for r in t.read(version=2).collect()}
+    # restore to the current version is a no-op
+    assert t.restore(3) == 3
+    # a merge after restore builds on the restored state
+    t.merge_upsert(spark.createDataFrame([(0, "v4-0")], "id long, p string"))
+    got = {(r.id, r.p) for r in t.read().collect()}
+    assert (0, "v4-0") in got and (3, "v1-3") not in got
+
+    # vacuum away old versions, then restore must refuse
+    t.vacuum(keep_versions=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(1)
