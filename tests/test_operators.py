@@ -1887,3 +1887,28 @@ def test_triangle_count_known_graph(spark):
     assert (row.n_nodes, row.n_edges) == (7, 13)
     # triangles: {1,2,3}, {3,4,5}, and 0 with each of the 7 base edges
     assert row.n_triangles == 9
+
+
+def test_new_operators_layout_invariance(spark):
+    """Funnel counts, transition counts, and linkage pairs are identical
+    under different physical partitionings — no operator leaks layout."""
+    from mcp_hubspot_spark.operators.analytics import (
+        ordered_funnel,
+        transition_matrix,
+    )
+    from mcp_hubspot_spark.operators.dedup import deletion_neighborhood_pairs
+
+    events = load_table(spark, SF, "events")
+    cust = load_table(spark, SF, "customer").filter(F.col("c_custkey") < 200)
+    for df, df2 in [
+        (events, events.repartition(17, "event_type")),
+    ]:
+        a = sorted(map(tuple, ordered_funnel(df, ["view", "click", "purchase"]).collect()))
+        b = sorted(map(tuple, ordered_funnel(df2, ["view", "click", "purchase"]).collect()))
+        assert a == b
+        a = sorted(map(tuple, transition_matrix(df).collect()))
+        b = sorted(map(tuple, transition_matrix(df2).collect()))
+        assert a == b
+    a = sorted(map(tuple, deletion_neighborhood_pairs(cust, "c_custkey", "c_name").collect()))
+    b = sorted(map(tuple, deletion_neighborhood_pairs(cust.repartition(13), "c_custkey", "c_name").collect()))
+    assert a == b and len(a) > 0
