@@ -68,8 +68,9 @@ SF_DIR = "/root/testdata/sf0.1"
 GROUP_SIZE = 40  # near-dup group size is FIXED as the corpus grows
 
 
-def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
-    """Materialize the replicated corpus; returns (docs_path, embs_path).
+def build_corpus(spark, work: Path, copies: int) -> tuple[str, str, str]:
+    """Materialize the replicated corpus; returns (docs, embs, events)
+    paths.
 
     Duplication structure: copies are arranged into near-dup GROUPS of at
     most ``GROUP_SIZE`` — within a group only a short per-member suffix
@@ -136,10 +137,27 @@ def build_corpus(spark, work: Path, copies: int) -> tuple[str, str]:
         )
         .repartition(32)
     )
+    events = load_table(spark, SF_DIR, "events")
+    big_events = (
+        events.select("*", copy)
+        .select(
+            (F.col("event_id") * copies + F.col("copy")).alias("event_id"),
+            "ts",
+            # each copy is an independent user population (offset ids):
+            # behavioral operators see copies-times more users with the
+            # same per-user event volume — the realistic growth axis
+            (F.col("user_id") + F.col("copy") * 10_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .repartition(32)
+    )
     dp, ep = str(work / "documents"), str(work / "embeddings")
+    evp = str(work / "events")
     big_docs.write.mode("overwrite").parquet(dp)
     big_embs.write.mode("overwrite").parquet(ep)
-    return dp, ep
+    big_events.write.mode("overwrite").parquet(evp)
+    return dp, ep, evp
 
 
 def _cms_roundtrip(docs):
@@ -188,11 +206,13 @@ def main() -> None:
 
     work = Path(tempfile.mkdtemp(prefix="scale_bench_"))
     try:
-        dp, ep = build_corpus(spark, work, args.copies)
+        dp, ep, evp = build_corpus(spark, work, args.copies)
         docs = spark.read.parquet(dp)
         embs = spark.read.parquet(ep)
-        n_docs, n_embs = docs.count(), embs.count()
+        evs = spark.read.parquet(evp)
+        n_docs, n_embs, n_evs = docs.count(), embs.count(), evs.count()
         dk, ek = f"{n_docs // 1000}k", f"{n_embs // 1000}k"
+        evk = f"{n_evs // 1000}k"
         probe = [
             float(x)
             for x in embs.filter(F.col("vec_id") == 0).first().embedding
@@ -204,6 +224,18 @@ def main() -> None:
 
         def lsh_pairs():
             return minhash_lsh_pairs(docs, num_perm=16, bands=4)
+
+        def _funnel(e):
+            from mcp_hubspot_spark.operators.analytics import ordered_funnel
+
+            return ordered_funnel(e, ["view", "click", "purchase"])
+
+        def _transitions(e):
+            from mcp_hubspot_spark.operators.analytics import (
+                transition_matrix,
+            )
+
+            return transition_matrix(e)
 
         def semdedup():
             # cluster-then-dedup (SemDeDup): cell count scales with the
@@ -248,6 +280,11 @@ def main() -> None:
                 embs, n_planes=12
             ),
             f"semantic_dedup_{ek}": semdedup,
+            # behavioral analytics at copies-times the user population:
+            # funnel = chained per-user min-agg joins, transitions = one
+            # lead window + pair groupBy — both shuffle on user_id only
+            f"event_funnel_{evk}": lambda: _funnel(evs),
+            f"event_transitions_{evk}": lambda: _transitions(evs),
             f"repetition_features_{dk}": lambda: repetition_features(docs),
             f"quality_features_{dk}": lambda: quality_features(docs),
             f"pack_sequences_{dk}": lambda: pack_sequences(docs),
