@@ -150,6 +150,9 @@ def percentile_buckets(
     unbounded below, bucket n unbounded above). Counts per bucket match
     exact NTILE within the sketch error times n_rows; exact NTILE stays
     the oracle twin at test SFs (``customer_value_quartiles``).
+    NULL values get a NULL bucket — approxQuantile ignores NULLs when
+    computing cutoffs, so assigning them to bucket 1 (what a naive
+    comparison chain does) would skew bucket-1 counts vs the NTILE twin.
     Returns the input plus an int ``bucket`` column.
     """
     if n_buckets < 2:
@@ -159,4 +162,9 @@ def percentile_buckets(
     bucket = F.lit(1)
     for c in cuts:
         bucket = bucket + F.when(F.col(value_col) > c, 1).otherwise(0)
-    return df.withColumn("bucket", bucket.cast("int"))
+    return df.withColumn(
+        "bucket",
+        F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(
+            bucket
+        ).cast("int"),
+    )

@@ -788,7 +788,14 @@ def semantic_dedup(
         F.col("_n").alias("nb"),
         "cell_id",
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # zero-norm guard: 0/0 would be NaN, and NaN >= threshold is TRUE
+    # under Spark's NaN ordering — silently dropping rows. Treat any
+    # pair with a zero-norm side as non-similar (cos = 0), which is
+    # exactly what the matmul backend's norm clamp produces, keeping
+    # the two backends bit-for-bit on is_kept for zero vectors too.
+    cos = F.when(
+        (F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0)
+    ).otherwise(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     dropped = (
         a.join(b, on="cell_id")
         .filter(F.col("id_a") < F.col("id_b"))

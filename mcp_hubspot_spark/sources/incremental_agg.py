@@ -29,7 +29,19 @@ _SUM_TYPE = "decimal(28,6)"
 
 
 class IncrementalAggregate:
-    """Maintained ``groupBy(group_col).agg(count, sum(value_col))``."""
+    """Maintained ``groupBy(group_col).agg(count, sum(value_col))``.
+
+    Contract: only RETRACTABLE aggregates are maintainable from deltas —
+    count and sum admit an inverse (retract = subtract), so a delete or
+    group-move applies exactly. min/max do NOT (deleting the current
+    minimum requires rescanning the group to find the runner-up), so
+    they are deliberately out of contract here; a min/max "refresh" is a
+    partial rescan of affected groups, a different cost class that
+    belongs to a recompute path, not this maintainer.
+
+    NULL group keys are first-class: the summary/delta merge joins
+    null-safely, so the NULL group accumulates like any other.
+    """
 
     def __init__(
         self,
@@ -39,7 +51,7 @@ class IncrementalAggregate:
         value_col: str,
         path: str,
     ):
-        keys = set(table._read_manifest()["keys"])
+        keys = set(table.keys)
         clash = keys & {group_col, value_col}
         if clash:
             raise ValueError(
@@ -79,8 +91,12 @@ class IncrementalAggregate:
 
     # -------------------------------------------------------------- API
     def _direct(self, df: DataFrame) -> DataFrame:
+        # n_vals (non-null value count) rides along so incremental
+        # application can reproduce SQL sum semantics exactly: a group
+        # whose values are all NULL has total NULL, not 0
         return df.groupBy(self.group_col).agg(
             F.count(F.lit(1)).alias("n_rows"),
+            F.count(self.value_col).alias("n_vals"),
             F.sum(F.col(self.value_col).cast(_SUM_TYPE)).alias("total"),
         )
 
@@ -108,42 +124,76 @@ class IncrementalAggregate:
         if v_to == v_from:
             return v_to
         ch = self.table.table_changes(v_from, v_to, include_values=True)
+        before_val = F.col("before").getField(self.value_col).cast(_SUM_TYPE)
+        after_val = F.col("after").getField(self.value_col).cast(_SUM_TYPE)
         retract = ch.filter(
             F.col("diff_status").isin("removed", "changed")
         ).select(
             F.col("before").getField(self.group_col).alias(self.group_col),
             F.lit(-1).cast("long").alias("_dn"),
-            (-F.col("before").getField(self.value_col).cast(_SUM_TYPE)).alias(
-                "_dv"
-            ),
+            F.when(before_val.isNotNull(), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_dnv"),
+            (-before_val).alias("_dv"),
         )
         assert_ = ch.filter(
             F.col("diff_status").isin("added", "changed")
         ).select(
             F.col("after").getField(self.group_col).alias(self.group_col),
             F.lit(1).cast("long").alias("_dn"),
-            F.col("after").getField(self.value_col).cast(_SUM_TYPE).alias(
-                "_dv"
-            ),
+            F.when(after_val.isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_dnv"),
+            after_val.alias("_dv"),
         )
         deltas = (
             retract.unionByName(assert_)
             .groupBy(self.group_col)
-            .agg(F.sum("_dn").alias("_dn"), F.sum("_dv").alias("_dv"))
+            .agg(
+                F.sum("_dn").alias("_dn"),
+                F.sum("_dnv").alias("_dnv"),
+                F.sum("_dv").alias("_dv"),
+            )
         )
+        # eqNullSafe join: a NULL group key must meet its delta row
+        # (plain full_outer on the column name would keep them apart and
+        # split the NULL group's counts across two rows)
+        s = self.read().alias("s")
+        d = deltas.alias("d")
         merged = (
-            self.read()
-            .join(deltas, self.group_col, "full_outer")
+            s.join(
+                d,
+                F.col(f"s.{self.group_col}").eqNullSafe(
+                    F.col(f"d.{self.group_col}")
+                ),
+                "full_outer",
+            )
             .select(
-                self.group_col,
+                F.coalesce(
+                    F.col(f"s.{self.group_col}"), F.col(f"d.{self.group_col}")
+                ).alias(self.group_col),
                 (
                     F.coalesce("n_rows", F.lit(0))
                     + F.coalesce("_dn", F.lit(0))
                 ).alias("n_rows"),
                 (
-                    F.coalesce(F.col("total"), F.lit(0).cast(_SUM_TYPE))
-                    + F.coalesce(F.col("_dv"), F.lit(0).cast(_SUM_TYPE))
-                ).cast(_SUM_TYPE).alias("total"),
+                    F.coalesce("n_vals", F.lit(0))
+                    + F.coalesce("_dnv", F.lit(0))
+                ).alias("n_vals"),
+                # SQL sum semantics: no non-null values → NULL, not 0
+                F.when(
+                    (
+                        F.coalesce("n_vals", F.lit(0))
+                        + F.coalesce("_dnv", F.lit(0))
+                    )
+                    > 0,
+                    (
+                        F.coalesce(F.col("total"), F.lit(0).cast(_SUM_TYPE))
+                        + F.coalesce(F.col("_dv"), F.lit(0).cast(_SUM_TYPE))
+                    ).cast(_SUM_TYPE),
+                ).alias("total"),
             )
             .filter(F.col("n_rows") > 0)  # fully-retracted groups drop out
         )

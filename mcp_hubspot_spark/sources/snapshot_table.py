@@ -67,6 +67,14 @@ class SnapshotTable:
         with open(self._manifest_path()) as fh:
             return json.load(fh)
 
+    @property
+    def keys(self) -> list[str]:
+        """The table's merge-key columns (public accessor — downstream
+        maintainers like ``IncrementalAggregate`` need the key set to
+        validate their own column contracts without touching the
+        manifest format)."""
+        return list(self._read_manifest()["keys"])
+
     def _commit(self, manifest: dict, expected_version: int | None) -> None:
         """Atomically publish ``manifest`` iff the table is still at
         ``expected_version`` (None = initial commit, table must not exist).

@@ -72,6 +72,24 @@ def read_pruned(
         "file", f"{col}_min", f"{col}_max"
     )
     rows = zm.collect()  # bounded: one row per data file
+    # staleness gate: the sidecar is only trustworthy if it describes
+    # exactly the files on disk — a file appended after build_zonemap
+    # would be silently EXCLUDED (missing rows), a deleted file would
+    # fail the read. On any mismatch fall back to the full scan with the
+    # residual filter: always-correct results, zero skipping benefit,
+    # and the caller sees n_files_read == n_files_total as the signal
+    # to rebuild the zone map.
+    from pathlib import Path as _P
+    from urllib.parse import unquote, urlparse
+
+    current = {p.name for p in _P(table_dir).glob("*.parquet")}
+    mapped = {_P(unquote(urlparse(r.file).path)).name for r in rows}
+    if current != mapped:
+        df = spark.read.parquet(table_dir).filter(
+            (F.col(col) >= lo) & (F.col(col) <= hi)
+        )
+        n = len(current)
+        return df, n, n
     keep = [
         r.file
         for r in rows

@@ -223,6 +223,11 @@ class IvfIndex:
         self.spark.createDataFrame(
             cent_rows, "cell_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(str(self.root / "centroids"))
+        # a REBUILD invalidates an exported manifest (new centroids, new
+        # cell files): refresh it like add() does, or a server would probe
+        # with stale centroids against overwritten files
+        if (self.root / "manifest.json").exists():
+            self.export_manifest()
 
     def add(
         self,
@@ -257,6 +262,95 @@ class IvfIndex:
         )
         if (self.root / "manifest.json").exists():
             self.export_manifest()
+
+    # --------------------------------------------------- maintenance
+
+    def _swap_cells(self, keep: DataFrame, affected: list[int]) -> None:
+        """Rewrite the ``affected`` cell partitions from ``keep`` (which
+        must carry cell_id), leaving every other cell's files untouched
+        byte-for-byte: materialize to a temp dir FIRST (the source files
+        stay readable during the write — no self-overwrite), then swap
+        each affected partition dir. A cell with zero surviving rows is
+        removed outright. Manifest refreshed if exported."""
+        import shutil as _sh
+
+        cells_root = self.root / "cells"
+        tmp = self.root / "_rewrite_tmp"
+        _sh.rmtree(tmp, ignore_errors=True)
+        (
+            keep.repartition(max(1, len(affected)), "cell_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(str(tmp))
+        )
+        for cid in affected:
+            dst = cells_root / f"cell_id={cid}"
+            src = tmp / f"cell_id={cid}"
+            _sh.rmtree(dst, ignore_errors=True)
+            if src.exists():
+                _sh.move(str(src), str(dst))
+        _sh.rmtree(tmp, ignore_errors=True)
+        if (self.root / "manifest.json").exists():
+            self.export_manifest()
+
+    def delete(self, ids, id_col: str = "vec_id") -> int:
+        """Delete vectors by id — the removal side of the serving
+        lifecycle (the reference expires whole daily FAISS partitions,
+        ``faiss_manager.py:90-104``; the IVF analog is delete-by-id with
+        a rewrite of ONLY the cells that contain the ids). ``ids`` is a
+        Python sequence (literal IN-list, partition-friendly) or a
+        DataFrame of ids (broadcast semi/anti joins) for large deletes.
+        Untouched cells keep their exact files; the manifest, when
+        exported, is refreshed so a server never probes removed rows.
+        Returns the number of rows deleted."""
+        cells_root = self.root / "cells"
+        base = self.spark.read.option("basePath", str(cells_root)).parquet(
+            str(cells_root)
+        )
+        if isinstance(ids, DataFrame):
+            col = id_col if id_col in ids.columns else ids.columns[0]
+            ids_df = ids.select(F.col(col).alias(id_col)).distinct()
+            hits = base.join(F.broadcast(ids_df), id_col, "left_semi")
+        else:
+            idlist = [int(i) for i in ids]
+            if not idlist:
+                return 0
+            hits = base.filter(F.col(id_col).isin(idlist))
+        per_cell = {
+            int(r.cell_id): int(r.n)
+            for r in hits.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per affected cell
+        }
+        if not per_cell:
+            return 0
+        affected = sorted(per_cell)
+        keep = base.filter(F.col("cell_id").isin(affected))
+        if isinstance(ids, DataFrame):
+            keep = keep.join(F.broadcast(ids_df), id_col, "left_anti")
+        else:
+            keep = keep.filter(~F.col(id_col).isin(idlist))
+        self._swap_cells(keep, affected)
+        return sum(per_cell.values())
+
+    def compact(self, min_files: int = 2) -> list[int]:
+        """Merge the small files repeated ``add()`` batches leave behind:
+        every cell holding >= ``min_files`` parquet files is rewritten to
+        a single file; cells below the threshold are not touched at all.
+        Returns the compacted cell ids. The OPTIMIZE of this index."""
+        cells_root = self.root / "cells"
+        affected = sorted(
+            int(d.name.split("=", 1)[1])
+            for d in cells_root.glob("cell_id=*")
+            if len(list(d.glob("*.parquet"))) >= min_files
+        )
+        if not affected:
+            return []
+        base = self.spark.read.option("basePath", str(cells_root)).parquet(
+            str(cells_root)
+        )
+        self._swap_cells(base.filter(F.col("cell_id").isin(affected)), affected)
+        return affected
 
     # ------------------------------------------------------- serving
 

@@ -1912,3 +1912,50 @@ def test_new_operators_layout_invariance(spark):
     a = sorted(map(tuple, deletion_neighborhood_pairs(cust, "c_custkey", "c_name").collect()))
     b = sorted(map(tuple, deletion_neighborhood_pairs(cust.repartition(13), "c_custkey", "c_name").collect()))
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_backends_agree_on_zero_vectors(spark):
+    """Zero-norm embeddings are non-similar to everything in BOTH
+    backends: the expression twin must not let a NaN cosine (0/0) pass
+    the >= threshold under Spark's NaN-is-largest ordering."""
+    from mcp_hubspot_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_matmul,
+    )
+
+    rows = [
+        (1, [0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # second zero vector: the 0/0 pair
+        (3, [1.0, 0.0, 0.0]),
+        (4, [1.0, 1e-9, 0.0]),  # genuine near-dup of 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])]
+    e = {
+        (r.vec_id, r.is_kept)
+        for r in semantic_dedup(df, cents, min_cosine=0.99).collect()
+    }
+    m = {
+        (r.vec_id, r.is_kept)
+        for r in semantic_dedup_matmul(df, cents, min_cosine=0.99).collect()
+    }
+    assert e == m
+    kept = {v for v, k in e if k}
+    # both zero vectors survive (cos treated as 0); the near-dup drops
+    assert kept == {1, 2, 3}
+
+
+def test_percentile_buckets_null_values_get_null_bucket(spark):
+    from mcp_hubspot_spark.operators.analytics import percentile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)] + [(100, None), (101, None)],
+        "id long, v double",
+    )
+    out = percentile_buckets(df, "v", 4).collect()
+    by_id = {r.id: r.bucket for r in out}
+    assert by_id[100] is None and by_id[101] is None
+    non_null = [r.bucket for r in out if r.v is not None]
+    assert set(non_null) == {1, 2, 3, 4}
+    # NULLs did not inflate bucket 1
+    assert sum(1 for b in non_null if b == 1) == 25

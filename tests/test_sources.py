@@ -622,3 +622,104 @@ def test_snapshot_restore(spark, tmp_path):
     t.vacuum(keep_versions=0)
     with pytest.raises(ValueError, match="vacuumed"):
         t.restore(1)
+
+
+def test_zonemap_stale_sidecar_falls_back_to_full_scan(spark, tmp_path):
+    """Files appended after build_zonemap make the sidecar stale; the
+    reader must detect the mismatch and return the full-scan answer
+    (reporting files_read == files_total), never silently drop rows."""
+    import shutil
+
+    from mcp_hubspot_spark.sources.zonemap import build_zonemap, read_pruned
+
+    tbl = str(tmp_path / "tbl")
+    spark.range(1000).select(F.col("id").alias("k")).repartitionByRange(
+        4, "k"
+    ).write.parquet(tbl)
+    build_zonemap(spark, tbl, ["k"])
+    df, nread, ntotal = read_pruned(spark, tbl, "k", 0, 99)
+    assert (nread, ntotal) == (1, 4)
+    assert df.count() == 100
+
+    # append rows the sidecar has never seen (simulates a writer that
+    # skipped the zonemap rebuild)
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame([(5,), (2000,)], "k long").coalesce(
+        1
+    ).write.parquet(extra)
+    part = next(Path(extra).glob("*.parquet"))
+    shutil.copy(part, Path(tbl) / "part-appended.parquet")
+
+    df2, nread2, ntotal2 = read_pruned(spark, tbl, "k", 0, 99)
+    assert nread2 == ntotal2  # full-scan fallback, no skipping claimed
+    assert df2.count() == 101  # the appended in-range row IS returned
+
+
+def test_incremental_aggregate_null_group_and_null_values(spark, tmp_path):
+    """NULL group keys merge null-safely (one NULL-group row, never a
+    split) and a group whose values are all NULL reports total NULL —
+    bit-equal with the direct aggregate, matching SQL sum semantics."""
+    from mcp_hubspot_spark.sources.incremental_agg import IncrementalAggregate
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    rows = [(0, None, 1.0), (1, None, 2.0), (2, "g0", None), (3, "g1", 4.0)]
+    t.create(
+        spark.createDataFrame(rows, "id long, grp string, val double"),
+        keys=["id"],
+        n_buckets=4,
+    )
+    agg = IncrementalAggregate(spark, t, "grp", "val", str(tmp_path / "agg"))
+    agg.initialize()
+
+    def check():
+        got = {
+            (r.grp, r.n_rows, None if r.total is None else float(r.total))
+            for r in agg.read().collect()
+        }
+        want = {
+            (r.grp, r.n_rows, None if r.total is None else float(r.total))
+            for r in t.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("val").cast("decimal(28,6)")).alias("total"),
+            )
+            .collect()
+        }
+        assert got == want
+        # exactly one row for the NULL group, never a split pair
+        assert sum(1 for g, _, _ in got if g is None) <= 1
+
+    check()
+    # grow the NULL group and flip g0 between all-NULL and valued
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(4, None, 10.0), (2, "g0", 7.5), (5, "g0", None)],
+            "id long, grp string, val double",
+        )
+    )
+    agg.refresh()
+    check()
+    # retract g0's only non-NULL value -> total must go back to NULL
+    t.merge_upsert(
+        spark.createDataFrame([(2, "g0", None)], "id long, grp string, val double")
+    )
+    agg.refresh()
+    check()
+    g0 = [r for r in agg.read().collect() if r.grp == "g0"][0]
+    assert g0.total is None and g0.n_rows == 2
+    # delete NULL-group rows one by one (null-safe retraction)
+    t.delete_where(F.col("id") == 0)
+    agg.refresh()
+    check()
+
+
+def test_snapshot_table_public_keys(spark, tmp_path):
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.create(
+        spark.createDataFrame([(1, "a")], "id long, p string"), keys=["id"]
+    )
+    assert t.keys == ["id"]
