@@ -6763,32 +6763,51 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
 # the rows-only profile_orders_approx. Until then they are pinned by
 # the local oracle replica (tests/test_oracle_parity.py), the verify
 # gate, and their behavioral/property/plan pytests.
+# ---- round-6 window -------------------------------------------------
+# Every r5 slot was twice-green (identical window to r4), so the whole
+# window rotates. Head of the line, per the never-checked-first rule:
+#   * the 8 round-4 oracle-gated ops with NO driver history
+#     (event_funnel/_windowed, event_transitions,
+#     customer_value_quartiles, customer_name_linkage,
+#     supplier_triangles, supplier_clustering, hybrid_search_rrf);
+#   * the 4 rows-only-by-design queries that never held a slot
+#     (profile_orders_approx, doc_length_quantiles_approx,
+#     approx_distinct_users, embed_documents) — the driver records the
+#     weaker rows-only check for these, which is still their first
+#     official record;
+#   * the 3 queries whose ONLY driver record is the round-1
+#     TIMESTAMP(NANOS) env failure, fixed since round 2
+#     (events_sessions, events_sliding, events_user_gaps).
+# The remaining 35 slots go to the STALEST once-green queries — all 23
+# whose single green record is r1, then 12 whose single record is r2.
+# Rotated out: the full r5 window (all 50 twice-green in r4+r5); their
+# family cover is the rotation rationale recorded above plus their
+# oracle-replica pins in tests/test_oracle_parity.py and the verify
+# gate, which run ALL 137 oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
-    # never driver-checked (round-3 late waves) — first in line
-    "orders_unpivot", "events_value_outliers_mad", "user_value_trend",
-    "order_value_bootstrap_ci", "hard_negatives", "mixture_plan",
-    "event_type_lift", "orders_monthly_growth", "bpe_compression",
-    "orders_value_drift", "profile_orders", "sampled_quantiles_lineitem",
-    "events_resampled_locf", "doc_token_positions",
-    # once-green (r3) family representatives retained in-window
-    "events_near_pairs", "media_features", "ngram_containment_pairs",
-    "remove_boilerplate_docs", "eval_holdout_docs", "embedding_projection",
-    "dedup_survivor_report", "doc_bigram_lm_score",
-    "stratified_sample_docs", "orders_above_customer_avg",
-    "canonical_text_docs", "quantized_embedding_error",
-    "bloom_decontaminated_docs", "dedup_lines_docs", "bm25_search",
-    "incremental_dedup_docs", "cms_heavy_hitters",
-    "temperature_mixture_docs", "semantic_dedup_docs",
-    "length_bucketed_batches", "nation_trade_volume", "orders_cube",
-    "domain_capped_docs", "semantic_contaminated_docs", "events_scd2",
-    "greedy_packed_docs", "rolling_7d_active_users",
-    "bpe_merges", "dq_violations",
-    "customer_order_activity", "events_json_props",
-    "embedding_neardup_lsh",
-    "projected_knn_rerank",
-    "orders_page_with_total",
-    "customer_churn_sets",
-    "training_corpus_pipeline",
+    # never driver-checked: round-4 oracle-gated ops — first in line
+    "event_funnel", "event_transitions", "event_funnel_windowed",
+    "customer_value_quartiles", "customer_name_linkage",
+    "supplier_triangles", "supplier_clustering", "hybrid_search_rrf",
+    # never driver-checked: rows-only by design (no oracle_sql entry)
+    "profile_orders_approx", "doc_length_quantiles_approx",
+    "approx_distinct_users", "embed_documents",
+    # only record is the round-1 env failure (parquet NANOS, fixed r2)
+    "events_sessions", "events_sliding", "events_user_gaps",
+    # stalest once-green: single green record is round 1
+    "canonical_json_docs", "contains_token_docs", "doc_excerpts",
+    "doc_fingerprints", "doc_length_quantiles", "doc_quality",
+    "embedding_neardup_cosine", "knn_batch", "knn_batch_matmul",
+    "knn_cosine", "minhash_signatures", "nation_customer_supplier_sets",
+    "ngram_jaccard_pairs", "order_value_histogram", "orders_last_30d",
+    "orders_status_pivot", "priority_class_counts", "recent_orders",
+    "scan_union_distinct", "semi_lookup_lines", "shipping_priority",
+    "simhash_fingerprints", "token_stats",
+    # next-stalest once-green: single green record is round 2
+    "cheapest_line_per_part", "contaminated_docs", "customer_status_sets",
+    "dedup_clusters", "doc_chunks", "doc_first_number", "doc_repetition",
+    "events_campaign_attribution", "events_funnel", "events_moving_avg",
+    "events_user_cumulative", "fuzzy_name_pairs",
 ]
 
 
