@@ -108,9 +108,22 @@ class IncrementalAggregate:
 
     def read(self) -> DataFrame:
         state = self._load_state()
-        return self.spark.read.parquet(
+        df = self.spark.read.parquet(
             self._data_path(state["base_version"])
         )
+        if "n_vals" not in df.columns:
+            # summary written before n_vals existed: derive it
+            # conservatively so refresh() keeps working — a NULL total
+            # means the group had zero non-null values, otherwise assume
+            # every row contributed (the pre-n_vals semantics). The next
+            # _commit persists the derived column, completing migration.
+            df = df.withColumn(
+                "n_vals",
+                F.when(F.col("total").isNull(), F.lit(0))
+                .otherwise(F.col("n_rows"))
+                .cast("long"),
+            )
+        return df
 
     def refresh(self) -> int:
         """Advance the summary to the base table's current version by

@@ -9,7 +9,10 @@ copy-on-write + optimistic-commit design Delta/Iceberg/Hudi use is built
 directly on parquet:
 
 - **Data layout**: each write produces an immutable version directory
-  ``v_<n>/_bucket=<k>/`` — parquet, hash-bucketed on the merge keys.
+  ``v_<n>-<token>/_bucket=<k>/`` — parquet, hash-bucketed on the merge
+  keys. The token is unique per write ATTEMPT, so two optimistic writers
+  racing to the same version never share a directory; the loser's orphan
+  is removed on conflict (and vacuum() collects any crash leftovers).
 - **Manifest**: a JSON pointer file maps every bucket to the version
   directory that currently owns it. Readers resolve the manifest once and
   read exactly those directories; writers never mutate a published file.
@@ -33,7 +36,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,7 +121,7 @@ class SnapshotTable:
     ) -> None:
         """Initial commit: bucket ``df`` on ``keys`` and publish v0."""
         keys = list(keys)
-        vdir = "v_0"
+        vdir = self._new_vdir(0)
         (
             df.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
             .write.partitionBy(_BUCKET)
@@ -132,6 +137,28 @@ class SnapshotTable:
             },
             expected_version=None,
         )
+
+    def _new_vdir(self, version: int) -> str:
+        """Data directory name for a write ATTEMPT at ``version`` —
+        unique per attempt, not per version: two optimistic writers
+        racing to the same target version must never share a directory
+        (the loser's files would mix into the winner's commit, or its
+        write would fail on path-exists before ever reaching the
+        manifest check). Only the manifest references these names, so
+        the suffix is never parsed; vacuum() collects a losing
+        attempt's orphan since no kept manifest points into it."""
+        return f"v_{version}-{uuid.uuid4().hex[:8]}"
+
+    def _commit_or_cleanup(
+        self, manifest: dict, expected_version: int, vdir: str
+    ) -> None:
+        """Commit, and on a version conflict remove this attempt's data
+        directory before re-raising so a retry starts clean."""
+        try:
+            self._commit(manifest, expected_version=expected_version)
+        except SnapshotConflictError:
+            shutil.rmtree(os.path.join(self.root, vdir), ignore_errors=True)
+            raise
 
     def _buckets_in(self, vdir: str) -> list[int]:
         base = os.path.join(self.root, vdir)
@@ -192,7 +219,7 @@ class SnapshotTable:
         keys, nb = manifest["keys"], manifest["n_buckets"]
         expected = manifest["version"]
         new_version = expected + 1
-        vdir = f"v_{new_version}"
+        vdir = self._new_vdir(new_version)
 
         missing_keys = set(keys) - set(updates.columns)
         if missing_keys:
@@ -238,10 +265,11 @@ class SnapshotTable:
         prev = os.path.join(self.root, f"_manifest_v{expected}.json")
         with open(prev, "w") as fh:
             json.dump(manifest, fh)
-        self._commit(
+        self._commit_or_cleanup(
             {"version": new_version, "keys": keys, "n_buckets": nb,
              "buckets": buckets},
             expected_version=expected,
+            vdir=vdir,
         )
         return new_version
 
@@ -251,7 +279,7 @@ class SnapshotTable:
         manifest = self._read_manifest()
         expected = manifest["version"]
         new_version = expected + 1
-        vdir = f"v_{new_version}"
+        vdir = self._new_vdir(new_version)
 
         keys, nb = manifest["keys"], manifest["n_buckets"]
         all_buckets = [int(b) for b in manifest["buckets"]]
@@ -283,10 +311,11 @@ class SnapshotTable:
         prev = os.path.join(self.root, f"_manifest_v{expected}.json")
         with open(prev, "w") as fh:
             json.dump(manifest, fh)
-        self._commit(
+        self._commit_or_cleanup(
             {"version": new_version, "keys": manifest["keys"],
              "n_buckets": manifest["n_buckets"], "buckets": buckets},
             expected_version=expected,
+            vdir=vdir,
         )
         return new_version
 
@@ -433,7 +462,7 @@ class SnapshotTable:
         if not frag:
             return expected
         new_version = expected + 1
-        vdir = f"v_{new_version}"
+        vdir = self._new_vdir(new_version)
         (
             self.spark.read.option("mergeSchema", "true")
             .parquet(*self._bucket_paths(manifest, frag))
@@ -448,10 +477,11 @@ class SnapshotTable:
         prev = os.path.join(self.root, f"_manifest_v{expected}.json")
         with open(prev, "w") as fh:
             json.dump(manifest, fh)
-        self._commit(
+        self._commit_or_cleanup(
             {"version": new_version, "keys": keys, "n_buckets": nb,
              "buckets": buckets},
             expected_version=expected,
+            vdir=vdir,
         )
         return new_version
 

@@ -37,6 +37,24 @@ _SIDECAR = "_zonemap"
 _ZBITS = 12  # 12 bits per dimension → 24-bit z-values, plenty for file counts
 
 
+def _list_parquet_names(spark: SparkSession, table_dir: str) -> set[str]:
+    """Top-level ``*.parquet`` file names of ``table_dir``, listed via
+    the Hadoop FileSystem API so the result is correct for ANY scheme
+    Spark itself can read (hdfs://, s3a://, file:), not just the
+    driver's local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return set()
+    names: set[str] = set()
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if status.isFile() and name.endswith(".parquet"):
+            names.add(name)
+    return names
+
+
 def build_zonemap(
     spark: SparkSession, table_dir: str, cols: list[str]
 ) -> DataFrame:
@@ -78,12 +96,24 @@ def read_pruned(
     # fail the read. On any mismatch fall back to the full scan with the
     # residual filter: always-correct results, zero skipping benefit,
     # and the caller sees n_files_read == n_files_total as the signal
-    # to rebuild the zone map.
+    # to rebuild the zone map. The on-disk file set comes from the
+    # Hadoop FileSystem for table_dir's OWN scheme (hdfs://, s3a://,
+    # file:) — a driver-local pathlib glob would come back empty for
+    # any non-local table and silently disable skipping forever.
     from pathlib import Path as _P
     from urllib.parse import unquote, urlparse
 
-    current = {p.name for p in _P(table_dir).glob("*.parquet")}
+    current = _list_parquet_names(spark, table_dir)
     mapped = {_P(unquote(urlparse(r.file).path)).name for r in rows}
+    if not current and mapped:
+        # the sidecar names files the filesystem listing cannot see:
+        # that is a wrong path or an FS-access problem, not staleness —
+        # a silent full-scan fallback here would hide it forever
+        raise FileNotFoundError(
+            f"zone map for {table_dir} lists {len(mapped)} data files "
+            "but the filesystem listing found none — wrong table_dir "
+            "or filesystem access problem"
+        )
     if current != mapped:
         df = spark.read.parquet(table_dir).filter(
             (F.col(col) >= lo) & (F.col(col) <= hi)

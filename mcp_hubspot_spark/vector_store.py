@@ -271,24 +271,48 @@ class IvfIndex:
         byte-for-byte: materialize to a temp dir FIRST (the source files
         stay readable during the write — no self-overwrite), then swap
         each affected partition dir. A cell with zero surviving rows is
-        removed outright. Manifest refreshed if exported."""
+        removed outright. Manifest refreshed if exported.
+
+        Crash safety: the live cell dir is RENAMED to a backup (same
+        filesystem — atomic) before the rewritten dir moves in, and only
+        the backup is deleted once the move succeeded. An interruption
+        between the two steps therefore leaves either the old cell in
+        place or its backup restorable — never a window where the cell's
+        surviving rows exist nowhere. Backups live under ``_swap_backup``
+        OUTSIDE ``cells/`` so a crash leftover can never be picked up as
+        a partition by later reads."""
+        import os as _os
         import shutil as _sh
 
         cells_root = self.root / "cells"
         tmp = self.root / "_rewrite_tmp"
+        bak_root = self.root / "_swap_backup"
         _sh.rmtree(tmp, ignore_errors=True)
+        _sh.rmtree(bak_root, ignore_errors=True)
         (
             keep.repartition(max(1, len(affected)), "cell_id")
             .write.mode("overwrite")
             .partitionBy("cell_id")
             .parquet(str(tmp))
         )
+        bak_root.mkdir(parents=True, exist_ok=True)
         for cid in affected:
             dst = cells_root / f"cell_id={cid}"
             src = tmp / f"cell_id={cid}"
-            _sh.rmtree(dst, ignore_errors=True)
-            if src.exists():
-                _sh.move(str(src), str(dst))
+            bak = bak_root / f"cell_id={cid}"
+            if dst.exists():
+                _os.rename(dst, bak)  # same fs: atomic, no copy
+            try:
+                if src.exists():
+                    _os.rename(src, dst)
+            except BaseException:
+                # put the live cell back before propagating: a failed
+                # move must not lose the cell's surviving rows
+                if not dst.exists() and bak.exists():
+                    _os.rename(bak, dst)
+                raise
+            _sh.rmtree(bak, ignore_errors=True)
+        _sh.rmtree(bak_root, ignore_errors=True)
         _sh.rmtree(tmp, ignore_errors=True)
         if (self.root / "manifest.json").exists():
             self.export_manifest()

@@ -1,0 +1,152 @@
+"""End-to-end serving loop: SnapshotTable CDC → incremental re-embed →
+IvfIndex.add()/delete() → filtered search, with no full-index rebuild.
+
+This is the production shape all the pieces exist for — the reference's
+analog is the per-response FAISS append (``handlers/base_handler.py:70-73``)
+plus its daily-partition expiry (``faiss_manager.py:90-104``): documents
+change in the system of record, ONLY the changed ones are re-embedded,
+and the ANN index absorbs the delta without retraining or rescanning the
+corpus. The test pins the three contract points: upserted docs become
+searchable, deleted (and superseded) docs stop matching, and the files of
+untouched cells are carried forward byte-identical (delta cost, not
+rebuild cost).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.functions.embedding import embed_column
+from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+from mcp_hubspot_spark.vector_store import IvfIndex
+
+DIM = 16
+
+
+def _embedded(docs):
+    """doc frame -> (vec_id, embedding) via the deterministic embedder."""
+    return docs.select(
+        F.col("doc_id").alias("vec_id"),
+        embed_column(F.col("text"), dim=DIM)
+        .cast("array<double>")
+        .alias("embedding"),
+    )
+
+
+def _probe_for(spark, text: str) -> list[float]:
+    row = (
+        spark.createDataFrame([(0, text)], "doc_id long, text string")
+        .select(embed_column(F.col("text"), dim=DIM).alias("e"))
+        .first()
+    )
+    return [float(x) for x in row.e]
+
+
+def _cell_files(root):
+    return {
+        str(f.relative_to(root)): f.stat().st_size
+        for f in (root / "cells").glob("cell_id=*/*.parquet")
+    }
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "docs"))
+    table.create(docs, keys=["doc_id"], n_buckets=8)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(_embedded(table.read()), n_cells=8)
+    idx.export_manifest()
+    return table, idx
+
+
+def test_cdc_to_index_serving_loop(spark, tmp_path, corpus):
+    table, idx = corpus
+    root = idx.root
+    v0 = table.version()
+    files_v0 = _cell_files(root)
+    centroids_before = sorted(
+        f.read_bytes() for f in (root / "centroids").glob("*.parquet")
+    )
+
+    # --- the system of record moves: one new doc, one edit, one delete
+    new_text = "freshly added doc about quantum lemurs"
+    edit_text = "doc five was completely rewritten"
+    table.merge_upsert(
+        spark.createDataFrame(
+            [(1000, new_text), (5, edit_text)], "doc_id long, text string"
+        )
+    )
+    table.delete_where(F.col("doc_id") == 7)
+    v2 = table.version()
+    assert v2 == v0 + 2
+
+    # --- incremental maintenance driven ONLY by the CDC delta
+    changes = table.table_changes(v0, v2, include_values=True)
+    stale_ids = changes.filter(
+        F.col("diff_status").isin("removed", "changed")
+    ).select(F.col("doc_id").alias("vec_id"))
+    fresh = changes.filter(
+        F.col("diff_status").isin("added", "changed")
+    ).select(
+        "doc_id", F.col("after").getField("text").alias("text")
+    )
+    assert stale_ids.count() == 2 and fresh.count() == 2  # the delta, not 200
+    stale_cells = {
+        r.cell_id
+        for r in spark.read.option("basePath", str(root / "cells"))
+        .parquet(str(root / "cells"))
+        .filter(F.col("vec_id").isin(5, 7))
+        .select("cell_id")
+        .collect()
+    }
+    n_deleted = idx.delete(stale_ids)  # old rows for 5 and 7
+    assert n_deleted == 2
+    idx.add(_embedded(fresh))
+
+    # --- upserted docs are searchable at rank 1 by their own embedding
+    hit = idx.search(_probe_for(spark, new_text), k=1, nprobe=8).first()
+    assert hit.vec_id == 1000 and hit.distance < 1e-9
+    hit5 = idx.search(_probe_for(spark, edit_text), k=1, nprobe=8).first()
+    assert hit5.vec_id == 5 and hit5.distance < 1e-9
+
+    # --- deleted / superseded rows never match again
+    all_rows = spark.read.option("basePath", str(root / "cells")).parquet(
+        str(root / "cells")
+    )
+    assert all_rows.filter(F.col("vec_id") == 7).count() == 0
+    assert all_rows.filter(F.col("vec_id") == 5).count() == 1  # new row only
+    assert all_rows.count() == 200 - 1 + 1  # 200 docs - deleted + added
+
+    # --- no rebuild: centroids untouched, unaffected cells' files intact
+    centroids_after = sorted(
+        f.read_bytes() for f in (root / "centroids").glob("*.parquet")
+    )
+    assert centroids_after == centroids_before
+    files_now = _cell_files(root)
+    # delete() rewrites only the stale cells; add() only APPENDS files —
+    # so every original file of every non-stale cell must still be
+    # present with the same size. That is the "delta cost, not rebuild
+    # cost" contract.
+    for p, sz in files_v0.items():
+        cell = int(p.split("=")[1].split("/")[0])
+        if cell not in stale_cells:
+            assert files_now.get(p) == sz
+
+    # --- the serving manifest tracked every mutation
+    m = idx.read_manifest()
+    listed = {f for fs in m["cells"].values() for f in fs}
+    assert listed == set(files_now)
+
+    # --- filtered search inside the pruned scan still works post-delta
+    only_low = idx.search(
+        _probe_for(spark, new_text),
+        k=5,
+        nprobe=8,
+        where=F.col("vec_id") < 100,
+    ).collect()
+    assert only_low and all(r.vec_id < 100 for r in only_low)

@@ -203,11 +203,14 @@ def test_snapshot_merge_rewrites_only_touched_buckets(spark, tmp_path):
     expected_bucket = spark.range(1).select(
         F.pmod(F.xxhash64(F.lit(42).cast("long")), F.lit(16)).cast("int")
     ).collect()[0][0]
+    # resolve the v1 data dir through the manifest (dir names carry a
+    # per-attempt unique token, so they are never hardcoded)
+    v1_dir = tbl._read_manifest()["buckets"][str(expected_bucket)]
     v1_buckets = [
-        d for d in os.listdir(root / "v_1") if d.startswith("_bucket=")
+        d for d in os.listdir(root / v1_dir) if d.startswith("_bucket=")
     ]
     assert v1_buckets == [f"_bucket={expected_bucket}"]
-    # manifest still maps the other 15 buckets to v_0 by reference
+    # manifest still maps the other 15 buckets to v0's dir by reference
     assert len(_snap_rows(tbl)) == 200
 
 
@@ -392,16 +395,20 @@ def test_vacuum_reclaims_unreferenced_versions(spark, tmp_path):
         [(i, "base") for i in range(40)], "id long, val string"
     )
     t.create(base, keys=["id"], n_buckets=4)
-    # touch ONLY bucket(s) containing id=0 twice: v_1 becomes fully
-    # superseded by v_2, while v_0 still owns the untouched buckets
-    for r in range(2):
-        t.merge_upsert(
-            spark.createDataFrame([(0, f"r{r}")], "id long, val string")
-        )
+    # touch ONLY bucket(s) containing id=0 twice: v1's dir becomes fully
+    # superseded by v2's, while v0's still owns the untouched buckets
+    dirs_v0 = {d for d in os.listdir(t.root) if d.startswith("v_")}
+    t.merge_upsert(spark.createDataFrame([(0, "r0")], "id long, val string"))
+    v1_dir = next(
+        d
+        for d in os.listdir(t.root)
+        if d.startswith("v_") and d not in dirs_v0
+    )
+    t.merge_upsert(spark.createDataFrame([(0, "r1")], "id long, val string"))
     before = sorted(map(tuple, t.read().collect()))
     deleted = t.vacuum()
-    assert deleted == ["v_1"]  # v_0 partially live, v_2 current
-    assert sorted(os.listdir(t.root)).count("v_1") == 0
+    assert deleted == [v1_dir]  # v0 partially live, v2 current
+    assert sorted(os.listdir(t.root)).count(v1_dir) == 0
     assert sorted(map(tuple, t.read().collect())) == before
     # time travel beyond the horizon is gone
     with _pytest.raises(Exception):
@@ -723,3 +730,115 @@ def test_snapshot_table_public_keys(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "id long, p string"), keys=["id"]
     )
     assert t.keys == ["id"]
+
+
+def test_snapshot_concurrent_writers_loser_retries_cleanly(spark, tmp_path):
+    """Two interleaved merge_upserts: the writer whose base version was
+    superseded mid-flight fails with SnapshotConflictError (never a
+    silent overwrite), its orphan data dir is cleaned up, and a retry on
+    the new version succeeds with BOTH writers' rows in the table."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from mcp_hubspot_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        SnapshotTable,
+    )
+
+    root = tmp_path / "tbl"
+    t_a = SnapshotTable(spark, str(root))
+    t_b = SnapshotTable(spark, str(root))
+    base = spark.createDataFrame(
+        [(i, "base") for i in range(100)], "id long, val string"
+    )
+    t_a.create(base, keys=["id"], n_buckets=8)
+
+    batch_a = spark.createDataFrame([(1, "from_a")], "id long, val string")
+    batch_b = spark.createDataFrame([(2, "from_b")], "id long, val string")
+
+    # interleave deterministically: A's commit step first lets B run a
+    # FULL merge_upsert (read manifest -> write data -> commit), then
+    # proceeds — so A's expected version is stale by exactly one commit
+    orig_commit = t_a._commit
+    fired = []
+
+    def racing_commit(manifest, expected_version=None):
+        if not fired:
+            fired.append(True)
+            t_b.merge_upsert(batch_b)
+        return orig_commit(manifest, expected_version=expected_version)
+
+    t_a._commit = racing_commit
+    with _pytest.raises(SnapshotConflictError):
+        t_a.merge_upsert(batch_a)
+
+    # B's commit won; A's attempt left no orphan data directory
+    assert t_a.version() == 1
+    rows = {r.id: r.val for r in t_a.read().collect()}
+    assert rows[2] == "from_b" and rows[1] == "base"
+    manifests = [_json.load(open(root / "_latest.json"))]
+    for f in os.listdir(root):
+        if f.startswith("_manifest_v"):
+            manifests.append(_json.load(open(root / f)))
+    referenced = {v for m in manifests for v in m["buckets"].values()}
+    on_disk = {d for d in os.listdir(root) if d.startswith("v_")}
+    assert on_disk == referenced
+
+    # the loser retries onto the new version and succeeds
+    assert t_a.merge_upsert(batch_a) == 2
+    rows = {r.id: r.val for r in t_a.read().collect()}
+    assert rows[1] == "from_a" and rows[2] == "from_b" and len(rows) == 100
+
+
+def test_incremental_agg_reads_pre_nvals_summary(spark, tmp_path):
+    """A summary persisted before the n_vals column existed must still
+    refresh (migration fallback derives n_vals conservatively) instead
+    of failing with an unresolved-column error."""
+    from mcp_hubspot_spark.sources.incremental_agg import IncrementalAggregate
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)],
+        "id long, grp string, v double",
+    )
+    t.create(base, keys=["id"], n_buckets=4)
+    agg = IncrementalAggregate(
+        spark, t, group_col="grp", value_col="v", path=str(tmp_path / "agg")
+    )
+    v0 = agg.initialize()
+
+    # simulate the pre-n_vals on-disk layout: rewrite the summary
+    # without the column (bounded: |groups| rows)
+    old_rows = [
+        (r.grp, r.n_rows, r.total) for r in agg.read().collect()
+    ]
+    spark.createDataFrame(
+        old_rows, "grp string, n_rows long, total decimal(28,6)"
+    ).coalesce(1).write.mode("overwrite").parquet(agg._data_path(v0))
+    assert "n_vals" not in spark.read.parquet(agg._data_path(v0)).columns
+
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(0, "g1", 100.0), (99, "g2", 7.5)], "id long, grp string, v double"
+        )
+    )
+    agg.refresh()  # must not raise on the legacy summary
+    got = {
+        (r.grp): (r.n_rows, float(r.total)) for r in agg.read().collect()
+    }
+    want = {
+        r.grp: (r.n_rows, float(r.total))
+        for r in t.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the refreshed summary persists the derived column: migration done
+    assert "n_vals" in agg.read().columns

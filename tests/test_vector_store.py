@@ -300,3 +300,178 @@ def test_ivf_incremental_add_and_filtered_search(spark, tmp_path):
         for r in knn(second, probe, k=8).collect()
     ]
     assert [(r.vec_id, round(r.distance, 6)) for r in odd_only] == want_odd
+
+
+# ---------------------------------------------- IVF maintenance (delete /
+# compact / swap safety) — the destructive file-mutating paths
+
+
+def _cell_bytes(root):
+    """{cell_dir_name: {file_name: bytes}} for byte-identity checks."""
+    return {
+        d.name: {f.name: f.read_bytes() for f in sorted(d.glob("*.parquet"))}
+        for d in sorted((root / "cells").glob("cell_id=*"))
+    }
+
+
+def _ivf_fixture(spark, root, n_cells=8):
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = IvfIndex(spark, str(root))
+    idx.build(emb, n_cells=n_cells)
+    idx.export_manifest()
+    return idx, emb
+
+
+def _all_ids(spark, root):
+    return {
+        r.vec_id
+        for r in spark.read.option("basePath", str(root / "cells"))
+        .parquet(str(root / "cells"))
+        .select("vec_id")
+        .collect()
+    }
+
+
+def test_ivf_delete_by_list(spark, tmp_path):
+    """delete([ids]): removed ids stop matching, untouched cells stay
+    byte-identical, the return value counts removed rows, and the
+    exported manifest's file listing is refreshed to the new files."""
+    root = tmp_path / "ivf"
+    idx, emb = _ivf_fixture(spark, root)
+    before = _cell_bytes(root)
+    victims = [1, 2, 3]
+    hit_cells = {
+        r.cell_id
+        for r in spark.read.option("basePath", str(root / "cells"))
+        .parquet(str(root / "cells"))
+        .filter(F.col("vec_id").isin(victims))
+        .select("cell_id")
+        .collect()
+    }
+    assert idx.delete(victims) == 3
+    ids = _all_ids(spark, root)
+    assert not ids & set(victims) and len(ids) == 500 - 3
+    after = _cell_bytes(root)
+    for cell, files in before.items():
+        cid = int(cell.split("=", 1)[1])
+        if cid not in hit_cells:
+            assert after[cell] == files  # untouched cells byte-identical
+    # manifest refreshed: every listed file exists, every on-disk file listed
+    m = idx.read_manifest()
+    listed = {f for fs in m["cells"].values() for f in fs}
+    on_disk = {
+        str(f.relative_to(root))
+        for f in (root / "cells").glob("cell_id=*/*.parquet")
+    }
+    assert listed == on_disk
+    # deleting ids that no longer exist is a no-op returning 0
+    snapshot = _cell_bytes(root)
+    assert idx.delete(victims) == 0
+    assert _cell_bytes(root) == snapshot
+
+
+def test_ivf_delete_by_dataframe(spark, tmp_path):
+    """delete(DataFrame) takes the broadcast anti-join path and matches
+    the exact-kNN result over the surviving set."""
+    from mcp_hubspot_spark.operators.vector import knn
+
+    root = tmp_path / "ivf"
+    idx, emb = _ivf_fixture(spark, root)
+    victims_df = emb.filter(F.col("vec_id") % 50 == 0).select("vec_id")
+    n_victims = victims_df.count()
+    assert idx.delete(victims_df) == n_victims
+    probe = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+    got = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx.search(probe, k=10, nprobe=8).collect()
+    ]
+    survivors = emb.filter(~(F.col("vec_id") % 50 == 0))
+    want = [
+        (r.vec_id, round(r.distance, 6))
+        for r in knn(survivors, probe, k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_compact_single_file_per_cell(spark, tmp_path):
+    """compact() merges multi-file cells to one file each with identical
+    search results; cells already at one file are not rewritten."""
+    root = tmp_path / "ivf"
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = IvfIndex(spark, str(root))
+    idx.build(emb.filter(F.col("vec_id") % 3 == 0), n_cells=8)
+    idx.add(emb.filter(F.col("vec_id") % 3 == 1))
+    idx.add(emb.filter(F.col("vec_id") % 3 == 2))
+    before = _cell_bytes(root)
+    single_before = {c for c, fs in before.items() if len(fs) == 1}
+    probe = [
+        float(x) for x in emb.filter(F.col("vec_id") == 11).first().embedding
+    ]
+    res_before = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx.search(probe, k=20, nprobe=8).collect()
+    ]
+    compacted = idx.compact()
+    after = _cell_bytes(root)
+    assert compacted  # repeated adds left multi-file cells behind
+    for cell, files in after.items():
+        assert len(files) == 1  # every cell now one file
+        if cell in single_before:
+            assert files == before[cell]  # untouched below threshold
+    res_after = [
+        (r.vec_id, round(r.distance, 6))
+        for r in idx.search(probe, k=20, nprobe=8).collect()
+    ]
+    assert res_after == res_before
+
+
+def test_ivf_rebuild_refreshes_stale_manifest(spark, tmp_path):
+    """build() over an index with an exported manifest refreshes it —
+    a server must never probe old centroids against overwritten files."""
+    root = tmp_path / "ivf"
+    idx, emb = _ivf_fixture(spark, root)
+    stale = idx.read_manifest()
+    idx.build(emb.filter(F.col("vec_id") < 100), n_cells=4)
+    fresh = idx.read_manifest()
+    assert fresh["n_cells"] == 4 and stale["n_cells"] == 8
+    listed = {f for fs in fresh["cells"].values() for f in fs}
+    on_disk = {
+        str(f.relative_to(root))
+        for f in (root / "cells").glob("cell_id=*/*.parquet")
+    }
+    assert listed == on_disk
+
+
+def test_ivf_interrupted_swap_keeps_survivors(spark, tmp_path, monkeypatch):
+    """A failure while moving the rewritten cell in must leave the cell's
+    SURVIVING rows readable (restored from the backup), never a window
+    where they exist nowhere — the crash-safety contract of _swap_cells."""
+    import os as _os
+
+    root = tmp_path / "ivf"
+    idx, emb = _ivf_fixture(spark, root)
+    ids_before = _all_ids(spark, root)
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if "_rewrite_tmp" in str(src):  # the move-in step, after backup
+            raise OSError("simulated crash between backup and move-in")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        idx.delete([1, 2, 3])
+    monkeypatch.undo()
+    # every row that was in the index is still readable — including the
+    # survivors of the cell whose rewrite was interrupted
+    assert _all_ids(spark, root) == ids_before
