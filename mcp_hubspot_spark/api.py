@@ -363,3 +363,60 @@ class Engine:
         if self.store is None:
             raise ValueError("engine has no vector store attached")
         return self.store.search(query_vec, k=k, types=types, as_of=as_of)
+
+    def guarded(self) -> "GuardedEngine":
+        """Error-boundary view of this engine: tool calls return the
+        reference's ``{"error": ...}`` JSON payload instead of raising
+        (reference ``core/error_handler.py:13-32``)."""
+        return GuardedEngine(self)
+
+
+# ----------------------------------------------------------- error boundary
+
+
+def handle_tool_errors(func):
+    """Decorator mirroring the reference's API-boundary error contract
+    (``core/error_handler.py:13-32``): instead of raising, a failing tool
+    call logs the exception and returns ``json.dumps({"error": str(e)})``
+    — the payload the reference's MCP server hands back to the client.
+    Successful calls return their normal result unchanged.
+
+    Spark nuance: DataFrames are lazy, so this boundary converts the
+    errors that surface at CALL time — analysis errors (missing table or
+    column, type mismatch), bad arguments, missing store — which is also
+    when the reference's HTTP errors surface. An executor failure during
+    a later ``.collect()`` happens outside any tool call, exactly like a
+    network drop after the reference returned its payload."""
+    import functools
+    import json as _json
+    import logging
+
+    logger = logging.getLogger("mcp_hubspot_spark.api")
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        try:
+            return func(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — the boundary's contract
+            logger.error("Exception in %s: %s", func.__name__, exc)
+            return _json.dumps({"error": str(exc)})
+
+    return wrapper
+
+
+class GuardedEngine:
+    """Error-boundary view of an :class:`Engine`: every public tool
+    method is wrapped with :func:`handle_tool_errors`, so a failing call
+    returns the reference's ``{"error": ...}`` JSON payload instead of
+    raising (reference ``core/error_handler.py:13-32``, applied to every
+    handler via ``handlers/base_handler.py``). Obtain one via
+    ``Engine.guarded()``."""
+
+    def __init__(self, engine: Engine):
+        self._engine = engine
+
+    def __getattr__(self, name: str):
+        attr = getattr(self._engine, name)
+        if callable(attr) and not name.startswith("_"):
+            return handle_tool_errors(attr)
+        return attr

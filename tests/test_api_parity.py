@@ -186,3 +186,38 @@ def test_staging_cache_roundtrip(engine, spark, tmp_path):
     c = read_or_build(spark, path, build, refresh=True)
     assert calls["n"] == 2  # refresh_cache=True forces rebuild
     assert invalidate(path) and not invalidate(path)
+
+
+def test_error_boundary_returns_error_payload(engine, spark):
+    """Reference error contract (core/error_handler.py:13-32): a failing
+    tool call through the guarded façade returns json({"error": ...})
+    instead of raising; a healthy call passes its result through."""
+    import json
+
+    # healthy: guarded result identical to the direct one
+    g = engine.guarded()
+    direct = engine.get_active_companies(limit=3).collect()
+    via = g.get_active_companies(limit=3)
+    assert not isinstance(via, str)
+    assert via.collect() == direct
+
+    # broken engine: companies table missing the sort column -> the
+    # AnalysisException becomes the reference's error payload
+    from mcp_hubspot_spark.api import Engine
+
+    broken = Engine(
+        tables={
+            **engine.tables,
+            "companies": engine.tables["companies"].drop(
+                "hs_lastmodifieddate"
+            ),
+        }
+    ).guarded()
+    out = broken.get_active_companies(limit=3)
+    assert isinstance(out, str)
+    payload = json.loads(out)
+    assert set(payload) == {"error"} and payload["error"]
+
+    # no-store search_data: the ValueError is also boundary-wrapped
+    out2 = engine.guarded().search_data([0.0] * 4, k=1)
+    assert isinstance(out2, str) and "error" in json.loads(out2)
