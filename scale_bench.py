@@ -384,7 +384,7 @@ def main() -> None:
         # serving contract is <=7 per-day indexes probed at k=10
         # (faiss_manager.py:270-291); here 7 probed cells out of many,
         # pruned at planning time via the manifest (zero extra jobs)
-        if wanted("ivf_serving"):
+        if wanted("ivf_serving") or wanted("ivf_maintenance"):
             from mcp_hubspot_spark.vector_store import IvfIndex
 
             ivf = IvfIndex(spark, str(work / "ivf"))
@@ -425,6 +425,111 @@ def main() -> None:
                 extras["ivf_recall_at10_nprobe7"] = round(hit / 80.0, 4)
             except Exception as exc:
                 errors["ivf_recall"] = f"{type(exc).__name__}: {exc}"[:200]
+
+            # -------- index maintenance at corpus scale: the claim to
+            # prove is that delete()/compact() cost is bounded by the
+            # AFFECTED cells, not the corpus — so alongside each timing
+            # the artifact records how many of the index's cells were
+            # rewritten. Delete removes 1% of vectors (every 100th id —
+            # spread across cells, the worst case for cell-bounded
+            # rewrites), then a fragmenting re-add + compact, with a
+            # serving-latency row after each mutation.
+            if wanted("ivf_maintenance"):
+                try:
+                    n_cells_total = len(ivf.read_manifest()["cells"])
+                    victims = embs.filter(
+                        F.col("vec_id") % 100 == 0
+                    ).select("vec_id")
+                    n_victims = victims.count()
+                    t0 = time.perf_counter()
+                    n_del = ivf.delete(victims)
+                    timings[f"ivf_delete_1pct_{ek}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"ivf_delete_1pct_{ek}"] = n_del
+                    extras["ivf_delete_n_cells_total"] = n_cells_total
+                    run_special(
+                        f"ivf_maintenance_search_post_delete_{ek}",
+                        lambda: ivf.search(probe, k=10, nprobe=7).collect(),
+                        len,
+                    )
+                    # re-add the deleted 1% in two batches -> multi-file
+                    # cells, then compact them back to one file each
+                    readd = embs.filter(F.col("vec_id") % 100 == 0).select(
+                        "vec_id",
+                        F.col("embedding").cast("array<double>").alias(
+                            "embedding"
+                        ),
+                    )
+                    ivf.add(readd.filter(F.col("vec_id") % 200 == 0))
+                    ivf.add(readd.filter(F.col("vec_id") % 200 != 0))
+                    t0 = time.perf_counter()
+                    compacted = ivf.compact()
+                    timings[f"ivf_compact_{ek}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"ivf_compact_{ek}"] = len(compacted)
+                    extras["ivf_compact_cells_rewritten"] = len(compacted)
+                    run_special(
+                        f"ivf_maintenance_search_post_compact_{ek}",
+                        lambda: ivf.search(probe, k=10, nprobe=7).collect(),
+                        len,
+                    )
+                except Exception as exc:
+                    errors["ivf_maintenance"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+
+        # -------- zone-map file skipping at corpus scale: fresh sidecar
+        # prunes the scan to the files intersecting the range; a stale
+        # sidecar (file appended after build) falls back to the full
+        # scan — correct results, no skipping — and the artifact records
+        # files_read/files_total for both paths.
+        if wanted("zonemap"):
+            from mcp_hubspot_spark.sources.zonemap import (
+                build_zonemap,
+                read_pruned,
+                write_zordered,
+            )
+
+            try:
+                zdir = str(work / "docs_zordered")
+                write_zordered(
+                    docs.select("doc_id", "n_chars", "text"),
+                    zdir,
+                    "doc_id",
+                    "n_chars",
+                    n_files=64,
+                )
+                build_zonemap(spark, zdir, ["doc_id", "n_chars"])
+                lo, hi = 0, max(1, n_docs // 100)  # ~1% of the id range
+
+                def _fresh():
+                    df, n_read, n_total = read_pruned(
+                        spark, zdir, "doc_id", lo, hi
+                    )
+                    extras["zonemap_fresh_files_read"] = n_read
+                    extras["zonemap_files_total"] = n_total
+                    return df.count()
+
+                run_special(f"zonemap_pruned_read_{dk}", _fresh, int)
+
+                # stale path: append one file the sidecar doesn't know
+                docs.limit(1).select("doc_id", "n_chars", "text").coalesce(
+                    1
+                ).write.mode("append").parquet(zdir)
+
+                def _stale():
+                    df, n_read, n_total = read_pruned(
+                        spark, zdir, "doc_id", lo, hi
+                    )
+                    extras["zonemap_stale_files_read"] = n_read
+                    extras["zonemap_stale_files_total"] = n_total
+                    return df.count()
+
+                run_special(f"zonemap_stale_fallback_{dk}", _stale, int)
+            except Exception as exc:
+                errors["zonemap"] = f"{type(exc).__name__}: {exc}"[:200]
 
         for name, fn in cases.items():
             if not wanted(name):
