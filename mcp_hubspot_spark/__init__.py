@@ -10,6 +10,7 @@ Layout:
     operators   scans, joins, aggregates, top-k, vector search, dedup, text
     functions   scalar helpers + pluggable embedding UDF
     streaming   event-time windows / incremental ingest patterns
+    serving     CDC-driven ANN index maintenance (IndexMaintainer)
     api         façade mirroring the reference's 9 MCP tools
 
 Every operator is a pure ``DataFrame -> DataFrame`` transformation: declare

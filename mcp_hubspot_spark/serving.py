@@ -1,0 +1,142 @@
+"""Online-serving maintenance: keep an ANN index synced to a document
+table by CDC delta, never by rebuild.
+
+``IndexMaintainer`` composes three existing pieces into the production
+loop the reference gestures at — its handlers append every response to a
+FAISS index at serve time (``handlers/base_handler.py:70-73``) and expire
+whole daily partitions (``faiss_manager.py:90-104``); the maintained
+version of that contract is: documents change in the system of record
+(:class:`~.sources.snapshot_table.SnapshotTable`), ONLY the changed ones
+are re-embedded, and the index absorbs the delta with
+:meth:`~.vector_store.IvfIndex.delete` / :meth:`~.vector_store.IvfIndex.add`.
+
+Cost model at 100 TB: one ``sync()`` reads the CDC diff (changed buckets
+only — the table's own contract), embeds |delta| documents, rewrites the
+index cells containing stale rows, and appends files for the fresh rows.
+Nothing scales with corpus size except the (planning-time-pruned) cells
+the delta happens to touch. The synced version is recorded next to the
+index, so the loop is restartable and idempotent: a second ``sync()``
+with no table movement is a no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.snapshot_table import SnapshotTable
+from .vector_store import IvfIndex
+
+_STATE = "_sync_state.json"
+
+
+class IndexMaintainer:
+    """Keeps ``index`` answering for the current version of ``table``.
+
+    ``embed`` maps a DataFrame carrying (``id_col``, ``text_col``) to
+    (vec_id, embedding) — defaulting to the deterministic hash embedder,
+    with the same injectable seam the embedding module itself uses for a
+    real model. ``n_cells`` sizes the initial build.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        index: IvfIndex,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        dim: int = 64,
+        embed=None,
+    ):
+        self.spark = spark
+        self.table = table
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+        self.dim = dim
+        self._embed = embed or self._default_embed
+
+    def _default_embed(self, df: DataFrame) -> DataFrame:
+        from .functions.embedding import embed_column
+
+        return df.select(
+            F.col(self.id_col).cast("long").alias("vec_id"),
+            embed_column(F.col(self.text_col), dim=self.dim)
+            .cast("array<double>")
+            .alias("embedding"),
+        )
+
+    # ------------------------------------------------------------- state
+    def _state_path(self) -> str:
+        return str(self.index.root / _STATE)
+
+    def synced_version(self) -> int | None:
+        """The table version the index currently answers for, or None
+        before :meth:`initialize`."""
+        try:
+            with open(self._state_path()) as fh:
+                return int(json.load(fh)["synced_version"])
+        except FileNotFoundError:
+            return None
+
+    def _record(self, version: int) -> None:
+        os.makedirs(self.index.root, exist_ok=True)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"synced_version": version}, fh)
+        os.replace(tmp, self._state_path())
+
+    # --------------------------------------------------------------- API
+    def initialize(self, n_cells: int = 16) -> int:
+        """Full build from the table's current version (once); afterwards
+        ``sync()`` applies deltas. Returns the synced version."""
+        v = self.table.version()
+        self.index.build(
+            self._embed(self.table.read(version=v)), n_cells=n_cells
+        )
+        self.index.export_manifest()
+        self._record(v)
+        return v
+
+    def sync(self) -> dict:
+        """Advance the index to the table's current version by CDC delta:
+        removed/changed keys are deleted from the index (old rows),
+        added/changed documents are re-embedded and appended. Delete runs
+        FIRST so a changed document is never transiently absent-and-
+        present twice, and the new row survives. Returns
+        ``{"from": v0, "to": v1, "deleted": n, "added": n}``; a no-op
+        sync returns zeros without touching any file."""
+        v_from = self.synced_version()
+        if v_from is None:
+            raise ValueError("IndexMaintainer.sync() before initialize()")
+        v_to = self.table.version()
+        if v_to == v_from:
+            return {"from": v_from, "to": v_to, "deleted": 0, "added": 0}
+        changes = self.table.table_changes(
+            v_from, v_to, include_values=True
+        )
+        stale = changes.filter(
+            F.col("diff_status").isin("removed", "changed")
+        ).select(F.col(self.id_col).cast("long").alias("vec_id"))
+        fresh = changes.filter(
+            F.col("diff_status").isin("added", "changed")
+        ).select(
+            F.col(self.id_col),
+            F.col("after").getField(self.text_col).alias(self.text_col),
+        )
+        n_deleted = self.index.delete(stale)
+        embedded = self._embed(fresh)
+        n_added = embedded.count()
+        if n_added:
+            self.index.add(embedded)
+        self._record(v_to)
+        return {
+            "from": v_from,
+            "to": v_to,
+            "deleted": int(n_deleted),
+            "added": int(n_added),
+        }

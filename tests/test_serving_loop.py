@@ -150,3 +150,68 @@ def test_cdc_to_index_serving_loop(spark, tmp_path, corpus):
         where=F.col("vec_id") < 100,
     ).collect()
     assert only_low and all(r.vec_id < 100 for r in only_low)
+
+
+def test_index_maintainer_sync_cycles(spark, tmp_path):
+    """IndexMaintainer: the packaged form of the loop above — two sync
+    cycles apply only the delta, a no-movement sync is a no-op, and the
+    synced version survives re-instantiation (restartable state)."""
+    from mcp_hubspot_spark.serving import IndexMaintainer
+
+    docs = spark.createDataFrame(
+        [(i, f"maintained doc {i} topic {i % 5}") for i in range(150)],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "docs"))
+    table.create(docs, keys=["doc_id"], n_buckets=8)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    m = IndexMaintainer(spark, table, idx, dim=DIM)
+    assert m.synced_version() is None
+    with pytest.raises(ValueError):
+        m.sync()
+    assert m.initialize(n_cells=8) == 0
+
+    # cycle 1: one add, one edit, one delete
+    table.merge_upsert(
+        spark.createDataFrame(
+            [(500, "cycle one new doc"), (3, "doc three rewritten")],
+            "doc_id long, text string",
+        )
+    )
+    table.delete_where(F.col("doc_id") == 9)
+    r1 = m.sync()
+    assert r1 == {"from": 0, "to": 2, "deleted": 2, "added": 2}
+    hit = idx.search(_probe_for(spark, "cycle one new doc"), k=1, nprobe=8).first()
+    assert hit.vec_id == 500 and hit.distance < 1e-9
+
+    # no table movement -> no-op, no file mutation
+    files = sorted(
+        str(p) for p in (idx.root / "cells").glob("cell_id=*/*.parquet")
+    )
+    assert m.sync() == {"from": 2, "to": 2, "deleted": 0, "added": 0}
+    assert files == sorted(
+        str(p) for p in (idx.root / "cells").glob("cell_id=*/*.parquet")
+    )
+
+    # cycle 2 through a FRESH maintainer (state read back from disk)
+    m2 = IndexMaintainer(spark, table, idx, dim=DIM)
+    assert m2.synced_version() == 2
+    table.merge_upsert(
+        spark.createDataFrame([(501, "cycle two doc")], "doc_id long, text string")
+    )
+    r2 = m2.sync()
+    assert r2 == {"from": 2, "to": 3, "deleted": 0, "added": 1}
+
+    # the index answers exactly for the current table: same key set
+    indexed = {
+        r.vec_id
+        for r in spark.read.option(
+            "basePath", str(idx.root / "cells")
+        ).parquet(str(idx.root / "cells")).select("vec_id").collect()
+    }
+    expected = {r.doc_id for r in table.read().select("doc_id").collect()}
+    assert indexed == expected
+    # deleted key stays gone, searchable set reflects the edit
+    assert 9 not in indexed
+    hit3 = idx.search(_probe_for(spark, "doc three rewritten"), k=1, nprobe=8).first()
+    assert hit3.vec_id == 3 and hit3.distance < 1e-9
