@@ -475,6 +475,30 @@ def main() -> None:
                         lambda: ivf.search(probe, k=10, nprobe=7).collect(),
                         len,
                     )
+                    # cost-boundedness control: delete EVERY vector of a
+                    # single cell (the uniform 1% above touches all
+                    # cells by construction — this is the other extreme:
+                    # one affected cell out of n, so its timing vs the
+                    # 1% row shows the rewrite scales with affected
+                    # cells, not corpus size)
+                    cells_df = spark.read.option(
+                        "basePath", str(work / "ivf" / "cells")
+                    ).parquet(str(work / "ivf" / "cells"))
+                    one_cell = int(
+                        cells_df.select("cell_id").first().cell_id
+                    )
+                    cell_ids = cells_df.filter(
+                        F.col("cell_id") == one_cell
+                    ).select("vec_id")
+                    n_in_cell = cell_ids.count()
+                    t0 = time.perf_counter()
+                    n_del_one = ivf.delete(cell_ids)
+                    timings[f"ivf_delete_one_cell_{ek}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"ivf_delete_one_cell_{ek}"] = n_del_one
+                    extras["ivf_delete_one_cell_rows"] = n_in_cell
+                    extras["ivf_delete_one_cell_affected_cells"] = 1
                 except Exception as exc:
                     errors["ivf_maintenance"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
