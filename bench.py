@@ -98,6 +98,7 @@ HEADLINE = [
     "event_funnel_windowed",    # conversion-deadline funnel
     "supplier_clustering",      # per-node local clustering coefficients
     "hybrid_search_rrf",        # BM25 + kNN reciprocal-rank fusion
+    "dsir_selected_docs",       # hashed-bigram importance-resampling selection
 ]
 
 

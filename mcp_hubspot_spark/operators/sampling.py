@@ -513,3 +513,127 @@ def poisson_bootstrap_ci(
         F.expr(f"percentile(_mean_b, {hi})").alias("ci_hi"),
     )
     return base.join(ci, group_col)
+
+
+# ------------------------------------------------- importance resampling
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+    target_pred: Column | None = None,
+) -> DataFrame:
+    """DSIR-style importance weights: score every ``raw`` document by
+    how much its hashed-bigram feature distribution looks like
+    ``target``'s (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"). Returns (id_col, n_feats, log_weight)
+    where log_weight = Σ_features [ln p̂_target(b) − ln p̂_raw(b)] over
+    the doc's distinct bigram feature buckets, with Laplace (+1)
+    smoothing over ``n_buckets`` hash buckets. Select by taking the
+    top-k (or feed the weights to ``weighted_sample`` for Gumbel-style
+    resampling).
+
+    Scale shape: linear bigram explodes feed two ``n_buckets``-bounded
+    count maps — ONE corpus explode when the target is a slice of raw
+    (``target_pred``), one per side for a separate target DataFrame;
+    the per-bucket log-ratio table (≤ n_buckets rows) is BROADCAST back
+    onto the raw side's features, so the corpus shuffles once — on the
+    doc id for the final per-doc sum. Nothing grows with corpus size
+    except the explodes. The per-bucket ratio is rounded to 9 decimals
+    and summed as DECIMAL, so the per-doc total is order-independent
+    (exact decimal addition) and engine-portable.
+
+    Feature hashing is md5-based (``split_bucket``'s trick) so an
+    external SQL engine reproduces the buckets byte-for-byte.
+    """
+    from .dedup import word_shingles
+
+    def bucketed(df: DataFrame, *extra):
+        feats = df.select(
+            *extra, F.explode(word_shingles(text_col, 2)).alias("_f")
+        )
+        h = F.md5(F.concat(F.lit(seed + ":"), F.col("_f")))
+        return feats.select(
+            *extra,
+            (
+                F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+                % n_buckets
+            ).alias("_b"),
+        )
+
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "pass exactly one of target (a DataFrame) or target_pred "
+            "(a Column over raw)"
+        )
+    spark = raw.sparkSession
+    grid = spark.range(n_buckets).select(F.col("id").alias("_b"))
+    if target_pred is not None:
+        # target is a SLICE of raw: ONE aggregation over one explode
+        # yields both count maps (raw count + conditional target count)
+        # — the in-corpus form never touches the corpus a second time
+        # for the ratio table
+        feats_t = bucketed(raw.withColumn("_t", target_pred), id_col, "_t")
+        counts = feats_t.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_cr"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+        )
+        raw_feats = feats_t.drop("_t")
+        joined_counts = grid.join(counts, "_b", "left")
+    else:
+        raw_feats = bucketed(raw, id_col)
+        tcnt = (
+            bucketed(target)
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_ct"))
+        )
+        rcnt = raw_feats.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+        joined_counts = grid.join(tcnt, "_b", "left").join(rcnt, "_b", "left")
+    w = Window.partitionBy()  # over ≤ n_buckets rows — driver-trivial
+    ratios = (
+        joined_counts
+        .select(
+            "_b",
+            F.coalesce("_ct", F.lit(0)).alias("_ct"),
+            F.coalesce("_cr", F.lit(0)).alias("_cr"),
+        )
+        .select(
+            "_b",
+            # division-first on both engines; round-to-9 + DECIMAL makes
+            # the downstream per-doc sum exactly associative
+            F.round(
+                F.log(
+                    (F.col("_ct") + F.lit(1.0))
+                    / (F.sum("_ct").over(w) + F.lit(n_buckets)).cast(
+                        "double"
+                    )
+                )
+                - F.log(
+                    (F.col("_cr") + F.lit(1.0))
+                    / (F.sum("_cr").over(w) + F.lit(n_buckets)).cast(
+                        "double"
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(20,10)")
+            .alias("_lr"),
+        )
+    )
+    return (
+        raw_feats.join(F.broadcast(ratios), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("_lr").alias("_w"),
+        )
+        .select(
+            id_col,
+            "n_feats",
+            F.col("_w").cast("decimal(20,10)").alias("log_weight_exact"),
+        )
+    )

@@ -1959,3 +1959,69 @@ def test_percentile_buckets_null_values_get_null_bucket(spark):
     assert set(non_null) == {1, 2, 3, 4}
     # NULLs did not inflate bucket 1
     assert sum(1 for b in non_null if b == 1) == 25
+
+
+def test_dsir_log_weights_prefers_target_like_docs(spark):
+    """DSIR importance weights: docs sharing the target slice's bigram
+    vocabulary outscore docs from a disjoint vocabulary, the log-weight
+    is an exact DECIMAL (partition-order independent), and every raw doc
+    with at least one bigram gets a row."""
+    from mcp_hubspot_spark.operators.sampling import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta"),   # target-like
+         (1, "alpha beta something else entirely"),  # half-match
+         (2, "zeta eta theta iota kappa mu")],       # disjoint
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_feats, float(r.log_weight_exact))
+        for r in dsir_log_weights(raw, target, n_buckets=256).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert out[0][1] > out[1][1] > out[2][1]
+    assert out[0][1] > 0 > out[2][1]
+
+    # partition-order invariance: DECIMAL summation is exact, so a
+    # different physical layout yields bit-identical weights
+    again = {
+        r.doc_id: (r.n_feats, float(r.log_weight_exact))
+        for r in dsir_log_weights(
+            raw.repartition(7), target.repartition(3), n_buckets=256
+        ).collect()
+    }
+    assert again == out
+
+
+def test_dsir_target_pred_equals_target_dataframe(spark):
+    """The single-explode in-corpus form (target_pred) is exactly the
+    two-frame form with the same slice as target, and passing both or
+    neither is rejected."""
+    import pytest as _pytest
+
+    from mcp_hubspot_spark.operators.sampling import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(i, f"word{i % 4} common text token{i % 3} tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id") % 4 == 0
+    a = {
+        r.doc_id: (r.n_feats, str(r.log_weight_exact))
+        for r in dsir_log_weights(raw, target_pred=pred, n_buckets=128).collect()
+    }
+    b = {
+        r.doc_id: (r.n_feats, str(r.log_weight_exact))
+        for r in dsir_log_weights(
+            raw, raw.filter(pred), n_buckets=128
+        ).collect()
+    }
+    assert a == b
+    with _pytest.raises(ValueError):
+        dsir_log_weights(raw)
+    with _pytest.raises(ValueError):
+        dsir_log_weights(raw, raw, target_pred=pred)

@@ -598,3 +598,15 @@ def test_ordered_funnel_no_cartesian_and_user_key_joins(spark):
     plan = plan_of(ordered_funnel(events, ["view", "click", "purchase"]))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcast_and_topk(spark):
+    """DSIR selection: the per-bucket log-ratio table joins the corpus
+    features as a BROADCAST (never a sort-merge over the exploded
+    bigrams), and the final top-50 compiles to TakeOrderedAndProject,
+    not a global sort."""
+    plan = plan_of(QUERIES["dsir_selected_docs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
