@@ -99,6 +99,7 @@ HEADLINE = [
     "supplier_clustering",      # per-node local clustering coefficients
     "hybrid_search_rrf",        # BM25 + kNN reciprocal-rank fusion
     "dsir_selected_docs",       # hashed-bigram importance-resampling selection
+    "event_attribution",        # first/last/linear multi-touch credit models
 ]
 
 

@@ -168,3 +168,69 @@ def percentile_buckets(
             bucket
         ).cast("int"),
     )
+
+
+def attribution_credits(
+    events: DataFrame,
+    touch_types: Sequence[str],
+    conversion_type: str,
+    lookback_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Multi-touch attribution: for every conversion event, credit the
+    touch events in its per-user lookback window under the three
+    standard position models at once — first-touch (all credit to the
+    earliest touch), last-touch (to the latest), and linear (1/n each).
+    Returns one row per (conversion, touch) pair with ``first_credit`` /
+    ``last_credit`` (0/1 ints) and ``linear_credit`` (DECIMAL, rounded
+    to 9 dp so downstream sums are exact and engine-portable); callers
+    aggregate by touch attribute (channel, type, campaign).
+
+    Scale shape: ONE shuffle on the user key for the touch↔conversion
+    equi-join (the range condition is a residual filter, never a
+    cross product); the per-conversion ranking windows repartition on
+    the conversion id. Pair fan-out is bounded by per-user activity in
+    the lookback window — the quantity attribution inherently measures —
+    never by corpus size. Ties on the touch timestamp break by event id
+    in BOTH directions, so first/last are total-order deterministic.
+    """
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("conv_id"),
+        t_us.alias("_conv_us"),
+    )
+    touch = events.filter(
+        F.col(type_col).isin(list(touch_types))
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        t_us.alias("_touch_us"),
+    )
+    pairs = conv.join(touch, "_u").filter(
+        (F.col("_touch_us") < F.col("_conv_us"))
+        & (F.col("_touch_us") >= F.col("_conv_us") - F.lit(lookback_us))
+    )
+    w_first = Window.partitionBy("conv_id").orderBy(
+        F.col("_touch_us").asc(), F.col("touch_id").asc()
+    )
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.col("_touch_us").desc(), F.col("touch_id").desc()
+    )
+    w_all = Window.partitionBy("conv_id")
+    return pairs.select(
+        "conv_id",
+        "touch_id",
+        "touch_type",
+        (F.row_number().over(w_first) == 1).cast("int").alias("first_credit"),
+        (F.row_number().over(w_last) == 1).cast("int").alias("last_credit"),
+        F.round(
+            F.lit(1.0) / F.count(F.lit(1)).over(w_all), 9
+        )
+        .cast("decimal(20,10)")
+        .alias("linear_credit"),
+    )

@@ -175,6 +175,18 @@ class VectorStore:
         )
 
 
+def _locked(fn):
+    """Run an IvfIndex mutator under the index's mutation lock."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._mutation_lock():
+            return fn(self, *args, **kwargs)
+
+    return wrapper
+
+
 class IvfIndex:
     """Persisted IVF index: the scale complement to ``VectorStore``'s
     exact scan. ``build()`` trains centroids once (MLlib KMeans on a
@@ -190,10 +202,59 @@ class IvfIndex:
     (``workload.ivf_search``) which exists for oracle-checkability.
     """
 
+    LOCK_TIMEOUT_S = 120.0  # override per-instance for tests
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.root = Path(str(path))
 
+    def _mutation_lock(self, timeout_s: float | None = None):
+        """Serialize the file-mutating operations (build/add/delete/
+        compact) with an O_CREAT|O_EXCL lock file — the same coarse
+        single-writer contract the reference's FAISS manager gets for
+        free from being one process, made explicit here because two
+        concurrent cell rewrites (or an add appending into a cell being
+        swapped) would corrupt the directory layout. Readers
+        (``search``) never take the lock: they resolve a consistent
+        file listing per query via the manifest or the parquet
+        snapshot. Stale locks from a crashed writer fail loudly at
+        timeout with the lock path in the message."""
+        import contextlib
+        import os as _os
+        import time as _time
+
+        if timeout_s is None:
+            timeout_s = self.LOCK_TIMEOUT_S
+        lock = self.root / "_mutation.lock"
+
+        @contextlib.contextmanager
+        def _held():
+            self.root.mkdir(parents=True, exist_ok=True)
+            deadline = _time.monotonic() + timeout_s
+            while True:
+                try:
+                    fd = _os.open(
+                        lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
+                    )
+                    break
+                except FileExistsError:
+                    if _time.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"could not acquire {lock} after {timeout_s}s "
+                            "— another writer is active, or a crashed "
+                            "one left the lock behind (remove it after "
+                            "confirming no writer is alive)"
+                        ) from None
+                    _time.sleep(0.05)
+            try:
+                yield
+            finally:
+                _os.close(fd)
+                _os.remove(lock)
+
+        return _held()
+
+    @_locked
     def build(
         self,
         df: DataFrame,
@@ -229,6 +290,7 @@ class IvfIndex:
         if (self.root / "manifest.json").exists():
             self.export_manifest()
 
+    @_locked
     def add(
         self,
         df: DataFrame,
@@ -317,6 +379,7 @@ class IvfIndex:
         if (self.root / "manifest.json").exists():
             self.export_manifest()
 
+    @_locked
     def delete(self, ids, id_col: str = "vec_id") -> int:
         """Delete vectors by id — the removal side of the serving
         lifecycle (the reference expires whole daily FAISS partitions,
@@ -357,6 +420,7 @@ class IvfIndex:
         self._swap_cells(keep, affected)
         return sum(per_cell.values())
 
+    @_locked
     def compact(self, min_files: int = 2) -> list[int]:
         """Merge the small files repeated ``add()`` batches leave behind:
         every cell holding >= ``min_files`` parquet files is rewritten to

@@ -6610,6 +6610,76 @@ def dsir_selected_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Multi-touch attribution (the position-model family: first / last /
+# linear credit per conversion over a per-user lookback window) — the
+# credit assignment marketing/behavioral stacks run next to funnels and
+# transition matrices. One shuffle on the user key for the touch↔
+# conversion join (range condition is a residual, never a cross
+# product); linear credit is a rounded DECIMAL so the per-type sums are
+# exact in any engine.
+@_q(
+    "event_attribution",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, event_id AS conv_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS u, event_id AS touch_id,
+               event_type AS touch_type, epoch_us(ts) AS tus
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+        SELECT conv_id, touch_id, touch_type, tus
+        FROM conv JOIN touch USING (u)
+        WHERE tus < cus AND tus >= cus - 604800000000
+    ),
+    ranked AS (
+        SELECT touch_type,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY tus ASC, touch_id ASC) AS rf,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY tus DESC, touch_id DESC) AS rl,
+               count(*) OVER (PARTITION BY conv_id) AS n
+        FROM pairs
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           round(CAST(sum(round(1.0 / n, 9)::DECIMAL(20,10)) AS DOUBLE), 6)
+               AS linear_touch
+    FROM ranked
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+)
+def event_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import attribution_credits
+
+    events = load_table(spark, sf, "events")
+    creds = attribution_credits(
+        events,
+        touch_types=["view", "click"],
+        conversion_type="purchase",
+        lookback_us=7 * 86_400 * 10**6,
+    )
+    return (
+        creds.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("first_credit").alias("first_touch"),
+            F.sum("last_credit").alias("last_touch"),
+            F.round(
+                F.sum("linear_credit").cast("double"), 6
+            ).alias("linear_touch"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -6856,10 +6926,11 @@ def dsir_selected_docs(spark: SparkSession, sf: str) -> DataFrame:
 # family cover is the rotation rationale recorded above plus their
 # oracle-replica pins in tests/test_oracle_parity.py and the verify
 # gate, which run ALL 137 oracle-gated queries regardless of window.
-# Round-7 forward note (never-checked-first rule): the round-6 addition
-# dsir_selected_docs has no driver history and is first in line for the
-# NEXT window; until then it is pinned by the oracle replica, the
-# verify gate, and its operator pytest.
+# Round-7 forward note (never-checked-first rule): the round-6
+# additions dsir_selected_docs and event_attribution have no driver
+# history and are first in line for the NEXT window; until then they
+# are pinned by the oracle replica, the verify gate, and their operator
+# pytests.
 _CHECK_PRIORITY = [
     # never driver-checked: round-4 oracle-gated ops — first in line
     "event_funnel", "event_transitions", "event_funnel_windowed",

@@ -2025,3 +2025,45 @@ def test_dsir_target_pred_equals_target_dataframe(spark):
         dsir_log_weights(raw)
     with _pytest.raises(ValueError):
         dsir_log_weights(raw, raw, target_pred=pred)
+
+
+def test_attribution_credits_hand_computed(spark):
+    """Position-model attribution on a hand-checkable timeline: first /
+    last go to the right touches (id tiebreak on equal ts), linear is
+    1/n per touch, out-of-window and post-conversion touches get no
+    credit."""
+    from datetime import datetime
+
+    from mcp_hubspot_spark.operators.analytics import attribution_credits
+
+    def ev(eid, u, t, s):
+        return (eid, u, datetime(2024, 1, 1 + t), s)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 1, 0, "view"),      # in window, earliest -> first credit
+            ev(2, 1, 2, "click"),     # in window, latest  -> last credit
+            ev(3, 1, 5, "purchase"),  # conversion (window = 7 days)
+            ev(4, 1, 6, "view"),      # AFTER conversion -> no credit
+            ev(5, 2, 0, "view"),      # user 2: outside 7-day window
+            ev(6, 2, 9, "click"),     # in window, only touch -> all credit
+            ev(7, 2, 10, "purchase"),
+            ev(8, 3, 12, "purchase"), # conversion with zero touches
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = {
+        (r.conv_id, r.touch_id): (
+            r.first_credit,
+            r.last_credit,
+            float(r.linear_credit),
+        )
+        for r in attribution_credits(
+            events, ["view", "click"], "purchase", 7 * 86_400 * 10**6
+        ).collect()
+    }
+    assert rows == {
+        (3, 1): (1, 0, 0.5),
+        (3, 2): (0, 1, 0.5),
+        (7, 6): (1, 1, 1.0),
+    }

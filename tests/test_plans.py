@@ -610,3 +610,12 @@ def test_dsir_ratio_table_broadcast_and_topk(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_join_is_user_keyed_not_cartesian(spark):
+    """The touch-conversion pairing must be an equi-join on the user key
+    with the time window as a residual — never a cross product over the
+    event table."""
+    plan = plan_of(QUERIES["event_attribution"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -475,3 +475,21 @@ def test_ivf_interrupted_swap_keeps_survivors(spark, tmp_path, monkeypatch):
     # every row that was in the index is still readable — including the
     # survivors of the cell whose rewrite was interrupted
     assert _all_ids(spark, root) == ids_before
+
+
+def test_ivf_mutation_lock_blocks_second_writer(spark, tmp_path):
+    """The mutators serialize on _mutation.lock: while one writer holds
+    it, another fails at timeout with the lock path named; the lock is
+    released after every (even failing) mutation."""
+    root = tmp_path / "ivf"
+    idx, emb = _ivf_fixture(spark, root)
+    assert not (root / "_mutation.lock").exists()  # released after build
+
+    other = type(idx)(spark, str(root))
+    other.LOCK_TIMEOUT_S = 0.3
+    (root / "_mutation.lock").touch()  # a concurrent writer holds it
+    with pytest.raises(TimeoutError, match="_mutation.lock"):
+        other.delete([1])
+    (root / "_mutation.lock").unlink()
+    assert other.delete([1]) == 1  # released lock -> proceeds
+    assert not (root / "_mutation.lock").exists()
