@@ -129,10 +129,11 @@ class IndexMaintainer:
             F.col("after").getField(self.text_col).alias(self.text_col),
         )
         n_deleted = self.index.delete(stale)
-        embedded = self._embed(fresh)
-        n_added = embedded.count()
+        # count the PRE-embed frame: counting after _embed would run the
+        # embedding UDF a second time when add() materializes the write
+        n_added = fresh.count()
         if n_added:
-            self.index.add(embedded)
+            self.index.add(self._embed(fresh))
         self._record(v_to)
         return {
             "from": v_from,
