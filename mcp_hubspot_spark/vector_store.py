@@ -254,6 +254,38 @@ class IvfIndex:
 
         return _held()
 
+    # ----------------------------------------------------------- metric
+    _META = "meta.json"
+
+    def metric(self) -> str:
+        """The index's distance metric ("l2" or "cosine"), persisted by
+        build(); indexes from before the metric existed read as l2."""
+        import json
+
+        p = self.root / self._META
+        if not p.exists():
+            return "l2"
+        return json.loads(p.read_text()).get("metric", "l2")
+
+    @staticmethod
+    def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
+        """L2-normalize the vector column (cosine indexes store unit
+        vectors — the FAISS IndexFlatIP-on-normalized convention — so
+        the cell geometry and the scoring agree). Zero vectors stay
+        as-is rather than becoming NULL/NaN."""
+        v = F.col(vec_col)
+        norm = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+        unit = F.when(
+            norm > 0, F.transform(v, lambda x: x / norm)
+        ).otherwise(v)
+        return df.withColumn(vec_col, unit)
+
     @_locked
     def build(
         self,
@@ -262,9 +294,24 @@ class IvfIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         sample_fraction: float | None = None,
+        metric: str = "l2",
     ) -> None:
+        import json
+
         from .operators.vector import assign_cells_literal, train_centroids
 
+        if metric not in ("l2", "cosine"):
+            raise ValueError(f"unknown metric: {metric}")
+        if metric == "cosine":
+            df = self._normalized(
+                df.select(
+                    id_col,
+                    F.col(vec_col).cast("array<double>").alias(vec_col),
+                ),
+                vec_col,
+            )
+        self.root.mkdir(parents=True, exist_ok=True)
+        (self.root / self._META).write_text(json.dumps({"metric": metric}))
         cents = train_centroids(
             df, n_cells, vec_col=vec_col, sample_fraction=sample_fraction
         )
@@ -314,9 +361,15 @@ class IvfIndex:
         cent_rows = [
             (int(r.cell_id), [float(x) for x in r.centroid]) for r in cents
         ]
-        assigned = assign_cells_literal(
-            df.select(id_col, vec_col), cent_rows, vec_col=vec_col
-        )
+        batch = df.select(id_col, vec_col)
+        if self.metric() == "cosine":
+            batch = self._normalized(
+                batch.withColumn(
+                    vec_col, F.col(vec_col).cast("array<double>")
+                ),
+                vec_col,
+            )
+        assigned = assign_cells_literal(batch, cent_rows, vec_col=vec_col)
         (
             assigned.write.mode("append")
             .partitionBy("cell_id")
@@ -465,7 +518,7 @@ class IvfIndex:
             )
         manifest = {
             "format": self.MANIFEST_FORMAT,
-            "metric": "l2",
+            "metric": self.metric(),
             "dim": len(cents[0].centroid) if cents else 0,
             "n_cells": len(cents),
             "centroids": {
@@ -509,6 +562,13 @@ class IvfIndex:
         hits are found; raise nprobe for filtered queries."""
         import math
 
+        metric = self.metric()
+        if metric == "cosine":
+            # the index stores unit vectors; normalize the query so the
+            # cell-selection geometry matches the assignment geometry
+            qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+            if qn > 0:
+                query_vec = [float(x) / qn for x in query_vec]
         # serving path: centroid selection from the manifest costs zero
         # Spark jobs (a query should only ever launch the ONE pruned-scan
         # job); the parquet centroids remain the source of truth when no
@@ -554,4 +614,5 @@ class IvfIndex:
             k=k,
             vec_col=vec_col,
             id_cols=id_cols,
+            metric=metric,
         )

@@ -493,3 +493,56 @@ def test_ivf_mutation_lock_blocks_second_writer(spark, tmp_path):
     (root / "_mutation.lock").unlink()
     assert other.delete([1]) == 1  # released lock -> proceeds
     assert not (root / "_mutation.lock").exists()
+
+
+def test_ivf_cosine_metric(spark, tmp_path):
+    """A cosine-metric index stores unit vectors, reports its metric in
+    the manifest, and an all-probe search equals exact cosine kNN over
+    the RAW vectors (cosine is scale-invariant); add() keeps the
+    normalized invariant so appended vectors rank correctly too."""
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    probe = [
+        float(x) * 3.0  # scaled probe: cosine must ignore magnitude
+        for x in emb.filter(F.col("vec_id") == 11).first().embedding
+    ]
+
+    root = tmp_path / "ivf_cos"
+    idx = IvfIndex(spark, str(root))
+    idx.build(first, n_cells=8, metric="cosine")
+    idx.export_manifest()
+    assert idx.metric() == "cosine"
+    assert idx.read_manifest()["metric"] == "cosine"
+    # stored vectors are unit-norm
+    norms = [
+        sum(x * x for x in r.embedding)
+        for r in spark.read.option("basePath", str(root / "cells"))
+        .parquet(str(root / "cells"))
+        .limit(20)
+        .collect()
+    ]
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+    idx.add(second)  # must normalize through the same invariant
+    got = [
+        (r.vec_id, round(r.distance, 6), round(r.similarity, 6))
+        for r in idx.search(probe, k=8, nprobe=8).collect()
+    ]
+    want = [
+        (r.vec_id, round(r.distance, 6), round(r.similarity, 6))
+        for r in knn(emb, probe, k=8, metric="cosine").collect()
+    ]
+    assert got == want
+
+    # an l2 index (and a pre-metric index with no meta.json) reads as l2
+    idx2 = IvfIndex(spark, str(tmp_path / "ivf_l2"))
+    idx2.build(first, n_cells=4)
+    assert idx2.metric() == "l2"
+    (idx2.root / "meta.json").unlink()
+    assert idx2.metric() == "l2"
