@@ -100,6 +100,7 @@ HEADLINE = [
     "hybrid_search_rrf",        # BM25 + kNN reciprocal-rank fusion
     "dsir_selected_docs",       # hashed-bigram importance-resampling selection
     "event_attribution",        # first/last/linear multi-touch credit models
+    "ivf_cosine_search",        # cosine-metric cell-pruned ANN
 ]
 
 

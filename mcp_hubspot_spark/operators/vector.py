@@ -241,6 +241,17 @@ def centroid_agg(vec_col: str = "embedding"):
     return _centroid(F.col(vec_col))
 
 
+def _cell_distance(a: Column, b: Column, metric: str) -> Column:
+    # the one distance both the assignment and the probe use, so cell
+    # geometry and probing always agree; cosine is expressed as the
+    # 1-cos distance (same ordering knn(metric="cosine") ranks by)
+    if metric == "l2":
+        return l2_squared(a, b)
+    if metric == "cosine":
+        return F.lit(1.0) - cosine_similarity(a, b)
+    raise ValueError(f"unknown metric: {metric}")
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -248,6 +259,7 @@ def assign_cells(
     id_col: str = "vec_id",
     centroid_id: str = "cell_id",
     centroid_vec: str = "centroid",
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF build step: tag every row with its nearest centroid id.
 
@@ -260,7 +272,7 @@ def assign_cells(
     (zero shuffle) — see assign_cells_literal.
     """
     pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids))
-    d = l2_squared(F.col(vec_col), F.col(centroid_vec))
+    d = _cell_distance(F.col(vec_col), F.col(centroid_vec), metric)
     best = (
         pairs.select(id_col, F.struct(d.alias("_d"), F.col(centroid_id)).alias("_c"))
         .groupBy(id_col)
@@ -335,6 +347,7 @@ def ivf_topk(
     id_cols: Sequence[str] = ("vec_id",),
     centroid_id: str = "cell_id",
     centroid_vec: str = "centroid",
+    metric: str = "l2",
 ) -> DataFrame:
     """IVF search: find the nprobe nearest centroids to the query (tiny,
     local), then brute-force k-NN inside those cells only. With the table
@@ -343,7 +356,8 @@ def ivf_topk(
     q = _vec_lit(query_vec)
     probe_cells = (
         centroids.select(
-            F.col(centroid_id), l2_squared(F.col(centroid_vec), q).alias("_d")
+            F.col(centroid_id),
+            _cell_distance(F.col(centroid_vec), q, metric).alias("_d"),
         )
         .orderBy(F.col("_d").asc(), F.col(centroid_id).asc())
         .limit(nprobe)
@@ -352,7 +366,10 @@ def ivf_topk(
     pruned = df_with_cells.join(
         F.broadcast(probe_cells), on=centroid_id, how="left_semi"
     )
-    return knn(pruned, query_vec, k=k, vec_col=vec_col, id_cols=id_cols)
+    return knn(
+        pruned, query_vec, k=k, vec_col=vec_col, id_cols=id_cols,
+        metric=metric,
+    )
 
 
 def rp_sign_matrix(

@@ -1912,6 +1912,16 @@ _IVF_DIST = (
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
 )
 
+# cosine twin, mirroring operators.vector.cosine_similarity's exact op
+# order: dot / (sqrt(dot(a,a)) * sqrt(dot(b,b)))
+_IVF_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {a}[i])))"
+    " * sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+    " i -> {b}[i] * {b}[i]))))"
+)
+
 # IVF search: assign rows to nearest of 8 centroid vectors, probe the 2
 # cells nearest the query → the scan reads ~1/4 of the data (partition
 # pruning when the table is written partitionBy(cell_id)).
@@ -6610,6 +6620,82 @@ def dsir_selected_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Cosine-metric IVF search: the same deterministic-centroid IVF shape as
+# ivf_search (fixed centroids = first 8 vectors, so the oracle reproduces
+# the exact index) ranked by cosine end-to-end — assignment, probing, and
+# scoring all use the one 1-cos distance, the in-query twin of
+# IvfIndex(metric="cosine")'s persisted form.
+@_q(
+    "ivf_cosine_search",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 42),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY 1.0 - ({_IVF_COS.format(a="e.v", b="c.cv")})
+                                    ASC,
+                                c.cell_id ASC) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell_id FROM c, q
+        ORDER BY 1.0 - ({_IVF_COS.format(a="c.cv", b="q.qv")}) ASC,
+                 cell_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT e.vec_id, e.v FROM e
+        JOIN assign USING (vec_id)
+        JOIN probe USING (cell_id)
+    )
+    SELECT CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INT) AS rank,
+           vec_id, round(1.0 - d, 4) AS similarity
+    FROM (SELECT cand.vec_id,
+                 1.0 - ({_IVF_COS.format(a="cand.v", b="q.qv")}) AS d
+          FROM cand, q)
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def ivf_cosine_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import assign_cells, ivf_topk
+
+    emb = _emb_double(spark, sf)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    with_cells = assign_cells(
+        emb.select("vec_id", "embedding"),
+        centroids,
+        id_col="vec_id",
+        metric="cosine",
+    )
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 42).collect()[0].embedding
+    ]
+    hits = ivf_topk(
+        with_cells,
+        centroids,
+        qvec,
+        k=5,
+        nprobe=2,
+        id_cols=("vec_id",),
+        metric="cosine",
+    )
+    return hits.select(
+        "rank", "vec_id", F.round("similarity", 4).alias("similarity")
+    )
+
+
 # Multi-touch attribution (the position-model family: first / last /
 # linear credit per conversion over a per-user lookback window) — the
 # credit assignment marketing/behavioral stacks run next to funnels and
@@ -6927,10 +7013,10 @@ def event_attribution(spark: SparkSession, sf: str) -> DataFrame:
 # oracle-replica pins in tests/test_oracle_parity.py and the verify
 # gate, which run ALL 137 oracle-gated queries regardless of window.
 # Round-7 forward note (never-checked-first rule): the round-6
-# additions dsir_selected_docs and event_attribution have no driver
-# history and are first in line for the NEXT window; until then they
-# are pinned by the oracle replica, the verify gate, and their operator
-# pytests.
+# additions dsir_selected_docs, event_attribution, and
+# ivf_cosine_search have no driver history and are first in line for
+# the NEXT window; until then they are pinned by the oracle replica,
+# the verify gate, and their operator pytests.
 _CHECK_PRIORITY = [
     # never driver-checked: round-4 oracle-gated ops — first in line
     "event_funnel", "event_transitions", "event_funnel_windowed",
