@@ -287,15 +287,20 @@ def assign_cells_literal(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     centroid_id: str = "cell_id",
+    metric: str = "l2",
 ) -> DataFrame:
     """Expression-side IVF assignment: centroids as literals → per-row
     argmin with NO shuffle at all (the scale path when k is small enough
-    to inline, which it always is — k <= a few thousand)."""
+    to inline, which it always is — k <= a few thousand). ``metric``
+    picks the same ``_cell_distance`` geometry the probe side ranks
+    cells by, so assignment and probing always agree (for cosine the
+    KMeans mean centroids are non-unit, so 1-cos and L2-on-normalized
+    can pick DIFFERENT nearest cells — the two sides must share one)."""
     v = F.col(vec_col)
     scored = F.array(
         *[
             F.struct(
-                l2_squared(v, _vec_lit(vec)).alias("_d"),
+                _cell_distance(v, _vec_lit(vec), metric).alias("_d"),
                 F.lit(int(cid)).alias(centroid_id),
             )
             for cid, vec in centroids

@@ -104,11 +104,19 @@ class IndexMaintainer:
 
     def sync(self) -> dict:
         """Advance the index to the table's current version by CDC delta:
-        removed/changed keys are deleted from the index (old rows),
-        added/changed documents are re-embedded and appended. Delete runs
-        FIRST so a changed document is never transiently absent-and-
-        present twice, and the new row survives. Returns
-        ``{"from": v0, "to": v1, "deleted": n, "added": n}``; a no-op
+        every key touched by the delta (removed, changed, AND added) is
+        deleted from the index first, then added/changed documents are
+        re-embedded and appended. Deleting the union — not just the
+        removed/changed keys — is what makes a crash-retry converge: if
+        a previous sync() died between ``add()`` and ``_record()``, the
+        retry re-runs the same delta, and a purely-'added' id is already
+        in the index; deleting it first (a no-op on a clean first run —
+        delete of an absent id removes 0 rows) guarantees exactly one
+        row per key after the retry instead of a duplicate that would
+        surface twice in top-k. Delete runs FIRST so a changed document
+        is never transiently present twice, and the new row survives.
+        Returns ``{"from": v0, "to": v1, "deleted": n, "added": n}``
+        where ``deleted`` counts only rows actually removed; a no-op
         sync returns zeros without touching any file."""
         v_from = self.synced_version()
         if v_from is None:
@@ -119,9 +127,11 @@ class IndexMaintainer:
         changes = self.table.table_changes(
             v_from, v_to, include_values=True
         )
-        stale = changes.filter(
-            F.col("diff_status").isin("removed", "changed")
-        ).select(F.col(self.id_col).cast("long").alias("vec_id"))
+        # the union of stale AND fresh ids: crash-retry convergence (see
+        # docstring) requires clearing 'added' ids too before re-adding
+        stale = changes.select(
+            F.col(self.id_col).cast("long").alias("vec_id")
+        ).distinct()
         fresh = changes.filter(
             F.col("diff_status").isin("added", "changed")
         ).select(

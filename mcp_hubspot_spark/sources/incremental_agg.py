@@ -117,6 +117,16 @@ class IncrementalAggregate:
             # means the group had zero non-null values, otherwise assume
             # every row contributed (the pre-n_vals semantics). The next
             # _commit persists the derived column, completing migration.
+            # KNOWN DRIFT of this fallback: a group that held a MIX of
+            # null and non-null values gets n_vals overstated (n_rows
+            # counts the null rows too). If later retractions then
+            # remove every remaining non-null value, n_vals bottoms out
+            # above 0 and total reports 0 where SQL SUM semantics (and a
+            # fresh initialize()) would give NULL. The drift never
+            # affects the numeric total of groups that still have
+            # values — only the 0-vs-NULL distinction of fully-drained
+            # groups — and a full initialize() is the exact-recovery
+            # path for migrated tables with nullable value columns.
             df = df.withColumn(
                 "n_vals",
                 F.when(F.col("total").isNull(), F.lit(0))

@@ -176,12 +176,19 @@ class VectorStore:
 
 
 def _locked(fn):
-    """Run an IvfIndex mutator under the index's mutation lock."""
+    """Run an IvfIndex mutator under the index's mutation lock. Crash
+    recovery runs FIRST, while the lock is held and before the mutator
+    reads any cell files: a hard-crashed ``_swap_cells`` can leave a
+    cell's only rows under ``_swap_backup``, and a mutator that read the
+    cells before restoring would plan against (and then persist) the
+    truncated view — e.g. ``delete()`` would miss ids living in the
+    backed-up cell entirely."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
         with self._mutation_lock():
+            self._recover_swap_backup()
             return fn(self, *args, **kwargs)
 
     return wrapper
@@ -254,6 +261,44 @@ class IvfIndex:
 
         return _held()
 
+    def _recover_swap_backup(self) -> None:
+        """Restore any cell whose ONLY copy survives under
+        ``_swap_backup`` — the leftover of a hard crash between
+        :meth:`_swap_cells`'s backup rename and its move-in. A cell dir
+        present both live and in the backup means the move-in completed
+        (or never started); the live copy wins and the backup is stale.
+        Called at the top of every mutation (before the backup root is
+        cleared), always under the mutation lock — a restore racing a
+        live writer's move-in would collide with it. ``search`` calls
+        the guarded :meth:`_recover_swap_backup_if_idle` wrapper, so a
+        post-crash index answers consistently without waiting for the
+        next write."""
+        import os as _os
+
+        bak_root = self.root / "_swap_backup"
+        if not bak_root.exists():
+            return
+        cells_root = self.root / "cells"
+        for bak in bak_root.glob("cell_id=*"):
+            live = cells_root / bak.name
+            if not live.exists():
+                _os.rename(bak, live)  # crash leftover: restore
+
+    def _recover_swap_backup_if_idle(self) -> None:
+        """Search-time crash recovery: attempt the mutation lock
+        WITHOUT blocking; if a writer holds it, a live ``_swap_cells``
+        is mid-flight (its backup dir is a legitimate transient, and
+        the writer converges on its own) — restoring from under it
+        would break its move-in, so skip. Costs one ``exists()`` in
+        the common no-backup path."""
+        if not (self.root / "_swap_backup").exists():
+            return
+        try:
+            with self._mutation_lock(timeout_s=0.0):
+                self._recover_swap_backup()
+        except TimeoutError:
+            pass  # active writer owns recovery
+
     # ----------------------------------------------------------- metric
     _META = "meta.json"
 
@@ -321,8 +366,11 @@ class IvfIndex:
         ]
         # literal centroids → per-row argmin expression, ZERO shuffle on
         # the vector table; the only wide op in build is the partitioned
-        # write itself
-        assigned = assign_cells_literal(df, cent_rows, vec_col=vec_col)
+        # write itself. Assignment uses the index's OWN metric so the
+        # probe-side cell ranking (same _cell_distance) agrees with it.
+        assigned = assign_cells_literal(
+            df, cent_rows, vec_col=vec_col, metric=metric
+        )
         (
             assigned.write.mode("overwrite")
             .partitionBy("cell_id")
@@ -369,7 +417,9 @@ class IvfIndex:
                 ),
                 vec_col,
             )
-        assigned = assign_cells_literal(batch, cent_rows, vec_col=vec_col)
+        assigned = assign_cells_literal(
+            batch, cent_rows, vec_col=vec_col, metric=self.metric()
+        )
         (
             assigned.write.mode("append")
             .partitionBy("cell_id")
@@ -395,7 +445,14 @@ class IvfIndex:
         place or its backup restorable — never a window where the cell's
         surviving rows exist nowhere. Backups live under ``_swap_backup``
         OUTSIDE ``cells/`` so a crash leftover can never be picked up as
-        a partition by later reads."""
+        a partition by later reads.
+
+        Hard-crash recovery: a process kill between the backup rename
+        and the move-in leaves a cell's only copy under ``_swap_backup``.
+        The NEXT mutation must therefore RESTORE any backed-up cell
+        whose live dir is missing before it clears the backup root —
+        an unconditional rmtree here would permanently delete those
+        surviving rows."""
         import os as _os
         import shutil as _sh
 
@@ -403,6 +460,7 @@ class IvfIndex:
         tmp = self.root / "_rewrite_tmp"
         bak_root = self.root / "_swap_backup"
         _sh.rmtree(tmp, ignore_errors=True)
+        self._recover_swap_backup()
         _sh.rmtree(bak_root, ignore_errors=True)
         (
             keep.repartition(max(1, len(affected)), "cell_id")
@@ -562,6 +620,11 @@ class IvfIndex:
         hits are found; raise nprobe for filtered queries."""
         import math
 
+        # a hard-crashed swap can leave a cell's only rows under
+        # _swap_backup; restore them (lock-guarded, non-blocking) so a
+        # post-crash search sees the full index
+        self._recover_swap_backup_if_idle()
+
         metric = self.metric()
         if metric == "cosine":
             # the index stores unit vectors; normalize the query so the
@@ -585,17 +648,22 @@ class IvfIndex:
                     str(self.root / "centroids")
                 ).collect()
             ]
+        # rank cells by the SAME _cell_distance geometry the rows were
+        # assigned with (l2 → squared L2; cosine → 1-cos against the
+        # non-unit mean centroid), so partial-nprobe probes the cells
+        # the matching vectors actually live in
+        def _centroid_dist(centroid) -> float:
+            if metric == "cosine":
+                dot = sum(float(a) * float(b) for a, b in zip(centroid, query_vec))
+                cn = math.sqrt(sum(float(a) * float(a) for a in centroid))
+                return 1.0 - (dot / cn if cn > 0 else 0.0)
+            return sum(
+                (float(a) - float(b)) ** 2
+                for a, b in zip(centroid, query_vec)
+            )
+
         scored = sorted(
-            (
-                (
-                    sum(
-                        (float(a) - float(b)) ** 2
-                        for a, b in zip(centroid, query_vec)
-                    ),
-                    cid,
-                )
-                for cid, centroid in cent_pairs
-            ),
+            (_centroid_dist(centroid), cid) for cid, centroid in cent_pairs
         )
         probe = [cid for _, cid in scored[: max(1, nprobe)]]
         assert all(math.isfinite(d) for d, _ in scored)

@@ -215,3 +215,49 @@ def test_index_maintainer_sync_cycles(spark, tmp_path):
     assert 9 not in indexed
     hit3 = idx.search(_probe_for(spark, "doc three rewritten"), k=1, nprobe=8).first()
     assert hit3.vec_id == 3 and hit3.distance < 1e-9
+
+
+def test_sync_crash_retry_converges(spark, tmp_path):
+    """Crash-idempotency of sync() (round-6 advice): a crash between
+    index.add() and _record() means the retry re-runs the SAME delta.
+    Because sync deletes the union of stale and fresh ids before adding,
+    the purely-'added' id that already landed in the index is cleared
+    and re-appended exactly once — never duplicated in top-k."""
+    from mcp_hubspot_spark.serving import IndexMaintainer
+
+    docs = spark.createDataFrame(
+        [(i, f"retry doc {i} topic {i % 5}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "docs"))
+    table.create(docs, keys=["doc_id"], n_buckets=8)
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    m = IndexMaintainer(spark, table, idx, dim=DIM)
+    v0 = m.initialize(n_cells=8)
+
+    table.merge_upsert(
+        spark.createDataFrame(
+            [(900, "a brand new retry doc"), (4, "doc four edited")],
+            "doc_id long, text string",
+        )
+    )
+    r1 = m.sync()  # the "crashed" attempt: add() ran, pretend _record didn't
+    assert r1["added"] == 2
+    m._record(v0)  # roll the state back = crash before _record
+
+    r2 = m.sync()  # the retry re-runs the identical delta
+    assert (r2["from"], r2["to"]) == (v0, table.version())
+    # retry deleted the rows the crashed attempt already added
+    assert r2["deleted"] == 2 and r2["added"] == 2
+
+    rows = (
+        spark.read.option("basePath", str(idx.root / "cells"))
+        .parquet(str(idx.root / "cells"))
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert rows.count() == 0  # exactly one row per key — no duplicates
+    top = idx.search(_probe_for(spark, "a brand new retry doc"), k=3, nprobe=8).collect()
+    assert top[0].vec_id == 900
+    assert [r.vec_id for r in top].count(900) == 1  # appears ONCE in top-k

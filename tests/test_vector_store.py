@@ -546,3 +546,140 @@ def test_ivf_cosine_metric(spark, tmp_path):
     assert idx2.metric() == "l2"
     (idx2.root / "meta.json").unlink()
     assert idx2.metric() == "l2"
+
+
+def test_ivf_cosine_partial_nprobe_matches_twin(spark, tmp_path):
+    """Partial-probe cosine consistency (round-6 advice): the persisted
+    index must use ONE geometry — 1-cos against its own (non-unit mean)
+    centroids — for BOTH row assignment and probe-time cell ranking, the
+    same `_cell_distance` the ivf_topk twin uses. Pinned two ways:
+
+    1. search(nprobe=2) equals a hand-built twin that ranks the
+       manifest's centroids by 1-cos, reads exactly those cell
+       partitions, and runs exact cosine kNN over the candidates;
+    2. on a planted 4-cluster direction corpus, nprobe=1 already equals
+       exact cosine kNN over the WHOLE corpus (recall 1.0 — the matching
+       vectors live in the one probed cell, which only holds when the
+       assignment and probe geometries agree).
+    """
+    import math
+    import random
+
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for c in range(4):  # orthogonal direction clusters in 8-dim
+        base = [0.0] * 8
+        base[2 * c] = 1.0
+        for _ in range(40):
+            mag = rng.uniform(0.5, 20.0)  # cosine must ignore magnitude
+            vec = [
+                mag * (b + rng.uniform(-0.05, 0.05)) for b in base
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf_cos_partial"))
+    idx.build(emb, n_cells=4, metric="cosine")
+    idx.export_manifest()
+
+    probe = [0.0] * 8
+    probe[2] = 5.0  # cluster-1 direction, non-unit on purpose
+    got = [
+        (r.vec_id, round(r.similarity, 6))
+        for r in idx.search(probe, k=10, nprobe=1).collect()
+    ]
+
+    # (2) planted-recall: nprobe=1 equals exact kNN over everything
+    want_exact = [
+        (r.vec_id, round(r.similarity, 6))
+        for r in knn(emb, probe, k=10, metric="cosine").collect()
+    ]
+    assert got == want_exact
+
+    # (1) hand-built twin of the documented contract at nprobe=2
+    man = idx.read_manifest()
+    qn = math.sqrt(sum(x * x for x in probe))
+    q = [x / qn for x in probe]
+
+    def one_minus_cos(c):
+        cn = math.sqrt(sum(x * x for x in c))
+        dot = sum(a * b for a, b in zip(c, q))
+        return 1.0 - (dot / cn if cn > 0 else 0.0)
+
+    ranked = sorted(
+        (one_minus_cos(vec), int(cid))
+        for cid, vec in man["centroids"].items()
+    )
+    probe_cells = [cid for _, cid in ranked[:2]]
+    cand = (
+        spark.read.option("basePath", str(idx.root / "cells"))
+        .parquet(str(idx.root / "cells"))
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select("vec_id", "embedding")
+    )
+    want_twin = [
+        (r.vec_id, round(r.similarity, 6))
+        for r in knn(cand, q, k=10, metric="cosine").collect()
+    ]
+    got2 = [
+        (r.vec_id, round(r.similarity, 6))
+        for r in idx.search(probe, k=10, nprobe=2).collect()
+    ]
+    assert got2 == want_twin
+
+
+def test_hard_crash_swap_backup_recovered_at_search(spark, tmp_path):
+    """Process-kill recovery (round-6 advice): a hard crash between
+    _swap_cells' backup rename and its move-in leaves a cell's ONLY
+    rows under _swap_backup. The next search must restore them (it
+    holds no lock, so recovery is the non-blocking-lock wrapper), and
+    the next mutation must NOT rmtree them away."""
+    import os
+    import shutil
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11), float(i % 13)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf_crash"))
+    idx.build(emb, n_cells=4)
+    total = spark.read.parquet(str(idx.root / "cells")).count()
+    assert total == 120
+
+    # simulate the kill window: one live cell dir moved to the backup
+    victim = sorted((idx.root / "cells").glob("cell_id=*"))[0]
+    bak_root = idx.root / "_swap_backup"
+    bak_root.mkdir()
+    os.rename(victim, bak_root / victim.name)
+    assert not victim.exists()
+
+    # search recovers: full row count visible, cell dir restored
+    got = idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
+    assert len(got) == 5
+    assert victim.exists() and not list(bak_root.glob("cell_id=*"))
+    assert spark.read.parquet(str(idx.root / "cells")).count() == 120
+
+    # same crash state again, but a WRITER holds the lock: search must
+    # skip recovery (restoring under a live swap would corrupt it)
+    os.rename(victim, bak_root / victim.name)
+    lock = idx.root / "_mutation.lock"
+    lock.touch()
+    idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
+    assert not victim.exists()  # untouched while the writer is active
+    lock.unlink()
+
+    # and the next MUTATION (delete) restores before clearing the backup
+    stale = spark.createDataFrame([(0,)], "vec_id long")
+    idx.delete(stale)
+    assert victim.exists() and not bak_root.exists() or not list(
+        bak_root.glob("cell_id=*")
+    )
+    assert spark.read.parquet(str(idx.root / "cells")).count() == 119
