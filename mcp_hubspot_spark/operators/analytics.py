@@ -234,3 +234,95 @@ def attribution_credits(
         .cast("decimal(20,10)")
         .alias("linear_credit"),
     )
+
+
+def copurchase_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket association mining: for every unordered item pair
+    that co-occurs in at least ``min_pair_count`` baskets, the support
+    counts and the lift ``P(ab) / (P(a)·P(b))`` — the classic
+    "frequently bought together" signal (and, pointed at documents ×
+    n-grams, a phrase-collocation miner). Returns
+    (item_a, item_b, pair_count, count_a, count_b, lift) with
+    ``item_a < item_b`` so each pair appears exactly once.
+
+    Scale shape: baskets are deduplicated to (basket, item), then
+    pair generation is a SELF-EQUI-JOIN on the basket key with
+    ``item_a < item_b`` as a residual — both sides hash-partition on
+    the basket key (one shuffle each; AQE handles skewed baskets), and
+    the fan-out per basket is C(size, 2), bounded by
+    ``max_basket_size`` when given (the standard guard: a single
+    pathological 10^5-item basket would otherwise emit 5·10^9 pairs).
+    Item supports and the basket total are one-row / item-cardinality
+    aggregates joined back AFTER the pair_count filter has shrunk the
+    pair set; the total rides in via a broadcast one-row cross join so
+    the whole plan stays lazy (no driver-side count action).
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = baskets.groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_sz")
+        )
+        baskets = baskets.join(
+            sizes.filter(F.col("_sz") <= max_basket_size).select("_b"),
+            "_b",
+            "left_semi",
+        )
+    n_baskets = baskets.agg(
+        F.countDistinct("_b").alias("_n_baskets")
+    )
+    item_counts = baskets.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_item_n")
+    )
+    left = baskets.select("_b", F.col("_i").alias("item_a"))
+    right = baskets.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        left.join(right, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    # supports join AFTER the min-count filter: the pair set is already
+    # sparse; item_counts is dimension-sized → broadcast both lookups
+    return (
+        pairs.join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("_i").alias("item_a"),
+                    F.col("_item_n").alias("count_a"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_counts.select(
+                    F.col("_i").alias("item_b"),
+                    F.col("_item_n").alias("count_b"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            F.round(
+                F.col("pair_count").cast("double")
+                * F.col("_n_baskets")
+                / (F.col("count_a") * F.col("count_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -189,3 +189,71 @@ def referential_violations(
         parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
     )
     return orphans.groupBy(fk).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    slice of a numeric column — the standard model-monitoring drift
+    score. Bin edges are the reference slice's exact ``n_bins``-quantile
+    cutoffs (so ref mass is ~uniform per bin); both slices are binned
+    with the SAME edges, and each bin contributes
+    ``(p_cur − p_ref) · ln(p_cur / p_ref)``. Returns one row per bin:
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term), all probabilities and
+    terms rounded to 6 dp; ``SUM(psi_term)`` is the headline PSI
+    (< 0.1 stable, > 0.25 drifted, by the usual convention).
+
+    Scale shape: the cutoffs are ONE exact-percentile aggregate on the
+    reference slice (a single 1-row reduction — the documented
+    trade-off vs ``percentile_approx`` for >10^9-row slices), broadcast
+    onto both slices as a literal array; binning is a pure expression
+    fold (no join, no shuffle beyond each slice's ``n_bins``-row count
+    aggregate). Bins empty in either slice are dropped rather than
+    epsilon-smoothed — with quantile edges every bin holds ref mass by
+    construction, and a cur-empty bin is surfaced by ``n_cur = 0``
+    rows being absent (callers needing smoothed PSI can re-add them).
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.agg(
+        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+    )
+
+    def _binned(df: DataFrame, side: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        bin_expr = F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select((bin_expr + F.lit(1)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    r = _binned(ref, "ref")
+    c = _binned(cur, "cur")
+    tot_r = r.agg(F.sum("n_ref").alias("_tr"))
+    tot_c = c.agg(F.sum("n_cur").alias("_tc"))
+    p_ref = F.col("n_ref") / F.col("_tr")
+    p_cur = F.col("n_cur") / F.col("_tc")
+    return (
+        r.join(c, "bin")  # inner: both-present bins only (see docstring)
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_c))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )

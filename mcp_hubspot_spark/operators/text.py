@@ -754,3 +754,66 @@ def bpe_learn_merges(
         if rank < k:  # the final fold is never read back — skip its job
             work = work.localCheckpoint(eager=True)
     return merges
+
+
+def token_kl_divergence(
+    df: DataFrame,
+    slice_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution shift between corpus slices: per slice (source,
+    language, snapshot...), the KL divergence of its unigram token
+    distribution from the whole corpus's — the standard check that one
+    source isn't lexically drifting from the mix (domain skew, template
+    contamination, a crawler gone wrong). Returns one row per slice:
+    (slice, n_tokens, kl_bits) with KL in bits (log2), rounded to 6 dp.
+
+    KL(P_s ‖ Q) = Σ_t p_s(t) · log2(p_s(t) / q(t)) over the slice's
+    tokens; q is the corpus distribution, and every token of the slice
+    exists in the corpus by construction, so no term is undefined.
+
+    Scale shape: tokens explode once; both distributions are groupBy
+    counts keyed on the token (the corpus side reuses the slice side's
+    counts — one exchange on (slice, token), one token-keyed reduction
+    of it, then a token-keyed join of the two, which AQE co-locates).
+    Slice totals are slice-cardinality aggregates joined in broadcast;
+    the corpus total rides in the same token-join (sum over a
+    dimension-sized side). Nothing materializes a vocabulary in one
+    task and nothing collects to the driver.
+    """
+    toks = df.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+    ).filter(F.col("_t") != "")
+    slice_tok = toks.groupBy("slice", "_t").agg(
+        F.count(F.lit(1)).alias("_n_st")
+    )
+    # corpus counts derived FROM the slice counts: the heavy explode is
+    # scanned once, and this reduction is token-keyed like the join below
+    corpus_tok = slice_tok.groupBy("_t").agg(
+        F.sum("_n_st").alias("_n_t")
+    )
+    slice_tot = slice_tok.groupBy("slice").agg(
+        F.sum("_n_st").alias("_n_s")
+    )
+    corpus_tot = corpus_tok.agg(F.sum("_n_t").alias("_n"))
+    p_over_q = (
+        (F.col("_n_st") / F.col("_n_s"))
+        / (F.col("_n_t") / F.col("_n"))
+    )
+    return (
+        slice_tok.join(corpus_tok, "_t")
+        .join(F.broadcast(slice_tot), "slice")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("slice")
+        .agg(
+            F.max("_n_s").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("_n_st") / F.col("_n_s"))
+                    * F.log2(p_over_q)
+                ),
+                6,
+            ).alias("kl_bits"),
+        )
+    )

@@ -6766,6 +6766,153 @@ def event_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ======================================================= round-7 ops ====
+
+# North-star analytics — market-basket association mining ("frequently
+# bought together" / phrase collocation): which supplier NATIONS co-occur
+# within one order, with lift vs independence. Nation granularity keeps
+# the pair mass dense at every sf (<=25 items -> <=300 pairs) so the
+# oracle exercises real counts; pointed at l_partkey the same operator
+# mines part-level affinities. Scale notes in
+# operators/analytics.py:copurchase_lift (basket-key self-equi-join,
+# residual item_a < item_b, supports joined broadcast AFTER min-count).
+@_q(
+    "nation_copurchase_lift",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS b, n.n_name AS i
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ),
+    nb AS (SELECT count(DISTINCT b) AS n_baskets FROM baskets),
+    item_n AS (SELECT i, count(*) AS cnt FROM baskets GROUP BY i),
+    pairs AS (
+        SELECT a.i AS item_a, b2.i AS item_b, count(*) AS pair_count
+        FROM baskets a JOIN baskets b2 ON a.b = b2.b AND a.i < b2.i
+        GROUP BY a.i, b2.i
+        HAVING count(*) >= 5
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.pair_count AS BIGINT) AS pair_count,
+           CAST(ia.cnt AS BIGINT) AS count_a,
+           CAST(ib.cnt AS BIGINT) AS count_b,
+           round(p.pair_count::DOUBLE * nb.n_baskets
+                 / (ia.cnt * ib.cnt), 6) AS lift
+    FROM pairs p
+    JOIN item_n ia ON p.item_a = ia.i
+    JOIN item_n ib ON p.item_b = ib.i
+    CROSS JOIN nb
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 50
+    """,
+)
+def nation_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import copurchase_lift
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    # dimension joins broadcast (supplier/nation are dims at any sf)
+    orders_nations = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(F.col("l_orderkey"), F.col("n_name"))
+    )
+    return (
+        copurchase_lift(
+            orders_nations,
+            basket_col="l_orderkey",
+            item_col="n_name",
+            min_pair_count=5,
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+# North-star text analysis — distribution shift between corpus slices:
+# KL divergence of each source's unigram token distribution from the
+# whole corpus (domain skew / template contamination monitor). Operator:
+# operators/text.py:token_kl_divergence (single explode, token-keyed
+# reductions + join, broadcast slice totals; nothing driver-side).
+@_q(
+    "source_token_kl",
+    r"""
+    WITH toks0 AS (
+        SELECT source AS slice,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        FROM documents
+    ),
+    toks AS (SELECT slice, t FROM toks0 WHERE t <> ''),
+    st AS (SELECT slice, t, count(*) AS n_st FROM toks GROUP BY slice, t),
+    ct AS (SELECT t, sum(n_st) AS n_t FROM st GROUP BY t),
+    stot AS (SELECT slice, sum(n_st) AS n_s FROM st GROUP BY slice),
+    ctot AS (SELECT sum(n_t) AS n FROM ct)
+    SELECT st.slice,
+           CAST(max(stot.n_s) AS BIGINT) AS n_tokens,
+           round(sum((st.n_st / stot.n_s)
+                     * log2((st.n_st / stot.n_s) / (ct.n_t / ctot.n))),
+                 6) AS kl_bits
+    FROM st
+    JOIN ct ON st.t = ct.t
+    JOIN stot ON st.slice = stot.slice
+    CROSS JOIN ctot
+    GROUP BY st.slice
+    ORDER BY st.slice
+    """,
+)
+def source_token_kl(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import token_kl_divergence
+
+    docs = load_table(spark, sf, "documents").select("source", "text")
+    return token_kl_divergence(docs, slice_col="source").orderBy("slice")
+
+
+# North-star profiling/monitoring — Population Stability Index of the
+# events value distribution, first half of the timeline (reference) vs
+# second half (current): the standard drift score over exact decile
+# bins of the reference slice. Operator: operators/profiling.py:psi_drift
+# (one 1-row exact-percentile aggregate broadcast as literal cutoffs;
+# binning is a pure expression fold — no join, no extra shuffle).
+@_q(
+    "events_psi_drift",
+    """
+    WITH ref AS (SELECT value FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'),
+    cuts AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM ref),
+    rb AS (SELECT 1 + (CASE WHEN value > c[1] THEN 1 ELSE 0 END) + (CASE WHEN value > c[2] THEN 1 ELSE 0 END) + (CASE WHEN value > c[3] THEN 1 ELSE 0 END) + (CASE WHEN value > c[4] THEN 1 ELSE 0 END) + (CASE WHEN value > c[5] THEN 1 ELSE 0 END) + (CASE WHEN value > c[6] THEN 1 ELSE 0 END) + (CASE WHEN value > c[7] THEN 1 ELSE 0 END) + (CASE WHEN value > c[8] THEN 1 ELSE 0 END) + (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS bin FROM ref CROSS JOIN cuts),
+    cb AS (SELECT 1 + (CASE WHEN value > c[1] THEN 1 ELSE 0 END) + (CASE WHEN value > c[2] THEN 1 ELSE 0 END) + (CASE WHEN value > c[3] THEN 1 ELSE 0 END) + (CASE WHEN value > c[4] THEN 1 ELSE 0 END) + (CASE WHEN value > c[5] THEN 1 ELSE 0 END) + (CASE WHEN value > c[6] THEN 1 ELSE 0 END) + (CASE WHEN value > c[7] THEN 1 ELSE 0 END) + (CASE WHEN value > c[8] THEN 1 ELSE 0 END) + (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS bin FROM cur CROSS JOIN cuts),
+    r AS (SELECT bin, count(*) AS n_ref FROM rb GROUP BY bin),
+    c2 AS (SELECT bin, count(*) AS n_cur FROM cb GROUP BY bin),
+    tr AS (SELECT sum(n_ref) AS t_r FROM r),
+    tc AS (SELECT sum(n_cur) AS t_c FROM c2)
+    SELECT r.bin, CAST(r.n_ref AS BIGINT) AS n_ref,
+           CAST(c2.n_cur AS BIGINT) AS n_cur,
+           round(r.n_ref / tr.t_r, 6) AS p_ref,
+           round(c2.n_cur / tc.t_c, 6) AS p_cur,
+           round((c2.n_cur / tc.t_c - r.n_ref / tr.t_r)
+                 * ln((c2.n_cur / tc.t_c) / (r.n_ref / tr.t_r)),
+                 6) AS psi_term
+    FROM r JOIN c2 ON r.bin = c2.bin
+    CROSS JOIN tr CROSS JOIN tc
+    ORDER BY r.bin
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import psi_drift
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    return psi_drift(ref, cur, value_col="value", n_bins=10).orderBy("bin")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -6991,56 +7138,41 @@ def event_attribution(spark: SparkSession, sf: str) -> DataFrame:
 # the rows-only profile_orders_approx. Until then they are pinned by
 # the local oracle replica (tests/test_oracle_parity.py), the verify
 # gate, and their behavioral/property/plan pytests.
-# ---- round-6 window -------------------------------------------------
-# Every r5 slot was twice-green (identical window to r4), so the whole
-# window rotates. Head of the line, per the never-checked-first rule:
-#   * the 8 round-4 oracle-gated ops with NO driver history
-#     (event_funnel/_windowed, event_transitions,
-#     customer_value_quartiles, customer_name_linkage,
-#     supplier_triangles, supplier_clustering, hybrid_search_rrf);
-#   * the 4 rows-only-by-design queries that never held a slot
-#     (profile_orders_approx, doc_length_quantiles_approx,
-#     approx_distinct_users, embed_documents) — the driver records the
-#     weaker rows-only check for these, which is still their first
-#     official record;
-#   * the 3 queries whose ONLY driver record is the round-1
-#     TIMESTAMP(NANOS) env failure, fixed since round 2
-#     (events_sessions, events_sliding, events_user_gaps).
-# The remaining 35 slots go to the STALEST once-green queries — all 23
-# whose single green record is r1, then 12 whose single record is r2.
-# Rotated out: the full r5 window (all 50 twice-green in r4+r5); their
-# family cover is the rotation rationale recorded above plus their
-# oracle-replica pins in tests/test_oracle_parity.py and the verify
-# gate, which run ALL 137 oracle-gated queries regardless of window.
-# Round-7 forward note (never-checked-first rule): the round-6
-# additions dsir_selected_docs, event_attribution, and
-# ivf_cosine_search have no driver history and are first in line for
-# the NEXT window; until then they are pinned by the oracle replica,
-# the verify gate, and their operator pytests.
+# ---- round-7 window -----------------------------------------------
+# Never-checked-first rule, then stalest-first. Head of the line: the
+# 6 queries with NO driver history — the round-6 additions
+# (dsir_selected_docs, event_attribution, ivf_cosine_search) and the
+# round-7 additions (nation_copurchase_lift, source_token_kl,
+# events_psi_drift). Then ALL 27 queries whose latest green record is
+# round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
+# r5+r6, so the r2/r3-green cohort is now the stalest on record).
+# The 3 remaining slots go to the alphabetical head of the r5-green
+# cohort. Rotated out: the full round-6 window (all green in r6, most
+# twice-green r5+r6) — every rotated query remains pinned by the local
+# oracle replica (tests/test_oracle_parity.py) and the verify gate,
+# which run ALL oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
-    # never driver-checked: round-4 oracle-gated ops — first in line
-    "event_funnel", "event_transitions", "event_funnel_windowed",
-    "customer_value_quartiles", "customer_name_linkage",
-    "supplier_triangles", "supplier_clustering", "hybrid_search_rrf",
-    # never driver-checked: rows-only by design (no oracle_sql entry)
-    "profile_orders_approx", "doc_length_quantiles_approx",
-    "approx_distinct_users", "embed_documents",
-    # only record is the round-1 env failure (parquet NANOS, fixed r2)
-    "events_sessions", "events_sliding", "events_user_gaps",
-    # stalest once-green: single green record is round 1
-    "canonical_json_docs", "contains_token_docs", "doc_excerpts",
-    "doc_fingerprints", "doc_length_quantiles", "doc_quality",
-    "embedding_neardup_cosine", "knn_batch", "knn_batch_matmul",
-    "knn_cosine", "minhash_signatures", "nation_customer_supplier_sets",
-    "ngram_jaccard_pairs", "order_value_histogram", "orders_last_30d",
-    "orders_status_pivot", "priority_class_counts", "recent_orders",
-    "scan_union_distinct", "semi_lookup_lines", "shipping_priority",
-    "simhash_fingerprints", "token_stats",
-    # next-stalest once-green: single green record is round 2
-    "cheapest_line_per_part", "contaminated_docs", "customer_status_sets",
-    "dedup_clusters", "doc_chunks", "doc_first_number", "doc_repetition",
-    "events_campaign_attribution", "events_funnel", "events_moving_avg",
-    "events_user_cumulative", "fuzzy_name_pairs",
+    # never driver-checked: round-6 + round-7 additions
+    "dsir_selected_docs", "event_attribution", "ivf_cosine_search",
+    "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
+    # stalest: latest green record is round 2
+    "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
+    "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
+    "label_centroids", "lang_id", "minhash_lsh_pairs",
+    "order_counts_by_status", "order_lines_nested", "order_priority_stats",
+    "orders_rollup", "orders_snapshot_diff", "packed_sequences",
+    "parts_without_lineitem", "pricing_summary", "quality_filter_docs",
+    "redact_pii_docs", "revenue_by_nation", "salted_flag_totals",
+    "simhash_neardup_pairs", "tfidf_top_terms", "top_bigrams",
+    "top_orders_per_customer", "user_cohort_retention",
+    # next-stalest: latest green record is round 3
+    "big_order_customers", "customer_spend_percentile", "doc_hash_split",
+    "embedding_row_stats", "events_asof_click", "events_sessionized",
+    "global_shuffle_docs", "kmv_distinct_users", "media_frame_sample",
+    "mixture_resample_docs", "supplier_pagerank", "upsample_repeat_docs",
+    "vocab_coverage", "weighted_sample_docs",
+    # filler from the round-5-green cohort (alphabetical head)
+    "bloom_decontaminated_docs", "bm25_search", "bpe_compression",
 ]
 
 

@@ -2067,3 +2067,85 @@ def test_attribution_credits_hand_computed(spark):
         (3, 2): (0, 1, 0.5),
         (7, 6): (1, 1, 1.0),
     }
+
+
+def test_copurchase_lift_hand_computed(spark):
+    """4 baskets over items a/b/c: pair (a,b) in 3 baskets, (a,c) in 1,
+    (b,c) in 1. lift(a,b) = P(ab)/(P(a)P(b)) = (3/4)/((4/4)*(3/4)) = 1.0
+    — hand-checkable end to end, including the min-count filter and the
+    duplicate-(basket,item) collapse."""
+    from mcp_hubspot_spark.operators.analytics import copurchase_lift
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"), (2, "b"),  # dup (basket,item) collapses
+        (3, "a"), (3, "b"), (3, "c"),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in copurchase_lift(
+            df, "basket", "item", min_pair_count=1
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.pair_count == 3 and ab.count_a == 4 and ab.count_b == 3
+    assert abs(ab.lift - 1.0) < 1e-9
+    ac = out[("a", "c")]
+    assert ac.pair_count == 1 and abs(ac.lift - 1.0) < 1e-9  # (1/4)/((4/4)(1/4))
+    # min-count filter drops singleton pairs
+    filtered = copurchase_lift(df, "basket", "item", min_pair_count=2)
+    assert [(r.item_a, r.item_b) for r in filtered.collect()] == [("a", "b")]
+    # max_basket_size guard: dropping basket 3 removes every c-pair
+    capped = copurchase_lift(
+        df, "basket", "item", min_pair_count=1, max_basket_size=2
+    )
+    assert ("a", "c") not in {
+        (r.item_a, r.item_b) for r in capped.collect()
+    }
+
+
+def test_token_kl_divergence_hand_computed(spark):
+    """Two slices: s1 = {x, y} uniform, s2 = {x} only; corpus = 3 tokens
+    {x: 2, y: 1}. KL(s1) = .5*log2(.5/(2/3)) + .5*log2(.5/(1/3));
+    KL(s2) = 1*log2(1/(2/3)). An all-corpus-identical slice has KL 0."""
+    import math
+
+    from mcp_hubspot_spark.operators.text import token_kl_divergence
+
+    df = spark.createDataFrame(
+        [("s1", "x y"), ("s2", "x")], "source string, text string"
+    )
+    out = {r.slice: r for r in token_kl_divergence(df, "source").collect()}
+    want_s1 = 0.5 * math.log2(0.5 / (2 / 3)) + 0.5 * math.log2(0.5 / (1 / 3))
+    want_s2 = math.log2(1 / (2 / 3))
+    assert out["s1"].n_tokens == 2 and abs(out["s1"].kl_bits - round(want_s1, 6)) < 1e-9
+    assert out["s2"].n_tokens == 1 and abs(out["s2"].kl_bits - round(want_s2, 6)) < 1e-9
+    solo = spark.createDataFrame(
+        [("only", "a b c a")], "source string, text string"
+    )
+    assert token_kl_divergence(solo, "source").first().kl_bits == 0.0
+
+
+def test_psi_drift_identical_slices_zero_and_shift_positive(spark):
+    """PSI of a slice against itself is exactly 0 in every bin; a mean
+    shift produces a strictly positive total PSI. Bin populations come
+    from the REFERENCE deciles, so n_ref is ~uniform by construction."""
+    from mcp_hubspot_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "value double"
+    )
+    same = psi_drift(ref, ref, "value", n_bins=10).collect()
+    assert len(same) == 10
+    assert all(r.psi_term == 0.0 and r.n_ref == r.n_cur for r in same)
+    assert {r.bin for r in same} == set(range(1, 11))
+    shifted = spark.createDataFrame(
+        [(float(i) + 300.0,) for i in range(1000)], "value double"
+    )
+    drift = psi_drift(ref, shifted, "value", n_bins=10).collect()
+    total = sum(r.psi_term for r in drift)
+    assert total > 0.25  # "drifted" by the usual PSI convention
+    # cur mass has left the low bins: present bins only (inner join)
+    assert all(r.n_cur > 0 for r in drift)
