@@ -251,41 +251,67 @@ def copurchase_lift(
     (item_a, item_b, pair_count, count_a, count_b, lift) with
     ``item_a < item_b`` so each pair appears exactly once.
 
-    Scale shape: baskets are deduplicated to (basket, item), then
-    pair generation is a SELF-EQUI-JOIN on the basket key with
-    ``item_a < item_b`` as a residual — both sides hash-partition on
-    the basket key (one shuffle each; AQE handles skewed baskets), and
-    the fan-out per basket is C(size, 2), bounded by
-    ``max_basket_size`` when given (the standard guard: a single
-    pathological 10^5-item basket would otherwise emit 5·10^9 pairs).
-    Item supports and the basket total are one-row / item-cardinality
-    aggregates joined back AFTER the pair_count filter has shrunk the
-    pair set; the total rides in via a broadcast one-row cross join so
-    the whole plan stays lazy (no driver-side count action).
+    Scale shape: the raw (basket, item) rows reduce in ONE shuffle on
+    the basket key into a sorted deduplicated per-basket item array
+    (``collect_set`` — the FP-growth preprocessing layout; no separate
+    DISTINCT pass), and every downstream quantity derives from that
+    array: pairs expand EXPRESSION-SIDE (``transform`` over suffix
+    slices — no self-join), the basket total is a count of the array
+    rows, and item supports explode the arrays back out (cheap: one row
+    per distinct basket-item). The per-basket array and its C(size, 2)
+    fan-out are bounded by ``max_basket_size`` when given — a plain
+    filter on the array length, strongly recommended for open item
+    domains: a single pathological 10^5-item basket would otherwise
+    emit 5·10^9 pairs from one row. Supports and the total are joined
+    back AFTER the pair_count filter has shrunk the pair set; the
+    total rides in via a broadcast one-row cross join so the whole
+    plan stays lazy (no driver-side count action).
+
+    The three consumers of the per-basket array (pairs, supports,
+    total) are independent branches of one plan, so without caching
+    the basket aggregation recomputes per branch — harmless at test
+    SFs, but at cluster scale ``items`` is the thing to persist
+    (``df.persist()`` before calling, or materialize the basket layout
+    once and point this at it); the operator itself never caches so
+    callers keep storage-level control.
     """
-    baskets = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    items = (
+        df.select(
+            F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+        )
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("_items"))
+    )
     if max_basket_size is not None:
-        sizes = baskets.groupBy("_b").agg(
-            F.count(F.lit(1)).alias("_sz")
-        )
-        baskets = baskets.join(
-            sizes.filter(F.col("_sz") <= max_basket_size).select("_b"),
-            "_b",
-            "left_semi",
-        )
-    n_baskets = baskets.agg(
-        F.countDistinct("_b").alias("_n_baskets")
+        items = items.filter(F.size("_items") <= max_basket_size)
+    n_baskets = items.agg(F.count(F.lit(1)).alias("_n_baskets"))
+    item_counts = (
+        items.select(F.explode("_items").alias("_i"))
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_item_n"))
     )
-    item_counts = baskets.groupBy("_i").agg(
-        F.count(F.lit(1)).alias("_item_n")
+    # all ordered pairs of the sorted array: for each position, pair it
+    # with every later element — item_a < item_b by construction
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_items"),
+                    i + F.lit(2),
+                    F.greatest(
+                        F.size(F.col("_items")) - i - F.lit(1), F.lit(0)
+                    ),
+                ),
+                lambda y: F.struct(
+                    x.alias("item_a"), y.alias("item_b")
+                ),
+            ),
+        )
     )
-    left = baskets.select("_b", F.col("_i").alias("item_a"))
-    right = baskets.select("_b", F.col("_i").alias("item_b"))
     pairs = (
-        left.join(right, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        items.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.item_a", "_p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_count)

@@ -257,3 +257,40 @@ def psi_drift(
             ),
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All-pairs Pearson correlation over ``cols`` in ONE aggregate
+    pass — the feature-profiling companion to :func:`profile_table`
+    (collinearity screening before training, drift comparison between
+    snapshots). Returns long-form rows (col_a, col_b, corr) for the
+    C(k, 2) unordered pairs with ``col_a`` < ``col_b`` in the given
+    order, corr rounded to 6 dp.
+
+    Scale shape: every pairwise ``corr`` is a distributive aggregate
+    (sums of x, y, xy, x², y²), so the whole matrix is one partial-agg
+    scan + a 1-row final reduce — k(k−1)/2 expressions wide, never a
+    second pass or a join; the long-form pivot is a ``stack`` over the
+    single result row. Cost grows with k² expression count, not data
+    passes — at 100 TB it reads the table exactly once.
+    """
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    row = df.agg(
+        *[
+            F.round(
+                F.corr(F.col(a).cast("double"), F.col(b).cast("double")),
+                6,
+            ).alias(f"_c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )

@@ -772,48 +772,48 @@ def token_kl_divergence(
     tokens; q is the corpus distribution, and every token of the slice
     exists in the corpus by construction, so no term is undefined.
 
-    Scale shape: tokens explode once; both distributions are groupBy
-    counts keyed on the token (the corpus side reuses the slice side's
-    counts — one exchange on (slice, token), one token-keyed reduction
-    of it, then a token-keyed join of the two, which AQE co-locates).
-    Slice totals are slice-cardinality aggregates joined in broadcast;
-    the corpus total rides in the same token-join (sum over a
-    dimension-sized side). Nothing materializes a vocabulary in one
-    task and nothing collects to the driver.
+    Scale shape — ONE pass, zero joins, the explode runs exactly once
+    (plan-audited): the (slice, token) counts take one shuffle; the
+    slice and corpus token totals come from unbounded WINDOW sums over
+    that grain (slice- and token-partitioned — no self-join branches
+    that would each re-run the explode); and the corpus total never
+    touches the big grain at all — expanding log2(p/q) and using
+    Σ_t p_s(t) = 1 gives KL_s = Σ_t p·(log2(n_st/n_s) − log2(n_t))
+    + log2(N), where N = Σ_slices n_s is a window sum over the final
+    ≤|slices| rows (a single-partition window over a handful of rows,
+    not over data). Nothing collects to the driver.
     """
-    toks = df.select(
-        F.col(slice_col).alias("slice"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
-    ).filter(F.col("_t") != "")
-    slice_tok = toks.groupBy("slice", "_t").agg(
-        F.count(F.lit(1)).alias("_n_st")
+    from pyspark.sql import Window
+
+    slice_tok = (
+        df.select(
+            F.col(slice_col).alias("slice"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .groupBy("slice", "_t")
+        .agg(F.count(F.lit(1)).alias("_n_st"))
     )
-    # corpus counts derived FROM the slice counts: the heavy explode is
-    # scanned once, and this reduction is token-keyed like the join below
-    corpus_tok = slice_tok.groupBy("_t").agg(
-        F.sum("_n_st").alias("_n_t")
+    n_s = F.sum("_n_st").over(Window.partitionBy("slice"))
+    n_t = F.sum("_n_st").over(Window.partitionBy("_t"))
+    term = (F.col("_n_st") / F.col("_n_s")) * (
+        F.log2(F.col("_n_st") / F.col("_n_s")) - F.log2(F.col("_n_t"))
     )
-    slice_tot = slice_tok.groupBy("slice").agg(
-        F.sum("_n_st").alias("_n_s")
-    )
-    corpus_tot = corpus_tok.agg(F.sum("_n_t").alias("_n"))
-    p_over_q = (
-        (F.col("_n_st") / F.col("_n_s"))
-        / (F.col("_n_t") / F.col("_n"))
-    )
-    return (
-        slice_tok.join(corpus_tok, "_t")
-        .join(F.broadcast(slice_tot), "slice")
-        .crossJoin(F.broadcast(corpus_tot))
+    per_slice = (
+        slice_tok.withColumn("_n_s", n_s)
+        .withColumn("_n_t", n_t)
         .groupBy("slice")
         .agg(
             F.max("_n_s").alias("n_tokens"),
-            F.round(
-                F.sum(
-                    (F.col("_n_st") / F.col("_n_s"))
-                    * F.log2(p_over_q)
-                ),
-                6,
-            ).alias("kl_bits"),
+            F.sum(term).alias("_a"),
         )
+    )
+    # N over the <=|slices| result rows only — cheap by construction
+    n_total = F.sum("n_tokens").over(
+        Window.partitionBy()
+    )
+    return per_slice.select(
+        "slice",
+        "n_tokens",
+        F.round(F.col("_a") + F.log2(n_total), 6).alias("kl_bits"),
     )

@@ -135,3 +135,48 @@ def scd2_intervals(
         ),
         nxt.isNull().alias("is_current"),
     )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Weekly seasonality profile: for every (day-of-week, hour-of-day)
+    cell, the event count, mean value, and the mean's deviation from
+    the overall mean — the load/engagement heatmap behind capacity
+    planning and anomaly baselines (a cheap, assumption-free cousin of
+    seasonal decomposition). ``dow`` follows Spark's ``dayofweek``
+    convention (1 = Sunday … 7 = Saturday). Returns up to 7×24 rows
+    (dow, hod, n_events, avg_value, dev_from_overall), floats rounded
+    to 4 dp.
+
+    Scale shape: one groupBy on the (dow, hod) derived key — ≤168
+    groups, so the final reduce is trivial and the map-side partial
+    aggregation does all the work; the overall mean rides in as a
+    broadcast one-row cross join (derived from the same 168-row
+    aggregate, not a second scan).
+    """
+    cells = (
+        df.select(
+            F.dayofweek(F.col(ts_col)).alias("dow"),
+            F.hour(F.col(ts_col)).alias("hod"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_v").alias("_sum"),
+        )
+    )
+    overall = cells.agg(
+        (F.sum("_sum") / F.sum("n_events")).alias("_overall")
+    )
+    avg = F.col("_sum") / F.col("n_events")
+    return cells.crossJoin(F.broadcast(overall)).select(
+        "dow",
+        "hod",
+        "n_events",
+        F.round(avg, 4).alias("avg_value"),
+        F.round(avg - F.col("_overall"), 4).alias("dev_from_overall"),
+    )

@@ -41,6 +41,11 @@ def histogram_fractions(
     return {int(r.bucket): r.n / total for r in rows}
 
 
+# smoothing floor for the streaming PSI: empty micro-batch buckets would
+# otherwise hit ln(0); 1e-6 bounds any single bucket's term at ~14·p
+PSI_EPS = 1e-6
+
+
 def stream_drift_monitor(
     stream_df: DataFrame,
     reference: dict[int, float],
@@ -50,10 +55,17 @@ def stream_drift_monitor(
     log_path: str,
     checkpoint_dir: str,
 ):
-    """Start a streaming query appending one (batch_id, n_rows, l1_drift)
-    row per micro-batch to ``log_path``. L1 drift = sum over buckets of
-    |p_batch - p_ref| — same integer-count-ratio form as the batch drift
-    query (no ln / PSI). Returns the StreamingQuery handle."""
+    """Start a streaming query appending one
+    (batch_id, n_rows, l1_drift, psi) row per micro-batch to
+    ``log_path``. L1 drift = sum over buckets of |p_batch - p_ref| —
+    same integer-count-ratio form as the batch drift query. ``psi`` is
+    the online twin of the batch ``operators.profiling.psi_drift``
+    score: sum of (p - q)·ln(p/q) over the bucket union, with both
+    fractions floored at ``PSI_EPS`` — a micro-batch (unlike the batch
+    operator's reference-quantile bins) routinely has EMPTY buckets, so
+    the streaming form must smooth where the batch form can drop.
+    Returns the StreamingQuery handle."""
+    import math
 
     def measure(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -71,13 +83,19 @@ def stream_drift_monitor(
         if n == 0:
             return
         p = {int(r.bucket): r.n / n for r in rows}
+        buckets = set(p) | set(reference)
         l1 = sum(
-            abs(p.get(b, 0.0) - reference.get(b, 0.0))
-            for b in set(p) | set(reference)
+            abs(p.get(b, 0.0) - reference.get(b, 0.0)) for b in buckets
+        )
+        psi = sum(
+            (pb - qb) * math.log(pb / qb)
+            for b in buckets
+            for pb in (max(p.get(b, 0.0), PSI_EPS),)
+            for qb in (max(reference.get(b, 0.0), PSI_EPS),)
         )
         spark.createDataFrame(
-            [(int(batch_id), int(n), float(round(l1, 6)))],
-            "batch_id long, n_rows long, l1_drift double",
+            [(int(batch_id), int(n), float(round(l1, 6)), float(round(psi, 6)))],
+            "batch_id long, n_rows long, l1_drift double, psi double",
         ).write.mode("append").parquet(log_path)
 
     return (

@@ -6836,8 +6836,9 @@ def nation_copurchase_lift(spark: SparkSession, sf: str) -> DataFrame:
 # North-star text analysis — distribution shift between corpus slices:
 # KL divergence of each source's unigram token distribution from the
 # whole corpus (domain skew / template contamination monitor). Operator:
-# operators/text.py:token_kl_divergence (single explode, token-keyed
-# reductions + join, broadcast slice totals; nothing driver-side).
+# operators/text.py:token_kl_divergence (ONE pass, zero joins: single
+# explode, window-sum totals, corpus total via the sum-p=1 identity;
+# nothing driver-side).
 @_q(
     "source_token_kl",
     r"""
@@ -6911,6 +6912,67 @@ def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     ref = ev.filter(F.col("ts") < split).select("value")
     cur = ev.filter(F.col("ts") >= split).select("value")
     return psi_drift(ref, cur, value_col="value", n_bins=10).orderBy("bin")
+
+
+# Feature-profiling completeness — all-pairs Pearson correlation in one
+# aggregate pass (collinearity screen; operators/profiling.py:
+# correlation_matrix: distributive corr sums -> single scan, 1-row
+# reduce, stack pivot).
+@_q(
+    "lineitem_correlations",
+    """
+    WITH m AS (
+        SELECT round(corr(l_quantity, l_extendedprice), 6) AS c0,
+               round(corr(l_quantity, l_discount), 6) AS c1,
+               round(corr(l_quantity, l_tax), 6) AS c2,
+               round(corr(l_extendedprice, l_discount), 6) AS c3,
+               round(corr(l_extendedprice, l_tax), 6) AS c4,
+               round(corr(l_discount, l_tax), 6) AS c5
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c0 AS corr FROM m
+    UNION ALL SELECT 'l_quantity', 'l_discount', c1 FROM m
+    UNION ALL SELECT 'l_quantity', 'l_tax', c2 FROM m
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', c3 FROM m
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM m
+    UNION ALL SELECT 'l_discount', 'l_tax', c5 FROM m
+    """,
+)
+def lineitem_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import correlation_matrix
+
+    li = load_table(spark, sf, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+# Time-series profiling — weekly seasonality heatmap (load/engagement
+# baseline; operators/timeseries.py:seasonality_profile: <=168-group
+# map-side-heavy aggregate, overall mean from the SAME aggregate via a
+# broadcast one-row cross join). dow is Spark's dayofweek (1=Sunday);
+# the oracle shifts DuckDB's 0-based convention to match.
+@_q(
+    "events_seasonality",
+    """
+    WITH cells AS (
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hod,
+               count(*) AS n_events, sum(value) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    o AS (SELECT sum(s) / sum(n_events) AS overall FROM cells)
+    SELECT dow, hod, CAST(n_events AS BIGINT) AS n_events,
+           round(s / n_events, 4) AS avg_value,
+           round(s / n_events - o.overall, 4) AS dev_from_overall
+    FROM cells CROSS JOIN o
+    ORDER BY dow, hod
+    """,
+)
+def events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.timeseries import seasonality_profile
+
+    events = load_table(spark, sf, "events")
+    return seasonality_profile(events).orderBy("dow", "hod")
 
 
 # ================================================ driver-check rotation ====
@@ -7146,7 +7208,7 @@ def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
 # events_psi_drift). Then ALL 27 queries whose latest green record is
 # round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
 # r5+r6, so the r2/r3-green cohort is now the stalest on record).
-# The 3 remaining slots go to the alphabetical head of the r5-green
+# The remaining slot goes to the alphabetical head of the r5-green
 # cohort. Rotated out: the full round-6 window (all green in r6, most
 # twice-green r5+r6) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
@@ -7155,6 +7217,7 @@ _CHECK_PRIORITY = [
     # never driver-checked: round-6 + round-7 additions
     "dsir_selected_docs", "event_attribution", "ivf_cosine_search",
     "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
+    "lineitem_correlations", "events_seasonality",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7172,7 +7235,7 @@ _CHECK_PRIORITY = [
     "mixture_resample_docs", "supplier_pagerank", "upsample_repeat_docs",
     "vocab_coverage", "weighted_sample_docs",
     # filler from the round-5-green cohort (alphabetical head)
-    "bloom_decontaminated_docs", "bm25_search", "bpe_compression",
+    "bloom_decontaminated_docs",
 ]
 
 

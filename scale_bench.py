@@ -285,6 +285,13 @@ def main() -> None:
             # lead window + pair groupBy — both shuffle on user_id only
             f"event_funnel_{evk}": lambda: _funnel(evs),
             f"event_transitions_{evk}": lambda: _transitions(evs),
+            # round-7 additions at corpus scale — basket self-join keyed
+            # on user_id (bounded item set), full-vocab KL (token-keyed
+            # reductions), and expression-fold PSI binning: all shapes
+            # whose cost must track corpus size linearly
+            f"copurchase_lift_{evk}": lambda: _copurchase(evs),
+            f"token_kl_{dk}": lambda: _token_kl(docs),
+            f"psi_drift_{evk}": lambda: _psi(evs),
             f"repetition_features_{dk}": lambda: repetition_features(docs),
             f"quality_features_{dk}": lambda: quality_features(docs),
             f"pack_sequences_{dk}": lambda: pack_sequences(docs),
@@ -343,6 +350,32 @@ def main() -> None:
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
         extras: dict[str, float] = {}
+
+        def _copurchase(e):
+            from mcp_hubspot_spark.operators.analytics import copurchase_lift
+
+            return copurchase_lift(
+                e.select("user_id", "event_type"),
+                basket_col="user_id",
+                item_col="event_type",
+                min_pair_count=2,
+            )
+
+        def _token_kl(d):
+            from mcp_hubspot_spark.operators.text import token_kl_divergence
+
+            return token_kl_divergence(d, slice_col="source")
+
+        def _psi(e):
+            from mcp_hubspot_spark.operators.profiling import psi_drift
+
+            split = F.lit("2024-01-16").cast("timestamp")
+            return psi_drift(
+                e.filter(F.col("ts") < split).select("value"),
+                e.filter(F.col("ts") >= split).select("value"),
+                value_col="value",
+                n_bins=10,
+            )
 
         def run_special(name, fn, n_out):
             """Time a driver-loop case (returns plain rows / python values

@@ -2149,3 +2149,49 @@ def test_psi_drift_identical_slices_zero_and_shift_positive(spark):
     assert total > 0.25  # "drifted" by the usual PSI convention
     # cur mass has left the low bins: present bins only (inner join)
     assert all(r.n_cur > 0 for r in drift)
+
+
+def test_correlation_matrix_hand_computed(spark):
+    """y = 2x exactly (corr 1), z = -x (corr -1), w independent-ish:
+    the single-pass matrix returns every unordered pair once with
+    col_a before col_b in the requested order."""
+    from mcp_hubspot_spark.operators.profiling import correlation_matrix
+
+    rows = [(float(i), 2.0 * i, -float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {
+        (r.col_a, r.col_b): r.corr
+        for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        correlation_matrix(df, ["x"])
+
+
+def test_seasonality_profile_hand_computed(spark):
+    """Two cells: Sunday 00h (values 1, 3 → avg 2) and Monday 05h
+    (value 8). Overall mean = 4; deviations are avg − overall. dow is
+    Spark's 1=Sunday convention."""
+    from mcp_hubspot_spark.operators.timeseries import seasonality_profile
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-07 00:10:00", 1.0),   # Sunday
+            ("2024-01-07 00:50:00", 3.0),   # Sunday
+            ("2024-01-08 05:30:00", 8.0),   # Monday
+        ],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp"), "value")
+    out = {(r.dow, r.hod): r for r in seasonality_profile(df).collect()}
+    assert set(out) == {(1, 0), (2, 5)}
+    sun = out[(1, 0)]
+    assert sun.n_events == 2 and sun.avg_value == 2.0
+    assert sun.dev_from_overall == -2.0
+    mon = out[(2, 5)]
+    assert mon.n_events == 1 and mon.avg_value == 8.0
+    assert mon.dev_from_overall == 4.0

@@ -619,3 +619,79 @@ def test_attribution_join_is_user_keyed_not_cartesian(spark):
     plan = plan_of(QUERIES["event_attribution"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _n_nodes(plan: str, name: str) -> int:
+    """Count physical-plan NODES by their detail-section headers
+    ("(N) <name>") — the tree section repeats each node, so a plain
+    substring count double-counts."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(name)}", plan, re.M))
+
+
+def test_correlation_matrix_single_scan_pruned(spark):
+    """The all-pairs correlation matrix is ONE partial-agg pass: a
+    single pruned parquet scan (only the 4 profiled columns), no join,
+    no second scan — the k²-expressions-not-k²-passes contract."""
+    plan = plan_of(QUERIES["lineitem_correlations"](spark, SF))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        assert c in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_seasonality_single_scan_no_reshuffle_join(spark):
+    """Seasonality profile: the events scan feeds one (dow, hod)
+    aggregate; the overall mean joins back as a BROADCAST nested-loop
+    of a one-row aggregate (no shuffle join), and only ts/value are
+    read."""
+    plan = plan_of(QUERIES["events_seasonality"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row overall, broadcast
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "ts" in read_schema and "value" in read_schema
+    assert "event_type" not in read_schema and "props" not in read_schema
+
+
+def test_copurchase_broadcast_dims_no_cartesian(spark):
+    """Market-basket lift: supplier/nation dimension lookups broadcast;
+    the only nested-loop joins are the bounded one-row totals (basket
+    count) — never a data×data cartesian; pair expansion is expression-
+    side (no self-join of the basket table on itself)."""
+    plan = plan_of(QUERIES["nation_copurchase_lift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # dims + supports
+    # pair generation is an explode over the per-basket array, not a
+    # basket-table self-join: no join keyed on the basket id survives
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_kl_single_pass_no_joins(spark):
+    """Token-KL: ONE pass — a single explode over a single pruned
+    documents scan, slice/corpus totals via window sums (no join
+    branches that would each re-run the explode), the corpus total a
+    window over the final per-slice rows. No join of any kind."""
+    plan = plan_of(QUERIES["source_token_kl"](spark, SF))
+    assert _n_nodes(plan, "Generate") == 1
+    assert _n_nodes(plan, "Scan parquet") == 1
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "n_chars" not in read_schema
+
+
+def test_psi_drift_expression_binning_no_shuffle_join(spark):
+    """PSI: the decile cutoffs are a one-row aggregate broadcast onto
+    both slices (nested-loop of a 1-row side); binning adds NO join —
+    the only equi-join in the plan is the 10-row bin-to-bin merge."""
+    plan = plan_of(QUERIES["events_psi_drift"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # bin join is broadcast-sized
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" in read_schema and "ts" in read_schema
+    assert "user_id" not in read_schema

@@ -504,13 +504,17 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
         log_path=log, checkpoint_dir=str(tmp_path / "ckpt"),
     )
     q.awaitTermination(120)
-    rows = sorted(
-        ((r.n_rows, r.l1_drift) for r in spark.read.parquet(log).collect())
-    )
-    drifts = sorted(d for _, d in rows)
-    assert len(rows) >= 2
+    logged = spark.read.parquet(log).collect()
+    drifts = sorted(r.l1_drift for r in logged)
+    assert len(logged) >= 2
     assert drifts[0] < 0.05      # in-distribution batch
     assert drifts[-1] > 1.0      # fully shifted batch (disjoint support)
+    # the smoothed-PSI column (online twin of operators.profiling
+    # .psi_drift) ranks the batches the same way, and the disjoint-
+    # support batch lands deep in "drifted" (> 0.25 by convention)
+    psis = sorted(r.psi for r in logged)
+    assert psis[0] < 0.01
+    assert psis[-1] > 0.25
 
 
 def test_histogram_fractions_empty_reference_raises(spark):
