@@ -352,3 +352,132 @@ def copurchase_lift(
             ).alias("lift"),
         )
     )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    k: int = 10,
+) -> DataFrame:
+    """Offline search-quality evaluation over ranked result lists: for
+    each query, NDCG@k (graded relevance, log2 discount), MRR (first
+    rank with rel > 0), and precision@k (fraction of the top-k with
+    rel > 0) — the standard triple for comparing retrieval variants
+    (BM25 vs hybrid vs ANN) on a labeled set. ``ranked`` has one row
+    per (query, result) with a 1-based ``rank`` and a numeric graded
+    relevance; rows beyond ``rank`` k are ignored. Returns one row per
+    query: (query, ndcg_at_k, mrr, precision_at_k), rounded to 6 dp.
+
+    IDCG uses the query's own relevance grades re-sorted descending
+    (the standard formulation), computed with a rank-over-relevance
+    window — both windows partition on the query key, so the whole
+    computation is ONE shuffle on ``query_col`` and a per-query
+    aggregate; no joins, nothing driver-side. A query with no relevant
+    result in its list gets ndcg/mrr/precision 0, not NULL.
+    """
+    r = ranked.select(
+        F.col(query_col).alias("query"),
+        F.col(rank_col).cast("int").alias("_rank"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).filter(F.col("_rank") <= k)
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.col("_rel").desc(), F.col("_rank").asc()
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+    dcg_term = gain / F.log2(F.col("_rank") + F.lit(1.0))
+    ideal_term = gain / F.log2(
+        F.row_number().over(w_ideal) + F.lit(1.0)
+    )
+    rr = F.when(
+        F.col("_rel") > 0, F.lit(1.0) / F.col("_rank")
+    ).otherwise(F.lit(0.0))
+    per_q = (
+        r.withColumn("_dcg", dcg_term)
+        .withColumn("_idcg", ideal_term)
+        .withColumn("_rr", rr)
+        .groupBy("query")
+        .agg(
+            F.sum("_dcg").alias("_sdcg"),
+            F.sum("_idcg").alias("_sidcg"),
+            F.max("_rr").alias("_mrr"),
+            (
+                F.sum((F.col("_rel") > 0).cast("int")) / F.lit(float(k))
+            ).alias("_prec"),
+        )
+    )
+    ndcg = F.when(
+        F.col("_sidcg") > 0, F.col("_sdcg") / F.col("_sidcg")
+    ).otherwise(F.lit(0.0))
+    return per_q.select(
+        "query",
+        F.round(ndcg, 6).alias("ndcg_at_k"),
+        F.round("_mrr", 6).alias("mrr"),
+        F.round("_prec", 6).alias("precision_at_k"),
+    )
+
+
+def session_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    k: int = 20,
+) -> DataFrame:
+    """Path mining: the top-``k`` most frequent length-``n`` consecutive
+    event-type sequences WITHIN sessions (gap-based sessionization,
+    ``gap_s`` idle threshold) — "what do users actually do next, two
+    steps out", the n-gram generalization of :func:`transition_matrix`.
+    Returns (path, n_occurrences) with the path rendered as
+    ``a>b>c``; ties break on the path string ascending.
+
+    Plan shape: ONE shuffle on the user key serves everything — the
+    gap-flag lag window, the running session-id sum, and the n−1 lead
+    windows all share the same (user, ts, order) sort, so Catalyst
+    plans a single Exchange+Sort; an n-gram is emitted only when all
+    n events share a session id (leads cross session boundaries are
+    nulled out). The count groupBy is keyed on the path — bounded by
+    |types|^n — and the final top-k is a TakeOrderedAndProject.
+    """
+    if n < 2:
+        raise ValueError("session_path_ngrams needs n >= 2")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_col).asc()
+    )
+    new_sess = (
+        F.col(ts_col).cast("long")
+        - F.lag(F.col(ts_col).cast("long")).over(w)
+        > F.lit(int(gap_s))
+    )
+    sess = F.sum(
+        F.when(new_sess, 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = events.select(
+        user_col, ts_col, order_col,
+        F.col(type_col).alias("_t0"),
+        sess.alias("_sess"),
+    )
+    cols = [F.col("_t0")]
+    same = F.lit(True)
+    for i in range(1, n):
+        cols.append(F.lead("_t0", i).over(w).alias(f"_t{i}"))
+        same = same & (
+            F.lead("_sess", i).over(w) == F.col("_sess")
+        )
+    grams = (
+        r.select(*cols, same.alias("_ok"))
+        .filter(F.col("_ok") & F.col(f"_t{n-1}").isNotNull())
+        .select(
+            F.concat_ws(">", *[f"_t{i}" for i in range(n)]).alias("path")
+        )
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(k)
+    )

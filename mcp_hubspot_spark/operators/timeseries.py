@@ -180,3 +180,62 @@ def seasonality_profile(
         F.round(avg, 4).alias("avg_value"),
         F.round(avg - F.col("_overall"), 4).alias("dev_from_overall"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 20,
+    min_cell_n: int = 2,
+) -> DataFrame:
+    """Seasonality-adjusted anomaly scoring: each event's z-score
+    against its OWN (day-of-week, hour-of-day) cell's mean/stddev —
+    "is 3 a.m. Sunday traffic weird *for 3 a.m. Sunday*" — returning
+    the top-``k`` |z| events (ties break on ``id_col`` ascending).
+    The anomaly-detection consumer of :func:`seasonality_profile`'s
+    baseline; cells with fewer than ``min_cell_n`` events or zero
+    variance are skipped (a singleton's z-score is undefined).
+
+    Scale shape: the ≤168-row cell-stats aggregate joins back onto the
+    events as a BROADCAST hash join (no shuffle on the event side
+    beyond the final top-k), and the top-k is the standard
+    TakeOrderedAndProject partial — per-partition heads merged on the
+    driver, never a global sort. Sample stddev (n−1), matching SQL
+    ``stddev``.
+    """
+    from pyspark.sql import Window as _W  # noqa: F401  (symmetry w/ module)
+
+    cell = [
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hod"),
+    ]
+    stats = (
+        df.select(*cell, F.col(value_col).cast("double").alias("_v"))
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg("_v").alias("_mean"),
+            F.stddev("_v").alias("_std"),
+        )
+        .filter((F.col("_n") >= min_cell_n) & (F.col("_std") > 0))
+    )
+    z = (F.col(value_col).cast("double") - F.col("_mean")) / F.col("_std")
+    return (
+        df.select(
+            F.col(id_col),
+            *cell,
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .join(F.broadcast(stats), ["dow", "hod"])
+        .select(
+            id_col,
+            "dow",
+            "hod",
+            value_col,
+            F.round(z, 4).alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), F.col(id_col).asc())
+        .limit(k)
+    )

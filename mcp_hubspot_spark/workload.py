@@ -6975,6 +6975,146 @@ def events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
     return seasonality_profile(events).orderBy("dow", "hod")
 
 
+# Search-quality evaluation harness — NDCG@k / MRR / precision@k over
+# ranked lists (operators/analytics.py:ranking_metrics — one shuffle on
+# the query key, windowed IDCG, no joins). Ranked input here: each
+# customer's orders ranked by price, graded relevance from the order
+# priority — a deterministic labeled set the oracle can rebuild.
+@_q(
+    "order_ranking_quality",
+    """
+    WITH ranked AS (
+        SELECT o_custkey AS query,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rank,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 2.0
+                    WHEN o_orderpriority = '2-HIGH' THEN 1.0
+                    ELSE 0.0 END AS rel
+        FROM orders
+        WHERE o_custkey < 200
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 10),
+    ideal AS (
+        SELECT query, rel, rank,
+               row_number() OVER (
+                   PARTITION BY query ORDER BY rel DESC, rank ASC
+               ) AS irank
+        FROM topk
+    ),
+    agg AS (
+        SELECT query,
+               sum((pow(2.0, rel) - 1) / log2(rank + 1.0)) AS sdcg,
+               sum((pow(2.0, rel) - 1) / log2(irank + 1.0)) AS sidcg,
+               max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr0,
+               sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) / 10.0 AS prec0
+        FROM ideal GROUP BY query
+    )
+    SELECT query,
+           round(CASE WHEN sidcg > 0 THEN sdcg / sidcg ELSE 0.0 END, 6)
+               AS ndcg_at_k,
+           round(mrr0, 6) AS mrr,
+           round(prec0, 6) AS precision_at_k
+    FROM agg
+    ORDER BY query
+    """,
+)
+def order_ranking_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import ranking_metrics
+
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        F.col("o_custkey").alias("query_id"),
+        F.row_number().over(w).alias("rank"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2.0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+    )
+    return ranking_metrics(ranked, k=10).orderBy("query")
+
+
+# Seasonality-adjusted anomaly detection — each event z-scored against
+# its OWN (dow, hod) cell baseline (operators/timeseries.py:
+# seasonal_anomalies — 168-row stats broadcast join + top-k partial).
+@_q(
+    "events_seasonal_anomalies",
+    """
+    WITH e AS (
+        SELECT event_id, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, value
+        FROM events
+    ),
+    stats AS (
+        SELECT dow, hod, count(*) AS n, avg(value) AS m,
+               stddev_samp(value) AS sd
+        FROM e GROUP BY dow, hod
+        HAVING count(*) >= 2 AND stddev_samp(value) > 0
+    )
+    SELECT e.event_id, e.dow, e.hod, e.value,
+           round((e.value - s.m) / s.sd, 4) AS z_score
+    FROM e JOIN stats s ON e.dow = s.dow AND e.hod = s.hod
+    ORDER BY abs(round((e.value - s.m) / s.sd, 4)) DESC, e.event_id ASC
+    LIMIT 20
+    """,
+)
+def events_seasonal_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.timeseries import seasonal_anomalies
+
+    events = load_table(spark, sf, "events")
+    return seasonal_anomalies(events, k=20)
+
+
+# Path mining — top within-session consecutive event-type trigrams
+# (operators/analytics.py:session_path_ngrams — one user-key shuffle
+# shared by the gap/session/lead windows, |types|^n-bounded groupBy).
+@_q(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM seq
+    ),
+    led AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               sid,
+               lead(sid, 1) OVER w AS s1,
+               lead(sid, 2) OVER w AS s2
+        FROM sess
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM led
+    WHERE t2 IS NOT NULL AND s1 = sid AND s2 = sid
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path ASC
+    LIMIT 20
+    """,
+)
+def event_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import session_path_ngrams
+
+    events = load_table(spark, sf, "events")
+    return session_path_ngrams(events, n=3, gap_s=1800, k=20)
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -7208,8 +7348,11 @@ def events_seasonality(spark: SparkSession, sf: str) -> DataFrame:
 # events_psi_drift). Then ALL 27 queries whose latest green record is
 # round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
 # r5+r6, so the r2/r3-green cohort is now the stalest on record).
-# The remaining slot goes to the alphabetical head of the r5-green
-# cohort. Rotated out: the full round-6 window (all green in r6, most
+# With 11 never-checked additions the 50 slots leave room for 39 of
+# the 41 r2/r3-green queries: global_shuffle_docs, upsample_repeat_docs,
+# and the r5 filler rotate behind (sampling family covered in-window by
+# mixture_resample_docs, weighted_sample_docs, doc_hash_split).
+# Rotated out: the full round-6 window (all green in r6, most
 # twice-green r5+r6) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
 # which run ALL oracle-gated queries regardless of window.
@@ -7218,6 +7361,8 @@ _CHECK_PRIORITY = [
     "dsir_selected_docs", "event_attribution", "ivf_cosine_search",
     "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
     "lineitem_correlations", "events_seasonality",
+    "order_ranking_quality", "events_seasonal_anomalies",
+    "event_path_trigrams",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7231,11 +7376,9 @@ _CHECK_PRIORITY = [
     # next-stalest: latest green record is round 3
     "big_order_customers", "customer_spend_percentile", "doc_hash_split",
     "embedding_row_stats", "events_asof_click", "events_sessionized",
-    "global_shuffle_docs", "kmv_distinct_users", "media_frame_sample",
-    "mixture_resample_docs", "supplier_pagerank", "upsample_repeat_docs",
+    "kmv_distinct_users", "media_frame_sample",
+    "mixture_resample_docs", "supplier_pagerank",
     "vocab_coverage", "weighted_sample_docs",
-    # filler from the round-5-green cohort (alphabetical head)
-    "bloom_decontaminated_docs",
 ]
 
 

@@ -292,6 +292,8 @@ def main() -> None:
             f"copurchase_lift_{evk}": lambda: _copurchase(evs),
             f"token_kl_{dk}": lambda: _token_kl(docs),
             f"psi_drift_{evk}": lambda: _psi(evs),
+            f"path_trigrams_{evk}": lambda: _trigrams(evs),
+            f"seasonal_anomalies_{evk}": lambda: _anomalies(evs),
             f"repetition_features_{dk}": lambda: repetition_features(docs),
             f"quality_features_{dk}": lambda: quality_features(docs),
             f"pack_sequences_{dk}": lambda: pack_sequences(docs),
@@ -376,6 +378,20 @@ def main() -> None:
                 value_col="value",
                 n_bins=10,
             )
+
+        def _trigrams(e):
+            from mcp_hubspot_spark.operators.analytics import (
+                session_path_ngrams,
+            )
+
+            return session_path_ngrams(e, n=3, gap_s=1800, k=20)
+
+        def _anomalies(e):
+            from mcp_hubspot_spark.operators.timeseries import (
+                seasonal_anomalies,
+            )
+
+            return seasonal_anomalies(e, k=20)
 
         def run_special(name, fn, n_out):
             """Time a driver-loop case (returns plain rows / python values

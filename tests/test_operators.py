@@ -2195,3 +2195,81 @@ def test_seasonality_profile_hand_computed(spark):
     mon = out[(2, 5)]
     assert mon.n_events == 1 and mon.avg_value == 8.0
     assert mon.dev_from_overall == 4.0
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """Query A: ranked rels [2, 0, 1] at k=3. DCG = 3/1 + 0 + 1/2 = 3.5;
+    IDCG (rels 2,1,0) = 3 + 1/log2(3) ≈ 3.6309; MRR = 1 (rank 1
+    relevant); precision@3 = 2/3. Query B has no relevant docs → all
+    zeros (not NULL)."""
+    import math
+
+    from mcp_hubspot_spark.operators.analytics import ranking_metrics
+
+    rows = [
+        ("a", 1, 2.0), ("a", 2, 0.0), ("a", 3, 1.0),
+        ("b", 1, 0.0), ("b", 2, 0.0),
+        ("a", 4, 9.0),  # beyond k: ignored
+    ]
+    df = spark.createDataFrame(rows, "query_id string, rank int, rel double")
+    out = {r.query: r for r in ranking_metrics(df, k=3).collect()}
+    dcg = 3.0 + 0.0 + 1.0 / 2.0
+    idcg = 3.0 + 1.0 / math.log2(3.0)
+    assert abs(out["a"].ndcg_at_k - round(dcg / idcg, 6)) < 1e-9
+    assert out["a"].mrr == 1.0
+    assert abs(out["a"].precision_at_k - round(2 / 3, 6)) < 1e-9
+    b = out["b"]
+    assert (b.ndcg_at_k, b.mrr, b.precision_at_k) == (0.0, 0.0, 0.0)
+
+
+def test_seasonal_anomalies_hand_computed(spark):
+    """One Sunday-00h cell with values [10, 10, 10, 22]: mean 13,
+    sample std 6 → the 22 scores z = 1.5 and tops the list; singleton
+    and zero-variance cells are excluded entirely."""
+    from mcp_hubspot_spark.operators.timeseries import seasonal_anomalies
+
+    rows = [
+        (1, "2024-01-07 00:01:00", 10.0),
+        (2, "2024-01-07 00:02:00", 10.0),
+        (3, "2024-01-07 00:03:00", 10.0),
+        (4, "2024-01-07 00:04:00", 22.0),
+        (5, "2024-01-08 09:00:00", 99.0),   # singleton cell: excluded
+        (6, "2024-01-09 10:00:00", 5.0),    # zero-variance cell:
+        (7, "2024-01-09 10:30:00", 5.0),    # excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp"), "value")
+    out = seasonal_anomalies(df, k=10).collect()
+    assert [r.event_id for r in out] == [4, 1, 2, 3]
+    assert out[0].z_score == 1.5 and out[0].dow == 1 and out[0].hod == 0
+    assert out[1].z_score == -0.5
+
+
+def test_session_path_ngrams_hand_computed(spark):
+    """One user, two sessions split by a >30 min gap: a>b>c occurs in
+    session 1 only; the cross-boundary c>a>b gram is suppressed."""
+    from mcp_hubspot_spark.operators.analytics import session_path_ngrams
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a"),
+        (1, "2024-01-01 10:05:00", 2, "b"),
+        (1, "2024-01-01 10:10:00", 3, "c"),
+        (1, "2024-01-01 12:00:00", 4, "a"),  # new session
+        (1, "2024-01-01 12:01:00", 5, "b"),
+        (1, "2024-01-01 12:02:00", 6, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp"), "event_id", "event_type")
+    out = {r.path: r.n_occurrences for r in session_path_ngrams(df, n=3).collect()}
+    assert out == {"a>b>c": 2, "b>c>a": 0} or out == {"a>b>c": 2}
+    bigrams = {
+        r.path: r.n_occurrences
+        for r in session_path_ngrams(df, n=2).collect()
+    }
+    assert bigrams == {"a>b": 2, "b>c": 2}
+    import pytest
+
+    with pytest.raises(ValueError, match="n >= 2"):
+        session_path_ngrams(df, n=1)

@@ -695,3 +695,38 @@ def test_psi_drift_expression_binning_no_shuffle_join(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "value" in read_schema and "ts" in read_schema
     assert "user_id" not in read_schema
+
+
+def test_ranking_metrics_one_shuffle_no_joins(spark):
+    """NDCG/MRR/precision: both windows and the final aggregate key on
+    the query column — one Exchange on it, no join of any kind."""
+    plan = plan_of(QUERIES["order_ranking_quality"](spark, SF))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_seasonal_anomalies_broadcast_stats_topk(spark):
+    """Anomaly scoring: the 168-row cell stats join back BROADCAST (the
+    event side never shuffles for the join) and the top-k is the
+    TakeOrderedAndProject partial, not a global sort."""
+    plan = plan_of(QUERIES["events_seasonal_anomalies"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_path_ngrams_single_user_exchange(spark):
+    """Path mining: the gap window, session-id running sum, and the
+    lead windows all share one (user) sort — exactly one Exchange
+    carries the user key; no joins."""
+    plan = plan_of(QUERIES["event_path_trigrams"](spark, SF))
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+    user_exchanges = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning(user_id" in l
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
