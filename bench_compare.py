@@ -1,0 +1,75 @@
+"""Round-over-round bench regression report.
+
+Compares two BENCH_LOCAL_r*.json artifacts (written by
+``SPARK_GRAFT_BENCH_ALL=1 python bench.py``) and prints per-query moves
+beyond a threshold, plus the added/removed query sets — the 30-second
+answer to "did anything actually regress this round, or is it the usual
+sub-second noise band".
+
+Usage:
+    python bench_compare.py BENCH_LOCAL_r06.json BENCH_LOCAL_r07.json \
+        [--threshold 0.3] [--min-sec 0.5]
+
+Queries faster than ``--min-sec`` in BOTH rounds are suppressed by
+default: their round-to-round variance routinely exceeds any real
+effect (codegen/GC jitter dominates under ~0.5 s on local[32]), which
+is exactly the noise band previous rounds' verdicts kept re-flagging.
+Exit code is 0 always — this is a report, not a gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=0.3,
+                    help="relative move to report (0.3 = ±30%%)")
+    ap.add_argument("--min-sec", type=float, default=0.5,
+                    help="suppress queries below this in both rounds")
+    args = ap.parse_args()
+
+    a = json.load(open(args.old))
+    b = json.load(open(args.new))
+    qa, qb = a["queries"], b["queries"]
+    common = sorted(set(qa) & set(qb))
+
+    print(f"old: {args.old}  total={a['value']}s  n={len(qa)}")
+    print(f"new: {args.new}  total={b['value']}s  n={len(qb)}")
+    both_total_old = round(sum(qa[q] for q in common), 2)
+    both_total_new = round(sum(qb[q] for q in common), 2)
+    print(
+        f"common {len(common)} queries: {both_total_old}s -> "
+        f"{both_total_new}s "
+        f"({(both_total_new / both_total_old - 1) * 100:+.1f}%)"
+    )
+    added = sorted(set(qb) - set(qa))
+    removed = sorted(set(qa) - set(qb))
+    if added:
+        print(f"added ({len(added)}): "
+              + ", ".join(f"{q}={qb[q]}s" for q in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+
+    moves = []
+    for q in common:
+        o, n = qa[q], qb[q]
+        if max(o, n) < args.min_sec:
+            continue
+        rel = n / o - 1 if o > 0 else float("inf")
+        if abs(rel) >= args.threshold:
+            moves.append((rel, q, o, n))
+    if not moves:
+        print(f"no moves beyond ±{args.threshold:.0%} "
+              f"(>{args.min_sec}s queries)")
+    for rel, q, o, n in sorted(moves, key=lambda t: -abs(t[0])):
+        tag = "REGRESSED" if rel > 0 else "improved"
+        print(f"  {tag:9s} {q:32s} {o:7.3f}s -> {n:7.3f}s ({rel:+.0%})")
+
+
+if __name__ == "__main__":
+    main()

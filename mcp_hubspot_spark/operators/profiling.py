@@ -294,3 +294,46 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
             f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
         )
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew profiler: the top-``k`` heaviest values of
+    ``key_col`` with their row counts, share of the table, and ratio to
+    the mean per-key load — the planning report behind every salting /
+    AQE-skew-join decision at cluster scale ("is one customer 40% of
+    the fact table?"). Returns (key rendered as string, n_rows, share,
+    x_mean), floats rounded to 6 dp, ordered heaviest first with the
+    key string as tiebreaker.
+
+    Scale shape: one groupBy on the key (map-side combined), a
+    TakeOrderedAndProject top-k partial over the per-key counts, and
+    the (total, n_keys) denominators from a broadcast one-row
+    aggregate of the SAME per-key grain — never a second scan of the
+    table, nothing driver-side. NULL keys count as a real group
+    (rendered "NULL"): an all-NULL join key is the most common skew
+    bug there is.
+    """
+    per_key = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("NULL")).alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_n_keys")), 6
+            ).alias("x_mean"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(k)
+    )

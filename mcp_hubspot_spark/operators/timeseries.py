@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["resample_locf"]
+__all__ = [
+    "resample_locf",
+    "scd2_intervals",
+    "seasonality_profile",
+    "seasonal_anomalies",
+]
 
 
 def _bucket_ceil(ts: Column, step_s: int) -> Column:

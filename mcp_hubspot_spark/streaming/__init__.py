@@ -10,6 +10,7 @@ from .monitor import histogram_fractions, stream_drift_monitor
 from .stateful import (
     first_seen_dedup,
     running_user_totals,
+    streaming_cms,
     streaming_kmv_distinct,
     streaming_quantile_sketch,
     watermarked_dedup,
@@ -27,6 +28,7 @@ __all__ = [
     "stream_drift_monitor",
     "first_seen_dedup",
     "running_user_totals",
+    "streaming_cms",
     "streaming_kmv_distinct",
     "streaming_quantile_sketch",
     "watermarked_dedup",

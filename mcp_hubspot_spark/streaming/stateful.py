@@ -296,3 +296,97 @@ def streaming_quantile_sketch(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_OUT = StructType(
+    [
+        StructField("row_idx", LongType()),
+        StructField("n_batches", LongType()),
+        StructField("cells", ArrayType(LongType())),
+    ]
+)
+_CMS_STATE = StructType(
+    [
+        StructField("cells", ArrayType(LongType())),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _make_cms_fn(width: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            cells, n_batches = list(state.get[0]), int(state.get[1])
+        else:
+            cells, n_batches = [0] * width, 0
+        for pdf in pdfs:
+            # map-side combine inside the state fn (see docstring)
+            for b, c in pdf.groupby("bucket")["c"].sum().items():
+                cells[int(b)] += int(c)
+        n_batches += 1
+        state.update((cells, n_batches))
+        yield pd.DataFrame(
+            {
+                "row_idx": [key[0]],
+                "n_batches": [n_batches],
+                "cells": [cells],
+            }
+        )
+
+    return fn
+
+
+def streaming_cms(
+    events: DataFrame,
+    term_col: str = "event_type",
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Incrementally maintained count-min sketch: the streaming twin of
+    ``operators.sketch.cms_build``. Each event hashes into its
+    (row_idx, bucket) cells JVM-side (the same ``_cms_bucket`` md5
+    expression as the batch sketch); per-row-idx state is the
+    ``width``-cell vector, merged by plain addition. Because cell-wise
+    sum is ORDER-INDEPENDENT, the drained state equals the batch
+    sketch over the same data exactly — the batch-agreement test
+    compares every cell. State is ``depth × width`` longs TOTAL (a few
+    KB) no matter how long the stream runs — the live form of the
+    sketch's mergeability, and the feeder for heavy-hitter /
+    point-frequency probes without any replay.
+
+    Rows cross the Arrow boundary as per-event (row_idx, bucket, 1)
+    cells — a streaming groupBy pre-aggregation cannot legally chain
+    in front of another stateful operator, so the bucket-count
+    reduction happens inside the state function (a pandas groupby per
+    micro-batch partition, the map-side-combine equivalent).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import _cms_bucket
+
+    t = F.col(term_col)
+    cells = events.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row_idx"),
+                        _cms_bucket(t, j, width, seed).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select(
+        F.col("_cell.row_idx"), F.col("_cell.bucket"), F.lit(1).alias("c")
+    )
+    return cells.groupBy("row_idx").applyInPandasWithState(
+        _make_cms_fn(width),
+        outputStructType=_CMS_OUT,
+        stateStructType=_CMS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -7115,6 +7115,34 @@ def event_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
     return session_path_ngrams(events, n=3, gap_s=1800, k=20)
 
 
+# Scale-planning tooling — shuffle-key skew profiler (operators/
+# profiling.py:skew_report — per-key counts + broadcast one-row
+# denominators + TakeOrderedAndProject; the report behind salting /
+# AQE-skew decisions).
+@_q(
+    "lineitem_suppkey_skew",
+    """
+    WITH per_key AS (
+        SELECT coalesce(CAST(l_suppkey AS VARCHAR), 'NULL') AS key,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM per_key)
+    SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / t.total, 6) AS share,
+           round(n_rows / (t.total / t.n_keys), 6) AS x_mean
+    FROM per_key CROSS JOIN t
+    ORDER BY n_rows DESC, key ASC
+    LIMIT 10
+    """,
+)
+def lineitem_suppkey_skew(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import skew_report
+
+    li = load_table(spark, sf, "lineitem")
+    return skew_report(li, "l_suppkey", k=10)
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -7348,10 +7376,11 @@ def event_path_trigrams(spark: SparkSession, sf: str) -> DataFrame:
 # events_psi_drift). Then ALL 27 queries whose latest green record is
 # round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
 # r5+r6, so the r2/r3-green cohort is now the stalest on record).
-# With 11 never-checked additions the 50 slots leave room for 39 of
+# With 12 never-checked additions the 50 slots leave room for 38 of
 # the 41 r2/r3-green queries: global_shuffle_docs, upsample_repeat_docs,
-# and the r5 filler rotate behind (sampling family covered in-window by
-# mixture_resample_docs, weighted_sample_docs, doc_hash_split).
+# weighted_sample_docs, and the r5 filler rotate behind (sampling
+# family covered in-window by mixture_resample_docs, doc_hash_split,
+# eval-holdout pytests).
 # Rotated out: the full round-6 window (all green in r6, most
 # twice-green r5+r6) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
@@ -7362,7 +7391,7 @@ _CHECK_PRIORITY = [
     "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
     "lineitem_correlations", "events_seasonality",
     "order_ranking_quality", "events_seasonal_anomalies",
-    "event_path_trigrams",
+    "event_path_trigrams", "lineitem_suppkey_skew",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7378,7 +7407,7 @@ _CHECK_PRIORITY = [
     "embedding_row_stats", "events_asof_click", "events_sessionized",
     "kmv_distinct_users", "media_frame_sample",
     "mixture_resample_docs", "supplier_pagerank",
-    "vocab_coverage", "weighted_sample_docs",
+    "vocab_coverage",
 ]
 
 

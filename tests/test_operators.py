@@ -2273,3 +2273,21 @@ def test_session_path_ngrams_hand_computed(spark):
 
     with pytest.raises(ValueError, match="n >= 2"):
         session_path_ngrams(df, n=1)
+
+
+def test_skew_report_hand_computed(spark):
+    """Keys a×6, b×2, NULL×2 over 10 rows with 3 distinct keys: mean
+    load 10/3, so a's x_mean = 6/(10/3) = 1.8; NULL keys are a real
+    'NULL' group; heaviest-first with key tiebreak."""
+    from mcp_hubspot_spark.operators.profiling import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [(None,)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", k=10).collect()
+    assert [(r.key, r.n_rows) for r in out] == [
+        ("a", 6), ("NULL", 2), ("b", 2)
+    ]
+    assert out[0].share == 0.6 and out[0].x_mean == 1.8
+    assert out[1].share == 0.2 and out[1].x_mean == 0.6
+    top1 = skew_report(df, "k", k=1).collect()
+    assert [(r.key, r.n_rows) for r in top1] == [("a", 6)]

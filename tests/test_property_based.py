@@ -327,3 +327,118 @@ def test_transition_matrix_matches_python(spark, rows):
         for r in transition_matrix(df).collect()
     }
     assert got == dict(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=40,
+    ),
+    min_count=st.integers(1, 3),
+)
+def test_copurchase_lift_matches_brute_force(spark, rows, min_count):
+    """Pair counts and lift vs a plain-Python itertools oracle; every
+    pair is emitted once with item_a < item_b."""
+    import itertools
+
+    from mcp_hubspot_spark.operators.analytics import copurchase_lift
+
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {
+        (r.item_a, r.item_b): (r.pair_count, r.count_a, r.count_b, r.lift)
+        for r in copurchase_lift(df, "basket", "item", min_pair_count=min_count).collect()
+    }
+    baskets: dict[int, set] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    n = len(baskets)
+    item_n: dict[str, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for i in items:
+            item_n[i] = item_n.get(i, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    want = {
+        p: (
+            c,
+            item_n[p[0]],
+            item_n[p[1]],
+            round(c * n / (item_n[p[0]] * item_n[p[1]]), 6),
+        )
+        for p, c in pair_n.items()
+        if c >= min_count
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ranked=st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0.0, 3.0, width=16)),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(1, 8),
+)
+def test_ranking_metrics_bounds_and_perfect_order(spark, ranked, k):
+    """NDCG/MRR/precision all land in [0, 1]; re-ranking each query's
+    list by descending relevance yields NDCG exactly 1 for queries
+    with any positive relevance (the ideal ordering is its own IDCG)."""
+    from mcp_hubspot_spark.operators.analytics import ranking_metrics
+
+    per_q: dict[int, list] = {}
+    for q, rel in ranked:
+        per_q.setdefault(q, []).append(rel)
+    rows = [
+        (q, i + 1, rel)
+        for q, rels in per_q.items()
+        for i, rel in enumerate(rels)
+    ]
+    df = spark.createDataFrame(rows, "query_id long, rank int, rel double")
+    for r in ranking_metrics(df, k=k).collect():
+        for v in (r.ndcg_at_k, r.mrr, r.precision_at_k):
+            assert 0.0 <= v <= 1.0
+    ideal_rows = [
+        (q, i + 1, rel)
+        for q, rels in per_q.items()
+        for i, rel in enumerate(sorted(rels, reverse=True))
+    ]
+    ideal = spark.createDataFrame(
+        ideal_rows, "query_id long, rank int, rel double"
+    )
+    for r in ranking_metrics(ideal, k=k).collect():
+        has_rel = any(x > 0 for x in sorted(per_q[r.query], reverse=True)[:k])
+        assert r.ndcg_at_k == (1.0 if has_rel else 0.0)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ref=st.lists(st.floats(0.0, 100.0, width=16), min_size=30, max_size=80),
+    cur=st.lists(st.floats(0.0, 100.0, width=16), min_size=30, max_size=80),
+)
+def test_psi_drift_nonnegative_total(spark, ref, cur):
+    """Every PSI term (p−q)·ln(p/q) is individually >= 0, so the total
+    is too; identical slices give exactly 0 in every bin."""
+    from mcp_hubspot_spark.operators.profiling import psi_drift
+
+    rdf = spark.createDataFrame([(v,) for v in ref], "value double")
+    cdf = spark.createDataFrame([(v,) for v in cur], "value double")
+    out = psi_drift(rdf, cdf, "value", n_bins=5).collect()
+    assert all(r.psi_term >= 0.0 for r in out)
+    same = psi_drift(rdf, rdf, "value", n_bins=5).collect()
+    assert all(r.psi_term == 0.0 for r in same)

@@ -616,3 +616,50 @@ def test_streaming_quantile_sketch_agrees_with_batch(spark, tmp_path):
             n, v = got[(et, qq)]
             assert v == wv, (et, qq, v, wv)
             assert n <= 64
+
+
+def test_streaming_cms_agrees_with_batch_sketch(spark, tmp_path):
+    """Incremental CMS: cell-wise sums are order-independent, so the
+    drained per-row state equals the batch cms_build over the same
+    rows CELL FOR CELL (n_batches identifies the final emission)."""
+    from mcp_hubspot_spark.operators.sketch import cms_build
+    from mcp_hubspot_spark.streaming.stateful import streaming_cms
+
+    events = load_table(spark, SF, "events")
+    d = tmp_path / "ev"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    other.coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    depth, width = 4, 64
+    q = (
+        streaming_cms(stream, term_col="event_type", depth=depth, width=width)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("cms_stream").collect()
+    assert rows
+    last_batch = max(r.n_batches for r in rows)
+    got = {}
+    for r in rows:
+        if r.n_batches == max(
+            x.n_batches for x in rows if x.row_idx == r.row_idx
+        ):
+            got[r.row_idx] = list(r.cells)
+    assert set(got) == set(range(depth)) and last_batch >= 2
+    tc = events.groupBy(F.col("event_type").alias("term")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    want = {j: [0] * width for j in range(depth)}
+    for r in cms_build(tc, depth=depth, width=width).collect():
+        want[r.row_idx][r.bucket] = r.cell_count
+    assert got == want
