@@ -245,10 +245,12 @@ def copurchase_lift(
 ) -> DataFrame:
     """Market-basket association mining: for every unordered item pair
     that co-occurs in at least ``min_pair_count`` baskets, the support
-    counts and the lift ``P(ab) / (P(a)·P(b))`` — the classic
-    "frequently bought together" signal (and, pointed at documents ×
-    n-grams, a phrase-collocation miner). Returns
-    (item_a, item_b, pair_count, count_a, count_b, lift) with
+    counts, the lift ``P(ab) / (P(a)·P(b))``, and the co-occurrence
+    cosine ``n_ab / √(n_a·n_b)`` (the item-item similarity
+    collaborative filtering starts from) — the classic "frequently
+    bought together" signals (and, pointed at documents × n-grams, a
+    phrase-collocation miner). Returns
+    (item_a, item_b, pair_count, count_a, count_b, lift, cosine) with
     ``item_a < item_b`` so each pair appears exactly once.
 
     Scale shape: the raw (basket, item) rows reduce in ONE shuffle on
@@ -350,6 +352,13 @@ def copurchase_lift(
                 / (F.col("count_a") * F.col("count_b")),
                 6,
             ).alias("lift"),
+            F.round(
+                F.col("pair_count")
+                / F.sqrt(
+                    F.col("count_a").cast("double") * F.col("count_b")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
 

@@ -196,6 +196,8 @@ def psi_drift(
     cur: DataFrame,
     value_col: str,
     n_bins: int = 10,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Population Stability Index between a reference and a current
     slice of a numeric column — the standard model-monitoring drift
@@ -207,10 +209,17 @@ def psi_drift(
     terms rounded to 6 dp; ``SUM(psi_term)`` is the headline PSI
     (< 0.1 stable, > 0.25 drifted, by the usual convention).
 
-    Scale shape: the cutoffs are ONE exact-percentile aggregate on the
-    reference slice (a single 1-row reduction — the documented
-    trade-off vs ``percentile_approx`` for >10^9-row slices), broadcast
-    onto both slices as a literal array; binning is a pure expression
+    Scale shape: the cutoffs are ONE percentile aggregate on the
+    reference slice (a single 1-row reduction), broadcast onto both
+    slices as a literal array. ``approx=True`` swaps the exact sorted
+    percentile for the Greenwald-Khanna ``percentile_approx`` sketch
+    (mergeable, bounded memory — the path for >10^9-row reference
+    slices, where an exact percentile's sort dominates); bin edges
+    shift within the sketch tolerance but both slices still share the
+    SAME edges, so the score stays internally consistent — pinned by
+    an exact/approx agreement test. Binning is a pure expression
+    fold (no join, no shuffle beyond each slice's ``n_bins``-row count
+    aggregate); binning is a pure expression
     fold (no join, no shuffle beyond each slice's ``n_bins``-row count
     aggregate). Bins empty in either slice are dropped rather than
     epsilon-smoothed — with quantile edges every bin holds ref mass by
@@ -218,9 +227,14 @@ def psi_drift(
     rows being absent (callers needing smoothed PSI can re-add them).
     """
     qs = [i / n_bins for i in range(1, n_bins)]
-    cuts = ref.agg(
-        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias("_cuts")
+    v0 = F.col(value_col).cast("double")
+    qarr = F.array(*[F.lit(q) for q in qs])
+    cut_expr = (
+        F.percentile_approx(v0, qarr, accuracy)
+        if approx
+        else F.percentile(v0, qarr)
     )
+    cuts = ref.agg(cut_expr.alias("_cuts"))
 
     def _binned(df: DataFrame, side: str) -> DataFrame:
         v = F.col(value_col).cast("double")

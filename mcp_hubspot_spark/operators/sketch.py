@@ -383,3 +383,98 @@ def cms_estimate(
             )
         )
     )
+
+
+def kmv_join_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Join-cardinality planning from two KMV sketches (Beyer et al.,
+    SIGMOD'07): estimate the DISTINCT-key overlap and Jaccard between
+    two tables' join columns without ever joining them — the planner
+    question "how many customers appear on both sides?" answered from
+    two bottom-k sketches. Returns ONE row:
+    (n_a_sketch, n_b_sketch, est_distinct_a, est_distinct_b,
+    jaccard, est_overlap), estimates rounded to 4 dp.
+
+    Method: bottom-k distinct 60-bit md5 hashes per side (the same
+    engine-portable hash as :func:`kmv_distinct`, so the whole
+    estimator is exactly oracle-checkable in DuckDB); the merged
+    bottom-k ``M`` of the union is an unbiased sample of the union's
+    hash space, so ``jaccard ≈ |{h ∈ M: h ∈ K_a ∧ h ∈ K_b}| / |M|``
+    and ``overlap ≈ jaccard · est_distinct(union)``. Sides with fewer
+    than k distinct keys are exact by construction.
+
+    Scale shape: each side pays one distinct + TakeOrderedAndProject
+    bottom-k (k longs out of any cardinality); everything after is
+    ≤2k-row frames (unions, semi-join membership flags, a 1-row agg).
+    The two sides never join on the raw keys at all.
+    """
+    kb = key_b or key_a
+
+    def _hashes(df: DataFrame, col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return df.select(h.alias("_h")).distinct().orderBy("_h").limit(k)
+
+    ka = _hashes(df_a, key_a)
+    kbt = _hashes(df_b, kb)
+    merged = (
+        ka.unionByName(kbt).distinct().orderBy("_h").limit(k)
+    )
+    # membership via left-semi joins on the tiny (<=k) frames
+    in_a = merged.join(ka, "_h", "left_semi").select(
+        "_h", F.lit(1).alias("_a")
+    )
+    in_b = merged.join(kbt, "_h", "left_semi").select(
+        "_h", F.lit(1).alias("_b")
+    )
+    m = (
+        merged.join(in_a, "_h", "left")
+        .join(in_b, "_h", "left")
+        .select(
+            "_h",
+            F.coalesce("_a", F.lit(0)).alias("_a"),
+            F.coalesce("_b", F.lit(0)).alias("_b"),
+        )
+    )
+
+    def _est(frame: DataFrame, alias: str) -> DataFrame:
+        return frame.agg(
+            F.count(F.lit(1)).alias(f"_n_{alias}"),
+            F.max("_h").alias(f"_max_{alias}"),
+        )
+
+    def est_from(n, mx):
+        return F.when(n < k, n.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / mx.cast("double")
+        )
+    stats = (
+        m.agg(
+            F.count(F.lit(1)).alias("_n_m"),
+            F.max("_h").alias("_max_m"),
+            F.sum(
+                ((F.col("_a") == 1) & (F.col("_b") == 1)).cast("int")
+            ).alias("_both"),
+        )
+        .crossJoin(F.broadcast(_est(ka, "a")))
+        .crossJoin(F.broadcast(_est(kbt, "b")))
+    )
+    jac = F.col("_both") / F.col("_n_m")
+    union_est = est_from(F.col("_n_m"), F.col("_max_m"))
+    return stats.select(
+        F.col("_n_a").cast("long").alias("n_a_sketch"),
+        F.col("_n_b").cast("long").alias("n_b_sketch"),
+        F.round(est_from(F.col("_n_a"), F.col("_max_a")), 4).alias(
+            "est_distinct_a"
+        ),
+        F.round(est_from(F.col("_n_b"), F.col("_max_b")), 4).alias(
+            "est_distinct_b"
+        ),
+        F.round(jac, 4).alias("jaccard"),
+        F.round(jac * union_est, 4).alias("est_overlap"),
+    )

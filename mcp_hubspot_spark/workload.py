@@ -6800,7 +6800,8 @@ def event_attribution(spark: SparkSession, sf: str) -> DataFrame:
            CAST(ia.cnt AS BIGINT) AS count_a,
            CAST(ib.cnt AS BIGINT) AS count_b,
            round(p.pair_count::DOUBLE * nb.n_baskets
-                 / (ia.cnt * ib.cnt), 6) AS lift
+                 / (ia.cnt * ib.cnt), 6) AS lift,
+           round(p.pair_count / sqrt(ia.cnt::DOUBLE * ib.cnt), 6) AS cosine
     FROM pairs p
     JOIN item_n ia ON p.item_a = ia.i
     JOIN item_n ib ON p.item_b = ib.i
@@ -7143,6 +7144,125 @@ def lineitem_suppkey_skew(spark: SparkSession, sf: str) -> DataFrame:
     return skew_report(li, "l_suppkey", k=10)
 
 
+# Join-cardinality planning from sketches — KMV overlap/Jaccard between
+# two key sets WITHOUT joining them (operators/sketch.py:
+# kmv_join_overlap, Beyer et al. SIGMOD'07). The md5 hash makes the
+# whole estimator engine-portable, so the oracle rebuilds the exact
+# sketches. Here: do users who click also purchase?
+@_q(
+    "user_overlap_kmv",
+    f"""
+    WITH ha AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    m AS (
+        SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ORDER BY h LIMIT {_KMV_K}
+    ),
+    fl AS (
+        SELECT m.h,
+               CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS a,
+               CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS b
+        FROM m LEFT JOIN ka ON m.h = ka.h LEFT JOIN kb ON m.h = kb.h
+    ),
+    sa AS (SELECT count(*) AS n_a, max(h) AS mx_a FROM ka),
+    sb AS (SELECT count(*) AS n_b, max(h) AS mx_b FROM kb),
+    sm AS (SELECT count(*) AS n_m, max(h) AS mx_m,
+                  sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS both
+           FROM fl)
+    SELECT CAST(sa.n_a AS BIGINT) AS n_a_sketch,
+           CAST(sb.n_b AS BIGINT) AS n_b_sketch,
+           round(CASE WHEN sa.n_a < {_KMV_K} THEN sa.n_a::DOUBLE
+                 ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / sa.mx_a
+                 END, 4) AS est_distinct_a,
+           round(CASE WHEN sb.n_b < {_KMV_K} THEN sb.n_b::DOUBLE
+                 ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / sb.mx_b
+                 END, 4) AS est_distinct_b,
+           round(sm.both::DOUBLE / sm.n_m, 4) AS jaccard,
+           round(sm.both::DOUBLE / sm.n_m *
+                 CASE WHEN sm.n_m < {_KMV_K} THEN sm.n_m::DOUBLE
+                 ELSE {float(_KMV_K - 1)} * 1152921504606846976.0 / sm.mx_m
+                 END, 4) AS est_overlap
+    FROM sa CROSS JOIN sb CROSS JOIN sm
+    """,
+)
+def user_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.sketch import kmv_join_overlap
+
+    events = load_table(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    buys = events.filter(F.col("event_type") == "purchase")
+    return kmv_join_overlap(clicks, buys, key_a="user_id", k=_KMV_K)
+
+
+# Conversion-latency distribution — how long from first view to the
+# first purchase AFTER it, per converting user, then exact quantiles of
+# those per-user latencies (the time-to-convert report next to the
+# count funnel). Per-user scalars via two min-aggregates on the user
+# key (same shape as ordered_funnel — no windows over the full stream);
+# the final percentile is one 1-row reduce over n_users scalars, with
+# percentile_approx as the documented >10^9-user path.
+@_q(
+    "funnel_latency_quantiles",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_buy
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT epoch(p.t_buy) - epoch(v.t_view) AS sec
+        FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(sec, 0.5) / 3600.0, 4) AS p50_hours,
+           round(quantile_cont(sec, 0.9) / 3600.0, 4) AS p90_hours,
+           round(avg(sec) / 3600.0, 4) AS mean_hours
+    FROM lat
+    """,
+)
+def funnel_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_table(spark, sf, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view"))
+    )
+    lat = p.select(
+        (
+            F.unix_micros(F.col("t_buy")) - F.unix_micros(F.col("t_view"))
+        ).cast("double").alias("_us")
+    )
+    sec = F.col("_us") / 1e6
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile(sec, F.lit(0.5)) / 3600.0, 4).alias("p50_hours"),
+        F.round(F.percentile(sec, F.lit(0.9)) / 3600.0, 4).alias("p90_hours"),
+        F.round(F.avg(sec) / 3600.0, 4).alias("mean_hours"),
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -7376,11 +7496,13 @@ def lineitem_suppkey_skew(spark: SparkSession, sf: str) -> DataFrame:
 # events_psi_drift). Then ALL 27 queries whose latest green record is
 # round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
 # r5+r6, so the r2/r3-green cohort is now the stalest on record).
-# With 12 never-checked additions the 50 slots leave room for 38 of
+# With 14 never-checked additions the 50 slots leave room for 36 of
 # the 41 r2/r3-green queries: global_shuffle_docs, upsample_repeat_docs,
-# weighted_sample_docs, and the r5 filler rotate behind (sampling
-# family covered in-window by mixture_resample_docs, doc_hash_split,
-# eval-holdout pytests).
+# weighted_sample_docs, vocab_coverage, supplier_pagerank, and the r5
+# filler rotate behind (sampling family covered in-window by
+# mixture_resample_docs and doc_hash_split; vocab/token coverage by
+# token_stats and the BPE pytests; pagerank's iterative join shape by
+# its unrolled-CTE oracle pytest and supplier_triangles' r6 record).
 # Rotated out: the full round-6 window (all green in r6, most
 # twice-green r5+r6) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
@@ -7391,7 +7513,8 @@ _CHECK_PRIORITY = [
     "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
     "lineitem_correlations", "events_seasonality",
     "order_ranking_quality", "events_seasonal_anomalies",
-    "event_path_trigrams", "lineitem_suppkey_skew",
+    "event_path_trigrams", "lineitem_suppkey_skew", "user_overlap_kmv",
+    "funnel_latency_quantiles",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7406,8 +7529,7 @@ _CHECK_PRIORITY = [
     "big_order_customers", "customer_spend_percentile", "doc_hash_split",
     "embedding_row_stats", "events_asof_click", "events_sessionized",
     "kmv_distinct_users", "media_frame_sample",
-    "mixture_resample_docs", "supplier_pagerank",
-    "vocab_coverage",
+    "mixture_resample_docs",
 ]
 
 

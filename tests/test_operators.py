@@ -2291,3 +2291,64 @@ def test_skew_report_hand_computed(spark):
     assert out[1].share == 0.2 and out[1].x_mean == 0.6
     top1 = skew_report(df, "k", k=1).collect()
     assert [(r.key, r.n_rows) for r in top1] == [("a", 6)]
+
+
+def test_psi_drift_approx_agrees_with_exact(spark):
+    """The GK-sketch cutoff path (the >10^9-row scale form) agrees with
+    the exact-percentile form: same bins, per-bin counts within the
+    sketch tolerance, and a near-identical total score on both a
+    no-drift and a shifted pair."""
+    from mcp_hubspot_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 997),) for i in range(5000)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 1100),) for i in range(5000)], "value double"
+    )
+    exact = {r.bin: r for r in psi_drift(ref, cur, "value", n_bins=10).collect()}
+    approx = {
+        r.bin: r
+        for r in psi_drift(
+            ref, cur, "value", n_bins=10, approx=True, accuracy=10_000
+        ).collect()
+    }
+    assert set(exact) == set(approx) == set(range(1, 11))
+    for b in exact:
+        assert abs(exact[b].n_ref - approx[b].n_ref) <= 25  # 0.5% of slice
+    total_e = sum(r.psi_term for r in exact.values())
+    total_a = sum(r.psi_term for r in approx.values())
+    assert abs(total_e - total_a) < 0.01
+    same = psi_drift(ref, ref, "value", n_bins=10, approx=True).collect()
+    assert all(r.psi_term == 0.0 for r in same)
+
+
+def test_kmv_join_overlap_accuracy_and_exact_below_k(spark):
+    """Planted overlap: A = 0..999, B = 500..1499 (true overlap 500,
+    Jaccard 1/3). With k=64 the estimates land within ~25% of truth
+    (the sketch's standard error band at k=64 is ~12%); with both
+    sides below k the answer is EXACT."""
+    from mcp_hubspot_spark.operators.sketch import kmv_join_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1500)], "k long")
+    r = kmv_join_overlap(a, b, key_a="k", k=64).first()
+    assert r.n_a_sketch == 64 and r.n_b_sketch == 64
+    assert abs(r.est_distinct_a - 1000) / 1000 < 0.25
+    assert abs(r.est_overlap - 500) / 500 < 0.35
+    assert abs(r.jaccard - 1 / 3) < 0.12
+
+    small_a = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    small_b = spark.createDataFrame([(i,) for i in range(20, 50)], "k long")
+    s = kmv_join_overlap(small_a, small_b, key_a="k", k=64).first()
+    # union 50 < k: everything exact
+    assert (s.est_distinct_a, s.est_distinct_b) == (30.0, 30.0)
+    assert s.est_overlap == 10.0 and s.jaccard == 0.2
+
+    disjoint = kmv_join_overlap(
+        small_a,
+        spark.createDataFrame([(i,) for i in range(100, 130)], "k long"),
+        key_a="k",
+        k=64,
+    ).first()
+    assert disjoint.jaccard == 0.0 and disjoint.est_overlap == 0.0
