@@ -12,6 +12,7 @@ from .stateful import (
     running_user_totals,
     streaming_cms,
     streaming_kmv_distinct,
+    streaming_seasonal_stats,
     streaming_quantile_sketch,
     watermarked_dedup,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "running_user_totals",
     "streaming_cms",
     "streaming_kmv_distinct",
+    "streaming_seasonal_stats",
     "streaming_quantile_sketch",
     "watermarked_dedup",
 ]

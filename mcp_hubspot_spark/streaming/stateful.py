@@ -2,7 +2,7 @@
 (SURVEY §2.10 — the extension surface the reference's rolling 7-day index
 implies: per-key state with explicit retention).
 
-Two operators:
+Operators:
 
   * ``running_user_totals`` — per-key running aggregates that survive
     across micro-batches (the streaming form of a cumulative groupBy that
@@ -11,6 +11,14 @@ Two operators:
     with a processing-time state TTL so state is bounded (the reference's
     7-day partition expiry, reinterpreted as per-key state retention —
     reference ``faiss_manager.py:90-104``).
+  * ``watermarked_dedup`` — the JVM-native watermark-evicted dedup.
+  * ``streaming_kmv_distinct`` / ``streaming_quantile_sketch`` /
+    ``streaming_cms`` — incrementally maintained mergeable sketches
+    (bottom-k, hash-sampled quantiles, count-min cells), each pinned by
+    a batch-agreement test against its operators.sketch twin.
+  * ``streaming_seasonal_stats`` — online (dow, hod) cell mean/std via
+    Welford/Chan merging, the live baseline for seasonal anomaly
+    z-scoring.
 
 State is per-key and partitioned by the grouping key, so it scales
 horizontally: 1000 executors each hold state only for their key range,
@@ -387,6 +395,86 @@ def streaming_cms(
         _make_cms_fn(width),
         outputStructType=_CMS_OUT,
         stateStructType=_CMS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SEAS_OUT = StructType(
+    [
+        StructField("dow", LongType()),
+        StructField("hod", LongType()),
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+    ]
+)
+_SEAS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def _seasonal_stats_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        n, mean, m2 = int(state.get[0]), float(state.get[1]), float(state.get[2])
+    else:
+        n, mean, m2 = 0, 0.0, 0.0
+    for pdf in pdfs:
+        v = pdf["value"].astype(float)
+        nb = int(len(v))
+        if nb == 0:
+            continue
+        mb = float(v.mean())
+        m2b = float(((v - mb) ** 2).sum())
+        # Chan et al. parallel combine of (n, mean, M2) pairs
+        delta = mb - mean
+        tot = n + nb
+        m2 = m2 + m2b + delta * delta * n * nb / tot
+        mean = mean + delta * nb / tot
+        n = tot
+    state.update((n, mean, m2))
+    std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+    yield pd.DataFrame(
+        {
+            "dow": [key[0]],
+            "hod": [key[1]],
+            "n": [n],
+            "mean": [mean],
+            "std": [std],
+        }
+    )
+
+
+def streaming_seasonal_stats(events: DataFrame) -> DataFrame:
+    """Online (day-of-week, hour-of-day) cell statistics — the live
+    baseline behind ``operators.timeseries.seasonal_anomalies``: per
+    cell, a running (count, mean, sample-std) maintained across
+    micro-batches with Welford/Chan parallel merging, so an alerting
+    consumer can z-score incoming values against an always-current
+    seasonal profile without any batch recompute. State per cell is
+    THREE numbers (n, mean, M2) — ≤168 cells total, constant forever.
+    Chan's combine is exact in real arithmetic (float association
+    error only), so after the stream drains the per-cell stats match
+    the batch groupBy mean/stddev to ~1e-9 — pinned by the
+    batch-agreement test.
+    """
+    from pyspark.sql import functions as F
+
+    cells = events.select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return cells.groupBy("dow", "hod").applyInPandasWithState(
+        _seasonal_stats_fn,
+        outputStructType=_SEAS_OUT,
+        stateStructType=_SEAS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -2352,3 +2352,54 @@ def test_kmv_join_overlap_accuracy_and_exact_below_k(spark):
         k=64,
     ).first()
     assert disjoint.jaccard == 0.0 and disjoint.est_overlap == 0.0
+
+
+def test_round7_operators_empty_inputs(spark):
+    """Degenerate-input behavior: every round-7 operator returns an
+    empty (or zeroed) result on empty input instead of raising —
+    the contract that makes them safe inside scheduled pipelines."""
+    from mcp_hubspot_spark.operators.analytics import (
+        copurchase_lift,
+        ranking_metrics,
+        session_path_ngrams,
+    )
+    from mcp_hubspot_spark.operators.profiling import psi_drift, skew_report
+    from mcp_hubspot_spark.operators.sketch import kmv_join_overlap
+    from mcp_hubspot_spark.operators.text import token_kl_divergence
+    from mcp_hubspot_spark.operators.timeseries import (
+        seasonal_anomalies,
+        seasonality_profile,
+    )
+
+    assert copurchase_lift(
+        spark.createDataFrame([], "basket long, item string"),
+        "basket", "item",
+    ).count() == 0
+    empty_ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, value double"
+    )
+    assert seasonal_anomalies(empty_ev).count() == 0
+    assert seasonality_profile(empty_ev).count() == 0
+    empty_v = spark.createDataFrame([], "value double")
+    assert psi_drift(empty_v, empty_v, "value").count() == 0
+    assert skew_report(
+        spark.createDataFrame([], "k string"), "k"
+    ).count() == 0
+    assert token_kl_divergence(
+        spark.createDataFrame([], "source string, text string"), "source"
+    ).count() == 0
+    assert ranking_metrics(
+        spark.createDataFrame([], "query_id long, rank int, rel double")
+    ).count() == 0
+    assert session_path_ngrams(
+        spark.createDataFrame(
+            [], "user_id long, ts timestamp, event_id long, event_type string"
+        )
+    ).count() == 0
+    # one empty sketch side: zeros, never a division error
+    r = kmv_join_overlap(
+        spark.createDataFrame([], "k long"),
+        spark.createDataFrame([(1,)], "k long"),
+        key_a="k",
+    ).first()
+    assert (r.n_a_sketch, r.jaccard, r.est_overlap) == (0, 0.0, 0.0)

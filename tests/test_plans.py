@@ -730,3 +730,22 @@ def test_session_path_ngrams_single_user_exchange(spark):
         if "Arguments: hashpartitioning(user_id" in l
     ]
     assert len(user_exchanges) == 1, user_exchanges
+
+
+def test_kmv_overlap_bottomk_no_raw_key_join(spark):
+    """KMV overlap: each side reduces to a TakeOrderedAndProject
+    bottom-k BEFORE any join — the only joins in the plan are over the
+    <=k-row sketch frames (broadcast), never the raw key columns."""
+    plan = plan_of(QUERIES["user_overlap_kmv"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_latency_no_windows_single_percentile(spark):
+    """Conversion latency: per-user min-aggregates + one 1-row
+    percentile reduce — no window operator (the full event stream is
+    never sorted in one partition)."""
+    plan = plan_of(QUERIES["funnel_latency_quantiles"](spark, SF))
+    assert _n_nodes(plan, "Window") == 0
+    assert "CartesianProduct" not in plan

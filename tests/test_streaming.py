@@ -663,3 +663,60 @@ def test_streaming_cms_agrees_with_batch_sketch(spark, tmp_path):
     for r in cms_build(tc, depth=depth, width=width).collect():
         want[r.row_idx][r.bucket] = r.cell_count
     assert got == want
+
+
+def test_streaming_seasonal_stats_agrees_with_batch(spark, tmp_path):
+    """Welford/Chan per-cell stats: after the stream drains, every
+    (dow, hod) cell's running (n, mean, std) matches the batch
+    groupBy mean/stddev_samp on the same rows to float tolerance."""
+    from mcp_hubspot_spark.streaming.stateful import streaming_seasonal_stats
+
+    events = load_table(spark, SF, "events")
+    d = tmp_path / "ev"
+    half = events.filter(F.col("event_id") % 2 == 0)
+    other = events.subtract(half)
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    other.coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_seasonal_stats(stream)
+        .writeStream.format("memory")
+        .queryName("seas")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: n is monotonically nondecreasing → max n per cell is
+    # the final state; take that row's mean/std
+    rows = spark.table("seas").collect()
+    final = {}
+    for r in rows:
+        cur = final.get((r.dow, r.hod))
+        if cur is None or r.n > cur.n:
+            final[(r.dow, r.hod)] = r
+    want = {
+        (r.dow, r.hod): r
+        for r in events.select(
+            F.dayofweek("ts").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            F.col("value").cast("double").alias("v"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("mean"),
+            F.stddev("v").alias("std"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want) and len(want) > 10
+    for cell, g in final.items():
+        w = want[cell]
+        assert g.n == w.n
+        assert abs(g.mean - w.mean) < 1e-9
+        assert abs(g.std - (w.std or 0.0)) < 1e-9
