@@ -210,8 +210,6 @@ def seasonal_anomalies(
     driver, never a global sort. Sample stddev (n−1), matching SQL
     ``stddev``.
     """
-    from pyspark.sql import Window as _W  # noqa: F401  (symmetry w/ module)
-
     cell = [
         F.dayofweek(F.col(ts_col)).alias("dow"),
         F.hour(F.col(ts_col)).alias("hod"),

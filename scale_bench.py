@@ -294,6 +294,8 @@ def main() -> None:
             f"psi_drift_{evk}": lambda: _psi(evs),
             f"path_trigrams_{evk}": lambda: _trigrams(evs),
             f"seasonal_anomalies_{evk}": lambda: _anomalies(evs),
+            f"kmv_overlap_{evk}": lambda: _kmv_overlap(evs),
+            f"funnel_latency_{evk}": lambda: _funnel_latency(evs),
             f"repetition_features_{dk}": lambda: repetition_features(docs),
             f"quality_features_{dk}": lambda: quality_features(docs),
             f"pack_sequences_{dk}": lambda: pack_sequences(docs),
@@ -377,6 +379,43 @@ def main() -> None:
                 e.filter(F.col("ts") >= split).select("value"),
                 value_col="value",
                 n_bins=10,
+            )
+
+        def _kmv_overlap(e):
+            from mcp_hubspot_spark.operators.sketch import kmv_join_overlap
+
+            return kmv_join_overlap(
+                e.filter(F.col("event_type") == "click"),
+                e.filter(F.col("event_type") == "purchase"),
+                key_a="user_id",
+                k=64,
+            )
+
+        def _funnel_latency(e):
+            v = (
+                e.filter(F.col("event_type") == "view")
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t_view"))
+            )
+            p = (
+                e.filter(F.col("event_type") == "purchase")
+                .join(v, "user_id")
+                .filter(F.col("ts") >= F.col("t_view"))
+                .groupBy("user_id")
+                .agg(
+                    F.min("ts").alias("t_buy"),
+                    F.first("t_view").alias("t_view"),
+                )
+            )
+            sec = (
+                F.unix_micros(F.col("t_buy"))
+                - F.unix_micros(F.col("t_view"))
+            ).cast("double") / 1e6
+            return p.agg(
+                F.count(F.lit(1)).alias("n_converters"),
+                F.round(
+                    F.percentile_approx(sec, F.lit(0.5), 10_000) / 3600.0, 4
+                ).alias("p50_hours"),
             )
 
         def _trigrams(e):
