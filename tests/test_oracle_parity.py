@@ -67,3 +67,25 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_registry_query_returns_non_scalar_columns(spark):
+    """The driver's canonicalizer (pandas lexsort over all columns) cannot
+    hash list/map/struct-valued cells — a registry query emitting one
+    crashes its correctness check (embed_documents did in round 6).
+    Registry entries must flatten to scalars (digest / norm / f0..fN);
+    the array-typed forms stay on the operators themselves. Schema-only,
+    so the whole sweep is one cheap analysis pass per query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        fields = fn(spark, SF).schema.fields
+        bad = [
+            f.name
+            for f in fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns: {offenders}"
