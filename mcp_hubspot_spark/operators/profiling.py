@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 _RULE_NAME = re.compile(r"^[A-Za-z0-9_]+$")
 
@@ -350,4 +350,124 @@ def skew_report(
         )
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(k)
+    )
+
+
+def ks_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    slices of a numeric column — ``sup_x |F_a(x) − F_b(x)|``, the
+    classic nonparametric distribution-shift test beside the binned
+    ``psi_drift`` and the token-level KL. Because both ECDFs are step
+    functions, the supremum is attained at an observed value, so the
+    statistic over the distinct-value grain is EXACT (no binning
+    error, unlike PSI). Returns one row: (ks_stat, n_a, n_b), the
+    statistic rounded to 6 dp; NULL ks_stat when either side is empty.
+
+    Scale shape — the global CDF without a global sort: both sides
+    union into one (value, n_a, n_b) count grid (ONE value-keyed
+    shuffle, so ties across sides merge); cumulative counts come from
+    a bucket-partitioned window where the buckets are quantile cutoffs
+    of the distinct-value grid plus per-bucket offsets from a
+    ≤``n_buckets``-row side frame joined broadcast. The cutoffs AND
+    the side totals come out of ONE 1-row reduce over the grid,
+    broadcast as literals (the ``psi_drift`` pattern) — and because
+    every consumer then hangs off the byte-identical grid subtree,
+    Spark's ReuseExchange materializes the value shuffle ONCE (the
+    plan audit pins the single-scan-pass shape). No window ever
+    orders more than ~|distinct|/n_buckets rows. NULL values are
+    excluded (an ECDF is undefined over them).
+    """
+    v = F.col(value_col).cast("double")
+
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        other = "b" if side == "a" else "a"
+        return df.filter(v.isNotNull()).select(
+            v.alias("val"),
+            F.lit(1).alias(f"_{side}"),
+            F.lit(0).alias(f"_{other}"),
+        ).select("val", "_a", "_b")
+
+    grid = (
+        _tag(a, "a")
+        .unionByName(_tag(b, "b"))
+        .groupBy("val")
+        .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
+    )
+
+    # one 1-row reduce for bucket cutoffs AND side totals; nullif(0) so
+    # an empty side yields a NULL ks_stat instead of an ANSI
+    # division-by-zero error
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = grid.agg(
+        F.percentile_approx(
+            F.col("val"), F.array(*[F.lit(q) for q in qs]), 10_000
+        ).alias("_cuts"),
+        F.nullif(F.sum("n_a"), F.lit(0)).alias("_ta"),
+        F.nullif(F.sum("n_b"), F.lit(0)).alias("_tb"),
+    )
+    bucket = F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("val") > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    bucketed = grid.crossJoin(F.broadcast(cuts)).select(
+        "val", "n_a", "n_b", "_ta", "_tb", bucket.alias("_bkt")
+    )
+
+    in_bucket = W.partitionBy("_bkt").orderBy("val").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # per-bucket offsets: a ≤n_buckets-row frame, so its partition-less
+    # ordered window is bounded by construction (same convention as the
+    # 1-row total reduces in psi_drift)
+    offsets = (
+        bucketed.groupBy("_bkt")
+        .agg(F.sum("n_a").alias("_ba"), F.sum("n_b").alias("_bb"))
+        .select(
+            "_bkt",
+            (
+                F.sum("_ba").over(
+                    W.orderBy("_bkt").rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("_ba")
+            ).alias("_off_a"),
+            (
+                F.sum("_bb").over(
+                    W.orderBy("_bkt").rowsBetween(
+                        W.unboundedPreceding, W.currentRow
+                    )
+                )
+                - F.col("_bb")
+            ).alias("_off_b"),
+        )
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .select(
+            (
+                (F.sum("n_a").over(in_bucket) + F.col("_off_a"))
+                / F.col("_ta")
+            ).alias("_fa"),
+            (
+                (F.sum("n_b").over(in_bucket) + F.col("_off_b"))
+                / F.col("_tb")
+            ).alias("_fb"),
+            "_ta",
+            "_tb",
+        )
+    )
+    return cum.agg(
+        F.round(F.max(F.abs(F.col("_fa") - F.col("_fb"))), 6).alias(
+            "ks_stat"
+        ),
+        F.first("_ta").alias("n_a"),
+        F.first("_tb").alias("n_b"),
     )

@@ -6939,6 +6939,50 @@ def events_psi_drift(spark: SparkSession, sf: str) -> DataFrame:
     return psi_drift(ref, cur, value_col="value", n_bins=10).orderBy("bin")
 
 
+# Exact two-sample Kolmogorov-Smirnov statistic over the SAME
+# events-value timeline split as events_psi_drift — the unbinned
+# companion drift test (PSI quantizes into deciles; KS is the exact
+# sup-norm ECDF distance, attained at an observed value). Operator:
+# operators/profiling.py:ks_drift — one value-keyed count-grid
+# shuffle, cumulative CDFs via broadcast quantile-cutoff buckets +
+# per-bucket offsets (no global-order window ever touches the grid).
+@_q(
+    "events_ks_drift",
+    """
+    WITH ref AS (SELECT value FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'),
+    g AS (
+        SELECT val, SUM(ia) AS n_a, SUM(ib) AS n_b FROM (
+            SELECT CAST(value AS DOUBLE) AS val, 1 AS ia, 0 AS ib
+            FROM ref WHERE value IS NOT NULL
+            UNION ALL
+            SELECT CAST(value AS DOUBLE), 0, 1
+            FROM cur WHERE value IS NOT NULL
+        ) GROUP BY val
+    ),
+    c AS (SELECT SUM(n_a) OVER (ORDER BY val) AS ca,
+                 SUM(n_b) OVER (ORDER BY val) AS cb
+          FROM g),
+    t AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM g)
+    SELECT round(MAX(ABS(CAST(ca AS DOUBLE) / ta
+                         - CAST(cb AS DOUBLE) / tb)), 6) AS ks_stat,
+           CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b
+    FROM c CROSS JOIN t
+    GROUP BY t.ta, t.tb
+    """,
+)
+def events_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import ks_drift
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("value")
+    cur = ev.filter(F.col("ts") >= split).select("value")
+    return ks_drift(ref, cur, value_col="value")
+
+
 # Feature-profiling completeness — all-pairs Pearson correlation in one
 # aggregate pass (collinearity screen; operators/profiling.py:
 # correlation_matrix: distributive corr sums -> single scan, 1-row
@@ -7544,7 +7588,10 @@ _CHECK_PRIORITY = [
     "lineitem_correlations", "events_seasonality",
     "order_ranking_quality", "events_seasonal_anomalies",
     "event_path_trigrams", "lineitem_suppkey_skew", "user_overlap_kmv",
-    "funnel_latency_quantiles",
+    # events_ks_drift (round-7 closeout addition) takes the slot of the
+    # r3-green media_frame_sample (multimodal family keeps its r5-green
+    # media_features record)
+    "funnel_latency_quantiles", "events_ks_drift",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7558,7 +7605,7 @@ _CHECK_PRIORITY = [
     # next-stalest: latest green record is round 3
     "big_order_customers", "customer_spend_percentile", "doc_hash_split",
     "events_asof_click", "events_sessionized",
-    "kmv_distinct_users", "media_frame_sample",
+    "kmv_distinct_users",
     "mixture_resample_docs",
 ]
 

@@ -292,6 +292,7 @@ def main() -> None:
             f"copurchase_lift_{evk}": lambda: _copurchase(evs),
             f"token_kl_{dk}": lambda: _token_kl(docs),
             f"psi_drift_{evk}": lambda: _psi(evs),
+            f"ks_drift_{evk}": lambda: _ks(evs),
             f"path_trigrams_{evk}": lambda: _trigrams(evs),
             f"seasonal_anomalies_{evk}": lambda: _anomalies(evs),
             f"kmv_overlap_{evk}": lambda: _kmv_overlap(evs),
@@ -379,6 +380,16 @@ def main() -> None:
                 e.filter(F.col("ts") >= split).select("value"),
                 value_col="value",
                 n_bins=10,
+            )
+
+        def _ks(e):
+            from mcp_hubspot_spark.operators.profiling import ks_drift
+
+            split = F.lit("2024-01-16").cast("timestamp")
+            return ks_drift(
+                e.filter(F.col("ts") < split).select("value"),
+                e.filter(F.col("ts") >= split).select("value"),
+                value_col="value",
             )
 
         def _kmv_overlap(e):

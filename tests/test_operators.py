@@ -2403,3 +2403,28 @@ def test_round7_operators_empty_inputs(spark):
         key_a="k",
     ).first()
     assert (r.n_a_sketch, r.jaccard, r.est_overlap) == (0, 0.0, 0.0)
+
+
+def test_ks_drift_hand_computed(spark):
+    """KS on a=[1..4] vs b=[3..6]: pooled ECDFs differ most at v=4
+    (F_a=1, F_b=.5) -> 0.5. Identical slices -> exactly 0. Duplicate
+    values merge on the distinct-value grid before the CDF (a=[1,1,2]
+    vs b=[1,2,2] -> |2/3 - 1/3| = 1/3). An empty side yields a NULL
+    statistic (never a raise, per the degenerate-input convention)."""
+    from mcp_hubspot_spark.operators.profiling import ks_drift
+
+    a = spark.createDataFrame([(float(x),) for x in (1, 2, 3, 4)], "v double")
+    b = spark.createDataFrame([(float(x),) for x in (3, 4, 5, 6)], "v double")
+    row = ks_drift(a, b, "v", n_buckets=4).collect()[0]
+    assert (row.ks_stat, row.n_a, row.n_b) == (0.5, 4, 4)
+
+    same = ks_drift(a, a, "v").collect()[0]
+    assert same.ks_stat == 0.0
+
+    a2 = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    b2 = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], "v double")
+    assert ks_drift(a2, b2, "v").collect()[0].ks_stat == round(1 / 3, 6)
+
+    empty = spark.createDataFrame([], "v double")
+    row = ks_drift(a, empty, "v").collect()[0]
+    assert row.ks_stat is None and row.n_a == 4 and row.n_b is None

@@ -749,3 +749,24 @@ def test_funnel_latency_no_windows_single_percentile(spark):
     plan = plan_of(QUERIES["funnel_latency_quantiles"](spark, SF))
     assert _n_nodes(plan, "Window") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_bucket_partitioned_cdf_no_global_sort(spark):
+    """KS: the cumulative-count window over the value grid is
+    PARTITIONED by the broadcast-cutoff bucket (never a partition-less
+    ordered window over the data); the cutoff/offset sides all join
+    broadcast, so no sort-merge join touches the grid, and the scan is
+    pruned to the split + value columns. Because the cutoffs + totals
+    share ONE 1-row reduce, every consumer hangs off the byte-identical
+    grid subtree, and AQE's ReuseExchange materializes the value
+    shuffle ONCE — the raw data is scanned a single time."""
+    df = QUERIES["events_ks_drift"](spark, SF)
+    plan = plan_of(df)
+    assert "windowspecdefinition(_bkt" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" in read_schema and "ts" in read_schema
+    assert "user_id" not in read_schema
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, "grid shuffle not reused"

@@ -442,3 +442,39 @@ def test_psi_drift_nonnegative_total(spark, ref, cur):
     assert all(r.psi_term >= 0.0 for r in out)
     same = psi_drift(rdf, rdf, "value", n_bins=5).collect()
     assert all(r.psi_term == 0.0 for r in same)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.floats(0.0, 100.0, width=16), min_size=5, max_size=60),
+    b=st.lists(st.floats(0.0, 100.0, width=16), min_size=5, max_size=60),
+)
+def test_ks_drift_matches_brute_force(spark, a, b):
+    """The bucket-partitioned CDF assembly is pure plumbing: the
+    statistic must equal the brute-force sup-norm ECDF distance at
+    every pooled point, sit in [0, 1], and be 0 for identical
+    slices."""
+    from mcp_hubspot_spark.operators.profiling import ks_drift
+
+    adf = spark.createDataFrame([(v,) for v in a], "value double")
+    bdf = spark.createDataFrame([(v,) for v in b], "value double")
+    got = ks_drift(adf, bdf, "value", n_buckets=4).collect()[0]
+
+    sa, sb = sorted(a), sorted(b)
+    import bisect
+
+    expected = max(
+        abs(
+            bisect.bisect_right(sa, v) / len(sa)
+            - bisect.bisect_right(sb, v) / len(sb)
+        )
+        for v in set(a) | set(b)
+    )
+    assert 0.0 <= got.ks_stat <= 1.0
+    assert abs(got.ks_stat - expected) <= 1e-6
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert ks_drift(adf, adf, "value").collect()[0].ks_stat == 0.0
