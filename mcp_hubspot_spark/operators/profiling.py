@@ -471,3 +471,65 @@ def ks_drift(
         F.first("_ta").alias("n_a"),
         F.first("_tb").alias("n_b"),
     )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """Chi-square drift between a reference and a current slice of a
+    CATEGORICAL column — the companion to the numeric ``psi_drift`` /
+    ``ks_drift`` pair (those bin or order values; categories have no
+    order, so the 2×k contingency test is the standard score). Each
+    output row is one category: (category, n_ref, n_cur, p_ref, p_cur,
+    chi2_term), where chi2_term sums both cells' (obs − exp)²/exp for
+    that category against the usual independence expectation
+    exp = row_total · col_total / N. ``SUM(chi2_term)`` is the
+    chi-square statistic; Cramér's V = sqrt(chi2 / N) for a 2×k table.
+    Categories absent from one slice contribute their full term
+    (observed 0 against a positive expectation) — no smoothing needed,
+    unlike PSI's log. NULL categories are kept as a real category
+    (surfacing a null-rate shift IS drift).
+
+    Scale shape: the tagged union groups once on the category key (ONE
+    shuffle, both side counts in the same pass — the ``ks_drift`` grid
+    pattern); the side totals are a 1-row reduce broadcast back, and
+    every term is a pure expression over the ≤|categories| result.
+    """
+    def _tag(df: DataFrame, side: str) -> DataFrame:
+        other = "cur" if side == "ref" else "ref"
+        return df.select(
+            F.col(cat_col).alias("category"),
+            F.lit(1).alias(f"_{side}"),
+            F.lit(0).alias(f"_{other}"),
+        ).select("category", "_ref", "_cur")
+
+    grid = (
+        _tag(ref, "ref")
+        .unionByName(_tag(cur, "cur"))
+        .groupBy("category")
+        .agg(F.sum("_ref").alias("n_ref"), F.sum("_cur").alias("n_cur"))
+    )
+    totals = grid.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    n = F.col("_tr") + F.col("_tc")
+    col_tot = F.col("n_ref") + F.col("n_cur")
+
+    def _cell(obs, row_tot):
+        exp = row_tot.cast("double") * col_tot / n
+        return (obs - exp) * (obs - exp) / exp
+
+    return grid.crossJoin(F.broadcast(totals)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round(F.col("n_ref") / F.col("_tr"), 6).alias("p_ref"),
+        F.round(F.col("n_cur") / F.col("_tc"), 6).alias("p_cur"),
+        F.round(
+            _cell(F.col("n_ref"), F.col("_tr"))
+            + _cell(F.col("n_cur"), F.col("_tc")),
+            6,
+        ).alias("chi2_term"),
+    )

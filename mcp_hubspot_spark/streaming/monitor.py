@@ -56,7 +56,7 @@ def stream_drift_monitor(
     checkpoint_dir: str,
 ):
     """Start a streaming query appending one
-    (batch_id, n_rows, l1_drift, psi) row per micro-batch to
+    (batch_id, n_rows, l1_drift, psi, ks) row per micro-batch to
     ``log_path``. L1 drift = sum over buckets of |p_batch - p_ref| —
     same integer-count-ratio form as the batch drift query. ``psi`` is
     the online twin of the batch ``operators.profiling.psi_drift``
@@ -64,7 +64,11 @@ def stream_drift_monitor(
     fractions floored at ``PSI_EPS`` — a micro-batch (unlike the batch
     operator's reference-quantile bins) routinely has EMPTY buckets, so
     the streaming form must smooth where the batch form can drop.
-    Returns the StreamingQuery handle."""
+    ``ks`` is the online twin of ``operators.profiling.ks_drift``: the
+    sup-distance between the two cumulative bucket fractions — exact
+    for the bucketed distributions (needs no smoothing; cumsums are
+    fine with empty buckets), and within one bucket's reference mass
+    of the raw-value statistic. Returns the StreamingQuery handle."""
     import math
 
     def measure(batch_df: DataFrame, batch_id: int) -> None:
@@ -93,9 +97,21 @@ def stream_drift_monitor(
             for pb in (max(p.get(b, 0.0), PSI_EPS),)
             for qb in (max(reference.get(b, 0.0), PSI_EPS),)
         )
+        ks = cp = cq = 0.0
+        for b in sorted(buckets):
+            cp += p.get(b, 0.0)
+            cq += reference.get(b, 0.0)
+            ks = max(ks, abs(cp - cq))
         spark.createDataFrame(
-            [(int(batch_id), int(n), float(round(l1, 6)), float(round(psi, 6)))],
-            "batch_id long, n_rows long, l1_drift double, psi double",
+            [(
+                int(batch_id),
+                int(n),
+                float(round(l1, 6)),
+                float(round(psi, 6)),
+                float(round(ks, 6)),
+            )],
+            "batch_id long, n_rows long, l1_drift double, psi double,"
+            " ks double",
         ).write.mode("append").parquet(log_path)
 
     return (

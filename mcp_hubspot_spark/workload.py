@@ -6983,6 +6983,56 @@ def events_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
     return ks_drift(ref, cur, value_col="value")
 
 
+# Chi-square drift of the event-TYPE mix over the same timeline split —
+# the categorical companion to events_psi_drift/events_ks_drift (no
+# order to bin or ECDF over; the 2×k contingency test is the standard
+# score). Operator: operators/profiling.py:categorical_drift — the
+# tagged-union category grid shuffles once, totals broadcast back,
+# SUM(chi2_term) is the statistic, Cramér's V = sqrt(chi2/N).
+@_q(
+    "events_type_drift",
+    """
+    WITH ref AS (SELECT event_type AS category FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16'),
+    cur AS (SELECT event_type AS category FROM events
+            WHERE ts >= TIMESTAMP '2024-01-16'),
+    g AS (
+        SELECT category, SUM(ir) AS n_ref, SUM(ic) AS n_cur FROM (
+            SELECT category, 1 AS ir, 0 AS ic FROM ref
+            UNION ALL
+            SELECT category, 0 AS ir, 1 AS ic FROM cur
+        ) GROUP BY category
+    ),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM g)
+    SELECT category,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(n_ref / tr, 6) AS p_ref,
+           round(n_cur / tc, 6) AS p_cur,
+           round(
+               (n_ref - CAST(tr AS DOUBLE) * (n_ref + n_cur) / (tr + tc))
+               * (n_ref - CAST(tr AS DOUBLE) * (n_ref + n_cur) / (tr + tc))
+               / (CAST(tr AS DOUBLE) * (n_ref + n_cur) / (tr + tc))
+               + (n_cur - CAST(tc AS DOUBLE) * (n_ref + n_cur) / (tr + tc))
+               * (n_cur - CAST(tc AS DOUBLE) * (n_ref + n_cur) / (tr + tc))
+               / (CAST(tc AS DOUBLE) * (n_ref + n_cur) / (tr + tc)),
+               6) AS chi2_term
+    FROM g CROSS JOIN t
+    ORDER BY category
+    """,
+)
+def events_type_drift(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import categorical_drift
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < split).select("event_type")
+    cur = ev.filter(F.col("ts") >= split).select("event_type")
+    return categorical_drift(ref, cur, cat_col="event_type").orderBy(
+        "category"
+    )
+
+
 # Feature-profiling completeness — all-pairs Pearson correlation in one
 # aggregate pass (collinearity screen; operators/profiling.py:
 # correlation_matrix: distributive corr sums -> single scan, 1-row
@@ -7588,10 +7638,12 @@ _CHECK_PRIORITY = [
     "lineitem_correlations", "events_seasonality",
     "order_ranking_quality", "events_seasonal_anomalies",
     "event_path_trigrams", "lineitem_suppkey_skew", "user_overlap_kmv",
-    # events_ks_drift (round-7 closeout addition) takes the slot of the
+    # round-7 closeout additions: events_ks_drift takes the slot of the
     # r3-green media_frame_sample (multimodal family keeps its r5-green
-    # media_features record)
-    "funnel_latency_quantiles", "events_ks_drift",
+    # media_features record); events_type_drift takes the slot of the
+    # r3-green kmv_distinct_users (KMV family stays in-window via
+    # user_overlap_kmv)
+    "funnel_latency_quantiles", "events_ks_drift", "events_type_drift",
     # stalest: latest green record is round 2
     "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
     "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
@@ -7605,7 +7657,6 @@ _CHECK_PRIORITY = [
     # next-stalest: latest green record is round 3
     "big_order_customers", "customer_spend_percentile", "doc_hash_split",
     "events_asof_click", "events_sessionized",
-    "kmv_distinct_users",
     "mixture_resample_docs",
 ]
 

@@ -293,6 +293,7 @@ def main() -> None:
             f"token_kl_{dk}": lambda: _token_kl(docs),
             f"psi_drift_{evk}": lambda: _psi(evs),
             f"ks_drift_{evk}": lambda: _ks(evs),
+            f"type_drift_{evk}": lambda: _chi(evs),
             f"path_trigrams_{evk}": lambda: _trigrams(evs),
             f"seasonal_anomalies_{evk}": lambda: _anomalies(evs),
             f"kmv_overlap_{evk}": lambda: _kmv_overlap(evs),
@@ -390,6 +391,18 @@ def main() -> None:
                 e.filter(F.col("ts") < split).select("value"),
                 e.filter(F.col("ts") >= split).select("value"),
                 value_col="value",
+            )
+
+        def _chi(e):
+            from mcp_hubspot_spark.operators.profiling import (
+                categorical_drift,
+            )
+
+            split = F.lit("2024-01-16").cast("timestamp")
+            return categorical_drift(
+                e.filter(F.col("ts") < split).select("event_type"),
+                e.filter(F.col("ts") >= split).select("event_type"),
+                cat_col="event_type",
             )
 
         def _kmv_overlap(e):

@@ -2428,3 +2428,32 @@ def test_ks_drift_hand_computed(spark):
     empty = spark.createDataFrame([], "v double")
     row = ks_drift(a, empty, "v").collect()[0]
     assert row.ks_stat is None and row.n_a == 4 and row.n_b is None
+
+
+def test_categorical_drift_hand_computed(spark):
+    """2x2 table ref=(A:30,B:10), cur=(A:10,B:30): N=80, col totals 40/40,
+    every expectation is 20, every cell is (10-20)^2/20 = 5 -> each
+    category's chi2_term is 10 and the statistic is 20 (Cramer's V =
+    sqrt(20/80) = 0.5). Identical slices give exactly 0 terms, and a
+    NULL category is kept as a real category."""
+    from mcp_hubspot_spark.operators.profiling import categorical_drift
+
+    ref = spark.createDataFrame(
+        [("A",)] * 30 + [("B",)] * 10, "c string"
+    )
+    cur = spark.createDataFrame(
+        [("A",)] * 10 + [("B",)] * 30, "c string"
+    )
+    out = {r.category: r for r in categorical_drift(ref, cur, "c").collect()}
+    assert out["A"].chi2_term == 10.0 and out["B"].chi2_term == 10.0
+    assert (out["A"].n_ref, out["A"].n_cur) == (30, 10)
+    assert out["A"].p_ref == 0.75 and out["A"].p_cur == 0.25
+
+    same = categorical_drift(ref, ref, "c").collect()
+    assert all(r.chi2_term == 0.0 for r in same)
+
+    with_null = spark.createDataFrame(
+        [("A",), (None,)], "c string"
+    )
+    rows = categorical_drift(ref, with_null, "c").collect()
+    assert any(r.category is None and r.n_cur == 1 for r in rows)

@@ -770,3 +770,22 @@ def test_ks_drift_bucket_partitioned_cdf_no_global_sort(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, "grid shuffle not reused"
+
+
+def test_categorical_drift_single_category_shuffle(spark):
+    """Chi-square drift: the tagged union groups ONCE on the category
+    key (both side counts in the same pass); the totals come back as a
+    1-row broadcast, so no sort-merge join touches the grid, and the
+    scan is pruned to the split + category columns. The totals reduce
+    hangs off the byte-identical grid subtree, so AQE's ReuseExchange
+    materializes the category shuffle once at runtime — the raw data
+    is scanned a single time (same shape as ks_drift)."""
+    df = QUERIES["events_type_drift"](spark, SF)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" in read_schema and "ts" in read_schema
+    assert "user_id" not in read_schema
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, "grid shuffle not reused"

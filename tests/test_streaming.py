@@ -515,6 +515,16 @@ def test_stream_drift_monitor_flags_shifted_batch(spark, tmp_path):
     psis = sorted(r.psi for r in logged)
     assert psis[0] < 0.01
     assert psis[-1] > 0.25
+    # the ks column (online twin of operators.profiling.ks_drift) is
+    # the sup cumulative-fraction distance: ~0 in-distribution, 1.0 for
+    # disjoint support (every batch bucket clamps past the reference)
+    kss = sorted(r.ks for r in logged)
+    assert kss[0] < 0.01
+    assert kss[-1] == 1.0
+    # exact batch-twin agreement on the identical bucketed data: batch A
+    # IS the reference population, so its cumulative fractions match the
+    # reference's bucket-for-bucket and ks is exactly 0
+    assert kss[0] == 0.0
 
 
 def test_histogram_fractions_empty_reference_raises(spark):
