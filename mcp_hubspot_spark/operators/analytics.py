@@ -457,10 +457,13 @@ def session_path_ngrams(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
-    new_sess = (
-        F.col(ts_col).cast("long")
-        - F.lag(F.col(ts_col).cast("long")).over(w)
-        > F.lit(int(gap_s))
+    # microsecond-exact gaps: casting the timestamp to long FLOORS to
+    # whole seconds, so a true gap in (gap_s, gap_s+1) could keep the
+    # pair in one session while a fractional-epoch oracle splits it —
+    # same unix_micros idiom as events_user_gaps / funnel latency
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    new_sess = t_us - F.lag(t_us).over(w) > F.lit(
+        int(gap_s) * 1_000_000
     )
     sess = F.sum(
         F.when(new_sess, 1).otherwise(0)
@@ -489,4 +492,66 @@ def session_path_ngrams(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), F.asc("path"))
         .limit(k)
+    )
+
+
+def funnel_latency(
+    events: DataFrame,
+    start_type: str,
+    end_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    quantiles: Sequence[float] = (0.5, 0.9),
+    approx: bool = False,
+) -> DataFrame:
+    """Conversion-latency distribution: per user, first ``start_type``
+    to first subsequent ``end_type``, summarized as one row of
+    (n_converters, p{q}_hours per requested quantile, mean_hours) —
+    the "how long does the funnel take" companion to
+    :func:`ordered_funnel`'s "how many make it".
+
+    Shape: two user-keyed min-aggregates (the start side reduces
+    BEFORE joining, so the join carries one row per user, not per
+    event) joined on the user key with the ``>= t_start`` residual,
+    then a single 1-row reduce over n_converters latency scalars.
+    Latency is microsecond-exact (``unix_micros``, never a
+    second-floored cast). ``approx=True`` swaps the exact sorted
+    percentile for the mergeable Greenwald-Khanna sketch — the
+    documented >10^9-user path.
+    """
+    t = F.col(type_col)
+    v = (
+        events.filter(t == start_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t_start"))
+    )
+    p = (
+        events.filter(t == end_type)
+        .join(v, user_col)
+        .filter(F.col(ts_col) >= F.col("_t_start"))
+        .groupBy(user_col)
+        .agg(
+            F.min(ts_col).alias("_t_end"),
+            F.first("_t_start").alias("_t_start"),
+        )
+    )
+    sec = (
+        F.unix_micros(F.col("_t_end")) - F.unix_micros(F.col("_t_start"))
+    ).cast("double") / 1e6
+
+    def _pct(q: float):
+        expr = (
+            F.percentile_approx(sec, F.lit(q), 10_000)
+            if approx
+            else F.percentile(sec, F.lit(q))
+        )
+        return F.round(expr / 3600.0, 4).alias(
+            f"p{int(q * 100)}_hours"
+        )
+
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        *[_pct(q) for q in quantiles],
+        F.round(F.avg(sec) / 3600.0, 4).alias("mean_hours"),
     )

@@ -219,12 +219,14 @@ def psi_drift(
     SAME edges, so the score stays internally consistent — pinned by
     an exact/approx agreement test. Binning is a pure expression
     fold (no join, no shuffle beyond each slice's ``n_bins``-row count
-    aggregate); binning is a pure expression
-    fold (no join, no shuffle beyond each slice's ``n_bins``-row count
     aggregate). Bins empty in either slice are dropped rather than
     epsilon-smoothed — with quantile edges every bin holds ref mass by
     construction, and a cur-empty bin is surfaced by ``n_cur = 0``
     rows being absent (callers needing smoothed PSI can re-add them).
+    NULL values are excluded from BOTH slices (the percentile cutoffs
+    already ignore them; binning NULLs would silently sink them into
+    bin 1 and report false drift) — a null-RATE shift is
+    ``categorical_drift``'s job, not a value-distribution score's.
     """
     qs = [i / n_bins for i in range(1, n_bins)]
     v0 = F.col(value_col).cast("double")
@@ -244,7 +246,8 @@ def psi_drift(
             lambda acc, c: acc + F.when(v > c, F.lit(1)).otherwise(F.lit(0)),
         )
         return (
-            df.crossJoin(F.broadcast(cuts))
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(cuts))
             .select((bin_expr + F.lit(1)).alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))
@@ -512,7 +515,10 @@ def categorical_drift(
         .agg(F.sum("_ref").alias("n_ref"), F.sum("_cur").alias("n_cur"))
     )
     totals = grid.agg(
-        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+        # nullif(0) so an empty slice yields NULL fractions/terms
+        # instead of an ANSI division-by-zero error (the ks_drift guard)
+        F.nullif(F.sum("n_ref"), F.lit(0)).alias("_tr"),
+        F.nullif(F.sum("n_cur"), F.lit(0)).alias("_tc"),
     )
     n = F.col("_tr") + F.col("_tc")
     col_tot = F.col("n_ref") + F.col("n_cur")

@@ -439,7 +439,10 @@ def _seasonal_stats_fn(
         mean = mean + delta * nb / tot
         n = tot
     state.update((n, mean, m2))
-    std = (m2 / (n - 1)) ** 0.5 if n > 1 else 0.0
+    # sample std is UNDEFINED for n=1: emit NULL like the batch
+    # stddev_samp, so a z-scoring consumer's null-check skips singleton
+    # cells instead of dividing by a fake 0.0 variance
+    std = (m2 / (n - 1)) ** 0.5 if n > 1 else None
     yield pd.DataFrame(
         {
             "dow": [key[0]],
@@ -462,7 +465,9 @@ def streaming_seasonal_stats(events: DataFrame) -> DataFrame:
     Chan's combine is exact in real arithmetic (float association
     error only), so after the stream drains the per-cell stats match
     the batch groupBy mean/stddev to ~1e-9 — pinned by the
-    batch-agreement test.
+    batch-agreement test. Cells with n=1 emit a NULL ``std`` (sample
+    std is undefined), matching the batch ``stddev_samp`` contract —
+    consumers must null-check, exactly as they would the batch twin.
     """
     from pyspark.sql import functions as F
 

@@ -224,8 +224,19 @@ class IvfIndex:
         swapped) would corrupt the directory layout. Readers
         (``search``) never take the lock: they resolve a consistent
         file listing per query via the manifest or the parquet
-        snapshot. Stale locks from a crashed writer fail loudly at
-        timeout with the lock path in the message."""
+        snapshot.
+
+        The lock file records the owner's PID, and contenders BREAK a
+        lock whose owner is dead (``kill -9`` mid-mutation would
+        otherwise leave the file forever: every search-time recovery
+        attempt would silently skip and every mutation would block the
+        full timeout). Liveness is ``os.kill(pid, 0)`` — single-host
+        semantics, which is the lock's scope anyway (it guards
+        driver-side directory renames on one filesystem). A recycled
+        PID makes a stale lock look alive; that degrades to the old
+        loud-timeout behavior, never to two live writers. A lock file
+        too young to have its PID written yet (< 1 s) is treated as
+        live."""
         import contextlib
         import os as _os
         import time as _time
@@ -233,6 +244,21 @@ class IvfIndex:
         if timeout_s is None:
             timeout_s = self.LOCK_TIMEOUT_S
         lock = self.root / "_mutation.lock"
+
+        def _owner_is_dead() -> bool:
+            try:
+                raw = lock.read_text().strip()
+                if not raw:
+                    # PID not flushed yet: only stale if old enough
+                    return _time.time() - lock.stat().st_mtime > 1.0
+                _os.kill(int(raw), 0)
+                return False  # owner alive
+            except (FileNotFoundError, ValueError):
+                return False  # gone already / unreadable: retry normally
+            except ProcessLookupError:
+                return True  # no such process: crashed owner
+            except PermissionError:
+                return False  # alive under another uid
 
         @contextlib.contextmanager
         def _held():
@@ -243,8 +269,18 @@ class IvfIndex:
                     fd = _os.open(
                         lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
                     )
+                    _os.write(fd, str(_os.getpid()).encode())
                     break
                 except FileExistsError:
+                    if _owner_is_dead():
+                        # two contenders may race this remove; the
+                        # loser's FileNotFoundError is fine — both loop
+                        # back to the O_EXCL open and exactly one wins
+                        try:
+                            _os.remove(lock)
+                        except FileNotFoundError:
+                            pass
+                        continue
                     if _time.monotonic() >= deadline:
                         raise TimeoutError(
                             f"could not acquire {lock} after {timeout_s}s "
@@ -286,11 +322,14 @@ class IvfIndex:
 
     def _recover_swap_backup_if_idle(self) -> None:
         """Search-time crash recovery: attempt the mutation lock
-        WITHOUT blocking; if a writer holds it, a live ``_swap_cells``
+        WITHOUT blocking; if a LIVE writer holds it, a ``_swap_cells``
         is mid-flight (its backup dir is a legitimate transient, and
         the writer converges on its own) — restoring from under it
-        would break its move-in, so skip. Costs one ``exists()`` in
-        the common no-backup path."""
+        would break its move-in, so skip. A crashed writer's stale
+        lock does NOT cause a skip: the lock's dead-owner break lets
+        this acquire immediately, so the first post-crash search
+        restores the backed-up cells. Costs one ``exists()`` in the
+        common no-backup path."""
         if not (self.root / "_swap_backup").exists():
             return
         try:

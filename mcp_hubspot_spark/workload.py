@@ -7354,30 +7354,11 @@ def user_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def funnel_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.analytics import funnel_latency
+
     events = load_table(spark, sf, "events")
-    v = (
-        events.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    p = (
-        events.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view"))
-    )
-    lat = p.select(
-        (
-            F.unix_micros(F.col("t_buy")) - F.unix_micros(F.col("t_view"))
-        ).cast("double").alias("_us")
-    )
-    sec = F.col("_us") / 1e6
-    return lat.agg(
-        F.count(F.lit(1)).alias("n_converters"),
-        F.round(F.percentile(sec, F.lit(0.5)) / 3600.0, 4).alias("p50_hours"),
-        F.round(F.percentile(sec, F.lit(0.9)) / 3600.0, 4).alias("p90_hours"),
-        F.round(F.avg(sec) / 3600.0, 4).alias("mean_hours"),
+    return funnel_latency(
+        events, start_type="view", end_type="purchase"
     )
 
 

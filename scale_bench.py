@@ -416,30 +416,16 @@ def main() -> None:
             )
 
         def _funnel_latency(e):
-            v = (
-                e.filter(F.col("event_type") == "view")
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t_view"))
-            )
-            p = (
-                e.filter(F.col("event_type") == "purchase")
-                .join(v, "user_id")
-                .filter(F.col("ts") >= F.col("t_view"))
-                .groupBy("user_id")
-                .agg(
-                    F.min("ts").alias("t_buy"),
-                    F.first("t_view").alias("t_view"),
-                )
-            )
-            sec = (
-                F.unix_micros(F.col("t_buy"))
-                - F.unix_micros(F.col("t_view"))
-            ).cast("double") / 1e6
-            return p.agg(
-                F.count(F.lit(1)).alias("n_converters"),
-                F.round(
-                    F.percentile_approx(sec, F.lit(0.5), 10_000) / 3600.0, 4
-                ).alias("p50_hours"),
+            from mcp_hubspot_spark.operators.analytics import funnel_latency
+
+            # approx=True: the GK-sketch percentile, the documented
+            # >10^9-user path this scale row exists to exercise
+            return funnel_latency(
+                e,
+                start_type="view",
+                end_type="purchase",
+                quantiles=(0.5,),
+                approx=True,
             )
 
         def _trigrams(e):

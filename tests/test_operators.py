@@ -2457,3 +2457,67 @@ def test_categorical_drift_hand_computed(spark):
     )
     rows = categorical_drift(ref, with_null, "c").collect()
     assert any(r.category is None and r.n_cur == 1 for r in rows)
+
+
+def test_psi_drift_ignores_null_values(spark):
+    """NULLs must not sink into bin 1 as false drift: identical value
+    distributions where cur additionally carries NULLs score exactly 0
+    in every bin (a null-RATE shift is categorical_drift's job)."""
+    from mcp_hubspot_spark.operators.profiling import psi_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)]
+        + [(None,)] * 500,
+        "value double",
+    )
+    out = psi_drift(ref, cur, "value", n_bins=10).collect()
+    assert len(out) == 10
+    assert all(r.psi_term == 0.0 and r.n_ref == r.n_cur for r in out)
+
+
+def test_categorical_drift_empty_slice_no_raise(spark):
+    """An empty slice yields NULL fractions/terms (never an ANSI
+    divide-by-zero) — same degenerate-input contract as ks_drift."""
+    from mcp_hubspot_spark.operators.profiling import categorical_drift
+
+    cur = spark.createDataFrame([("A",), ("B",)], "c string")
+    empty = spark.createDataFrame([], "c string")
+    rows = categorical_drift(empty, cur, "c").collect()
+    assert len(rows) == 2
+    assert all(
+        r.n_ref == 0 and r.p_ref is None and r.chi2_term is None
+        for r in rows
+    )
+    assert categorical_drift(empty, empty, "c").collect() == []
+
+
+def test_session_path_ngrams_subsecond_gap_boundary(spark):
+    """Gap sessionization must be microsecond-exact: a 1800.5 s gap
+    between second-floored-equal-1800 timestamps SPLITS the session
+    (a floor-to-seconds diff would keep it together and disagree with
+    any fractional-epoch oracle)."""
+    from datetime import datetime
+
+    from mcp_hubspot_spark.operators.analytics import session_path_ngrams
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0, 900_000), 1, "a"),
+        (1, datetime(2024, 1, 1, 0, 0, 1, 0), 2, "b"),
+        # 1800.5s after event 2: floor-seconds diff is exactly 1800
+        # (not > 1800) but the true gap exceeds the threshold
+        (1, datetime(2024, 1, 1, 0, 30, 1, 500_000), 3, "c"),
+        (1, datetime(2024, 1, 1, 0, 30, 2, 0), 4, "d"),
+        (1, datetime(2024, 1, 1, 0, 30, 3, 0), 5, "e"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = {
+        r.path: r.n_occurrences
+        for r in session_path_ngrams(ev, n=3, gap_s=1800, k=10).collect()
+    }
+    # session 1 = [a, b] (too short for a trigram); session 2 = [c, d, e]
+    assert got == {"c>d>e": 1}

@@ -729,4 +729,8 @@ def test_streaming_seasonal_stats_agrees_with_batch(spark, tmp_path):
         w = want[cell]
         assert g.n == w.n
         assert abs(g.mean - w.mean) < 1e-9
-        assert abs(g.std - (w.std or 0.0)) < 1e-9
+        if w.std is None:
+            # n=1 cells: sample std undefined — BOTH sides emit NULL
+            assert g.std is None and g.n == 1
+        else:
+            assert abs(g.std - w.std) < 1e-9

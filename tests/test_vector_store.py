@@ -487,7 +487,11 @@ def test_ivf_mutation_lock_blocks_second_writer(spark, tmp_path):
 
     other = type(idx)(spark, str(root))
     other.LOCK_TIMEOUT_S = 0.3
-    (root / "_mutation.lock").touch()  # a concurrent writer holds it
+    import os as _os
+
+    # a concurrent LIVE writer holds it (owner pid = this test process,
+    # which is alive — the dead-owner break must NOT fire)
+    (root / "_mutation.lock").write_text(str(_os.getpid()))
     with pytest.raises(TimeoutError, match="_mutation.lock"):
         other.delete([1])
     (root / "_mutation.lock").unlink()
@@ -667,19 +671,66 @@ def test_hard_crash_swap_backup_recovered_at_search(spark, tmp_path):
     assert victim.exists() and not list(bak_root.glob("cell_id=*"))
     assert spark.read.parquet(str(idx.root / "cells")).count() == 120
 
-    # same crash state again, but a WRITER holds the lock: search must
-    # skip recovery (restoring under a live swap would corrupt it)
+    # same crash state again, but a LIVE writer holds the lock: search
+    # must skip recovery (restoring under a live swap would corrupt it)
     os.rename(victim, bak_root / victim.name)
     lock = idx.root / "_mutation.lock"
-    lock.touch()
+    lock.write_text(str(os.getpid()))  # this process is alive
     idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
     assert not victim.exists()  # untouched while the writer is active
     lock.unlink()
+    idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()  # now restores
+    assert victim.exists()
 
     # and the next MUTATION (delete) restores before clearing the backup
+    bak_root.mkdir(exist_ok=True)
+    os.rename(victim, bak_root / victim.name)  # re-break the crash state
     stale = spark.createDataFrame([(0,)], "vec_id long")
     idx.delete(stale)
     assert victim.exists() and not bak_root.exists() or not list(
         bak_root.glob("cell_id=*")
     )
     assert spark.read.parquet(str(idx.root / "cells")).count() == 119
+
+
+def test_ivf_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
+    """kill -9 mid-mutation leaves the lock file on disk with no live
+    owner. Contenders must BREAK it: the first post-crash search runs
+    the swap-backup recovery instead of silently skipping forever, and
+    the next mutation proceeds instead of blocking to timeout."""
+    import os
+    import subprocess
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11), float(i % 13)]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf_stale"))
+    idx.LOCK_TIMEOUT_S = 5.0  # a broken lock must acquire well under this
+    idx.build(emb, n_cells=4)
+
+    # the crashed writer: a real pid that is certainly dead
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead_pid = p.pid
+
+    # crash state: a cell only in the backup AND the dead owner's lock
+    victim = sorted((idx.root / "cells").glob("cell_id=*"))[0]
+    bak_root = idx.root / "_swap_backup"
+    bak_root.mkdir()
+    os.rename(victim, bak_root / victim.name)
+    (idx.root / "_mutation.lock").write_text(str(dead_pid))
+
+    # search breaks the stale lock and restores the backed-up cell
+    got = idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
+    assert len(got) == 5
+    assert victim.exists() and not list(bak_root.glob("cell_id=*"))
+    assert spark.read.parquet(str(idx.root / "cells")).count() == 120
+    assert not (idx.root / "_mutation.lock").exists()
+
+    # stale lock before a MUTATION: proceeds without waiting for timeout
+    (idx.root / "_mutation.lock").write_text(str(dead_pid))
+    assert idx.delete([0]) == 1
+    assert not (idx.root / "_mutation.lock").exists()
