@@ -457,13 +457,17 @@ def session_path_ngrams(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
-    # microsecond-exact gaps: casting the timestamp to long FLOORS to
-    # whole seconds, so a true gap in (gap_s, gap_s+1) could keep the
-    # pair in one session while a fractional-epoch oracle splits it —
-    # same unix_micros idiom as events_user_gaps / funnel latency
-    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    new_sess = t_us - F.lag(t_us).over(w) > F.lit(
-        int(gap_s) * 1_000_000
+    # microsecond-exact gaps as a pure INTERVAL comparison: casting the
+    # timestamp to long FLOORS to whole seconds (a true gap in
+    # (gap_s, gap_s+1) could keep the pair in one session while a
+    # fractional-epoch oracle splits it), and unix_micros on a
+    # TIMESTAMP_NTZ column would interpret wall-clock times through the
+    # session timezone (DST transitions distort gaps). Timestamp
+    # subtraction works identically for TIMESTAMP and NTZ and compares
+    # against the interval literal timezone-independently.
+    new_sess = (
+        F.col(ts_col) - F.lag(F.col(ts_col)).over(w)
+        > F.expr(f"INTERVAL {int(gap_s)} SECONDS")
     )
     sess = F.sum(
         F.when(new_sess, 1).otherwise(0)
@@ -515,10 +519,11 @@ def funnel_latency(
     BEFORE joining, so the join carries one row per user, not per
     event) joined on the user key with the ``>= t_start`` residual,
     then a single 1-row reduce over n_converters latency scalars.
-    Latency is microsecond-exact (``unix_micros``, never a
-    second-floored cast). ``approx=True`` swaps the exact sorted
-    percentile for the mergeable Greenwald-Khanna sketch — the
-    documented >10^9-user path.
+    Latency is microsecond-exact (interval ``DIV INTERVAL 1
+    MICROSECOND`` — never a second-floored cast, and type-generic over
+    TIMESTAMP / TIMESTAMP_NTZ without session-timezone interpretation).
+    ``approx=True`` swaps the exact sorted percentile for the mergeable
+    Greenwald-Khanna sketch — the documented >10^9-user path.
     """
     t = F.col(type_col)
     v = (
@@ -536,22 +541,37 @@ def funnel_latency(
             F.first("_t_start").alias("_t_start"),
         )
     )
+    # interval DIV: microsecond-exact, and unlike unix_micros it works
+    # for TIMESTAMP and TIMESTAMP_NTZ alike without routing NTZ
+    # wall-clock times through the session timezone
     sec = (
-        F.unix_micros(F.col("_t_end")) - F.unix_micros(F.col("_t_start"))
-    ).cast("double") / 1e6
+        F.expr("(_t_end - _t_start) DIV INTERVAL 1 MICROSECOND").cast(
+            "double"
+        )
+        / 1e6
+    )
 
-    def _pct(q: float):
+    def _label(q: float) -> str:
+        # %g then '.'->'_' keeps sub-percent quantiles distinct and
+        # rounds away float noise: 0.29 -> p29, 0.999 -> p99_9
+        # (int(q*100) truncates 0.29 to p28 and collides 0.999 with
+        # 0.99)
+        return "p" + ("%g" % round(q * 100, 6)).replace(".", "_")
+
+    labels = [_label(q) for q in quantiles]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile labels: {labels}")
+
+    def _pct(q: float, label: str):
         expr = (
             F.percentile_approx(sec, F.lit(q), 10_000)
             if approx
             else F.percentile(sec, F.lit(q))
         )
-        return F.round(expr / 3600.0, 4).alias(
-            f"p{int(q * 100)}_hours"
-        )
+        return F.round(expr / 3600.0, 4).alias(f"{label}_hours")
 
     return p.agg(
         F.count(F.lit(1)).alias("n_converters"),
-        *[_pct(q) for q in quantiles],
+        *[_pct(q, lab) for q, lab in zip(quantiles, labels)],
         F.round(F.avg(sec) / 3600.0, 4).alias("mean_hours"),
     )

@@ -217,7 +217,7 @@ class IvfIndex:
 
     def _mutation_lock(self, timeout_s: float | None = None):
         """Serialize the file-mutating operations (build/add/delete/
-        compact) with an O_CREAT|O_EXCL lock file — the same coarse
+        compact) with ``flock`` on a lock file — the same coarse
         single-writer contract the reference's FAISS manager gets for
         free from being one process, made explicit here because two
         concurrent cell rewrites (or an add appending into a cell being
@@ -226,18 +226,22 @@ class IvfIndex:
         file listing per query via the manifest or the parquet
         snapshot.
 
-        The lock file records the owner's PID, and contenders BREAK a
-        lock whose owner is dead (``kill -9`` mid-mutation would
-        otherwise leave the file forever: every search-time recovery
-        attempt would silently skip and every mutation would block the
-        full timeout). Liveness is ``os.kill(pid, 0)`` — single-host
-        semantics, which is the lock's scope anyway (it guards
-        driver-side directory renames on one filesystem). A recycled
-        PID makes a stale lock look alive; that degrades to the old
-        loud-timeout behavior, never to two live writers. A lock file
-        too young to have its PID written yet (< 1 s) is treated as
-        live."""
+        ``flock`` (not O_CREAT|O_EXCL existence) because the kernel
+        releases it when the owner dies — even ``kill -9`` mid-mutation
+        leaves no stale lock, so post-crash search-time recovery and
+        the next mutation proceed immediately, and there is no
+        lock-breaking protocol to get wrong (PID-liveness breaking has
+        an unfixable check-then-remove race where a contender can
+        delete a FRESH lock re-acquired after its staleness check,
+        admitting two writers). The lock FILE persists on disk between
+        mutations — only the flock on it matters; its PID content is a
+        diagnostic. Single-host semantics (an advisory lock on the
+        local filesystem), which is the lock's scope anyway: it guards
+        driver-side directory renames. Each acquisition opens its own
+        file description, so two writers in one process (threads)
+        still exclude each other."""
         import contextlib
+        import fcntl as _fcntl
         import os as _os
         import time as _time
 
@@ -245,55 +249,34 @@ class IvfIndex:
             timeout_s = self.LOCK_TIMEOUT_S
         lock = self.root / "_mutation.lock"
 
-        def _owner_is_dead() -> bool:
-            try:
-                raw = lock.read_text().strip()
-                if not raw:
-                    # PID not flushed yet: only stale if old enough
-                    return _time.time() - lock.stat().st_mtime > 1.0
-                _os.kill(int(raw), 0)
-                return False  # owner alive
-            except (FileNotFoundError, ValueError):
-                return False  # gone already / unreadable: retry normally
-            except ProcessLookupError:
-                return True  # no such process: crashed owner
-            except PermissionError:
-                return False  # alive under another uid
-
         @contextlib.contextmanager
         def _held():
             self.root.mkdir(parents=True, exist_ok=True)
-            deadline = _time.monotonic() + timeout_s
-            while True:
-                try:
-                    fd = _os.open(
-                        lock, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY
-                    )
-                    _os.write(fd, str(_os.getpid()).encode())
-                    break
-                except FileExistsError:
-                    if _owner_is_dead():
-                        # two contenders may race this remove; the
-                        # loser's FileNotFoundError is fine — both loop
-                        # back to the O_EXCL open and exactly one wins
-                        try:
-                            _os.remove(lock)
-                        except FileNotFoundError:
-                            pass
-                        continue
-                    if _time.monotonic() >= deadline:
-                        raise TimeoutError(
-                            f"could not acquire {lock} after {timeout_s}s "
-                            "— another writer is active, or a crashed "
-                            "one left the lock behind (remove it after "
-                            "confirming no writer is alive)"
-                        ) from None
-                    _time.sleep(0.05)
+            fd = _os.open(lock, _os.O_CREAT | _os.O_WRONLY, 0o644)
             try:
-                yield
+                deadline = _time.monotonic() + timeout_s
+                while True:
+                    try:
+                        _fcntl.flock(
+                            fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB
+                        )
+                        break
+                    except BlockingIOError:
+                        if _time.monotonic() >= deadline:
+                            raise TimeoutError(
+                                f"could not acquire {lock} after "
+                                f"{timeout_s}s — another writer is "
+                                "active"
+                            ) from None
+                        _time.sleep(0.05)
+                try:
+                    _os.ftruncate(fd, 0)
+                    _os.write(fd, str(_os.getpid()).encode())
+                    yield
+                finally:
+                    _fcntl.flock(fd, _fcntl.LOCK_UN)
             finally:
                 _os.close(fd)
-                _os.remove(lock)
 
         return _held()
 
@@ -325,11 +308,11 @@ class IvfIndex:
         WITHOUT blocking; if a LIVE writer holds it, a ``_swap_cells``
         is mid-flight (its backup dir is a legitimate transient, and
         the writer converges on its own) — restoring from under it
-        would break its move-in, so skip. A crashed writer's stale
-        lock does NOT cause a skip: the lock's dead-owner break lets
-        this acquire immediately, so the first post-crash search
-        restores the backed-up cells. Costs one ``exists()`` in the
-        common no-backup path."""
+        would break its move-in, so skip. A crashed writer never causes
+        a skip: the kernel drops its ``flock`` at process death, so the
+        first post-crash search acquires immediately and restores the
+        backed-up cells. Costs one ``exists()`` in the common no-backup
+        path."""
         if not (self.root / "_swap_backup").exists():
             return
         try:

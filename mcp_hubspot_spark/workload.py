@@ -6907,9 +6907,11 @@ def source_token_kl(spark: SparkSession, sf: str) -> DataFrame:
     "events_psi_drift",
     """
     WITH ref AS (SELECT value FROM events
-                 WHERE ts < TIMESTAMP '2024-01-16'),
+                 WHERE ts < TIMESTAMP '2024-01-16'
+                   AND value IS NOT NULL),
     cur AS (SELECT value FROM events
-            WHERE ts >= TIMESTAMP '2024-01-16'),
+            WHERE ts >= TIMESTAMP '2024-01-16'
+              AND value IS NOT NULL),
     cuts AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c FROM ref),
     rb AS (SELECT 1 + (CASE WHEN value > c[1] THEN 1 ELSE 0 END) + (CASE WHEN value > c[2] THEN 1 ELSE 0 END) + (CASE WHEN value > c[3] THEN 1 ELSE 0 END) + (CASE WHEN value > c[4] THEN 1 ELSE 0 END) + (CASE WHEN value > c[5] THEN 1 ELSE 0 END) + (CASE WHEN value > c[6] THEN 1 ELSE 0 END) + (CASE WHEN value > c[7] THEN 1 ELSE 0 END) + (CASE WHEN value > c[8] THEN 1 ELSE 0 END) + (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS bin FROM ref CROSS JOIN cuts),
     cb AS (SELECT 1 + (CASE WHEN value > c[1] THEN 1 ELSE 0 END) + (CASE WHEN value > c[2] THEN 1 ELSE 0 END) + (CASE WHEN value > c[3] THEN 1 ELSE 0 END) + (CASE WHEN value > c[4] THEN 1 ELSE 0 END) + (CASE WHEN value > c[5] THEN 1 ELSE 0 END) + (CASE WHEN value > c[6] THEN 1 ELSE 0 END) + (CASE WHEN value > c[7] THEN 1 ELSE 0 END) + (CASE WHEN value > c[8] THEN 1 ELSE 0 END) + (CASE WHEN value > c[9] THEN 1 ELSE 0 END) AS bin FROM cur CROSS JOIN cuts),

@@ -2521,3 +2521,34 @@ def test_session_path_ngrams_subsecond_gap_boundary(spark):
     }
     # session 1 = [a, b] (too short for a trigram); session 2 = [c, d, e]
     assert got == {"c>d>e": 1}
+
+
+def test_funnel_latency_ntz_input_and_quantile_labels(spark):
+    """funnel_latency is type-generic: raw TIMESTAMP_NTZ input works
+    (interval DIV, no session-timezone interpretation), latency is
+    microsecond-exact, quantile labels round correctly (0.29 -> p29,
+    not the float-truncated p28; 0.999 -> p99_9, distinct from 0.99),
+    and duplicate labels raise instead of emitting ambiguous columns."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from mcp_hubspot_spark.operators.analytics import funnel_latency
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0), "view"),
+            (1, datetime(2024, 1, 1, 2, 0, 0, 500_000), "purchase"),
+        ],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+    df = funnel_latency(ev, "view", "purchase", quantiles=(0.29, 0.999))
+    assert df.columns == [
+        "n_converters", "p29_hours", "p99_9_hours", "mean_hours",
+    ]
+    row = df.collect()[0]
+    assert row.n_converters == 1
+    assert row.mean_hours == 2.0001  # 7200.5 s, microsecond-exact
+
+    with _pytest.raises(ValueError, match="duplicate quantile labels"):
+        funnel_latency(ev, "view", "purchase", quantiles=(0.99, 0.99))

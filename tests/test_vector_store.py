@@ -478,25 +478,32 @@ def test_ivf_interrupted_swap_keeps_survivors(spark, tmp_path, monkeypatch):
 
 
 def test_ivf_mutation_lock_blocks_second_writer(spark, tmp_path):
-    """The mutators serialize on _mutation.lock: while one writer holds
-    it, another fails at timeout with the lock path named; the lock is
-    released after every (even failing) mutation."""
+    """The mutators serialize on flock(_mutation.lock): while one
+    writer HOLDS the flock, another fails at timeout with the lock
+    path named; once released (the lock FILE persists by design — only
+    the flock matters), the next mutation proceeds. A lock file merely
+    EXISTING — the kill -9 leftover — never blocks."""
+    import fcntl
+    import os as _os
+
     root = tmp_path / "ivf"
     idx, emb = _ivf_fixture(spark, root)
-    assert not (root / "_mutation.lock").exists()  # released after build
 
     other = type(idx)(spark, str(root))
     other.LOCK_TIMEOUT_S = 0.3
-    import os as _os
-
-    # a concurrent LIVE writer holds it (owner pid = this test process,
-    # which is alive — the dead-owner break must NOT fire)
-    (root / "_mutation.lock").write_text(str(_os.getpid()))
-    with pytest.raises(TimeoutError, match="_mutation.lock"):
-        other.delete([1])
-    (root / "_mutation.lock").unlink()
-    assert other.delete([1]) == 1  # released lock -> proceeds
-    assert not (root / "_mutation.lock").exists()
+    # a concurrent LIVE writer holds the flock
+    fd = _os.open(root / "_mutation.lock", _os.O_CREAT | _os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError, match="_mutation.lock"):
+            other.delete([1])
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        _os.close(fd)
+    assert other.delete([1]) == 1  # released flock -> proceeds
+    # the file persisting (crash leftover shape) must not block either
+    assert (root / "_mutation.lock").exists()
+    assert other.delete([2]) == 1
 
 
 def test_ivf_cosine_metric(spark, tmp_path):
@@ -671,14 +678,19 @@ def test_hard_crash_swap_backup_recovered_at_search(spark, tmp_path):
     assert victim.exists() and not list(bak_root.glob("cell_id=*"))
     assert spark.read.parquet(str(idx.root / "cells")).count() == 120
 
-    # same crash state again, but a LIVE writer holds the lock: search
+    # same crash state again, but a LIVE writer holds the flock: search
     # must skip recovery (restoring under a live swap would corrupt it)
+    import fcntl
+
     os.rename(victim, bak_root / victim.name)
-    lock = idx.root / "_mutation.lock"
-    lock.write_text(str(os.getpid()))  # this process is alive
-    idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
-    assert not victim.exists()  # untouched while the writer is active
-    lock.unlink()
+    fd = os.open(idx.root / "_mutation.lock", os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
+        assert not victim.exists()  # untouched while the writer is active
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
     idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()  # now restores
     assert victim.exists()
 
@@ -687,19 +699,22 @@ def test_hard_crash_swap_backup_recovered_at_search(spark, tmp_path):
     os.rename(victim, bak_root / victim.name)  # re-break the crash state
     stale = spark.createDataFrame([(0,)], "vec_id long")
     idx.delete(stale)
-    assert victim.exists() and not bak_root.exists() or not list(
-        bak_root.glob("cell_id=*")
-    )
+    assert victim.exists()
+    assert not bak_root.exists() or not list(bak_root.glob("cell_id=*"))
     assert spark.read.parquet(str(idx.root / "cells")).count() == 119
 
 
-def test_ivf_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
-    """kill -9 mid-mutation leaves the lock file on disk with no live
-    owner. Contenders must BREAK it: the first post-crash search runs
-    the swap-backup recovery instead of silently skipping forever, and
-    the next mutation proceeds instead of blocking to timeout."""
+def test_ivf_dead_writer_leaves_no_effective_lock(spark, tmp_path):
+    """kill -9 mid-mutation leaves the lock FILE on disk but the kernel
+    drops the crashed owner's flock with the process. A contender must
+    acquire immediately: the first post-crash search runs the
+    swap-backup recovery instead of silently skipping forever, and the
+    next mutation proceeds instead of blocking to timeout. The crashed
+    holder is a REAL subprocess that flocks and dies without
+    releasing."""
     import os
     import subprocess
+    import sys
 
     from mcp_hubspot_spark.vector_store import IvfIndex
 
@@ -708,29 +723,34 @@ def test_ivf_stale_lock_from_dead_writer_is_broken(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     idx = IvfIndex(spark, str(tmp_path / "ivf_stale"))
-    idx.LOCK_TIMEOUT_S = 5.0  # a broken lock must acquire well under this
+    idx.LOCK_TIMEOUT_S = 5.0  # post-crash acquire must beat this easily
     idx.build(emb, n_cells=4)
 
-    # the crashed writer: a real pid that is certainly dead
-    p = subprocess.Popen(["true"])
-    p.wait()
-    dead_pid = p.pid
-
-    # crash state: a cell only in the backup AND the dead owner's lock
+    # crash state: a cell only in the backup, left by a writer that
+    # took the flock and died holding it (os._exit = no cleanup)
     victim = sorted((idx.root / "cells").glob("cell_id=*"))[0]
     bak_root = idx.root / "_swap_backup"
     bak_root.mkdir()
     os.rename(victim, bak_root / victim.name)
-    (idx.root / "_mutation.lock").write_text(str(dead_pid))
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys\n"
+            f"fd = os.open({str(idx.root / '_mutation.lock')!r},"
+            " os.O_CREAT | os.O_WRONLY)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "os._exit(9)\n",
+        ],
+        check=False,
+    )
+    assert (idx.root / "_mutation.lock").exists()  # the kill -9 leftover
 
-    # search breaks the stale lock and restores the backed-up cell
+    # search acquires despite the leftover file and restores the cell
     got = idx.search([1.0, 2.0, 3.0], k=5, nprobe=4).collect()
     assert len(got) == 5
     assert victim.exists() and not list(bak_root.glob("cell_id=*"))
     assert spark.read.parquet(str(idx.root / "cells")).count() == 120
-    assert not (idx.root / "_mutation.lock").exists()
 
-    # stale lock before a MUTATION: proceeds without waiting for timeout
-    (idx.root / "_mutation.lock").write_text(str(dead_pid))
+    # and a mutation proceeds without waiting out the timeout
     assert idx.delete([0]) == 1
-    assert not (idx.root / "_mutation.lock").exists()
