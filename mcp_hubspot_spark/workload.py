@@ -7642,6 +7642,18 @@ _CHECK_PRIORITY = [
     "events_asof_click", "events_sessionized",
     "mixture_resample_docs",
 ]
+# ---- round-8 forward note (same never-checked-first rule) ----------
+# After the round-7 check lands, NO query will be older than round 3.
+# Head of the round-8 line: the 8 r3-green queries that did not fit
+# this window — kmv_distinct_users, upsample_repeat_docs,
+# embedding_row_stats, supplier_pagerank, media_frame_sample,
+# global_shuffle_docs, weighted_sample_docs, vocab_coverage — then the
+# 50-query r5-green cohort (customer_order_activity, events_json_props,
+# nation_trade_volume, orders_cube, ... — stalest-first), plus any
+# round-8 additions at the very front. Until then the 8 are pinned by
+# the local oracle replica (tests/test_oracle_parity.py) and the
+# verify gate, which run ALL oracle-gated queries regardless of
+# window.
 
 
 def _apply_check_priority() -> None:
