@@ -361,6 +361,8 @@ def ks_drift(
     b: DataFrame,
     value_col: str,
     n_buckets: int = 64,
+    approx: bool = False,
+    approx_bins: int = 256,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic between two
     slices of a numeric column — ``sup_x |F_a(x) − F_b(x)|``, the
@@ -384,6 +386,19 @@ def ks_drift(
     plan audit pins the single-scan-pass shape). No window ever
     orders more than ~|distinct|/n_buckets rows. NULL values are
     excluded (an ECDF is undefined over them).
+
+    ``approx=True`` is the path for continuous columns at extreme row
+    counts, where the distinct-value grid is itself row-scale and the
+    per-bucket window sorts become the bottleneck: the sup is instead
+    evaluated only at ``approx_bins`` ROW-WEIGHTED quantile cutoffs of
+    the pooled values (one GK-sketch 1-row reduce), each row is binned
+    by a pure expression fold, and the whole CDF collapses to a
+    ≤``approx_bins``-row frame — map-side combine reduces the shuffle
+    to ≤``approx_bins`` partial rows per task, and nothing downstream
+    exceeds ``approx_bins`` rows. Error is bounded by the largest
+    pooled row mass between adjacent cutoffs (≈ 1/approx_bins on
+    continuous data) plus the sketch tolerance; exact stays the oracle
+    twin at test SFs — pinned by an exact/approx agreement test.
     """
     v = F.col(value_col).cast("double")
 
@@ -395,10 +410,54 @@ def ks_drift(
             F.lit(0).alias(f"_{other}"),
         ).select("val", "_a", "_b")
 
+    pooled = _tag(a, "a").unionByName(_tag(b, "b"))
+
+    if approx:
+        qs = [i / approx_bins for i in range(1, approx_bins)]
+        cuts = pooled.agg(
+            F.percentile_approx(
+                F.col("val"), F.array(*[F.lit(q) for q in qs]), 10_000
+            ).alias("_cuts"),
+            F.nullif(F.sum("_a"), F.lit(0)).alias("_ta"),
+            F.nullif(F.sum("_b"), F.lit(0)).alias("_tb"),
+        )
+        bucket = F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc
+            + F.when(F.col("val") > c, F.lit(1)).otherwise(F.lit(0)),
+        )
+        binned = (
+            pooled.crossJoin(F.broadcast(cuts))
+            .select("_a", "_b", "_ta", "_tb", bucket.alias("_bkt"))
+            .groupBy("_bkt")
+            .agg(
+                F.sum("_a").alias("n_a"),
+                F.sum("_b").alias("n_b"),
+                F.first("_ta").alias("_ta"),
+                F.first("_tb").alias("_tb"),
+            )
+        )
+        # ≤approx_bins rows: the single-partition ordered window is
+        # bounded by construction
+        cum_w = W.orderBy("_bkt").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return binned.select(
+            (F.sum("n_a").over(cum_w) / F.col("_ta")).alias("_fa"),
+            (F.sum("n_b").over(cum_w) / F.col("_tb")).alias("_fb"),
+            "_ta",
+            "_tb",
+        ).agg(
+            F.round(F.max(F.abs(F.col("_fa") - F.col("_fb"))), 6).alias(
+                "ks_stat"
+            ),
+            F.first("_ta").alias("n_a"),
+            F.first("_tb").alias("n_b"),
+        )
+
     grid = (
-        _tag(a, "a")
-        .unionByName(_tag(b, "b"))
-        .groupBy("val")
+        pooled.groupBy("val")
         .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
     )
 

@@ -2552,3 +2552,30 @@ def test_funnel_latency_ntz_input_and_quantile_labels(spark):
 
     with _pytest.raises(ValueError, match="duplicate quantile labels"):
         funnel_latency(ev, "view", "purchase", quantiles=(0.99, 0.99))
+
+
+def test_ks_drift_approx_agrees_with_exact(spark):
+    """approx=True evaluates the sup only at row-weighted quantile
+    cutoffs (the >distinct-value-scale path) — it must agree with the
+    exact statistic within the grid resolution (max pooled row mass
+    between adjacent cutoffs ~ 2/approx_bins) and keep the same
+    totals and empty-side NULL contract."""
+    from mcp_hubspot_spark.operators.profiling import ks_drift
+
+    ref = spark.createDataFrame(
+        [(float(i % 997) / 10.0,) for i in range(4000)], "value double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 997) / 10.0 + 5.0,) for i in range(3000)],
+        "value double",
+    )
+    exact = ks_drift(ref, cur, "value").collect()[0]
+    ap = ks_drift(
+        ref, cur, "value", approx=True, approx_bins=256
+    ).collect()[0]
+    assert (ap.n_a, ap.n_b) == (exact.n_a, exact.n_b) == (4000, 3000)
+    assert abs(ap.ks_stat - exact.ks_stat) <= 2.0 / 256 + 1e-6
+
+    empty = spark.createDataFrame([], "value double")
+    row = ks_drift(ref, empty, "value", approx=True).collect()[0]
+    assert row.ks_stat is None and row.n_b is None
