@@ -391,8 +391,11 @@ def ks_drift(
     counts, where the distinct-value grid is itself row-scale and the
     per-bucket window sorts become the bottleneck: the sup is instead
     evaluated only at ``approx_bins`` ROW-WEIGHTED quantile cutoffs of
-    the pooled values (one GK-sketch 1-row reduce), each row is binned
-    by a pure expression fold, and the whole CDF collapses to a
+    the pooled values (one GK-sketch reduce whose ≤approx_bins floats
+    come to the driver — a bounded, EAGER step, the
+    ``percentile_buckets`` convention), each row is binned by a
+    binary-search tree of literal comparisons (log2(bins) codegen'd
+    comparisons per row), and the whole CDF collapses to a
     ≤``approx_bins``-row frame — map-side combine reduces the shuffle
     to ≤``approx_bins`` partial rows per task, and nothing downstream
     exceeds ``approx_bins`` rows. Error is bounded by the largest
@@ -413,30 +416,53 @@ def ks_drift(
     pooled = _tag(a, "a").unionByName(_tag(b, "b"))
 
     if approx:
+        # the cutoffs come to the driver (BOUNDED: approx_bins floats —
+        # the percentile_buckets convention) so binning can be a
+        # BINARY-SEARCH tree of literal WHEN comparisons: log2(bins)
+        # codegen'd comparisons per row. A broadcast higher-order fold
+        # over the cutoff array would be O(bins) per row AND
+        # interpreted (HOFs sit outside whole-stage codegen) — measured
+        # 9x slower than the exact path at 20M rows before this form.
         qs = [i / approx_bins for i in range(1, approx_bins)]
-        cuts = pooled.agg(
+        # sketch accuracy only needs rank error << bin width (n /
+        # approx_bins); 4x bins keeps cutoff placement error at ~1/4
+        # bin while making the per-row GK update much cheaper than the
+        # default 10k accuracy
+        accuracy = max(1_000, 4 * approx_bins)
+        stats = pooled.agg(
             F.percentile_approx(
-                F.col("val"), F.array(*[F.lit(q) for q in qs]), 10_000
+                F.col("val"), F.array(*[F.lit(q) for q in qs]), accuracy
             ).alias("_cuts"),
-            F.nullif(F.sum("_a"), F.lit(0)).alias("_ta"),
-            F.nullif(F.sum("_b"), F.lit(0)).alias("_tb"),
-        )
-        bucket = F.aggregate(
-            F.col("_cuts"),
-            F.lit(0),
-            lambda acc, c: acc
-            + F.when(F.col("val") > c, F.lit(1)).otherwise(F.lit(0)),
-        )
-        binned = (
-            pooled.crossJoin(F.broadcast(cuts))
-            .select("_a", "_b", "_ta", "_tb", bucket.alias("_bkt"))
-            .groupBy("_bkt")
-            .agg(
-                F.sum("_a").alias("n_a"),
-                F.sum("_b").alias("n_b"),
-                F.first("_ta").alias("_ta"),
-                F.first("_tb").alias("_tb"),
+            F.sum("_a").alias("_ta"),
+            F.sum("_b").alias("_tb"),
+        ).collect()[0]
+        n_a = stats._ta if stats._ta else None
+        n_b = stats._tb if stats._tb else None
+        spark = a.sparkSession
+        if stats._cuts is None:  # both slices empty
+            return spark.range(1).select(
+                F.lit(None).cast("double").alias("ks_stat"),
+                F.lit(n_a).cast("long").alias("n_a"),
+                F.lit(n_b).cast("long").alias("n_b"),
             )
+        cut_vals = list(stats._cuts)
+
+        def _tree(lo: int, hi: int):
+            # bucket index in [lo, hi]; cut_vals[i] separates i from i+1
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi) // 2
+            return (
+                F.when(F.col("val") > cut_vals[mid], _tree(mid + 1, hi))
+                .otherwise(_tree(lo, mid))
+            )
+
+        binned = (
+            pooled.select(
+                "_a", "_b", _tree(0, len(cut_vals)).alias("_bkt")
+            )
+            .groupBy("_bkt")
+            .agg(F.sum("_a").alias("cnt_a"), F.sum("_b").alias("cnt_b"))
         )
         # ≤approx_bins rows: the single-partition ordered window is
         # bounded by construction
@@ -444,16 +470,14 @@ def ks_drift(
             W.unboundedPreceding, W.currentRow
         )
         return binned.select(
-            (F.sum("n_a").over(cum_w) / F.col("_ta")).alias("_fa"),
-            (F.sum("n_b").over(cum_w) / F.col("_tb")).alias("_fb"),
-            "_ta",
-            "_tb",
+            (F.sum("cnt_a").over(cum_w) / F.lit(n_a)).alias("_fa"),
+            (F.sum("cnt_b").over(cum_w) / F.lit(n_b)).alias("_fb"),
         ).agg(
             F.round(F.max(F.abs(F.col("_fa") - F.col("_fb"))), 6).alias(
                 "ks_stat"
             ),
-            F.first("_ta").alias("n_a"),
-            F.first("_tb").alias("n_b"),
+            F.lit(n_a).cast("long").alias("n_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
         )
 
     grid = (

@@ -293,6 +293,13 @@ def main() -> None:
             f"token_kl_{dk}": lambda: _token_kl(docs),
             f"psi_drift_{evk}": lambda: _psi(evs),
             f"ks_drift_{evk}": lambda: _ks(evs),
+            f"ks_drift_approx_{evk}": lambda: _ks(evs, approx=True),
+            # the corpus replicates values 200x, so the exact path's
+            # distinct-value grid stays small; these two jitter the
+            # value into ~20M DISTINCT doubles (the continuous-column
+            # case the approx path exists for) to show the crossover
+            f"ks_cont_exact_{evk}": lambda: _ks_cont(evs, approx=False),
+            f"ks_cont_approx_{evk}": lambda: _ks_cont(evs, approx=True),
             f"type_drift_{evk}": lambda: _chi(evs),
             f"path_trigrams_{evk}": lambda: _trigrams(evs),
             f"seasonal_anomalies_{evk}": lambda: _anomalies(evs),
@@ -383,7 +390,7 @@ def main() -> None:
                 n_bins=10,
             )
 
-        def _ks(e):
+        def _ks(e, approx=False):
             from mcp_hubspot_spark.operators.profiling import ks_drift
 
             split = F.lit("2024-01-16").cast("timestamp")
@@ -391,7 +398,17 @@ def main() -> None:
                 e.filter(F.col("ts") < split).select("value"),
                 e.filter(F.col("ts") >= split).select("value"),
                 value_col="value",
+                approx=approx,
             )
+
+        def _ks_cont(e, approx):
+            jittered = e.withColumn(
+                "value",
+                F.col("value")
+                + (F.xxhash64("event_id", "user_id") % 1_000_000)
+                / 1e12,
+            )
+            return _ks(jittered, approx=approx)
 
         def _chi(e):
             from mcp_hubspot_spark.operators.profiling import (
