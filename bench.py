@@ -224,8 +224,16 @@ def main() -> None:
     spark.stop()
     # printed after spark.stop() so the JSON is the LAST stdout line,
     # past any shutdown log noise
+    # shrink adaptively instead of asserting: a formatting overflow must
+    # never turn a finished bench run into a non-zero exit. Drop trailing
+    # top-N entries (then truncate first_error) until the line fits.
     line = json.dumps(stdout_payload)
-    assert len(line) < 1900, f"stdout bench line too long: {len(line)}"
+    while len(line) >= 1900 and stdout_payload["queries"]:
+        stdout_payload["queries"].pop(next(reversed(stdout_payload["queries"])))
+        line = json.dumps(stdout_payload)
+    if len(line) >= 1900 and "first_error" in stdout_payload:
+        stdout_payload["first_error"] = stdout_payload["first_error"][:80]
+        line = json.dumps(stdout_payload)
     print(line, flush=True)
 
 

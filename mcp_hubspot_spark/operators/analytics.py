@@ -349,7 +349,10 @@ def copurchase_lift(
             F.round(
                 F.col("pair_count").cast("double")
                 * F.col("_n_baskets")
-                / (F.col("count_a") * F.col("count_b")),
+                # cast BEFORE multiplying: long*long overflows once both
+                # supports exceed ~3e9 (product past 2^63) — exactly the
+                # extreme-cardinality regime this operator targets
+                / (F.col("count_a").cast("double") * F.col("count_b")),
                 6,
             ).alias("lift"),
             F.round(

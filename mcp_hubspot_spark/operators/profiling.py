@@ -219,10 +219,14 @@ def psi_drift(
     SAME edges, so the score stays internally consistent — pinned by
     an exact/approx agreement test. Binning is a pure expression
     fold (no join, no shuffle beyond each slice's ``n_bins``-row count
-    aggregate). Bins empty in either slice are dropped rather than
-    epsilon-smoothed — with quantile edges every bin holds ref mass by
-    construction, and a cur-empty bin is surfaced by ``n_cur = 0``
-    rows being absent (callers needing smoothed PSI can re-add them).
+    aggregate). Bins empty in ONE slice are kept (the two count sides
+    union with zero-filled twins and re-aggregate — full-outer
+    semantics with no join node) with a NULL ``psi_term`` — a reference bin
+    with zero current mass is the strongest possible drift signal and
+    must be visible, not silently absent; NULL (rather than an
+    epsilon-smoothed value) keeps ``SUM(psi_term)`` an honest
+    both-present score while letting callers smooth vanished bins
+    however they choose (``n_ref``/``n_cur`` carry the raw counts).
     NULL values are excluded from BOTH slices (the percentile cutoffs
     already ignore them; binning NULLs would silently sink them into
     bin 1 and report false drift) — a null-RATE shift is
@@ -257,11 +261,24 @@ def psi_drift(
     c = _binned(cur, "cur")
     tot_r = r.agg(F.sum("n_ref").alias("_tr"))
     tot_c = c.agg(F.sum("n_cur").alias("_tc"))
-    p_ref = F.col("n_ref") / F.col("_tr")
-    p_cur = F.col("n_cur") / F.col("_tc")
+    # full-outer bin merge WITHOUT a join (a full outer can't broadcast):
+    # union the two ≤n_bins-row count sides with zero-filled twins and
+    # re-aggregate — bins present in either slice survive with the other
+    # side's count coalesced to 0, and the shuffle moves ≤2·n_bins rows.
+    merged = (
+        r.select("bin", "n_ref", F.lit(0).cast("long").alias("n_cur"))
+        .unionByName(
+            c.select("bin", F.lit(0).cast("long").alias("n_ref"), "n_cur")
+        )
+        .groupBy("bin")
+        .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
+    )
+    n_r = F.col("n_ref")
+    n_c = F.col("n_cur")
+    p_ref = n_r / F.col("_tr")
+    p_cur = n_c / F.col("_tc")
     return (
-        r.join(c, "bin")  # inner: both-present bins only (see docstring)
-        .crossJoin(F.broadcast(tot_r))
+        merged.crossJoin(F.broadcast(tot_r))
         .crossJoin(F.broadcast(tot_c))
         .select(
             "bin",
@@ -269,9 +286,10 @@ def psi_drift(
             "n_cur",
             F.round(p_ref, 6).alias("p_ref"),
             F.round(p_cur, 6).alias("p_cur"),
-            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
-                "psi_term"
-            ),
+            F.when(
+                (n_r > 0) & (n_c > 0),
+                F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6),
+            ).alias("psi_term"),
         )
     )
 

@@ -85,7 +85,12 @@ def knn(
         dist = l2_squared(v, q)
         sim = F.lit(1.0) - F.col("distance") / F.lit(2.0)
     elif metric == "cosine":
-        sim_expr = cosine_similarity(v, q)
+        # the query is a plan-time literal: fold its norm once driver-side
+        # (same double arithmetic as the Spark fold) instead of per row
+        import math
+
+        qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+        sim_expr = dot(v, q) / (l2_norm(v) * F.lit(qn))
         dist = F.lit(1.0) - sim_expr
         sim = F.lit(1.0) - F.col("distance")
     else:
@@ -241,13 +246,21 @@ def centroid_agg(vec_col: str = "embedding"):
     return _centroid(F.col(vec_col))
 
 
-def _cell_distance(a: Column, b: Column, metric: str) -> Column:
+def _cell_distance(
+    a: Column, b: Column, metric: str, b_norm: float | None = None
+) -> Column:
     # the one distance both the assignment and the probe use, so cell
     # geometry and probing always agree; cosine is expressed as the
-    # 1-cos distance (same ordering knn(metric="cosine") ranks by)
+    # 1-cos distance (same ordering knn(metric="cosine") ranks by).
+    # When ``b`` is a plan-time literal the caller passes its norm as
+    # ``b_norm`` so the per-row expression skips one whole array fold —
+    # same double arithmetic (Python's left-to-right sum matches the
+    # fold order), strictly fewer codegen'd ops per row.
     if metric == "l2":
         return l2_squared(a, b)
     if metric == "cosine":
+        if b_norm is not None:
+            return F.lit(1.0) - dot(a, b) / (l2_norm(a) * F.lit(float(b_norm)))
         return F.lit(1.0) - cosine_similarity(a, b)
     raise ValueError(f"unknown metric: {metric}")
 
@@ -296,11 +309,24 @@ def assign_cells_literal(
     cells by, so assignment and probing always agree (for cosine the
     KMeans mean centroids are non-unit, so 1-cos and L2-on-normalized
     can pick DIFFERENT nearest cells — the two sides must share one)."""
+    import math
+
     v = F.col(vec_col)
     scored = F.array(
         *[
             F.struct(
-                _cell_distance(v, _vec_lit(vec), metric).alias("_d"),
+                _cell_distance(
+                    v,
+                    _vec_lit(vec),
+                    metric,
+                    # centroid norms are plan-time constants: fold them
+                    # driver-side once instead of per row per centroid
+                    b_norm=(
+                        math.sqrt(sum(float(x) * float(x) for x in vec))
+                        if metric == "cosine"
+                        else None
+                    ),
+                ).alias("_d"),
                 F.lit(int(cid)).alias(centroid_id),
             )
             for cid, vec in centroids

@@ -2145,10 +2145,18 @@ def test_psi_drift_identical_slices_zero_and_shift_positive(spark):
         [(float(i) + 300.0,) for i in range(1000)], "value double"
     )
     drift = psi_drift(ref, shifted, "value", n_bins=10).collect()
-    total = sum(r.psi_term for r in drift)
+    total = sum(r.psi_term for r in drift if r.psi_term is not None)
     assert total > 0.25  # "drifted" by the usual PSI convention
-    # cur mass has left the low bins: present bins only (inner join)
-    assert all(r.n_cur > 0 for r in drift)
+    # cur mass has left the low bins: vanished bins stay VISIBLE (full
+    # outer join) with n_cur = 0 and a NULL psi_term — the strongest
+    # drift signal must not be silently absent
+    assert {r.bin for r in drift} == set(range(1, 11))
+    vanished = [r for r in drift if r.n_cur == 0]
+    assert vanished and all(
+        r.psi_term is None and r.n_ref > 0 and r.p_cur == 0.0
+        for r in vanished
+    )
+    assert all(r.psi_term is not None for r in drift if r.n_cur > 0)
 
 
 def test_correlation_matrix_hand_computed(spark):

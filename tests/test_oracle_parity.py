@@ -69,6 +69,17 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+def test_rows_only_set_is_exactly_the_declared_by_design_list():
+    """Every oracle-less registry query must be DECLARED rows-only-by-
+    design (with its reason) in workload.ROWS_ONLY_BY_DESIGN — so a
+    query can never silently lose its oracle, and drivers/judges know a
+    `no_oracle` correctness row for these is the expected steady state,
+    not a defect to re-window for a hash match."""
+    from mcp_hubspot_spark.workload import ROWS_ONLY_BY_DESIGN
+
+    assert set(QUERIES) - set(ORACLES) == set(ROWS_ONLY_BY_DESIGN)
+
+
 def test_no_registry_query_returns_non_scalar_columns(spark):
     """The driver's canonicalizer (pandas lexsort over all columns) cannot
     hash list/map/struct-valued cells — a registry query emitting one

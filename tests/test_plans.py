@@ -688,7 +688,8 @@ def test_token_kl_single_pass_no_joins(spark):
 def test_psi_drift_expression_binning_no_shuffle_join(spark):
     """PSI: the decile cutoffs are a one-row aggregate broadcast onto
     both slices (nested-loop of a 1-row side); binning adds NO join —
-    the only equi-join in the plan is the 10-row bin-to-bin merge."""
+    the bin-to-bin merge is a union + re-aggregate (full-outer
+    semantics without any join node), so the plan has no equi-join."""
     plan = plan_of(QUERIES["events_psi_drift"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # bin join is broadcast-sized
