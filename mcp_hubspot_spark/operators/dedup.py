@@ -1057,3 +1057,267 @@ def semantic_dedup_matmul(
     return assigned.groupBy("cell_id").applyInPandas(
         dedup_cell, schema=f"{id_col} long, cell_id int, is_kept boolean"
     )
+
+
+# ----------------------------------------- exact substring (token-span) ----
+# The missing member of the dedup spectrum (exact → line → n-gram →
+# minhash → semantic): EXACT repeated token spans of >= k tokens shared
+# across documents — the Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" capability. Their single-node tool is a
+# suffix array; a suffix array is not shuffle-friendly, so the Spark-first
+# shape is a k-token positional-shingle inverted index (the same bucketed
+# equi-join discipline as minhash_lsh_pairs above) followed by a
+# diagonal-runs merge: two matched shingles at (pos_a, pos_b) and
+# (pos_a+1, pos_b+1) lie on one diagonal (pos_a − pos_b) and chain into a
+# maximal span, recovering every repeat of length L as one span row
+# (L − k + 1 matched shingles collapse to one island).
+
+
+def token_shingle_index(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Positional k-token shingle inverted index: one row per shingle
+    POSITION — (id, pos, shingle) with ``pos`` 0-based and multiplicity
+    kept (unlike MinHash's distinct shingle sets, span recovery needs
+    every position). Tokens are raw whitespace splits (NOT lowercased:
+    exact substring dedup matches bytes, not normalized text).
+
+    Scale shape: ``size(toks) − k + 1`` rows per doc built by the linear
+    shifted-array zip (text.positional_ngrams), no per-position slice.
+    ``hash_shingles=True`` replaces the k-token string with its xxhash64
+    — the 100 TB path: the downstream self-join then shuffles 8-byte
+    keys instead of k-token strings (a 64-bit collision over a corpus's
+    shingle count is possible; callers needing certainty re-verify
+    matched spans with one equality join on the text, or accept the
+    ~n²/2⁶⁴ false-pair rate the way MinHash accepts banding error).
+    """
+    from .text import ngram_list, tokens
+
+    sh = ngram_list(tokens(F.col(text_col)), k)
+    out = df.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    )
+    if hash_shingles:
+        out = out.withColumn("shingle", F.xxhash64("shingle"))
+    return out
+
+
+def _merge_diagonal_runs(
+    matched: DataFrame, k: int, keys: list[str], min_tokens: int | None
+) -> DataFrame:
+    """Collapse matched k-shingle positions into maximal spans: within
+    one (pair, diagonal) group, consecutive ``pos_a`` values chain into
+    an island (lag + running sum — the standard gaps-and-islands window),
+    and each island is one maximal span of ``max(pos_a) − min(pos_a) + k``
+    tokens. One shuffle keys the window partition (pair, diag); the
+    island groupBy re-aggregates the same partition with the island id
+    appended (AQE-local, the window already clustered the rows)."""
+    w = Window.partitionBy(*keys, "diag").orderBy("pos_a")
+    new_island = F.when(
+        F.lag("pos_a").over(w) == F.col("pos_a") - 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    run = matched.withColumn("_new", new_island).withColumn(
+        "island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        run.groupBy(*keys, "diag", "island")
+        .agg(
+            F.min("pos_a").cast("long").alias("a_start"),
+            (F.max("pos_a") + F.lit(k - 1)).cast("long").alias("a_end"),
+        )
+        .select(
+            *keys,
+            "a_start",
+            "a_end",
+            (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+            (F.col("a_end") - F.col("diag")).cast("long").alias("b_end"),
+            (F.col("a_end") - F.col("a_start") + 1).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
+    if min_tokens is not None and min_tokens > k:
+        spans = spans.filter(F.col("n_tokens") >= min_tokens)
+    return spans
+
+
+def repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Cross-document maximal repeated token spans (exact, >= k tokens):
+    (doc_a, doc_b, a_start, a_end, b_start, b_end, n_tokens) with
+    doc_a < doc_b, positions 0-based token offsets, ends inclusive. Every
+    exact repeat of length L >= k appears as exactly ONE row per
+    (doc pair, occurrence pair) — the L − k + 1 matched shingles collapse
+    on their diagonal.
+
+    Scale shape: the only candidate generator is the shingle equi-join —
+    hash-partitioned on the shingle key, never an all-pairs product
+    (the minhash_lsh_pairs discipline). ``max_df`` drops shingles seen at
+    more than that many positions corpus-wide BEFORE the join — the
+    stop-shingle cap that bounds a boilerplate shingle's quadratic
+    blowup (an uncapped shingle with f occurrences emits C(f,2) pairs;
+    at web scale cap ~50-100 and scrub boilerplate separately — the same
+    safety valve LSH band buckets get). ``hash_shingles=True`` shuffles
+    8-byte xxhash64 keys instead of k-token strings (see
+    token_shingle_index). The diagonal merge adds one (pair, diag)-keyed
+    window shuffle; pair fan-out is bounded by the true duplicate mass,
+    not corpus size.
+    """
+    idx = token_shingle_index(df, k, id_col, text_col, hash_shingles)
+    if max_df is not None:
+        counts = idx.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        idx = (
+            idx.join(counts.filter(F.col("_df") <= max_df), "shingle")
+            .drop("_df")
+        )
+    a = idx.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+    )
+    b = idx.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "shingle"
+    )
+    matched = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    return _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
+
+
+def self_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated token spans (the within-doc variant of
+    :func:`repeated_spans`): a span of >= k tokens occurring twice in one
+    document — boilerplate navigation, templated headers, copy-paste
+    loops inside a single page. Output (id, a_start, a_end, b_start,
+    b_end, n_tokens) with a_start < b_start (each unordered occurrence
+    pair once). Same shingle-join + diagonal-merge shape; the join adds
+    the id to the equi-key so only same-doc positions pair."""
+    idx = token_shingle_index(df, k, id_col, text_col)
+    a = idx.select(F.col(id_col), F.col("pos").alias("pos_a"), "shingle")
+    b = idx.select(F.col(id_col), F.col("pos").alias("pos_b"), "shingle")
+    matched = (
+        a.join(b, [id_col, "shingle"])
+        .filter(F.col("pos_a") < F.col("pos_b"))
+        .select(
+            id_col,
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    return _merge_diagonal_runs(matched, k, [id_col], min_tokens)
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Survivor text with cross-document repeated spans REMOVED — the
+    Lee et al. scrub step. Keep-first policy: every repeated span keeps
+    the copy in the smaller doc_id and is cut from the larger (doc_b)
+    side, so one canonical occurrence always survives and the rule is
+    deterministic under any layout. Returns (id, clean_text,
+    n_tokens, n_tokens_removed) for EVERY input document (untouched docs
+    pass through with 0 removed).
+
+    Scale shape: span detection is :func:`repeated_spans` (see its
+    shuffle budget); the scrub itself merges each doc's removal
+    intervals with one (id)-keyed window (gaps-and-islands on the
+    running max end — overlapping intervals from different partners
+    collapse), collects the merged intervals per doc (bounded: disjoint
+    intervals over the doc's own token count), and cuts tokens with a
+    single expression-side filter over (token, index) pairs — no
+    explode, no range join, no Python. The interval join back to the
+    corpus broadcasts when the duplicate-bearing doc set is small (AQE
+    decides).
+    """
+    from .text import tokens
+
+    spans = repeated_spans(
+        df,
+        k,
+        id_col,
+        text_col,
+        min_tokens=min_tokens,
+        max_df=max_df,
+        hash_shingles=hash_shingles,
+    )
+    rem = spans.select(
+        F.col("doc_b").alias(id_col),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    )
+    w = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = rem.withColumn("_pm", prev_max).withColumn(
+        "_g",
+        F.sum(
+            F.when(
+                F.col("_pm").isNull() | (F.col("s") > F.col("_pm")), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = flagged.groupBy(id_col, "_g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    iv = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
+    )
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    empty_iv = F.array().cast("array<struct<s:long,e:long>>")
+    indexed = F.transform(
+        "_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    covered = lambda s: F.exists(  # noqa: E731
+        "_iv", lambda span: (s["i"] >= span["s"]) & (s["i"] <= span["e"])
+    )
+    return (
+        toks_df.join(iv, id_col, "left")
+        .withColumn("_iv", F.coalesce(F.col("_iv"), empty_iv))
+        .withColumn("_kept", F.filter(indexed, lambda s: ~covered(s)))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("_kept", lambda s: s["t"])
+            ).alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )

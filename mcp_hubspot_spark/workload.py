@@ -1004,6 +1004,187 @@ def ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Exact substring-level (token-span) dedup — the Lee et al. 2022
+# "Deduplicating Training Data" capability, the last member of the
+# dedup spectrum (exact → line → n-gram → minhash → semantic). Operator:
+# operators/dedup.py:repeated_spans — k-token positional-shingle
+# inverted-index equi-join (never all-pairs) + diagonal gaps-and-islands
+# merge into maximal spans. Raw (non-lowercased) tokens: exact substring
+# dedup matches bytes, not normalized text.
+_SPAN_K = 8
+
+
+def _duck_span_cte(k: int, where: str = "") -> str:
+    """Shared oracle CTE chain: positional shingle index → cross-doc
+    matched positions → diagonal islands → maximal spans."""
+    return f"""
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents {where}
+    ),
+    sh AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
+           FROM toks),
+    idx AS (SELECT doc_id, pos,
+                   array_to_string(t[pos + 1 : pos + {k}], ' ') AS shingle
+            FROM sh),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    fl AS (
+        SELECT *, CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+                       = pos_a - 1 THEN 0 ELSE 1 END AS newisl
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(newisl) OVER
+                  (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(min(pos_a) AS BIGINT) AS a_start,
+               CAST(max(pos_a) + {k} - 1 AS BIGINT) AS a_end,
+               CAST(min(pos_b) AS BIGINT) AS b_start,
+               CAST(max(pos_b) + {k} - 1 AS BIGINT) AS b_end,
+               CAST(max(pos_a) - min(pos_a) + {k} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+    )"""
+
+
+@_q(
+    "substring_dedup_spans",
+    f"""
+    WITH {_duck_span_cte(_SPAN_K)}
+    SELECT * FROM spans
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import repeated_spans
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return repeated_spans(docs, k=_SPAN_K).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
+
+
+# Within-document repeated spans (boilerplate/copy-paste inside one
+# page) — the self-join variant; k=4 because the synthetic corpus's
+# within-doc repeats are short.
+@_q(
+    "substring_selfrepeat_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(range(0, len(t) - 4 + 1)) AS pos, t
+           FROM toks),
+    idx AS (SELECT doc_id, pos,
+                   array_to_string(t[pos + 1 : pos + 4], ' ') AS shingle
+            FROM sh),
+    m AS (
+        SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id = b.doc_id
+             AND a.pos < b.pos
+    ),
+    fl AS (
+        SELECT *, CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_id, diag ORDER BY pos_a)
+                       = pos_a - 1 THEN 0 ELSE 1 END AS newisl
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(newisl) OVER
+                  (PARTITION BY doc_id, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl
+    )
+    SELECT doc_id,
+           CAST(min(pos_a) AS BIGINT) AS a_start,
+           CAST(max(pos_a) + 3 AS BIGINT) AS a_end,
+           CAST(min(pos_b) AS BIGINT) AS b_start,
+           CAST(max(pos_b) + 3 AS BIGINT) AS b_end,
+           CAST(max(pos_a) - min(pos_a) + 4 AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, diag, island
+    ORDER BY doc_id, a_start, b_start
+    """,
+)
+def substring_selfrepeat_spans(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import self_repeated_spans
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return self_repeated_spans(docs, k=4).orderBy(
+        "doc_id", "a_start", "b_start"
+    )
+
+
+# The scrub step: survivor text with cross-doc repeated spans removed
+# (keep-first — the smaller doc_id keeps its copy), every doc returned.
+# Operator: operators/dedup.py:scrub_repeated_spans (interval merge via
+# one per-doc window + expression-side token cut, no explode/range join).
+@_q(
+    "substring_dedup_docs",
+    f"""
+    WITH {_duck_span_cte(_SPAN_K)},
+    rem AS (SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
+    pm AS (
+        SELECT *, max(e) OVER
+                  (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_max
+        FROM rem
+    ),
+    grp AS (
+        SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS g
+        FROM pm
+    ),
+    merged AS (
+        SELECT doc_id, min(s) AS s, max(e) AS e FROM grp
+        GROUP BY doc_id, g
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS i, t FROM toks
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.i, tk.t[tk.i + 1] AS tok
+        FROM tok tk
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged mg
+            WHERE mg.doc_id = tk.doc_id AND tk.i BETWEEN mg.s AND mg.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import scrub_repeated_spans
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return scrub_repeated_spans(docs, k=_SPAN_K).orderBy("doc_id")
+
+
 # Token counting (training-data token budget).
 @_q(
     "token_stats",

@@ -2587,3 +2587,110 @@ def test_ks_drift_approx_agrees_with_exact(spark):
     empty = spark.createDataFrame([], "value double")
     row = ks_drift(ref, empty, "value", approx=True).collect()[0]
     assert row.ks_stat is None and row.n_b is None
+
+
+# ------------------------------------------ exact substring (token-span) ----
+
+
+def _span_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j unique zero tail"),
+            (1, "x y a b c d e f g h i j z w q r s t"),
+            (2, "p q a b c d e f g h i j m n a b c d e f g h i j"),
+            (3, "totally different words here nothing shared at all"),
+            (4, "rep one two three four five six rep one two three four five six end"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_repeated_spans_planted_maximal_spans(spark):
+    """A planted 10-token span shared by docs 0/1/2 (twice in 2) must
+    come back as MAXIMAL spans — one row per (pair, occurrence pair),
+    never one row per matched shingle — with exact token offsets."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+
+    rows = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start): (r.a_end, r.b_end, r.n_tokens)
+        for r in repeated_spans(_span_corpus(spark), k=5).collect()
+    }
+    assert rows == {
+        (0, 1, 0, 2): (9, 11, 10),
+        (0, 2, 0, 2): (9, 11, 10),
+        (0, 2, 0, 14): (9, 23, 10),
+        (1, 2, 2, 2): (11, 11, 10),
+        (1, 2, 2, 14): (11, 23, 10),
+    }
+
+
+def test_repeated_spans_layout_invariant_and_hash_path_agrees(spark):
+    """Spans are a pure function of the corpus, not the partition layout;
+    the xxhash64 shingle-key scale path returns the identical span set
+    (no collisions at test scale — the 100 TB caveat is documented)."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+
+    docs = _span_corpus(spark)
+    key = lambda r: (  # noqa: E731
+        r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end, r.n_tokens
+    )
+    base = sorted(key(r) for r in repeated_spans(docs, k=5).collect())
+    shuffled = sorted(
+        key(r) for r in repeated_spans(docs.repartition(7), k=5).collect()
+    )
+    hashed = sorted(
+        key(r)
+        for r in repeated_spans(docs, k=5, hash_shingles=True).collect()
+    )
+    assert base == shuffled == hashed and len(base) == 5
+
+
+def test_repeated_spans_min_tokens_and_max_df_cap(spark):
+    """min_tokens drops short spans after the merge (a 10-token span
+    survives min_tokens=10, dies at 11); max_df drops boilerplate
+    shingles BEFORE the join (the planted span's shingles occur at 4
+    positions corpus-wide, so max_df=3 erases every cross-doc match)."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+
+    docs = _span_corpus(spark)
+    assert repeated_spans(docs, k=5, min_tokens=10).count() == 5
+    assert repeated_spans(docs, k=5, min_tokens=11).count() == 0
+    assert repeated_spans(docs, k=5, max_df=3).count() == 0
+    assert repeated_spans(docs, k=5, max_df=4).count() == 5
+
+
+def test_self_repeated_spans_within_doc_only(spark):
+    """The within-doc variant finds doc 4's 7-token self-repeat and doc
+    2's duplicated 10-token block, and NOTHING for unique docs; cross-doc
+    sharing alone (docs 0/1) must not produce self rows."""
+    from mcp_hubspot_spark.operators.dedup import self_repeated_spans
+
+    rows = {
+        (r.doc_id, r.a_start, r.a_end, r.b_start, r.b_end, r.n_tokens)
+        for r in self_repeated_spans(_span_corpus(spark), k=5).collect()
+    }
+    assert rows == {(2, 2, 11, 14, 23, 10), (4, 0, 6, 7, 13, 7)}
+
+
+def test_scrub_repeated_spans_keep_first_and_pass_through(spark):
+    """Scrub removes every cross-doc repeated span from the LARGER
+    doc_id (keep-first): doc 0 keeps its canonical copy, docs 1 and 2
+    lose theirs (both occurrences in 2), untouched docs pass through
+    verbatim with 0 removed — and overlapping removal intervals from
+    different partners never double-count."""
+    from mcp_hubspot_spark.operators.dedup import scrub_repeated_spans
+
+    out = {
+        r.doc_id: r
+        for r in scrub_repeated_spans(_span_corpus(spark), k=5).collect()
+    }
+    assert len(out) == 5  # every input doc comes back
+    assert out[0].clean_text == "a b c d e f g h i j unique zero tail"
+    assert out[0].n_tokens_removed == 0
+    assert out[1].clean_text == "x y z w q r s t"
+    assert out[1].n_tokens_removed == 10
+    assert out[2].clean_text == "p q m n"
+    assert out[2].n_tokens_removed == 20 and out[2].n_tokens == 24
+    assert out[3].n_tokens_removed == 0
+    assert out[4].clean_text.startswith("rep one two")  # self-repeat kept
+    assert out[4].n_tokens_removed == 0

@@ -790,3 +790,27 @@ def test_categorical_drift_single_category_shuffle(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final, "grid shuffle not reused"
+
+
+def test_substring_dedup_spans_equi_join_only_pruned_scan(spark):
+    """Token-span dedup: the ONLY candidate generator is the shingle
+    equi-join (hash-partitioned; broadcast at this SF, sort-merge at
+    scale) — never a cartesian/nested-loop product — and the scan reads
+    exactly (doc_id, text)."""
+    plan = plan_of(QUERIES["substring_dedup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema
+
+
+def test_substring_scrub_no_token_explode_range_join(spark):
+    """The scrub cuts tokens with an expression-side filter over the
+    doc's own merged-interval array — the plan must contain NO
+    nested-loop/cartesian node (a token-vs-interval range join would
+    appear as one)."""
+    plan = plan_of(QUERIES["substring_dedup_docs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
