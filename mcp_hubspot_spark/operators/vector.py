@@ -533,3 +533,373 @@ def dequantize_embeddings(
             F.col(q_col), lambda q: (q.cast("double") * F.col(scale_col)).cast("float")
         ),
     )
+
+
+# -------------------------------------------------- product quantization ----
+# PQ is the 100 TB ANN answer the int8 path above only gestures at: int8
+# is 4x; PQ with m sub-codebooks of 2^b codes stores dim*32 bits of
+# float as m*b bits (64-dim float32 -> 8 bytes at m=8, b=8: 32x). Search
+# uses asymmetric distance (ADC): the query precomputes an m x k lookup
+# table of subvector distances ONCE driver-side, and every row's
+# approximate distance is m table lookups + adds — a pure codegen
+# expression, no per-row float folds at all. This is the FAISS IVFPQ
+# serving form (reference faiss_manager.py builds flat L2 indexes; PQ is
+# the beyond-reference scale path) composed Spark-first: codes are a
+# plain array<int> column, so they persist in parquet next to cell_id
+# and survive the same partition pruning ivf_topk uses.
+
+
+def pq_anchor_codebooks(
+    anchors: list[list[float]], m: int
+) -> list[list[list[float]]]:
+    """Deterministic codebooks from k anchor vectors (k-means INIT only,
+    no iterations): codebook[mi][c] = subvector mi of anchor c. Quality
+    is below trained k-means (use :func:`pq_train_codebooks` for real
+    serving) but the construction is pure arithmetic on named rows, so a
+    SQL oracle can replay encoding + ADC bit-for-bit — the same trick
+    quantized_embedding_error uses to stay hash-checkable."""
+    dim = len(anchors[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    return [
+        [[float(x) for x in a[mi * sub : (mi + 1) * sub]] for a in anchors]
+        for mi in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Real PQ training: one MLlib KMeans per subvector (m sequential
+    fits — m is 8-16, each fit is one MLlib job on the sampled
+    subvector column). At 100 TB train on a sample (codebook centroids
+    converge long before the corpus is seen), encode the full table in
+    one expression pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    first = base.first()
+    if first is None:
+        raise ValueError("pq_train_codebooks: empty input")
+    dim = len(first["_v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    sub = dim // m
+    out = []
+    for mi in range(m):
+        train = base.select(
+            array_to_vector(F.slice("_v", mi * sub + 1, sub)).alias(
+                "features"
+            )
+        )
+        model = KMeans(k=k, seed=seed + mi, maxIter=max_iter).fit(train)
+        out.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every row to its m nearest-subcentroid codes — one
+    expression-side argmin per subvector with the codebooks inlined as
+    literals (the assign_cells_literal shape): ZERO shuffle, whole-stage
+    codegen, deterministic min-(distance, code) tiebreak. Output column
+    is array<int> length m."""
+    v = F.col(vec_col)
+    sub = len(codebooks[0][0])
+    codes = []
+    for mi, cb in enumerate(codebooks):
+        subvec = F.slice(v, mi * sub + 1, sub)
+        scored = F.array(
+            *[
+                F.struct(
+                    l2_squared(subvec, _vec_lit(c)).alias("_d"),
+                    F.lit(ci).alias("_c"),
+                )
+                for ci, c in enumerate(cb)
+            ]
+        )
+        codes.append(F.array_min(scored).getField("_c"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    df_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the m x n_codes distance
+    table is folded driver-side (bounded: m*k doubles) and inlined as a
+    2-D literal, so each row's distance is m element_at lookups chained
+    by explicit left-to-right adds — no float fold per row, fully
+    codegen'd, then TakeOrderedAndProject merges per-partition top-k.
+    Output (rank, ids..., adc_distance): the distance is the PQ
+    approximation (named so callers don't mistake it for exact L2);
+    rerank the top-k' with exact distances when recall matters."""
+    import functools
+    import operator as op
+
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (float(q) - float(c)) ** 2
+                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
+            )
+            for cent in cb
+        ]
+        for mi, cb in enumerate(codebooks)
+    ]
+    tlit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in table]
+    )
+    code = F.col(code_col)
+    dist = functools.reduce(
+        op.add,
+        [
+            F.element_at(
+                F.element_at(tlit, mi + 1), F.element_at(code, mi + 1) + 1
+            )
+            for mi in range(m)
+        ],
+    )
+    scored = df_codes.select(*id_cols, dist.alias("adc_distance"))
+    top = scored.orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"), *id_cols, "adc_distance"
+    )
+
+
+def pq_search_rerank(
+    df_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The standard PQ serving pattern in ONE plan: ADC shortlists
+    ``shortlist`` candidates (cheap table lookups over every row), then
+    the exact L2 fold reranks only those — no collect, no second job;
+    the shortlist stage is a TakeOrderedAndProject carrying the
+    embedding column, so the expensive exact distance runs on
+    ``shortlist`` rows total. On unclustered corpora (PQ's worst case)
+    this recovers most of the exact top-k that raw ADC ordering loses;
+    output matches :func:`knn` (rank, ids, distance, similarity)."""
+    import functools
+    import operator as op
+
+    from pyspark.sql.window import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (float(q) - float(c)) ** 2
+                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
+            )
+            for cent in cb
+        ]
+        for mi, cb in enumerate(codebooks)
+    ]
+    tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    code = F.col(code_col)
+    adc = functools.reduce(
+        op.add,
+        [
+            F.element_at(
+                F.element_at(tlit, mi + 1), F.element_at(code, mi + 1) + 1
+            )
+            for mi in range(m)
+        ],
+    )
+    short = (
+        df_codes.select(*id_cols, vec_col, adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_cols[0]).asc())
+        .limit(shortlist)
+    )
+    exact = l2_squared(F.col(vec_col), _vec_lit(query_vec))
+    top = (
+        short.select(*id_cols, exact.alias("distance"))
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        *id_cols,
+        "distance",
+        (F.lit(1.0) - F.col("distance") / F.lit(2.0)).alias("similarity"),
+    )
+
+
+def pq_encode_matmul(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """BLAS twin of :func:`pq_encode` for real codebook sizes: at
+    k=256 codes the expression argmin is a ~2k-element struct array per
+    row — past the codegen limits, interpreted, slow. Here each Arrow
+    batch computes the (n, k) subvector-distance block
+    ``|s|² + |c|² − 2·S@Cᵀ`` per subquantizer with numpy and takes the
+    row argmin (first-minimum = lowest code, the same tiebreak as the
+    expression path; agreement is pinned by pytest on the shared test
+    corpus). One mapInPandas pass, no shuffle — same contract as
+    pq_encode, ~100x at k=256."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    CB = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    # never .add() onto df.schema — that mutates the DataFrame's cached
+    # python-side schema and desyncs it from the JVM plan
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(code_col, ArrayType(IntegerType()))]
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for mi in range(m):
+                S = V[:, mi * sub : (mi + 1) * sub]
+                C = CB[mi]
+                d = (
+                    (S**2).sum(axis=1)[:, None]
+                    + (C**2).sum(axis=1)[None, :]
+                    - 2.0 * (S @ C.T)
+                )
+                codes[:, mi] = np.argmin(d, axis=1)
+            out = pdf.copy()
+            out[code_col] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return df.mapInPandas(enc, schema=out_schema)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank of a BOUNDED candidate set
+    (Carbonell & Goldstein 1998) — the diversity pass over a fused
+    retrieval shortlist (hybrid RRF top-N): greedily pick the candidate
+    maximizing ``lam * rel01 − (1 − lam) * max_cos_to_selected``, where
+    rel01 is the min-max-normalized relevance within the set (1.0 when
+    all scores tie) and ties break on the lowest id. Output one row per
+    pick: (id, mmr_rank, mmr_score).
+
+    Scale shape: MMR is inherently sequential in k and quadratic in the
+    candidate count, so it ONLY ever runs on an already-reduced
+    shortlist (N ≲ a few hundred — here via one single-group
+    applyInPandas task; the upstream top-N reduction is the distributed
+    part). The arithmetic is pure left-to-right Python floats, NOT
+    numpy — bounded N makes BLAS pointless and exact fold order lets
+    the DuckDB oracle replay every selection bit-for-bit.
+    """
+    import math
+
+    import pandas as pd  # noqa: F401
+
+    one_minus = 1 - lam
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def _cos(a, b):
+        na = math.sqrt(_dot(a, a))
+        nb = math.sqrt(_dot(b, b))
+        return _dot(a, b) / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    def greedy(pdf):
+        import pandas as pd
+
+        rows = sorted(
+            pdf.to_dict("records"), key=lambda r: r[id_col]
+        )
+        vals = [float(r[score_col]) for r in rows]
+        lo, hi = min(vals), max(vals)
+        rng = hi - lo
+
+        def rel01(r):
+            return 1.0 if rng == 0 else (float(r[score_col]) - lo) / rng
+
+        selected: list = []
+        remaining = list(rows)
+        out = []
+        while remaining and len(selected) < k:
+            best, best_key = None, None
+            for r in remaining:
+                # max over ALL sims, unclamped (a negative max-sim is a
+                # diversity BONUS, same as SQL greatest()); 0.0 only for
+                # the empty first-pick set
+                ms = (
+                    max(
+                        _cos(list(r[vec_col]), list(s[vec_col]))
+                        for s in selected
+                    )
+                    if selected
+                    else 0.0
+                )
+                sc = lam * rel01(r) - one_minus * ms
+                key = (-sc, r[id_col])
+                if best is None or key < best_key:
+                    best, best_key = r, key
+            selected.append(best)
+            remaining.remove(best)
+            out.append((best[id_col], len(selected), -best_key[0]))
+        return pd.DataFrame(
+            out, columns=[id_col, "mmr_rank", "mmr_score"]
+        )
+
+    return (
+        candidates.select(id_col, score_col, vec_col)
+        .withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(greedy, schema=f"{id_col} long, mmr_rank int, mmr_score double")
+    )

@@ -2165,6 +2165,118 @@ def ivf_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# IVF + product quantization (the FAISS IVFPQ serving form, round 8):
+# rows carry a cell id (IVF prune) AND an m=8 x 16-code PQ code array;
+# the query probes 2 cells and ranks candidates by asymmetric distance —
+# m table lookups per row, no per-row float fold. Codebooks here are
+# deterministic ANCHOR subvectors (vec_id < 16) so the oracle can replay
+# encoding + ADC bit-for-bit (pq_anchor_codebooks docstring); the real
+# k-means training path (pq_train_codebooks) is pinned by recall pytests.
+@_q(
+    "ivf_pq_search",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id IN (20, 120, 220, 320)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    assign AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.v", b="c.cv")} ASC,
+                                c.cell_id ASC) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell_id FROM c, q
+        ORDER BY {_IVF_DIST.format(a="c.cv", b="q.qv")} ASC, cell_id ASC
+        LIMIT 2
+    ),
+    cand AS (SELECT a.vec_id, a.v FROM assign a JOIN probe USING (cell_id)),
+    subd AS (
+        SELECT cand.vec_id, ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> (cand.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                        * (cand.v[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])))
+                   AS d
+        FROM cand, ms, cb
+    ),
+    codes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+            FROM subd
+        ) WHERE rn = 1
+    ),
+    tab AS (
+        SELECT ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])
+                        * (q.qv[ms.m * 8 + i] - cb.cv[ms.m * 8 + i])))
+                   AS dt
+        FROM ms, cb, q
+    ),
+    dist AS (
+        SELECT codes.vec_id,
+               list_sum(list(tab.dt ORDER BY codes.m)) AS adc
+        FROM codes JOIN tab ON codes.m = tab.m AND codes.code = tab.code
+        GROUP BY codes.vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, round(adc, 6) AS adc_distance
+    FROM dist
+    ORDER BY adc ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import (
+        assign_cells_literal,
+        pq_adc_topk,
+        pq_anchor_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb_double(spark, sf)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(
+            F.col("vec_id").isin(20, 120, 220, 320)
+        ).orderBy("vec_id").collect()
+    ]
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+
+    def _d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = [cid for _, cid in sorted((_d2(v, qvec), cid) for cid, v in cents)][:2]
+    assigned = assign_cells_literal(
+        emb.select("vec_id", "embedding"), cents, metric="l2"
+    )
+    pruned = assigned.filter(F.col("cell_id").isin(probe))
+    anchors = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    codes = pq_encode(pruned, pq_anchor_codebooks(anchors, m=8))
+    hits = pq_adc_topk(codes, pq_anchor_codebooks(anchors, m=8), qvec, k=10)
+    return hits.select(
+        "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
+    )
+
+
 # Batched multi-query k-NN: one scan serves all queries (broadcast query
 # set, per-query window top-k).
 @_q(
@@ -6655,10 +6767,8 @@ def supplier_clustering(spark: SparkSession, sf: str) -> DataFrame:
 # RRF(60) — the standard modern search stack (sparse + dense + fusion).
 # Both input rankings are bit-stable (sorted-order BM25 folds; exact L2),
 # so the integer ranks and the fused score hash-match the oracle.
-@_q(
-    "hybrid_search_rrf",
-    f"""
-    WITH base AS (
+# The CTE chain is shared verbatim with search_mmr_rerank's oracle.
+_DUCK_RRF_BODY = """base AS (
         SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
                CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                    AS DOUBLE) AS dl
@@ -6705,7 +6815,11 @@ def supplier_clustering(spark: SparkSession, sf: str) -> DataFrame:
                CAST(row_number() OVER (ORDER BY distance ASC, doc_id ASC)
                    AS INT) AS vec_rank
         FROM d ORDER BY vec_rank LIMIT 20
-    )
+    )"""
+@_q(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_DUCK_RRF_BODY}
     SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
            lex.lex_rank, vec.vec_rank,
            round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
@@ -6755,6 +6869,94 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# MMR diversity re-rank on the fused RRF shortlist (round 8): greedy
+# maximal marginal relevance, lam * rel01 − (1 − lam) * max-cosine to
+# the already-selected set. The candidate set is the bounded RRF top-10,
+# so the oracle can UNROLL the k=5 greedy picks as chained one-row CTEs
+# (the supplier_pagerank unrolled-CTE discipline) and replay every
+# selection bit-for-bit; the Spark operator
+# (operators/vector.py:mmr_rerank) runs the same pure-Python greedy in
+# one single-group applyInPandas task — MMR is sequential-in-k by
+# definition, the distributed part is the upstream top-N reduction.
+def _duck_mmr_steps(k: int, lam: float) -> str:
+    steps = []
+    for i in range(1, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        if not prev:
+            steps.append(
+                f"s1 AS (SELECT doc_id, {lam} * rel01 AS mmr, v FROM c0\n"
+                f"        ORDER BY {lam} * rel01 DESC, doc_id ASC LIMIT 1)"
+            )
+            continue
+        sims = ", ".join(
+            _IVF_COS.format(a="c.v", b=f"{p}.v") for p in prev
+        )
+        ms = f"greatest({sims})" if len(prev) > 1 else sims
+        not_sel = " AND ".join(f"c.doc_id <> {p}.doc_id" for p in prev)
+        steps.append(
+            f"s{i} AS (SELECT c.doc_id,\n"
+            f"        {lam} * c.rel01 - (1 - {lam}) * ({ms}) AS mmr, c.v,"
+            f" c.rel01\n"
+            f"        FROM c0 c, {', '.join(prev)}\n"
+            f"        WHERE {not_sel}\n"
+            f"        ORDER BY mmr DESC, c.doc_id ASC LIMIT 1)"
+        )
+    return ",\n    ".join(steps)
+
+
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+@_q(
+    "search_mmr_rerank",
+    f"""
+    WITH {_DUCK_RRF_BODY},
+    rrf AS (
+        SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + lex.lex_rank), 0.0)
+                     + coalesce(1.0 / (60 + vec.vec_rank), 0.0), 6) AS rel
+        FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+        ORDER BY rel DESC, doc_id ASC
+        LIMIT 10
+    ),
+    cand AS (
+        SELECT r.doc_id, r.rel, e.embedding::DOUBLE[] AS v
+        FROM rrf r JOIN embeddings e ON e.vec_id = r.doc_id
+    ),
+    st AS (SELECT min(rel) AS lo, max(rel) AS hi FROM cand),
+    c0 AS (
+        SELECT doc_id,
+               CASE WHEN hi = lo THEN 1.0
+                    ELSE (rel - lo) / (hi - lo) END AS rel01, v
+        FROM cand, st
+    ),
+    {_duck_mmr_steps(_MMR_K, _MMR_LAM)}
+    SELECT doc_id, CAST(mmr_rank AS INT) AS mmr_rank,
+           round(mmr, 6) AS mmr_score
+    FROM (
+        {" UNION ALL ".join(f"SELECT doc_id, {i} AS mmr_rank, mmr FROM s{i}" for i in range(1, _MMR_K + 1))}
+    )
+    ORDER BY mmr_rank
+    """,
+)
+def search_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import mmr_rerank
+
+    fused = hybrid_search_rrf(spark, sf)
+    embs = _emb_double(spark, sf)
+    cand = fused.join(
+        embs.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    out = mmr_rerank(
+        cand, k=_MMR_K, lam=_MMR_LAM, id_col="doc_id",
+        score_col="rrf_score", vec_col="embedding",
+    )
+    return out.select(
+        "doc_id", "mmr_rank", F.round("mmr_score", 6).alias("mmr_score")
+    ).orderBy("mmr_rank")
 
 
 # DSIR-style importance-resampling selection (Xie et al. 2023): rank the

@@ -356,6 +356,15 @@ def main() -> None:
             f"greedy_pack_{dk}": lambda: greedy_pack_docs(
                 docs, "n_chars", capacity=4096, n_shards=32
             ),
+            # round-8: exact token-span dedup at corpus scale — the
+            # 100 TB configuration (xxhash64 shingle keys so the
+            # inverted-index join shuffles 8-byte keys, stop-shingle cap
+            # at ~1.5x the dup-group size so boilerplate can't square).
+            # k=16: the dup groups share ~full-doc spans, so the span
+            # recovery is the same and the matched-shingle intermediate
+            # shrinks with k.
+            f"substring_spans_{dk}": lambda: _substring_spans(docs),
+            f"substring_scrub_{dk}": lambda: _substring_scrub(docs),
         }
 
         timings: dict[str, float] = {}
@@ -363,6 +372,22 @@ def main() -> None:
         rows: dict[str, int] = {}
         errors: dict[str, str] = {}
         extras: dict[str, float] = {}
+
+        def _substring_spans(d):
+            from mcp_hubspot_spark.operators.dedup import repeated_spans
+
+            return repeated_spans(
+                d, k=16, hash_shingles=True, max_df=64
+            )
+
+        def _substring_scrub(d):
+            from mcp_hubspot_spark.operators.dedup import (
+                scrub_repeated_spans,
+            )
+
+            return scrub_repeated_spans(
+                d, k=16, hash_shingles=True, max_df=64
+            )
 
         def _copurchase(e):
             from mcp_hubspot_spark.operators.analytics import copurchase_lift
@@ -618,6 +643,72 @@ def main() -> None:
                     errors["ivf_maintenance"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
                     )
+
+        # -------- round-8: PQ at corpus scale — train m=8 x 256-code
+        # codebooks on a sample, encode the full table ONCE
+        # (expression-side, the amortized build cost, timed separately),
+        # then the serving pattern: ADC-shortlist -> exact rerank in one
+        # plan. Beside the latency rows the artifact records recall@10
+        # of the reranked search vs exact kNN over 8 queries — the PQ
+        # twin of ivf_recall_at10_nprobe7.
+        if wanted("pq_search"):
+            from mcp_hubspot_spark.operators.vector import (
+                pq_encode_matmul,
+                pq_search_rerank,
+                pq_train_codebooks,
+            )
+
+            embs_d = embs.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            try:
+                t0 = time.perf_counter()
+                cbs = pq_train_codebooks(
+                    embs_d,
+                    m=8,
+                    k=256,
+                    max_iter=5,
+                    sample_fraction=min(1.0, 50_000 / max(1, n_embs)),
+                )
+                timings[f"pq_train_codebooks_{ek}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                rows[f"pq_train_codebooks_{ek}"] = 8 * 256
+                t0 = time.perf_counter()
+                # BLAS encode path: the expression twin is interpreted
+                # (not codegen'd) at k=256 and ~100x slower
+                pq_encode_matmul(embs_d, cbs).select(
+                    "vec_id", "pq_code"
+                ).write.mode("overwrite").parquet(str(work / "pq"))
+                timings[f"pq_encode_{ek}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                stored = spark.read.parquet(str(work / "pq")).join(
+                    embs_d, "vec_id"
+                )
+                run_special(
+                    f"pq_search_rerank_{ek}",
+                    lambda: pq_search_rerank(
+                        stored, cbs, probe, k=10, shortlist=200
+                    ).collect(),
+                    len,
+                )
+                hit = 0
+                for _, qv in queries[:8]:
+                    exact_ids = {
+                        r.vec_id for r in knn(embs_d, qv, k=10).collect()
+                    }
+                    approx_ids = {
+                        r.vec_id
+                        for r in pq_search_rerank(
+                            stored, cbs, qv, k=10, shortlist=200
+                        ).collect()
+                    }
+                    hit += len(exact_ids & approx_ids)
+                extras["pq_recall_at10_rerank200"] = round(hit / 80.0, 4)
+            except Exception as exc:
+                errors["pq_search"] = f"{type(exc).__name__}: {exc}"[:200]
 
         # -------- zone-map file skipping at corpus scale: fresh sidecar
         # prunes the scan to the files intersecting the range; a stale

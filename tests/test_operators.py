@@ -2694,3 +2694,194 @@ def test_scrub_repeated_spans_keep_first_and_pass_through(spark):
     assert out[3].n_tokens_removed == 0
     assert out[4].clean_text.startswith("rep one two")  # self-repeat kept
     assert out[4].n_tokens_removed == 0
+
+
+# ------------------------------------------------- product quantization ----
+
+
+def test_pq_encode_adc_exact_on_anchor_query(spark):
+    """A query that IS one of the anchor vectors encodes to its own
+    codes and gets ADC distance exactly 0.0 at rank 1 — the arithmetic
+    identity that pins the encode/table/lookup plumbing."""
+    from mcp_hubspot_spark.operators.vector import (
+        pq_adc_topk,
+        pq_anchor_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    top = pq_adc_topk(pq_encode(emb, cbs), cbs, anchors[3], k=3).collect()
+    assert top[0].vec_id == 3 and top[0].adc_distance == 0.0
+    assert top[0].rank == 1
+
+
+def test_pq_trained_recall_perfect_on_clustered_corpus(spark):
+    """PQ's contract case: when each subvector genuinely comes from a
+    small set of prototypes (clustered data), trained codebooks place
+    every same-cluster vector at the same (minimal) ADC distance — the
+    top-k are all true cluster-mates of the query, never a member of a
+    far cluster. (Within the tied cluster the id tiebreak decides, so
+    exact-jitter-level recall is NOT the contract — ties are.)"""
+    import itertools
+
+    from mcp_hubspot_spark.operators.vector import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    protos = [[0.0, 0.0, 0.0, 0.0], [10.0] * 4, [20.0] * 4, [30.0] * 4]
+    combos = list(itertools.product(range(4), repeat=2))
+    rows = []
+    for i in range(200):
+        p = combos[i % 16]
+        vec = []
+        for mi in range(2):
+            base = protos[p[mi]]
+            vec += [b + ((i * 7 + mi) % 5) * 1e-3 for b in base]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_train_codebooks(df, m=2, k=4, max_iter=10)
+    codes = pq_encode(df, cbs)
+    q = rows[17][1]  # cluster = ids with i % 16 == 1
+    approx = pq_adc_topk(codes, cbs, q, k=5).collect()
+    cluster = {i for i in range(200) if i % 16 == 1}
+    assert {r.vec_id for r in approx} <= cluster
+    assert 17 in {r.vec_id for r in approx}  # the query itself survives
+    # all tied at the cluster's quantization residual
+    assert len({round(r.adc_distance, 9) for r in approx}) == 1
+
+
+def test_pq_rerank_recovers_recall_on_random_corpus(spark):
+    """The serving pattern on PQ's WORST case (near-random synthetic
+    embeddings, no cluster structure): raw ADC ordering is poor, but the
+    one-plan ADC-shortlist -> exact-rerank recovers most of the true
+    top-10 while computing the exact fold on only `shortlist` rows."""
+    from mcp_hubspot_spark.operators.vector import (
+        knn,
+        pq_encode,
+        pq_search_rerank,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cbs = pq_train_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cbs)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    got = {
+        r.vec_id
+        for r in pq_search_rerank(codes, cbs, q, k=10, shortlist=50).collect()
+    }
+    exact = {r.vec_id for r in knn(emb, q, k=10).collect()}
+    assert len(got & exact) >= 6  # 10% shortlist on unclustered data
+
+
+def test_pq_encode_layout_invariant(spark):
+    """Codes are a pure function of the vector and the codebooks — the
+    partition layout must not move a single code."""
+    from mcp_hubspot_spark.operators.vector import (
+        pq_anchor_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    a = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, cbs).collect()}
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(emb.repartition(13), cbs).collect()
+    }
+    assert a == b and len(a) == 500
+
+
+def test_pq_encode_matmul_agrees_with_expression_path(spark):
+    """The BLAS encoder (scale path for k=256 codebooks) must produce
+    the exact code array the expression argmin produces — same
+    first-minimum tiebreak, pinned on the shared test corpus."""
+    from mcp_hubspot_spark.operators.vector import (
+        pq_anchor_codebooks,
+        pq_encode,
+        pq_encode_matmul,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    anchors = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    a = {r.vec_id: list(r.pq_code) for r in pq_encode(emb, cbs).collect()}
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode_matmul(emb, cbs).collect()
+    }
+    assert a == b and len(a) == 500
+
+
+def test_mmr_rerank_diversifies_and_is_layout_invariant(spark):
+    """Three near-identical high-relevance vectors + one orthogonal
+    lower-relevance vector: plain relevance order is (1,2,3,4), but MMR
+    at lam=0.5 must promote the orthogonal doc above the redundant
+    twins after the first pick. Partition layout must not change any
+    pick (single-group greedy is a pure function of the set)."""
+    from mcp_hubspot_spark.operators.vector import mmr_rerank
+
+    rows = [
+        (1, 1.00, [1.0, 0.0, 0.0, 0.0]),
+        (2, 0.99, [1.0, 0.001, 0.0, 0.0]),  # near-dup of 1
+        (3, 0.98, [1.0, 0.002, 0.0, 0.0]),  # near-dup of 1
+        (4, 0.50, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, embedding array<double>"
+    )
+    got = [
+        r.doc_id
+        for r in mmr_rerank(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    ]
+    assert got[0] == 1  # max relevance first
+    assert got[1] == 4  # diversity beats the redundant twins
+    shuffled = [
+        r.doc_id
+        for r in mmr_rerank(df.repartition(5), k=3, lam=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == shuffled
+
+
+def test_mmr_rerank_tied_scores_and_k_clamp(spark):
+    """All-equal relevance (rel01 := 1.0 for every row — the hi==lo
+    guard) must not crash or divide by zero; k > n returns exactly n
+    rows; first pick is the lowest id on full ties."""
+    from mcp_hubspot_spark.operators.vector import mmr_rerank
+
+    rows = [
+        (7, 0.5, [1.0, 0.0]),
+        (3, 0.5, [0.0, 1.0]),
+        (9, 0.5, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, embedding array<double>"
+    )
+    got = mmr_rerank(df, k=10, lam=0.7).orderBy("mmr_rank").collect()
+    assert [r.doc_id for r in got][0] == 3  # lowest id wins the tie
+    assert len(got) == 3
+    assert [r.mmr_rank for r in got] == [1, 2, 3]
