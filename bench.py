@@ -141,6 +141,24 @@ def main() -> None:
         _noop, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Host-speed calibration: time a fixed CPU-bound reference job
+    # (hash + aggregate over a deterministic range, no IO, no Python) so
+    # cross-SESSION bench comparisons can be drift-adjusted — observed
+    # microVM throughput swings of 5-25% between sessions with identical
+    # code make raw totals misleading (r7/r8 both hit this).
+    # bench_compare.py divides totals by the calibration ratio when both
+    # artifacts carry one. Median of 3 runs, post-warmup.
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # modulo keeps the ANSI long sum within range (raw xxhash64
+        # values are full-range longs; 50M of them overflow a long sum)
+        spark.range(50_000_000).selectExpr(
+            "sum(xxhash64(id) % 100000)", "avg(id * 2.5)"
+        ).collect()
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(sorted(calib_runs)[1], 4)
+
     # Steady-state methodology: run each query three times; the headline
     # is the MIN of runs 2-3. The first run pays one-time expression
     # codegen (janino compiles a new class per distinct expression tree —
@@ -183,6 +201,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "calib_sec": calib,
         "sf": sf,
     }
     if errors:

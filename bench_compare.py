@@ -47,6 +47,19 @@ def main() -> None:
         f"{both_total_new}s "
         f"({(both_total_new / both_total_old - 1) * 100:+.1f}%)"
     )
+    # host-speed drift adjustment: when both artifacts carry the fixed
+    # calibration job's time, normalize the new total by the host-speed
+    # ratio — identical code has measured 5-25% total swings between
+    # sessions on this microVM, which raw totals misreport as code moves
+    ca, cb = a.get("calib_sec"), b.get("calib_sec")
+    if ca and cb:
+        ratio = cb / ca
+        adj = round(both_total_new / ratio, 2)
+        print(
+            f"calib: {ca}s -> {cb}s (host {ratio:+.1%} vs old); "
+            f"drift-adjusted common total: {adj}s "
+            f"({(adj / both_total_old - 1) * 100:+.1f}%)"
+        )
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:

@@ -106,3 +106,103 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("bigint"))
     return big_s.join(small_r, on=[*keys, "_salt"], how=how).drop("_salt")
+
+
+# ----------------------------------------------------------- the advisor ----
+# skew_report (operators/profiling.py) measures; these wire the
+# measurement into an ACTION: profile the key, and only when the hottest
+# key's load exceeds `threshold` x the mean per-key load does the plan
+# switch to the salted two-phase form. The profile is one extra
+# key-grain pass (top-k partial, bounded collect) — amortized in the
+# production pipelines this exists for, where the same aggregation runs
+# per batch against slowly-drifting key distributions; pass a cached
+# `advice` dict to skip re-profiling.
+
+
+def skew_advice(
+    df: DataFrame,
+    keys: Sequence[str],
+    threshold: float = 8.0,
+    k: int = 10,
+) -> dict:
+    """Profile the (composite) key and return the salting decision:
+    ``{"skewed", "x_mean_max", "n_salts", "hot_keys"}``. ``n_salts`` is
+    the next power of two covering the hottest key's x_mean (capped at
+    64 — past that, shard-merge overhead beats residual imbalance);
+    ``hot_keys`` carries the top-k (key, n_rows, x_mean) evidence so the
+    decision is auditable, not a black box."""
+    import math
+
+    from .profiling import skew_report
+
+    key_expr = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+            for c in keys
+        ],
+    )
+    rows = skew_report(df.select(key_expr.alias("_k")), "_k", k=k).collect()
+    x_max = max((float(r.x_mean) for r in rows), default=0.0)
+    skewed = x_max >= threshold
+    n_salts = (
+        min(64, 2 ** math.ceil(math.log2(max(2.0, x_max)))) if skewed else 1
+    )
+    return {
+        "skewed": skewed,
+        "x_mean_max": x_max,
+        "n_salts": n_salts,
+        "hot_keys": [(r.key, int(r.n_rows), float(r.x_mean)) for r in rows],
+    }
+
+
+def adaptive_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    threshold: float = 8.0,
+    advice: dict | None = None,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Aggregate that salts ITSELF when the profiler says so: plain
+    one-shuffle groupBy on balanced keys (no salt columns, no second
+    phase — the plan is byte-identical to hand-written groupBy.agg),
+    the salted_aggregate two-phase form past the skew threshold.
+    Results are identical either way (pinned by pytest); only the
+    shuffle layout changes."""
+    advice = advice if advice is not None else skew_advice(df, keys, threshold)
+    if advice["skewed"]:
+        return salted_aggregate(
+            df, keys, aggs, salt_src=salt_src, n_salts=advice["n_salts"]
+        )
+    phase1 = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn, _ in aggs.values():
+        if fn not in phase1:
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    return df.groupBy(*keys).agg(
+        *[phase1[fn](c).alias(name) for name, (fn, c) in aggs.items()]
+    )
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    threshold: float = 8.0,
+    advice: dict | None = None,
+    salt_src: Column | None = None,
+) -> DataFrame:
+    """Join that salts itself when the BIG side's key profile crosses
+    the threshold; balanced keys get the plain equi-join (AQE remains
+    free to broadcast or split it at runtime). Same results either way
+    — only which reducers the hot key's rows land on changes."""
+    advice = (
+        advice if advice is not None else skew_advice(big, on, threshold)
+    )
+    if advice["skewed"]:
+        return salted_join(
+            big, small, on, n_salts=advice["n_salts"],
+            salt_src=salt_src, how=how,
+        )
+    return big.join(small, on=list(on), how=how)

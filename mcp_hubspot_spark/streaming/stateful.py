@@ -483,3 +483,86 @@ def streaming_seasonal_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_MHSIG_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("sig", ArrayType(LongType())),
+    ]
+)
+_MHSIG_STATE = StructType(
+    [
+        StructField("sig", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _make_minhash_fn():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        cur, n = (
+            (list(state.get[0]), int(state.get[1]))
+            if state.exists
+            else (None, 0)
+        )
+        for pdf in pdfs:
+            for sig in pdf["_sig"]:
+                s = [int(x) for x in sig]
+                cur = s if cur is None else [
+                    a if a < b else b for a, b in zip(cur, s)
+                ]
+                n += 1
+        if cur is not None:
+            state.update((cur, n))
+            yield pd.DataFrame(
+                {"key": [key[0]], "n_docs": [n], "sig": [cur]}
+            )
+
+    return fn
+
+
+def streaming_minhash_signature(
+    docs: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incrementally maintained MinHash signature per key — the
+    streaming story for the minhash/substring dedup family: a stream of
+    documents (keyed by source, shard, or rolling-corpus bucket) keeps a
+    LIVE num_perm-long signature of everything seen so far, so each new
+    batch can be LSH-banded against the standing signatures without
+    recomputing history (the incremental new-vs-old quadrant of
+    operators.dedup.incremental_lsh_pairs, as a stream).
+
+    The per-document signature is the SAME JVM expression the batch
+    operator uses (operators.dedup.minhash_signature — md5 + affine
+    rehash, no Python in the hashing path); only (key, signature) rows
+    cross the Arrow boundary, and state per key is num_perm longs + a
+    count, CONSTANT in stream length. Merging is elementwise min —
+    min over a union of shingle sets is the min of the mins, so the
+    drained state equals the batch elementwise-min signature over the
+    same rows exactly (pinned by the batch-agreement test).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_signature
+
+    sigs = docs.select(
+        F.col(key_col).cast("string").alias("key"),
+        minhash_signature(
+            F.col(text_col), num_perm=num_perm, shingle_n=shingle_n
+        ).alias("_sig"),
+    )
+    return sigs.groupBy("key").applyInPandasWithState(
+        _make_minhash_fn(),
+        outputStructType=_MHSIG_OUT,
+        stateStructType=_MHSIG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

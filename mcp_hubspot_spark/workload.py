@@ -2244,7 +2244,7 @@ def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
         assign_cells_literal,
         pq_adc_topk,
         pq_anchor_codebooks,
-        pq_encode,
+        pq_encode_matmul,
     )
 
     emb = _emb_double(spark, sf)
@@ -2270,8 +2270,14 @@ def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
         [float(x) for x in r.embedding]
         for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
     ]
-    codes = pq_encode(pruned, pq_anchor_codebooks(anchors, m=8))
-    hits = pq_adc_topk(codes, pq_anchor_codebooks(anchors, m=8), qvec, k=10)
+    # BLAS encoder: the 8x16-code expression argmin is interpreted (past
+    # codegen) and ~5x the whole query's cost; codes are discrete and
+    # the BLAS/expression agreement is pytest-pinned on this exact
+    # corpus, so the oracle (which replays the expression arithmetic)
+    # still hash-matches
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    codes = pq_encode_matmul(pruned, cbs)
+    hits = pq_adc_topk(codes, cbs, qvec, k=10)
     return hits.select(
         "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
     )
@@ -7979,30 +7985,11 @@ def funnel_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 # the rows-only profile_orders_approx. Until then they are pinned by
 # the local oracle replica (tests/test_oracle_parity.py), the verify
 # gate, and their behavioral/property/plan pytests.
-# ---- round-7 window -----------------------------------------------
-# Never-checked-first rule, then stalest-first. Head of the line: the
-# 6 queries with NO driver history — the round-6 additions
-# (dsir_selected_docs, event_attribution, ivf_cosine_search) and the
-# round-7 additions (nation_copurchase_lift, source_token_kl,
-# events_psi_drift). Then ALL 27 queries whose latest green record is
-# round 2 and all 14 whose latest is round 3 (the r4 window re-ran in
-# r5+r6, so the r2/r3-green cohort is now the stalest on record).
-# With 14 never-checked additions the 50 slots leave room for 36 of
-# the 41 r2/r3-green queries: global_shuffle_docs, upsample_repeat_docs,
-# weighted_sample_docs, vocab_coverage, supplier_pagerank, and the r5
-# filler rotate behind (sampling family covered in-window by
-# mixture_resample_docs and doc_hash_split; vocab/token coverage by
-# token_stats and the BPE pytests; pagerank's iterative join shape by
-# its unrolled-CTE oracle pytest and supplier_triangles' r6 record).
-# Rotated out: the full round-6 window (all green in r6, most
-# twice-green r5+r6) — every rotated query remains pinned by the local
-# oracle replica (tests/test_oracle_parity.py) and the verify gate,
-# which run ALL oracle-gated queries regardless of window.
 # Queries that are rows-only BY DESIGN — they can never have a DuckDB
 # oracle, so a `no_oracle` row in CORRECTNESS_r* is their expected
 # steady state, NOT a defect to re-window for a hash match. Each is
 # value-pinned by dedicated pytests instead (determinism / sketch-error
-# bounds). tests/test_workload_registry.py asserts this set equals the
+# bounds). tests/test_oracle_parity.py asserts this set equals the
 # oracle-less registry queries exactly.
 ROWS_ONLY_BY_DESIGN = frozenset(
     {
@@ -8020,52 +8007,84 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
+# ---- round-8 window -----------------------------------------------
+# Never-checked-first rule, then stalest-first. Head of the line: the
+# 5 round-8 additions with NO driver history (the substring/token-span
+# dedup family, IVF-PQ, and the MMR re-rank), then the 5 queries whose
+# SEMANTICS or oracle text changed this round and need a fresh official
+# record — events_psi_drift (vanished bins now visible with NULL
+# psi_term), hybrid_search_rrf (oracle CTE body extracted for reuse,
+# byte-identical SQL), nation_copurchase_lift (overflow-proof double
+# cast in the lift denominator), and ivf_cosine_search + knn_cosine
+# (literal-norm precompute; same IEEE arithmetic, re-confirmed
+# officially). Then the 8 r3-green stragglers the round-7 forward note
+# promised, then 32 of the 50-query r5-green cohort (alphabetical =
+# deterministic). Rotated out: the full round-7 window (all green in
+# r7) — every rotated query remains pinned by the local oracle replica
+# (tests/test_oracle_parity.py) and the verify gate, which run ALL
+# oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
-    # red-in-r6 first: embed_documents ERR'd in the driver canonicalizer
-    # (list-valued embedding column); now flattened to scalars — needs a
-    # green official record. Takes the slot of embedding_row_stats
-    # (r3-green; embedding family still in-window via ivf_search,
-    # knn_l2, ivf_cosine_search, and embed_documents itself).
-    "embed_documents",
-    # never driver-checked: round-6 + round-7 additions
-    "dsir_selected_docs", "event_attribution", "ivf_cosine_search",
-    "nation_copurchase_lift", "source_token_kl", "events_psi_drift",
-    "lineitem_correlations", "events_seasonality",
-    "order_ranking_quality", "events_seasonal_anomalies",
-    "event_path_trigrams", "lineitem_suppkey_skew", "user_overlap_kmv",
-    # round-7 closeout additions: events_ks_drift takes the slot of the
-    # r3-green media_frame_sample (multimodal family keeps its r5-green
-    # media_features record); events_type_drift takes the slot of the
-    # r3-green kmv_distinct_users (KMV family stays in-window via
-    # user_overlap_kmv)
-    "funnel_latency_quantiles", "events_ks_drift", "events_type_drift",
-    # stalest: latest green record is round 2
-    "corpus_clean_stats", "doc_zscore_by_source", "events_hourly",
-    "exact_dedup_groups", "filtered_scan_or_groups", "ivf_search", "knn_l2",
-    "label_centroids", "lang_id", "minhash_lsh_pairs",
-    "order_counts_by_status", "order_lines_nested", "order_priority_stats",
-    "orders_rollup", "orders_snapshot_diff", "packed_sequences",
-    "parts_without_lineitem", "pricing_summary", "quality_filter_docs",
-    "redact_pii_docs", "revenue_by_nation", "salted_flag_totals",
-    "simhash_neardup_pairs", "tfidf_top_terms", "top_bigrams",
-    "top_orders_per_customer", "user_cohort_retention",
-    # next-stalest: latest green record is round 3
-    "big_order_customers", "customer_spend_percentile", "doc_hash_split",
-    "events_asof_click", "events_sessionized",
-    "mixture_resample_docs",
+    # never driver-checked: round-8 additions
+    "substring_dedup_spans", "substring_selfrepeat_spans",
+    "substring_dedup_docs", "ivf_pq_search", "search_mmr_rerank",
+    # changed this round: fresh official record wanted
+    "events_psi_drift", "hybrid_search_rrf", "nation_copurchase_lift",
+    "ivf_cosine_search", "knn_cosine",
+    # stalest: latest green record is round 3
+    "kmv_distinct_users", "upsample_repeat_docs", "embedding_row_stats",
+    "supplier_pagerank", "media_frame_sample", "global_shuffle_docs",
+    "weighted_sample_docs", "vocab_coverage",
+    # next-stalest: round-5-green cohort, first 32 alphabetically
+    "bloom_decontaminated_docs",
+    "bm25_search",
+    "bpe_compression",
+    "bpe_merges",
+    "canonical_text_docs",
+    "cms_heavy_hitters",
+    "customer_churn_sets",
+    "customer_order_activity",
+    "dedup_lines_docs",
+    "dedup_survivor_report",
+    "doc_bigram_lm_score",
+    "doc_token_positions",
+    "domain_capped_docs",
+    "dq_violations",
+    "embedding_neardup_lsh",
+    "embedding_projection",
+    "eval_holdout_docs",
+    "event_type_lift",
+    "events_json_props",
+    "events_near_pairs",
+    "events_resampled_locf",
+    "events_scd2",
+    "events_value_outliers_mad",
+    "greedy_packed_docs",
+    "hard_negatives",
+    "incremental_dedup_docs",
+    "length_bucketed_batches",
+    "media_features",
+    "mixture_plan",
+    "nation_trade_volume",
+    "ngram_containment_pairs",
+    "order_value_bootstrap_ci",
 ]
-# ---- round-8 forward note (same never-checked-first rule) ----------
-# After the round-7 check lands, NO query will be older than round 3.
-# Head of the round-8 line: the 8 r3-green queries that did not fit
-# this window — kmv_distinct_users, upsample_repeat_docs,
-# embedding_row_stats, supplier_pagerank, media_frame_sample,
-# global_shuffle_docs, weighted_sample_docs, vocab_coverage — then the
-# 50-query r5-green cohort (customer_order_activity, events_json_props,
-# nation_trade_volume, orders_cube, ... — stalest-first), plus any
-# round-8 additions at the very front. Until then the 8 are pinned by
-# the local oracle replica (tests/test_oracle_parity.py) and the
-# verify gate, which run ALL oracle-gated queries regardless of
-# window.
+# ---- round-9 forward note (same never-checked-first rule) ----------
+# After the round-8 check lands, nothing will be older than round 5.
+# Head of the round-9 line: the 18 r5-green queries that did not fit
+# this window — orders_above_customer_avg, orders_cube,
+# orders_monthly_growth, orders_page_with_total, orders_unpivot,
+# orders_value_drift, profile_orders, projected_knn_rerank,
+# quantized_embedding_error, remove_boilerplate_docs,
+# rolling_7d_active_users, sampled_quantiles_lineitem,
+# semantic_contaminated_docs, semantic_dedup_docs,
+# stratified_sample_docs, temperature_mixture_docs,
+# training_corpus_pipeline, user_value_trend — then the r6-green
+# cohort (49 queries, alphabetical), plus any round-9 additions at the
+# very front. Until then all are pinned by the local oracle replica
+# (tests/test_oracle_parity.py) and the verify gate, which run ALL
+# oracle-gated queries regardless of window.
+
+
 
 
 def _apply_check_priority() -> None:

@@ -814,3 +814,97 @@ def test_substring_scrub_no_token_explode_range_join(spark):
     plan = plan_of(QUERIES["substring_dedup_docs"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_skew_advisor_salts_only_when_skewed_and_matches_plain(spark):
+    """The advisor's rewrite must (a) fire ONLY past the threshold —
+    balanced keys compile to a plain one-shuffle groupBy with no salt
+    hash in the plan, the skewed key to the two-phase salted form — and
+    (b) never change results, only the shuffle layout."""
+    from mcp_hubspot_spark.operators.skew import adaptive_aggregate, skew_advice
+
+    lines = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_linenumber"
+    )
+    # balanced: l_returnflag has 3 near-even values -> x_mean ~1
+    balanced_advice = skew_advice(lines, ["l_returnflag"], threshold=8.0)
+    assert not balanced_advice["skewed"]
+    plain = adaptive_aggregate(
+        lines,
+        ["l_returnflag"],
+        {"n": ("count", "l_quantity"), "total_qty": ("sum", "l_quantity")},
+        advice=balanced_advice,
+    )
+    assert "xxhash64" not in plan_of(plain)  # no salt, single phase
+    # skewed: dump 95% of rows onto one synthetic key
+    skewed = lines.withColumn(
+        "hotkey",
+        F.when(F.col("l_orderkey") % 20 != 0, F.lit("HOT")).otherwise(
+            F.col("l_orderkey").cast("string")
+        ),
+    )
+    skew_adv = skew_advice(skewed, ["hotkey"], threshold=8.0)
+    assert skew_adv["skewed"] and skew_adv["n_salts"] >= 2
+    assert any(k == "HOT" for k, _, _ in skew_adv["hot_keys"])
+    salted = adaptive_aggregate(
+        skewed,
+        ["hotkey"],
+        {"n": ("count", "l_quantity"), "total_qty": ("sum", "l_quantity")},
+        advice=skew_adv,
+    )
+    assert "xxhash64" in plan_of(salted)  # the salted two-phase form
+    want = {
+        r.hotkey: (r.n, round(r.total_qty, 2))
+        for r in skewed.groupBy("hotkey")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .collect()
+    }
+    got = {
+        r.hotkey: (r.n, round(r.total_qty, 2)) for r in salted.collect()
+    }
+    assert got == want
+
+
+def test_skew_advisor_join_matches_plain(spark):
+    """adaptive_join on a skewed big side must return exactly the plain
+    join's rows (salting replicates the small side; no row may be
+    gained or lost) and must NOT salt a balanced key."""
+    from mcp_hubspot_spark.operators.skew import adaptive_join, skew_advice
+
+    lines = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
+    )
+    skewed = lines.withColumn(
+        "k",
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    small = skewed.select("k").distinct().withColumn(
+        "tag", F.col("k") * 2
+    )
+    adv = skew_advice(skewed, ["k"], threshold=8.0)
+    assert adv["skewed"]
+    got = (
+        adaptive_join(skewed, small, ["k"], advice=adv)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tag").alias("s"))
+    )
+    want = (
+        skewed.join(small, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tag").alias("s"))
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+    balanced = skew_advice(lines, ["l_orderkey"], threshold=8.0)
+    assert not balanced["skewed"]
+    plain = adaptive_join(
+        lines, lines.select("l_orderkey").distinct(), ["l_orderkey"],
+        advice=balanced,
+    )
+    assert "xxhash64" not in plan_of(plain)

@@ -439,7 +439,14 @@ def test_psi_drift_nonnegative_total(spark, ref, cur):
     rdf = spark.createDataFrame([(v,) for v in ref], "value double")
     cdf = spark.createDataFrame([(v,) for v in cur], "value double")
     out = psi_drift(rdf, cdf, "value", n_bins=5).collect()
-    assert all(r.psi_term >= 0.0 for r in out)
+    # vanished/one-sided bins carry NULL psi_term (visible, unscored);
+    # every SCORED term is individually >= 0
+    assert all(
+        r.psi_term >= 0.0 for r in out if r.psi_term is not None
+    )
+    assert all(
+        (r.n_ref == 0 or r.n_cur == 0) for r in out if r.psi_term is None
+    )
     same = psi_drift(rdf, rdf, "value", n_bins=5).collect()
     assert all(r.psi_term == 0.0 for r in same)
 

@@ -734,3 +734,84 @@ def test_streaming_seasonal_stats_agrees_with_batch(spark, tmp_path):
             assert g.std is None and g.n == 1
         else:
             assert abs(g.std - w.std) < 1e-9
+
+
+def test_streaming_minhash_state_agrees_with_batch(spark, tmp_path):
+    """Incremental per-key MinHash: after the stream drains, each key's
+    final signature equals the batch elementwise-min of the SAME
+    per-document signatures (min over a union of shingle sets = min of
+    mins), and n_docs equals the key's row count — merging across
+    micro-batches loses nothing."""
+    from mcp_hubspot_spark.operators.dedup import minhash_signature
+    from mcp_hubspot_spark.streaming.stateful import (
+        streaming_minhash_signature,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    d = tmp_path / "docs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "b1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "b2")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_minhash_signature(stream, num_perm=8)
+        .writeStream.format("memory")
+        .queryName("mhsig")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: every signature position is monotonically
+    # NONINCREASING across merges and n_docs nondecreasing, so the
+    # elementwise min / max per key recover the final emission
+    got_rows = (
+        spark.table("mhsig")
+        .select("key", "n_docs", F.posexplode("sig").alias("pos", "v"))
+        .groupBy("key", "pos")
+        .agg(F.min("v").alias("v"), F.max("n_docs").alias("n_docs"))
+        .collect()
+    )
+    got_sig: dict = {}
+    got_n: dict = {}
+    for r in got_rows:
+        got_sig.setdefault(r.key, {})[r.pos] = r.v
+        got_n[r.key] = max(got_n.get(r.key, 0), r.n_docs)
+    got = {
+        k: [v for _, v in sorted(pos.items())] for k, pos in got_sig.items()
+    }
+    want_rows = (
+        docs.select(
+            F.col("source").cast("string").alias("key"),
+            F.posexplode(
+                minhash_signature(F.col("text"), num_perm=8)
+            ).alias("pos", "v"),
+        )
+        .groupBy("key", "pos")
+        .agg(F.min("v").alias("v"))
+        .collect()
+    )
+    want_sig: dict = {}
+    for r in want_rows:
+        want_sig.setdefault(r.key, {})[r.pos] = r.v
+    want = {
+        k: [v for _, v in sorted(pos.items())]
+        for k, pos in want_sig.items()
+    }
+    assert got == want
+    want_n = {
+        r.key: r.n
+        for r in docs.groupBy(F.col("source").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got_n == want_n
