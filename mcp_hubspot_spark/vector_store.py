@@ -353,6 +353,29 @@ class IvfIndex:
         ).otherwise(v)
         return df.withColumn(vec_col, unit)
 
+    def _pq_meta(self) -> dict | None:
+        """The index's PQ config ({"m", "codes"}) or None when built
+        without product quantization."""
+        import json
+
+        p = self.root / self._META
+        if not p.exists():
+            return None
+        return json.loads(p.read_text()).get("pq")
+
+    def _load_codebooks(self) -> list[list[list[float]]]:
+        rows = self.spark.read.parquet(
+            str(self.root / "pq_codebooks")
+        ).collect()  # m * codes rows — bounded by design
+        by_m: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            by_m.setdefault(int(r.m), {})[int(r.code)] = [
+                float(x) for x in r.centroid
+            ]
+        return [
+            [by_m[mi][c] for c in sorted(by_m[mi])] for mi in sorted(by_m)
+        ]
+
     @_locked
     def build(
         self,
@@ -362,10 +385,26 @@ class IvfIndex:
         id_col: str = "vec_id",
         sample_fraction: float | None = None,
         metric: str = "l2",
+        pq_m: int | None = None,
+        pq_codes: int = 256,
     ) -> None:
+        """Train + assign + write. With ``pq_m`` set, the index is an
+        IVFPQ: per-subvector codebooks (m subquantizers x pq_codes
+        codes) are trained on the same (optionally sampled) corpus and
+        every stored row carries its ``pq_code`` array<int> next to the
+        vector — codes ride the same cell partitions, survive
+        delete/compact rewrites unchanged (full-row swaps), and let
+        ``search_pq`` scan 8-byte-ish codes instead of the embedding
+        column. For cosine indexes codebooks are trained on the stored
+        UNIT vectors, so L2 ADC ranking equals cosine ranking."""
         import json
 
-        from .operators.vector import assign_cells_literal, train_centroids
+        from .operators.vector import (
+            assign_cells_literal,
+            pq_encode_matmul,
+            pq_train_codebooks,
+            train_centroids,
+        )
 
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric: {metric}")
@@ -378,7 +417,10 @@ class IvfIndex:
                 vec_col,
             )
         self.root.mkdir(parents=True, exist_ok=True)
-        (self.root / self._META).write_text(json.dumps({"metric": metric}))
+        meta: dict = {"metric": metric}
+        if pq_m is not None:
+            meta["pq"] = {"m": int(pq_m), "codes": int(pq_codes)}
+        (self.root / self._META).write_text(json.dumps(meta))
         cents = train_centroids(
             df, n_cells, vec_col=vec_col, sample_fraction=sample_fraction
         )
@@ -393,6 +435,25 @@ class IvfIndex:
         assigned = assign_cells_literal(
             df, cent_rows, vec_col=vec_col, metric=metric
         )
+        if pq_m is not None:
+            cbs = pq_train_codebooks(
+                df,
+                m=pq_m,
+                k=pq_codes,
+                vec_col=vec_col,
+                sample_fraction=sample_fraction,
+            )
+            assigned = pq_encode_matmul(assigned, cbs, vec_col=vec_col)
+            cb_rows = [
+                (mi, ci, cent)
+                for mi, cb in enumerate(cbs)
+                for ci, cent in enumerate(cb)
+            ]
+            self.spark.createDataFrame(
+                cb_rows, "m int, code int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(self.root / "pq_codebooks")
+            )
         (
             assigned.write.mode("overwrite")
             .partitionBy("cell_id")
@@ -442,6 +503,15 @@ class IvfIndex:
         assigned = assign_cells_literal(
             batch, cent_rows, vec_col=vec_col, metric=self.metric()
         )
+        if self._pq_meta() is not None:
+            # PQ index: encode against the FROZEN codebooks (the same
+            # train/add split the centroids get) so appended rows carry
+            # codes like built rows do
+            from .operators.vector import pq_encode_matmul
+
+            assigned = pq_encode_matmul(
+                assigned, self._load_codebooks(), vec_col=vec_col
+            )
         (
             assigned.write.mode("append")
             .partitionBy("cell_id")
@@ -640,6 +710,29 @@ class IvfIndex:
         unfiltered probe, never a post-join. Note the standard IVF
         caveat: a highly selective filter empties probed cells before k
         hits are found; raise nprobe for filtered queries."""
+        query_vec, probe, metric = self._probe(query_vec, nprobe)
+        pruned = self._pruned_cells(probe)
+        if where is not None:
+            pruned = pruned.filter(where)
+        return knn(
+            pruned.select(
+                *id_cols, F.col(vec_col).cast("array<double>").alias(vec_col)
+            ),
+            query_vec,
+            k=k,
+            vec_col=vec_col,
+            id_cols=id_cols,
+            metric=metric,
+        )
+
+    def _probe(
+        self, query_vec: Sequence[float], nprobe: int
+    ) -> tuple[list[float], list[int], str]:
+        """Shared serving front half: crash recovery, metric-matched
+        query normalization, and driver-side cell ranking (zero Spark
+        jobs when a manifest is exported). Returns the (possibly
+        normalized) query, the nprobe cell ids to scan, and the
+        metric."""
         import math
 
         # a hard-crashed swap can leave a cell's only rows under
@@ -648,12 +741,13 @@ class IvfIndex:
         self._recover_swap_backup_if_idle()
 
         metric = self.metric()
+        query_vec = [float(x) for x in query_vec]
         if metric == "cosine":
             # the index stores unit vectors; normalize the query so the
             # cell-selection geometry matches the assignment geometry
-            qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+            qn = math.sqrt(sum(x * x for x in query_vec))
             if qn > 0:
-                query_vec = [float(x) / qn for x in query_vec]
+                query_vec = [x / qn for x in query_vec]
         # serving path: centroid selection from the manifest costs zero
         # Spark jobs (a query should only ever launch the ONE pruned-scan
         # job); the parquet centroids remain the source of truth when no
@@ -687,17 +781,66 @@ class IvfIndex:
         scored = sorted(
             (_centroid_dist(centroid), cid) for cid, centroid in cent_pairs
         )
-        probe = [cid for _, cid in scored[: max(1, nprobe)]]
         assert all(math.isfinite(d) for d, _ in scored)
+        return query_vec, [cid for _, cid in scored[: max(1, nprobe)]], metric
+
+    def _pruned_cells(self, probe: list[int]) -> DataFrame:
         cells = self.spark.read.option(
             "basePath", str(self.root / "cells")
         ).parquet(str(self.root / "cells"))
         # literal IN-list on the partition column → planning-time pruning
-        pruned = cells.filter(F.col("cell_id").isin(probe))
+        return cells.filter(F.col("cell_id").isin(probe))
+
+    def search_pq(
+        self,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 2,
+        rerank: int = 0,
+        vec_col: str = "embedding",
+        id_cols: Sequence[str] = ("vec_id",),
+        where=None,
+    ) -> DataFrame:
+        """IVFPQ serving (requires ``build(pq_m=...)``): probe cells as
+        ``search`` does, but rank candidates by ASYMMETRIC distance over
+        the stored ``pq_code`` column — the pruned scan reads ids +
+        m-byte-ish codes, never the embedding column (the at-scale IO
+        win: 64-d float32 rows shrink 32x at m=8/256). ``rerank=0``
+        returns the ADC top-k directly (rank, ids..., adc_distance);
+        ``rerank=N`` runs the standard refinement: collect the bounded
+        ADC top-N ids (≤ N rows), then ONE point-lookup scan of the same
+        probed cells re-reads just those rows' embeddings for an exact
+        top-k — two pruned scans total, the second touching ≤ N rows.
+        For cosine indexes both stages run on unit vectors, so L2 ADC
+        ordering equals cosine ordering and the exact stage returns the
+        cosine-metric shaping."""
+        from .operators.vector import pq_adc_topk
+
+        if self._pq_meta() is None:
+            raise ValueError(
+                "search_pq() on an index built without pq_m: "
+                "rebuild with build(df, pq_m=..., pq_codes=...)"
+            )
+        query_vec, probe, metric = self._probe(query_vec, nprobe)
+        cbs = self._load_codebooks()
+        pruned = self._pruned_cells(probe)
         if where is not None:
             pruned = pruned.filter(where)
+        adc = pq_adc_topk(
+            pruned.select(*id_cols, "pq_code"),
+            cbs,
+            query_vec,
+            k=(rerank if rerank else k),
+            id_cols=id_cols,
+        )
+        if not rerank:
+            return adc.limit(k)
+        short_ids = [r[id_cols[0]] for r in adc.collect()]  # ≤ rerank rows
+        cand = pruned.filter(F.col(id_cols[0]).isin(short_ids))
+        if where is not None:
+            cand = cand.filter(where)
         return knn(
-            pruned.select(
+            cand.select(
                 *id_cols, F.col(vec_col).cast("array<double>").alias(vec_col)
             ),
             query_vec,

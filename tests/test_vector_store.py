@@ -754,3 +754,97 @@ def test_ivf_dead_writer_leaves_no_effective_lock(spark, tmp_path):
 
     # and a mutation proceeds without waiting out the timeout
     assert idx.delete([0]) == 1
+
+
+# ---------------------------------------------------------------- IVFPQ ----
+
+
+def _pq_index(spark, tmp_path, metric="l2"):
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ivf = IvfIndex(spark, str(tmp_path / f"ivfpq_{metric}"))
+    ivf.build(emb, n_cells=4, pq_m=8, pq_codes=16, metric=metric)
+    return ivf, emb
+
+
+def test_ivfpq_search_reads_codes_not_embeddings(spark, tmp_path):
+    """ADC-only search must scan (id, pq_code) — the embedding column
+    must NOT appear in the pruned scan's ReadSchema (the 32x IO win is
+    the whole point of storing codes); with rerank it returns the exact
+    top-k the plain search returns at the same (full) probe."""
+    import io
+    from contextlib import redirect_stdout
+
+    ivf, emb = _pq_index(spark, tmp_path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    adc = ivf.search_pq(q, k=5, nprobe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        adc.explain("formatted")
+    reads = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" not in l for l in reads)
+    got = adc.collect()
+    assert len(got) == 5 and got[0].vec_id == 7  # self-hit at ADC dist 0
+    # full probe + generous rerank == exact search
+    exact = [r.vec_id for r in ivf.search(q, k=5, nprobe=4).collect()]
+    reranked = [
+        r.vec_id for r in ivf.search_pq(q, k=5, nprobe=4, rerank=100).collect()
+    ]
+    assert reranked == exact
+
+
+def test_ivfpq_add_encodes_and_maintenance_preserves_codes(spark, tmp_path):
+    """add() must encode appended rows against the FROZEN codebooks (an
+    added exact twin of the query ranks at ADC distance 0), and
+    delete/compact full-row rewrites must carry pq_code through — the
+    deleted id vanishes from search_pq, survivors keep working."""
+    ivf, emb = _pq_index(spark, tmp_path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding]
+    twin = spark.createDataFrame(
+        [(9_999, q)], "vec_id long, embedding array<double>"
+    )
+    ivf.add(twin)
+    top = ivf.search_pq(q, k=3, nprobe=4).collect()
+    assert {top[0].vec_id, top[1].vec_id} == {3, 9_999}
+    # trained codebooks leave a quantization residual (> 0, unlike the
+    # anchor-codebook identity) — but the twin encodes to the SAME codes
+    # as the original, so the two ADC distances are exactly equal
+    assert top[0].adc_distance == top[1].adc_distance
+    n_del = ivf.delete([9_999])
+    assert n_del == 1
+    ivf.compact(min_files=2)
+    after = ivf.search_pq(q, k=3, nprobe=4).collect()
+    assert after[0].vec_id == 3
+    assert all(r.vec_id != 9_999 for r in after)
+
+
+def test_ivfpq_cosine_unit_vector_equivalence(spark, tmp_path):
+    """Cosine IVFPQ: stored vectors and codebooks are unit-norm, the
+    query normalizes, so the reranked top-k equals the plain cosine
+    search's top-k at the same probe; search_pq on a non-PQ index
+    raises."""
+    import pytest
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    ivf, emb = _pq_index(spark, tmp_path, metric="cosine")
+    q = [
+        2.0 * float(x)  # scaled query: normalization must handle it
+        for x in emb.filter(F.col("vec_id") == 11).first().embedding
+    ]
+    got = [
+        r.vec_id for r in ivf.search_pq(q, k=5, nprobe=4, rerank=100).collect()
+    ]
+    want = [r.vec_id for r in ivf.search(q, k=5, nprobe=4).collect()]
+    # near-random unit vectors are PQ's worst case: a 100-of-500 ADC
+    # shortlist recovers most but not always all of the exact top-5
+    assert got[0] == 11 and len(set(got) & set(want)) >= 4
+    plain = IvfIndex(spark, str(tmp_path / "plain"))
+    plain.build(
+        emb.limit(50), n_cells=2
+    )
+    with pytest.raises(ValueError, match="without pq_m"):
+        plain.search_pq(q, k=3)
