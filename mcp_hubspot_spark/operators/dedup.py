@@ -1264,8 +1264,6 @@ def scrub_repeated_spans(
     corpus broadcasts when the duplicate-bearing doc set is small (AQE
     decides).
     """
-    from .text import tokens
-
     spans = repeated_spans(
         df,
         k,
@@ -1280,6 +1278,21 @@ def scrub_repeated_spans(
         F.col("b_start").alias("s"),
         F.col("b_end").alias("e"),
     )
+    return _cut_spans(df, rem, id_col, text_col)
+
+
+def _cut_spans(
+    df: DataFrame, rem: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared scrub back half: merge each doc's removal intervals
+    (one gaps-and-islands window on the running max end — overlapping
+    intervals from different partners collapse), collect the merged
+    disjoint intervals per doc (bounded by the doc's own token count),
+    and cut covered tokens with ONE expression-side filter over
+    (token, index) pairs — no explode, no range join, no Python. Every
+    input doc comes back; untouched docs pass through with 0 removed."""
+    from .text import tokens
+
     w = Window.partitionBy(id_col).orderBy("s", "e")
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = rem.withColumn("_pm", prev_max).withColumn(
@@ -1321,3 +1334,127 @@ def scrub_repeated_spans(
             ),
         )
     )
+
+
+def scrub_self_repeats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Within-document scrub: every LATER occurrence of a >= k-token
+    self-repeated span is removed, the first stays — the in-page twin of
+    :func:`scrub_repeated_spans` (templated headers, navigation blocks,
+    copy-paste loops inside one page). Same shuffle budget as
+    self_repeated_spans plus the shared per-doc interval-merge window."""
+    spans = self_repeated_spans(
+        df, k, id_col, text_col, min_tokens=min_tokens
+    )
+    rem = spans.select(
+        F.col(id_col),
+        F.col("b_start").alias("s"),
+        F.col("b_end").alias("e"),
+    )
+    return _cut_spans(df, rem, id_col, text_col)
+
+
+def cross_corpus_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Exact shared token spans between a training corpus and a
+    BENCHMARK set — span-level decontamination evidence (the exact-
+    substring member of the decontamination family beside the n-gram
+    broadcast, Bloom-prefiltered, and semantic variants): one row per
+    (doc, bench, occurrence pair) maximal span of >= k tokens,
+    (doc_id, bench_id, d_start, d_end, b_start, b_end, n_tokens).
+
+    Scale shape: each side builds its own positional shingle index; the
+    join is corpus-index x bench-index on the shingle key — the bench
+    side is tiny (eval sets), so the join broadcasts and the CORPUS
+    SIDE NEVER SHUFFLES for it; the diagonal merge then windows only
+    the matched rows (bounded by true contamination mass). ``max_df``
+    caps boilerplate shingles on the CORPUS side before the join."""
+    d_idx = token_shingle_index(docs, k, id_col, text_col, hash_shingles)
+    if max_df is not None:
+        counts = d_idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        d_idx = d_idx.join(
+            counts.filter(F.col("_df") <= max_df), "shingle"
+        ).drop("_df")
+    b_idx = token_shingle_index(
+        bench, k, bench_id_col, text_col, hash_shingles
+    )
+    matched = (
+        d_idx.select(
+            F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+        )
+        .join(
+            F.broadcast(
+                b_idx.select(
+                    F.col(bench_id_col).alias("doc_b"),
+                    F.col("pos").alias("pos_b"),
+                    "shingle",
+                )
+            ),
+            "shingle",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    spans = _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
+    return spans.select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias(bench_id_col),
+        F.col("a_start").alias("d_start"),
+        F.col("a_end").alias("d_end"),
+        "b_start",
+        "b_end",
+        "n_tokens",
+    )
+
+
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    min_tokens: int | None = None,
+    max_df: int | None = None,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Span-level decontamination: remove EVERY corpus token covered by
+    a span shared with the benchmark (no keep-first — contamination has
+    no canonical copy to keep). Returns every input doc as
+    (id, clean_text, n_tokens, n_tokens_removed)."""
+    spans = cross_corpus_spans(
+        docs,
+        bench,
+        k,
+        id_col,
+        text_col,
+        bench_id_col,
+        min_tokens=min_tokens,
+        max_df=max_df,
+        hash_shingles=hash_shingles,
+    )
+    rem = spans.select(
+        F.col(id_col),
+        F.col("d_start").alias("s"),
+        F.col("d_end").alias("e"),
+    )
+    return _cut_spans(docs, rem, id_col, text_col)

@@ -1185,6 +1185,228 @@ def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return scrub_repeated_spans(docs, k=_SPAN_K).orderBy("doc_id")
 
 
+# Shared interval-merge + token-cut SQL (the oracle twin of
+# operators/dedup.py:_cut_spans): expects a `rem(doc_id, s, e)` CTE and
+# a `toks(doc_id, t)` CTE to exist.
+_DUCK_CUT_SQL = """
+    pm AS (
+        SELECT *, max(e) OVER
+                  (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_max
+        FROM rem
+    ),
+    grp AS (
+        SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY doc_id ORDER BY s, e
+                   ROWS UNBOUNDED PRECEDING) AS g
+        FROM pm
+    ),
+    merged AS (
+        SELECT doc_id, min(s) AS s, max(e) AS e FROM grp
+        GROUP BY doc_id, g
+    ),
+    tok AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS i, t FROM toks
+    ),
+    kept AS (
+        SELECT tk.doc_id, tk.i, tk.t[tk.i + 1] AS tok
+        FROM tok tk
+        WHERE NOT EXISTS (
+            SELECT 1 FROM merged mg
+            WHERE mg.doc_id = tk.doc_id AND tk.i BETWEEN mg.s AND mg.e
+        )
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)
+               AS n_tokens_removed
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id"""
+
+
+# Within-document scrub: every LATER occurrence of a >= 4-token
+# self-repeated span removed, the first kept — the in-page twin of
+# substring_dedup_docs (templated headers, copy-paste loops).
+@_q(
+    "substring_selfclean_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(range(0, len(t) - 4 + 1)) AS pos, t
+           FROM toks),
+    idx AS (SELECT doc_id, pos,
+                   array_to_string(t[pos + 1 : pos + 4], ' ') AS shingle
+            FROM sh),
+    m AS (
+        SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM idx a JOIN idx b
+          ON a.shingle = b.shingle AND a.doc_id = b.doc_id
+             AND a.pos < b.pos
+    ),
+    fl AS (
+        SELECT *, CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_id, diag ORDER BY pos_a)
+                       = pos_a - 1 THEN 0 ELSE 1 END AS newisl
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(newisl) OVER
+                  (PARTITION BY doc_id, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(min(pos_b) AS BIGINT) AS s,
+               CAST(max(pos_b) + 3 AS BIGINT) AS e
+        FROM isl GROUP BY doc_id, diag, island
+    ),
+    rem AS (SELECT doc_id, s, e FROM spans),
+    {_DUCK_CUT_SQL}
+    """,
+)
+def substring_selfclean_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import scrub_self_repeats
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return scrub_self_repeats(docs, k=4).orderBy("doc_id")
+
+
+# Span-level benchmark decontamination — the exact-substring member of
+# the decontamination family (beside the n-gram broadcast, Bloom, and
+# semantic variants): exact shared spans between corpus and benchmark,
+# then the scrub that removes EVERY covered corpus token (no keep-first
+# — contamination has no canonical copy). Same planted-contamination
+# corpus as contaminated_docs: docs 10-59 natural + twins with a full
+# benchmark doc appended. Operator: operators/dedup.py:
+# cross_corpus_spans / scrub_contaminated_spans (bench shingle index
+# broadcasts — the corpus side never shuffles for the join).
+def _duck_xspan_cte(k: int) -> str:
+    return f"""
+    bench AS (SELECT doc_id AS bench_id, text FROM documents
+              WHERE doc_id < 10),
+    cand AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id < 60
+        UNION ALL
+        SELECT c.doc_id + 20000 AS doc_id, c.text || ' ' || b.text AS text
+        FROM documents c JOIN documents b ON b.doc_id = c.doc_id % 10
+        WHERE c.doc_id >= 10 AND c.doc_id < 60
+    ),
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM cand
+    ),
+    btoks AS (
+        SELECT bench_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM bench
+    ),
+    dsh AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
+            FROM toks),
+    didx AS (SELECT doc_id, pos,
+                    array_to_string(t[pos + 1 : pos + {k}], ' ') AS shingle
+             FROM dsh),
+    bsh AS (SELECT bench_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
+            FROM btoks),
+    bidx AS (SELECT bench_id, pos,
+                    array_to_string(t[pos + 1 : pos + {k}], ' ') AS shingle
+             FROM bsh),
+    m AS (
+        SELECT d.doc_id, b.bench_id, d.pos AS pos_a, b.pos AS pos_b,
+               d.pos - b.pos AS diag
+        FROM didx d JOIN bidx b ON d.shingle = b.shingle
+    ),
+    fl AS (
+        SELECT *, CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_id, bench_id, diag ORDER BY pos_a)
+                       = pos_a - 1 THEN 0 ELSE 1 END AS newisl
+        FROM m
+    ),
+    isl AS (
+        SELECT *, sum(newisl) OVER
+                  (PARTITION BY doc_id, bench_id, diag ORDER BY pos_a
+                   ROWS UNBOUNDED PRECEDING) AS island
+        FROM fl
+    ),
+    spans AS (
+        SELECT doc_id, bench_id,
+               CAST(min(pos_a) AS BIGINT) AS d_start,
+               CAST(max(pos_a) + {k} - 1 AS BIGINT) AS d_end,
+               CAST(min(pos_b) AS BIGINT) AS b_start,
+               CAST(max(pos_b) + {k} - 1 AS BIGINT) AS b_end,
+               CAST(max(pos_a) - min(pos_a) + {k} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, bench_id, diag, island
+    )"""
+
+
+def _span_decon_inputs(spark: SparkSession, sf: str):
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    cand_nat = docs.filter(
+        (F.col("doc_id") >= 10) & (F.col("doc_id") < 60)
+    ).select("doc_id", "text")
+    planted = (
+        cand_nat.alias("c")
+        .join(
+            bench.alias("b"),
+            F.col("c.doc_id") % 10 == F.col("b.bench_id"),
+        )
+        .select(
+            (F.col("c.doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("c.text"), F.lit(" "), F.col("b.text")).alias(
+                "text"
+            ),
+        )
+    )
+    return fan_out(cand_nat.unionByName(planted)), bench
+
+
+@_q(
+    "benchmark_span_overlap",
+    f"""
+    WITH {_duck_xspan_cte(_SPAN_K)}
+    SELECT * FROM spans
+    ORDER BY doc_id, bench_id, d_start, b_start
+    """,
+)
+def benchmark_span_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import cross_corpus_spans
+
+    cand, bench = _span_decon_inputs(spark, sf)
+    return cross_corpus_spans(cand, bench, k=_SPAN_K).orderBy(
+        "doc_id", "bench_id", "d_start", "b_start"
+    )
+
+
+@_q(
+    "span_decontaminated_docs",
+    f"""
+    WITH {_duck_xspan_cte(_SPAN_K)},
+    rem AS (SELECT doc_id, d_start AS s, d_end AS e FROM spans),
+    {_DUCK_CUT_SQL}
+    """,
+)
+def span_decontaminated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import scrub_contaminated_spans
+
+    cand, bench = _span_decon_inputs(spark, sf)
+    return scrub_contaminated_spans(cand, bench, k=_SPAN_K).orderBy(
+        "doc_id"
+    )
+
+
 # Token counting (training-data token budget).
 @_q(
     "token_stats",
@@ -8027,6 +8249,8 @@ _CHECK_PRIORITY = [
     # never driver-checked: round-8 additions
     "substring_dedup_spans", "substring_selfrepeat_spans",
     "substring_dedup_docs", "ivf_pq_search", "search_mmr_rerank",
+    "substring_selfclean_docs", "benchmark_span_overlap",
+    "span_decontaminated_docs",
     # changed this round: fresh official record wanted
     "events_psi_drift", "hybrid_search_rrf", "nation_copurchase_lift",
     "ivf_cosine_search", "knn_cosine",
@@ -8064,14 +8288,12 @@ _CHECK_PRIORITY = [
     "length_bucketed_batches",
     "media_features",
     "mixture_plan",
-    "nation_trade_volume",
-    "ngram_containment_pairs",
-    "order_value_bootstrap_ci",
 ]
 # ---- round-9 forward note (same never-checked-first rule) ----------
 # After the round-8 check lands, nothing will be older than round 5.
-# Head of the round-9 line: the 18 r5-green queries that did not fit
-# this window — orders_above_customer_avg, orders_cube,
+# Head of the round-9 line: the 21 r5-green queries that did not fit
+# this window — nation_trade_volume, ngram_containment_pairs,
+# order_value_bootstrap_ci, orders_above_customer_avg, orders_cube,
 # orders_monthly_growth, orders_page_with_total, orders_unpivot,
 # orders_value_drift, profile_orders, projected_knn_rerank,
 # quantized_embedding_error, remove_boilerplate_docs,

@@ -2885,3 +2885,63 @@ def test_mmr_rerank_tied_scores_and_k_clamp(spark):
     assert [r.doc_id for r in got][0] == 3  # lowest id wins the tie
     assert len(got) == 3
     assert [r.mmr_rank for r in got] == [1, 2, 3]
+
+
+def test_scrub_self_repeats_keeps_first_occurrence(spark):
+    """Within-doc scrub: the later copy of a self-repeated span is cut,
+    the first stays; overlapping repeats (3 copies) leave exactly one;
+    docs without self-repeats pass through verbatim."""
+    from mcp_hubspot_spark.operators.dedup import scrub_self_repeats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "nav one two three four body text nav one two three four tail"),
+            (1, "a b c d e f g h"),
+            (2, "x y z w x y z w x y z w"),  # 3 copies of a 4-token span
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in scrub_self_repeats(docs, k=4).collect()}
+    assert out[0].clean_text == "nav one two three four body text tail"
+    assert out[0].n_tokens_removed == 5
+    assert out[1].clean_text == "a b c d e f g h"
+    assert out[1].n_tokens_removed == 0
+    assert out[2].clean_text == "x y z w"
+    assert out[2].n_tokens_removed == 8
+
+
+def test_cross_corpus_spans_and_decontamination_scrub(spark):
+    """Span decontamination: a corpus doc embedding a benchmark passage
+    gets exactly that span back as (doc, bench) evidence and loses ALL
+    covered tokens in the scrub (no keep-first — both docs carrying the
+    passage are scrubbed); clean docs pass through."""
+    from mcp_hubspot_spark.operators.dedup import (
+        cross_corpus_spans,
+        scrub_contaminated_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            (2, "totally unrelated content nothing shared here at all"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # full copy
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.bench_id): (r.d_start, r.d_end, r.n_tokens)
+        for r in cross_corpus_spans(docs, bench, k=5).collect()
+    }
+    assert spans == {(1, 100): (2, 10, 9), (3, 100): (0, 8, 9)}
+    out = {
+        r.doc_id: r
+        for r in scrub_contaminated_spans(docs, bench, k=5).collect()
+    }
+    assert out[1].clean_text == "intro words outro"
+    assert out[1].n_tokens_removed == 9
+    assert out[2].n_tokens_removed == 0
+    assert out[3].clean_text == "" and out[3].n_tokens_removed == 9

@@ -485,3 +485,77 @@ def test_ks_drift_matches_brute_force(spark, a, b):
     assert abs(got.ks_stat - expected) <= 1e-6
     assert (got.n_a, got.n_b) == (len(a), len(b))
     assert ks_drift(adf, adf, "value").collect()[0].ks_stat == 0.0
+
+
+def _brute_spans(texts: dict, k: int):
+    """Reference token-span implementation: all-pairs shingle match +
+    per-diagonal run chaining, pure Python."""
+    toks = {i: t.split() for i, t in texts.items()}
+    sh = {
+        i: {
+            p: tuple(ts[p : p + k])
+            for p in range(len(ts) - k + 1)
+        }
+        for i, ts in toks.items()
+    }
+    out = set()
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            matched = sorted(
+                (pa, pb)
+                for pa, sa in sh[a].items()
+                for pb, sb in sh[b].items()
+                if sa == sb
+            )
+            by_diag: dict = {}
+            for pa, pb in matched:
+                by_diag.setdefault(pa - pb, []).append(pa)
+            for diag, pas in by_diag.items():
+                pas.sort()
+                start = prev = pas[0]
+                for p in pas[1:] + [None]:
+                    if p is not None and p == prev + 1:
+                        prev = p
+                        continue
+                    out.add(
+                        (a, b, start, prev + k - 1, start - diag,
+                         prev + k - 1 - diag, prev - start + k)
+                    )
+                    if p is not None:
+                        start = prev = p
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+        ).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_repeated_spans_matches_brute_force(spark, texts):
+    """The shingle-join + diagonal-merge span recovery must equal the
+    all-pairs brute-force reference on tiny-vocab corpora (which force
+    dense accidental matches, the hardest case for maximal-run
+    merging), including empty docs and docs shorter than k."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+
+    corpus = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.a_end, r.b_start, r.b_end,
+         r.n_tokens)
+        for r in repeated_spans(df, k=3).collect()
+    }
+    assert got == _brute_spans(corpus, 3)
