@@ -101,6 +101,10 @@ HEADLINE = [
     "dsir_selected_docs",       # hashed-bigram importance-resampling selection
     "event_attribution",        # first/last/linear multi-touch credit models
     "ivf_cosine_search",        # cosine-metric cell-pruned ANN
+    "substring_dedup_docs",     # exact token-span dedup + keep-first scrub
+    "span_decontaminated_docs", # span-level benchmark decontamination
+    "ivf_pq_search",            # IVFPQ: cell pruning + asymmetric distance
+    "search_mmr_rerank",        # MMR diversity re-rank on fused RRF top-k
 ]
 
 

@@ -511,6 +511,8 @@ def _make_minhash_fn():
         )
         for pdf in pdfs:
             for sig in pdf["_sig"]:
+                if sig is None:  # NULL text yields a NULL signature
+                    continue
                 s = [int(x) for x in sig]
                 cur = s if cur is None else [
                     a if a < b else b for a, b in zip(cur, s)
@@ -547,7 +549,9 @@ def streaming_minhash_signature(
     count, CONSTANT in stream length. Merging is elementwise min —
     min over a union of shingle sets is the min of the mins, so the
     drained state equals the batch elementwise-min signature over the
-    same rows exactly (pinned by the batch-agreement test).
+    same rows exactly (pinned by the batch-agreement test). NULL-text
+    rows have no shingles, hence a NULL signature: they contribute
+    nothing to the state and are not counted in ``n_docs``.
     """
     from pyspark.sql import functions as F
 

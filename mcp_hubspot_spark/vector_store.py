@@ -821,6 +821,9 @@ class IvfIndex:
                 "search_pq() on an index built without pq_m: "
                 "rebuild with build(df, pq_m=..., pq_codes=...)"
             )
+        if rerank and rerank < k:
+            # a shortlist smaller than k would silently under-return
+            raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
         query_vec, probe, metric = self._probe(query_vec, nprobe)
         cbs = self._load_codebooks()
         pruned = self._pruned_cells(probe)

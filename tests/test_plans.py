@@ -908,3 +908,13 @@ def test_skew_advisor_join_matches_plain(spark):
         advice=balanced,
     )
     assert "xxhash64" not in plan_of(plain)
+
+
+def test_benchmark_span_overlap_broadcasts_bench_index(spark):
+    """Span decontamination: the benchmark shingle index must BROADCAST
+    (eval sets are tiny) so the corpus side never shuffles for the
+    match join — and nothing degenerates to a cartesian/nested-loop."""
+    plan = plan_of(QUERIES["benchmark_span_overlap"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

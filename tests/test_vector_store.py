@@ -848,3 +848,13 @@ def test_ivfpq_cosine_unit_vector_equivalence(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="without pq_m"):
         plain.search_pq(q, k=3)
+
+
+def test_ivfpq_rerank_smaller_than_k_rejected(spark, tmp_path):
+    """rerank < k would silently under-return k; it must raise."""
+    import pytest
+
+    ivf, emb = _pq_index(spark, tmp_path)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
+    with pytest.raises(ValueError, match="rerank"):
+        ivf.search_pq(q, k=10, rerank=5)
