@@ -56,7 +56,7 @@ def main() -> None:
         ratio = cb / ca
         adj = round(both_total_new / ratio, 2)
         print(
-            f"calib: {ca}s -> {cb}s (host {ratio:+.1%} vs old); "
+            f"calib: {ca}s -> {cb}s (host {ratio - 1:+.1%} vs old); "
             f"drift-adjusted common total: {adj}s "
             f"({(adj / both_total_old - 1) * 100:+.1f}%)"
         )

@@ -1310,7 +1310,12 @@ def _cut_spans(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
     )
     toks_df = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col),
+        # NULL text has no tokens: coalesce to an empty array so the
+        # accounting columns read an honest (0, 0) instead of size(NULL)
+        F.coalesce(
+            tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
     )
     empty_iv = F.array().cast("array<struct<s:long,e:long>>")
     indexed = F.transform(

@@ -80,6 +80,20 @@ def salted_aggregate(
     )
 
 
+def _require_big_preserving(how: str) -> None:
+    """Right/full joins would see the replicated small side as real rows
+    (n_salts copies of every unmatched small row) — only joins that
+    preserve the big side's semantics can be salted. Normalizes Spark's
+    join-type alias spellings before validating."""
+    norm_how = how.lower().replace("_", "")
+    if norm_how not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
+    ):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, not {how!r}"
+        )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -92,12 +106,7 @@ def salted_join(
     once per shard, join on (keys, salt). The small side grows n_salts×
     (it is small — that is the premise); the big side's hot keys spread
     across n_salts reducers instead of melting one."""
-    # normalize Spark's join-type alias spellings before validating
-    norm_how = how.lower().replace("_", "")
-    if norm_how not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
-        # right/full joins would see the replicated small side as real rows
-        # (n_salts copies of every unmatched small row)
-        raise ValueError(f"salted_join supports big-side-preserving joins only, not {how!r}")
+    _require_big_preserving(how)
     keys = list(on)
     big_s = with_salt(
         big, salt_src if salt_src is not None else _default_salt_src(big, keys), n_salts
@@ -197,6 +206,10 @@ def adaptive_join(
     the threshold; balanced keys get the plain equi-join (AQE remains
     free to broadcast or split it at runtime). Same results either way
     — only which reducers the hot key's rows land on changes."""
+    # validate UNCONDITIONALLY: an unsupported `how` must fail at call
+    # time, not the day the key distribution drifts past the threshold
+    # and the salted branch fires for the first time in production
+    _require_big_preserving(how)
     advice = (
         advice if advice is not None else skew_advice(big, on, threshold)
     )

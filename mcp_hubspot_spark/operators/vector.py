@@ -587,24 +587,30 @@ def pq_train_codebooks(
     base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
-    first = base.first()
-    if first is None:
-        raise ValueError("pq_train_codebooks: empty input")
-    dim = len(first["_v"])
-    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
-    sub = dim // m
-    out = []
-    for mi in range(m):
-        train = base.select(
-            array_to_vector(F.slice("_v", mi * sub + 1, sub)).alias(
-                "features"
+    # cache the sampled projection: the first() probe + the m KMeans
+    # fits would otherwise re-scan (and re-sample) the source m+1 times
+    base = base.cache()
+    try:
+        first = base.first()
+        if first is None:
+            raise ValueError("pq_train_codebooks: empty input")
+        dim = len(first["_v"])
+        assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+        sub = dim // m
+        out = []
+        for mi in range(m):
+            train = base.select(
+                array_to_vector(F.slice("_v", mi * sub + 1, sub)).alias(
+                    "features"
+                )
             )
-        )
-        model = KMeans(k=k, seed=seed + mi, maxIter=max_iter).fit(train)
-        out.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-    return out
+            model = KMeans(k=k, seed=seed + mi, maxIter=max_iter).fit(train)
+            out.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+        return out
+    finally:
+        base.unpersist()
 
 
 def pq_encode(
@@ -636,6 +642,43 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+def _adc_expr(
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    code_col: str,
+) -> Column:
+    """The shared ADC distance expression: fold the m x k query
+    distance table driver-side (bounded), inline it as a 2-D literal,
+    and chain m element_at lookups with explicit left-to-right adds —
+    the one definition both PQ serving paths rank by."""
+    import functools
+    import operator as op
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    table = [
+        [
+            sum(
+                (float(q) - float(c)) ** 2
+                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
+            )
+            for cent in cb
+        ]
+        for mi, cb in enumerate(codebooks)
+    ]
+    tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    code = F.col(code_col)
+    return functools.reduce(
+        op.add,
+        [
+            F.element_at(
+                F.element_at(tlit, mi + 1), F.element_at(code, mi + 1) + 1
+            )
+            for mi in range(m)
+        ],
+    )
+
+
 def pq_adc_topk(
     df_codes: DataFrame,
     codebooks: list[list[list[float]]],
@@ -652,36 +695,9 @@ def pq_adc_topk(
     Output (rank, ids..., adc_distance): the distance is the PQ
     approximation (named so callers don't mistake it for exact L2);
     rerank the top-k' with exact distances when recall matters."""
-    import functools
-    import operator as op
-
     from pyspark.sql.window import Window
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    table = [
-        [
-            sum(
-                (float(q) - float(c)) ** 2
-                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
-            )
-            for cent in cb
-        ]
-        for mi, cb in enumerate(codebooks)
-    ]
-    tlit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in table]
-    )
-    code = F.col(code_col)
-    dist = functools.reduce(
-        op.add,
-        [
-            F.element_at(
-                F.element_at(tlit, mi + 1), F.element_at(code, mi + 1) + 1
-            )
-            for mi in range(m)
-        ],
-    )
+    dist = _adc_expr(codebooks, query_vec, code_col)
     scored = df_codes.select(*id_cols, dist.alias("adc_distance"))
     top = scored.orderBy(
         F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
@@ -712,34 +728,9 @@ def pq_search_rerank(
     ``shortlist`` rows total. On unclustered corpora (PQ's worst case)
     this recovers most of the exact top-k that raw ADC ordering loses;
     output matches :func:`knn` (rank, ids, distance, similarity)."""
-    import functools
-    import operator as op
-
     from pyspark.sql.window import Window
 
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    table = [
-        [
-            sum(
-                (float(q) - float(c)) ** 2
-                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
-            )
-            for cent in cb
-        ]
-        for mi, cb in enumerate(codebooks)
-    ]
-    tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
-    code = F.col(code_col)
-    adc = functools.reduce(
-        op.add,
-        [
-            F.element_at(
-                F.element_at(tlit, mi + 1), F.element_at(code, mi + 1) + 1
-            )
-            for mi in range(m)
-        ],
-    )
+    adc = _adc_expr(codebooks, query_vec, code_col)
     short = (
         df_codes.select(*id_cols, vec_col, adc.alias("_adc"))
         .orderBy(F.col("_adc").asc_nulls_last(), F.col(id_cols[0]).asc())
@@ -897,9 +888,16 @@ def mmr_rerank(
             out, columns=[id_col, "mmr_rank", "mmr_score"]
         )
 
+    # derive the id type from the input — retrieval shortlists are often
+    # keyed by string ids, and a hardcoded `long` would fail (or coerce)
+    # at Arrow conversion time
+    id_type = candidates.schema[id_col].dataType.simpleString()
     return (
         candidates.select(id_col, score_col, vec_col)
         .withColumn("_g", F.lit(1))
         .groupBy("_g")
-        .applyInPandas(greedy, schema=f"{id_col} long, mmr_rank int, mmr_score double")
+        .applyInPandas(
+            greedy,
+            schema=f"{id_col} {id_type}, mmr_rank int, mmr_score double",
+        )
     )

@@ -364,6 +364,12 @@ class IvfIndex:
         return json.loads(p.read_text()).get("pq")
 
     def _load_codebooks(self) -> list[list[list[float]]]:
+        # cached per instance: reloading m*codes rows per query would add
+        # a second Spark job to a serving path _probe keeps at one job;
+        # build() invalidates (codebooks change only on rebuild)
+        cached = getattr(self, "_cb_cache", None)
+        if cached is not None:
+            return cached
         rows = self.spark.read.parquet(
             str(self.root / "pq_codebooks")
         ).collect()  # m * codes rows — bounded by design
@@ -372,9 +378,10 @@ class IvfIndex:
             by_m.setdefault(int(r.m), {})[int(r.code)] = [
                 float(x) for x in r.centroid
             ]
-        return [
+        self._cb_cache = [
             [by_m[mi][c] for c in sorted(by_m[mi])] for mi in sorted(by_m)
         ]
+        return self._cb_cache
 
     @_locked
     def build(
@@ -417,6 +424,7 @@ class IvfIndex:
                 vec_col,
             )
         self.root.mkdir(parents=True, exist_ok=True)
+        self._cb_cache = None  # rebuild replaces any cached codebooks
         meta: dict = {"metric": metric}
         if pq_m is not None:
             meta["pq"] = {"m": int(pq_m), "codes": int(pq_codes)}

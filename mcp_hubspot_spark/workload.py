@@ -1073,20 +1073,19 @@ def substring_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# Within-document repeated spans (boilerplate/copy-paste inside one
-# page) — the self-join variant; k=4 because the synthetic corpus's
-# within-doc repeats are short.
-@_q(
-    "substring_selfrepeat_spans",
-    """
-    WITH toks AS (
+def _duck_selfspan_cte(k: int) -> str:
+    """Within-doc span oracle CTE chain: positional shingle index →
+    same-doc matched positions → diagonal islands (shared by
+    substring_selfrepeat_spans and substring_selfclean_docs)."""
+    return f"""
+    toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
         FROM documents
     ),
-    sh AS (SELECT doc_id, unnest(range(0, len(t) - 4 + 1)) AS pos, t
+    sh AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
            FROM toks),
     idx AS (SELECT doc_id, pos,
-                   array_to_string(t[pos + 1 : pos + 4], ' ') AS shingle
+                   array_to_string(t[pos + 1 : pos + {k}], ' ') AS shingle
             FROM sh),
     m AS (
         SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
@@ -1106,7 +1105,16 @@ def substring_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
                   (PARTITION BY doc_id, diag ORDER BY pos_a
                    ROWS UNBOUNDED PRECEDING) AS island
         FROM fl
-    )
+    )"""
+
+
+# Within-document repeated spans (boilerplate/copy-paste inside one
+# page) — the self-join variant; k=4 because the synthetic corpus's
+# within-doc repeats are short.
+@_q(
+    "substring_selfrepeat_spans",
+    f"""
+    WITH {_duck_selfspan_cte(4)}
     SELECT doc_id,
            CAST(min(pos_a) AS BIGINT) AS a_start,
            CAST(max(pos_a) + 3 AS BIGINT) AS a_end,
@@ -1124,65 +1132,6 @@ def substring_selfrepeat_spans(spark: SparkSession, sf: str) -> DataFrame:
     return self_repeated_spans(docs, k=4).orderBy(
         "doc_id", "a_start", "b_start"
     )
-
-
-# The scrub step: survivor text with cross-doc repeated spans removed
-# (keep-first — the smaller doc_id keeps its copy), every doc returned.
-# Operator: operators/dedup.py:scrub_repeated_spans (interval merge via
-# one per-doc window + expression-side token cut, no explode/range join).
-@_q(
-    "substring_dedup_docs",
-    f"""
-    WITH {_duck_span_cte(_SPAN_K)},
-    rem AS (SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
-    pm AS (
-        SELECT *, max(e) OVER
-                  (PARTITION BY doc_id ORDER BY s, e
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                  AS prev_max
-        FROM rem
-    ),
-    grp AS (
-        SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
-                           THEN 1 ELSE 0 END) OVER
-                  (PARTITION BY doc_id ORDER BY s, e
-                   ROWS UNBOUNDED PRECEDING) AS g
-        FROM pm
-    ),
-    merged AS (
-        SELECT doc_id, min(s) AS s, max(e) AS e FROM grp
-        GROUP BY doc_id, g
-    ),
-    tok AS (
-        SELECT doc_id, unnest(range(0, len(t))) AS i, t FROM toks
-    ),
-    kept AS (
-        SELECT tk.doc_id, tk.i, tk.t[tk.i + 1] AS tok
-        FROM tok tk
-        WHERE NOT EXISTS (
-            SELECT 1 FROM merged mg
-            WHERE mg.doc_id = tk.doc_id AND tk.i BETWEEN mg.s AND mg.e
-        )
-    ),
-    agg AS (
-        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
-               count(*) AS n_kept
-        FROM kept GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           coalesce(a.clean_text, '') AS clean_text,
-           CAST(len(t.t) AS BIGINT) AS n_tokens,
-           CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT)
-               AS n_tokens_removed
-    FROM toks t LEFT JOIN agg a USING (doc_id)
-    ORDER BY t.doc_id
-    """,
-)
-def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.dedup import scrub_repeated_spans
-
-    docs = fan_out(load_table(spark, sf, "documents"))
-    return scrub_repeated_spans(docs, k=_SPAN_K).orderBy("doc_id")
 
 
 # Shared interval-merge + token-cut SQL (the oracle twin of
@@ -1232,40 +1181,32 @@ _DUCK_CUT_SQL = """
     ORDER BY t.doc_id"""
 
 
+# The scrub step: survivor text with cross-doc repeated spans removed
+# (keep-first — the smaller doc_id keeps its copy), every doc returned.
+# Operator: operators/dedup.py:scrub_repeated_spans (interval merge via
+# one per-doc window + expression-side token cut, no explode/range join).
+@_q(
+    "substring_dedup_docs",
+    f"""
+    WITH {_duck_span_cte(_SPAN_K)},
+    rem AS (SELECT doc_b AS doc_id, b_start AS s, b_end AS e FROM spans),
+    {_DUCK_CUT_SQL}
+    """,
+)
+def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.dedup import scrub_repeated_spans
+
+    docs = fan_out(load_table(spark, sf, "documents"))
+    return scrub_repeated_spans(docs, k=_SPAN_K).orderBy("doc_id")
+
+
 # Within-document scrub: every LATER occurrence of a >= 4-token
 # self-repeated span removed, the first kept — the in-page twin of
 # substring_dedup_docs (templated headers, copy-paste loops).
 @_q(
     "substring_selfclean_docs",
     f"""
-    WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-        FROM documents
-    ),
-    sh AS (SELECT doc_id, unnest(range(0, len(t) - 4 + 1)) AS pos, t
-           FROM toks),
-    idx AS (SELECT doc_id, pos,
-                   array_to_string(t[pos + 1 : pos + 4], ' ') AS shingle
-            FROM sh),
-    m AS (
-        SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b,
-               a.pos - b.pos AS diag
-        FROM idx a JOIN idx b
-          ON a.shingle = b.shingle AND a.doc_id = b.doc_id
-             AND a.pos < b.pos
-    ),
-    fl AS (
-        SELECT *, CASE WHEN lag(pos_a) OVER
-                       (PARTITION BY doc_id, diag ORDER BY pos_a)
-                       = pos_a - 1 THEN 0 ELSE 1 END AS newisl
-        FROM m
-    ),
-    isl AS (
-        SELECT *, sum(newisl) OVER
-                  (PARTITION BY doc_id, diag ORDER BY pos_a
-                   ROWS UNBOUNDED PRECEDING) AS island
-        FROM fl
-    ),
+    WITH {_duck_selfspan_cte(4)},
     spans AS (
         SELECT doc_id,
                CAST(min(pos_b) AS BIGINT) AS s,
@@ -7109,13 +7050,19 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
 # one single-group applyInPandas task — MMR is sequential-in-k by
 # definition, the distributed part is the upstream top-N reduction.
 def _duck_mmr_steps(k: int, lam: float) -> str:
+    # inline the PYTHON binary-double values of lam and 1-lam (with
+    # ::DOUBLE casts): a bare SQL `(1 - 0.7)` is DuckDB DECIMAL
+    # arithmetic — exact 0.3, one ulp BELOW Python's 1 - 0.7 — which
+    # would break the bit-for-bit greedy replay on a near-boundary tie
+    lam_sql = f"({lam!r}::DOUBLE)"
+    one_minus_sql = f"({1 - lam!r}::DOUBLE)"
     steps = []
     for i in range(1, k + 1):
         prev = [f"s{j}" for j in range(1, i)]
         if not prev:
             steps.append(
-                f"s1 AS (SELECT doc_id, {lam} * rel01 AS mmr, v FROM c0\n"
-                f"        ORDER BY {lam} * rel01 DESC, doc_id ASC LIMIT 1)"
+                f"s1 AS (SELECT doc_id, {lam_sql} * rel01 AS mmr, v FROM c0\n"
+                f"        ORDER BY {lam_sql} * rel01 DESC, doc_id ASC LIMIT 1)"
             )
             continue
         sims = ", ".join(
@@ -7125,8 +7072,8 @@ def _duck_mmr_steps(k: int, lam: float) -> str:
         not_sel = " AND ".join(f"c.doc_id <> {p}.doc_id" for p in prev)
         steps.append(
             f"s{i} AS (SELECT c.doc_id,\n"
-            f"        {lam} * c.rel01 - (1 - {lam}) * ({ms}) AS mmr, c.v,"
-            f" c.rel01\n"
+            f"        {lam_sql} * c.rel01 - {one_minus_sql} * ({ms}) AS mmr,"
+            f" c.v, c.rel01\n"
             f"        FROM c0 c, {', '.join(prev)}\n"
             f"        WHERE {not_sel}\n"
             f"        ORDER BY mmr DESC, c.doc_id ASC LIMIT 1)"
@@ -8240,7 +8187,7 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 # cast in the lift denominator), and ivf_cosine_search + knn_cosine
 # (literal-norm precompute; same IEEE arithmetic, re-confirmed
 # officially). Then the 8 r3-green stragglers the round-7 forward note
-# promised, then 32 of the 50-query r5-green cohort (alphabetical =
+# promised, then 29 of the 50-query r5-green cohort (alphabetical =
 # deterministic). Rotated out: the full round-7 window (all green in
 # r7) — every rotated query remains pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
@@ -8258,7 +8205,9 @@ _CHECK_PRIORITY = [
     "kmv_distinct_users", "upsample_repeat_docs", "embedding_row_stats",
     "supplier_pagerank", "media_frame_sample", "global_shuffle_docs",
     "weighted_sample_docs", "vocab_coverage",
-    # next-stalest: round-5-green cohort, first 32 alphabetically
+    # next-stalest: round-5-green cohort, first 29 alphabetically
+    # (the window's 50 slots minus 8 additions + 5 re-checks + 8
+    # stragglers; the other 21 head the round-9 note)
     "bloom_decontaminated_docs",
     "bm25_search",
     "bpe_compression",

@@ -2945,3 +2945,21 @@ def test_cross_corpus_spans_and_decontamination_scrub(spark):
     assert out[1].n_tokens_removed == 9
     assert out[2].n_tokens_removed == 0
     assert out[3].clean_text == "" and out[3].n_tokens_removed == 9
+
+
+def test_mmr_rerank_string_ids(spark):
+    """The applyInPandas output schema derives the id type from the
+    input — string-keyed retrieval shortlists (URLs, doc hashes) must
+    work, not just integral ids."""
+    from mcp_hubspot_spark.operators.vector import mmr_rerank
+
+    df = spark.createDataFrame(
+        [
+            ("u/a", 1.0, [1.0, 0.0]),
+            ("u/b", 0.9, [1.0, 0.01]),
+            ("u/c", 0.5, [0.0, 1.0]),
+        ],
+        "doc_id string, score double, embedding array<double>",
+    )
+    got = [r.doc_id for r in mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()]
+    assert got == ["u/a", "u/c"]  # diversity beats the near-dup twin
