@@ -163,6 +163,24 @@ def main() -> None:
         calib_runs.append(time.perf_counter() - t0)
     calib = round(sorted(calib_runs)[1], 4)
 
+    # Shuffle-bound calibration companion (round 9): the r8 verdict
+    # measured untouched shuffle-heavy queries drifting 30-50% while the
+    # CPU calib above moved only ~11% — shuffle/IO throughput drifts on
+    # a different axis than raw CPU on this microVM. A fixed
+    # repartition+groupBy job (two full shuffles of 10M rows, trivial
+    # arithmetic) isolates that axis; bench_compare.py reports totals
+    # adjusted by each calibration and by their blend. Median of 3.
+    calib_shuffle_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "id % 100000 AS k", "id AS v"
+        ).repartition(64, "k").groupBy("k").agg(
+            {"v": "sum"}
+        ).selectExpr("sum(`sum(v)`)").collect()
+        calib_shuffle_runs.append(time.perf_counter() - t0)
+    calib_shuffle = round(sorted(calib_shuffle_runs)[1], 4)
+
     # Steady-state methodology: run each query three times; the headline
     # is the MIN of runs 2-3. The first run pays one-time expression
     # codegen (janino compiles a new class per distinct expression tree —
@@ -206,6 +224,7 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
         "sf": sf,
     }
     if errors:

@@ -56,10 +56,32 @@ def main() -> None:
         ratio = cb / ca
         adj = round(both_total_new / ratio, 2)
         print(
-            f"calib: {ca}s -> {cb}s (host {ratio - 1:+.1%} vs old); "
-            f"drift-adjusted common total: {adj}s "
+            f"calib(cpu): {ca}s -> {cb}s (host {ratio - 1:+.1%} vs old); "
+            f"cpu-adjusted common total: {adj}s "
             f"({(adj / both_total_old - 1) * 100:+.1f}%)"
         )
+    # shuffle-axis drift (round 9): the r8 verdict showed untouched
+    # shuffle-heavy queries drifting 30-50% while the CPU calib moved
+    # ~11% — the two axes drift independently on this microVM, so both
+    # ratios plus their mean are reported; the blend is the headline
+    # because the suite mixes CPU-bound and shuffle-bound queries.
+    sa, sb = a.get("calib_shuffle_sec"), b.get("calib_shuffle_sec")
+    if sa and sb:
+        sratio = sb / sa
+        sadj = round(both_total_new / sratio, 2)
+        print(
+            f"calib(shuffle): {sa}s -> {sb}s (host {sratio - 1:+.1%}); "
+            f"shuffle-adjusted common total: {sadj}s "
+            f"({(sadj / both_total_old - 1) * 100:+.1f}%)"
+        )
+        if ca and cb:
+            blend = (ratio + sratio) / 2.0
+            badj = round(both_total_new / blend, 2)
+            print(
+                f"calib(blend {blend - 1:+.1%}): blend-adjusted common "
+                f"total: {badj}s "
+                f"({(badj / both_total_old - 1) * 100:+.1f}%)"
+            )
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:
