@@ -618,13 +618,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Encode every row to its m nearest-subcentroid codes — one
     expression-side argmin per subvector with the codebooks inlined as
     literals (the assign_cells_literal shape): ZERO shuffle, whole-stage
     codegen, deterministic min-(distance, code) tiebreak. Output column
-    is array<int> length m."""
+    is array<int> length m. With ``rotation`` (a d x d orthogonal
+    matrix, see :func:`pq_train_opq_rotation`) the vector is rotated
+    expression-side first — the OPQ pre-transform; codebooks must then
+    have been trained on rotated vectors."""
     v = F.col(vec_col)
+    if rotation is not None:
+        v = rotate_expr(v, rotation)
     sub = len(codebooks[0][0])
     codes = []
     for mi, cb in enumerate(codebooks):
@@ -758,6 +764,7 @@ def pq_encode_matmul(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """BLAS twin of :func:`pq_encode` for real codebook sizes: at
     k=256 codes the expression argmin is a ~2k-element struct array per
@@ -766,8 +773,12 @@ def pq_encode_matmul(
     ``|s|² + |c|² − 2·S@Cᵀ`` per subquantizer with numpy and takes the
     row argmin (first-minimum = lowest code, the same tiebreak as the
     expression path; agreement is pinned by pytest on the shared test
-    corpus). One mapInPandas pass, no shuffle — same contract as
-    pq_encode, ~100x at k=256."""
+    corpus, with a tie-margin guard so a silent near-tie flip cannot
+    hide). One mapInPandas pass, no shuffle — same contract as
+    pq_encode, ~100x at k=256. ``rotation`` applies the OPQ
+    pre-transform (``V @ Rᵀ``) before encoding — BLAS matmul here vs
+    the expression path's left-to-right fold differ only in float
+    rounding, which the same tie-margin guard covers."""
     import numpy as np
 
     m = len(codebooks)
@@ -775,6 +786,11 @@ def pq_encode_matmul(
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
     CB = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    R = (
+        np.asarray(rotation, dtype="float64")
+        if rotation is not None
+        else None
+    )
     # never .add() onto df.schema — that mutates the DataFrame's cached
     # python-side schema and desyncs it from the JVM plan
     out_schema = StructType(
@@ -789,6 +805,8 @@ def pq_encode_matmul(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if R is not None:
+                V = V @ R.T
             codes = np.empty((len(pdf), m), dtype="int32")
             for mi in range(m):
                 S = V[:, mi * sub : (mi + 1) * sub]
@@ -804,6 +822,161 @@ def pq_encode_matmul(
             yield out
 
     return df.mapInPandas(enc, schema=out_schema)
+
+
+def rotate_expr(vec, rotation: list[list[float]]) -> Column:
+    """Expression-side orthogonal rotation ``R @ v`` of an array column
+    (the OPQ pre-transform): the d x d matrix is inlined as a 2-D
+    literal and each output element is one zip_with-multiply +
+    left-to-right aggregate fold — a HOF expression tree of size O(d),
+    not O(d²), so it stays compilable at d=64+. ZERO shuffle, no
+    Python. Float caveat: the fold order differs from BLAS matmul in
+    the low bits; code agreement between the two encode paths is pinned
+    by the tie-margin test, not bit-identity of the rotation itself."""
+    v = vec if isinstance(vec, Column) else F.col(vec)
+    rlit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in rotation]
+    )
+    idx = F.sequence(F.lit(1), F.lit(len(rotation)))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.zip_with(
+                v, F.element_at(rlit, i.cast("int")), lambda a, b: a * b
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pq_train_opq_rotation(
+    df: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    sample_n: int = 10_000,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al. 2014, OPQ-P): when subvector
+    dimensions are correlated, plain PQ wastes codebook entropy — the
+    standard fix is an orthogonal rotation learned so the m subspaces
+    carry BALANCED variance with decorrelated dims. This is the
+    eigen-allocation construction: eigendecompose the sampled
+    covariance (one driver-side d x d problem — d is 64-1024, trivial),
+    then greedily deal eigenvectors (largest eigenvalue first) to the
+    subspace with the smallest variance PRODUCT that still has a free
+    slot. Returns R (d x d, rows orthonormal) for
+    ``pq_encode(..., rotation=R)``; train codebooks on rotated vectors.
+
+    Scale shape: ONE bounded sample collect (sample_n rows x d doubles)
+    + numpy eigh on the driver; the corpus itself is never shuffled or
+    collected. The full-table rotation happens later, inside the encode
+    pass (expression or BLAS), so OPQ adds zero extra Spark jobs to
+    encoding."""
+    import numpy as np
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        raise ValueError("pq_train_opq_rotation: empty input")
+    d = int(dim_row["d"])
+    assert d % m == 0, f"dim {d} not divisible by m {m}"
+    n_total = df.count()
+    frac = min(1.0, (sample_n * 1.2) / max(n_total, 1))
+    sample = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .sample(fraction=frac, seed=seed)
+        .limit(sample_n)
+        .collect()
+    )  # bounded: ≤ sample_n rows of d doubles
+    X = np.asarray([r["_v"] for r in sample], dtype="float64")
+    X = X - X.mean(axis=0, keepdims=True)
+    cov = (X.T @ X) / max(len(X) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    # greedy balanced allocation: log-domain products, largest first
+    sub = d // m
+    bucket_log = [0.0] * m
+    bucket_slots = [sub] * m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    eps = 1e-12
+    for ei in range(d):
+        free = [b for b in range(m) if bucket_slots[b] > 0]
+        tgt = min(free, key=lambda b: (bucket_log[b], b))
+        buckets[tgt].append(ei)
+        bucket_log[tgt] += float(np.log(max(evals[ei], eps)))
+        bucket_slots[tgt] -= 1
+    perm = [ei for b in buckets for ei in b]
+    # R rows = permuted eigenvectors: (R @ v)[i] = evec_{perm[i]} · v,
+    # so consecutive sub-dims of the rotated vector form one subspace
+    R = evecs[:, perm].T
+    return [[float(x) for x in row] for row in R]
+
+
+def residual_expr(
+    vec,
+    cent_rows: list[tuple[int, list[float]]],
+    cell_col: str = "cell_id",
+) -> Column:
+    """Expression-side IVF residual ``v − centroid[cell_id]``: the
+    centroid table is inlined as two parallel literals (ids + vectors),
+    the row's centroid is one array_position + element_at, and the
+    subtraction is a zip_with — ZERO shuffle, no Python, no join. This
+    is the residual-encoding half of real IVFPQ (FAISS encodes the
+    offset from the assigned coarse centroid, which concentrates the
+    subvector distributions and buys recall at equal m on clustered
+    corpora)."""
+    v = vec if isinstance(vec, Column) else F.col(vec)
+    ids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_rows])
+    cents = F.array(
+        *[_vec_lit([float(x) for x in c]) for _, c in cent_rows]
+    )
+    pos = F.array_position(ids, F.col(cell_col).cast("long"))
+    anchor = F.element_at(cents, pos.cast("int"))
+    return F.zip_with(v, anchor, lambda a, b: a - b)
+
+
+def pq_adc_topk_residual(
+    df_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    probed_cents: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "pq_code",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Residual-IVFPQ serving: ADC top-k where every probed cell gets
+    its OWN query table built from the query RESIDUAL (q − centroid of
+    that cell) — codes were trained/encoded on residuals, so the lookup
+    table must be too. nprobe tables of m x k doubles fold driver-side
+    (bounded) and the per-row distance is a CASE over the probed cells,
+    each branch the same chained element_at adds :func:`pq_adc_topk`
+    uses — still zero Python, still TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    if not probed_cents:
+        raise ValueError("pq_adc_topk_residual: no probed cells")
+    dist = None
+    for cid, cent in probed_cents:
+        qres = [float(q) - float(c) for q, c in zip(query_vec, cent)]
+        branch = _adc_expr(codebooks, qres, code_col)
+        cond = F.col(cell_col) == F.lit(int(cid))
+        dist = (
+            F.when(cond, branch)
+            if dist is None
+            else dist.when(cond, branch)
+        )
+    scored = df_codes.select(*id_cols, dist.alias("adc_distance"))
+    top = scored.orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"), *id_cols, "adc_distance"
+    )
 
 
 def mmr_rerank(

@@ -2446,6 +2446,143 @@ def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# RESIDUAL IVFPQ (round 9 — the actual FAISS construction the raw-code
+# query above approximates): codes encode v MINUS the assigned coarse
+# centroid, and each probed cell ranks by a query table built from THAT
+# cell's query residual. Residuals concentrate around 0 whatever cell a
+# vector lives in, so the m subquantizers model one tight distribution —
+# the known recall win at equal m on clustered corpora (recall rows in
+# SCALE_r09; the raw/residual gap is pinned by
+# test_ivfpq_residual_beats_raw_on_clustered_corpus). Same deterministic
+# anchor codebooks so the oracle replays encoding + per-cell ADC
+# bit-for-bit; the persisted-index form is IvfIndex.build(pq_residual=
+# True) (vector_store.py).
+@_q(
+    "ivf_pq_residual_search",
+    f"""
+    WITH c AS (
+        SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id IN (20, 120, 220, 320)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS code, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 16
+    ),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    assign AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.v", b="c.cv")} ASC,
+                                c.cell_id ASC) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell_id FROM c, q
+        ORDER BY {_IVF_DIST.format(a="c.cv", b="q.qv")} ASC, cell_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id, a.v, a.cell_id, c.cv AS ccv
+        FROM assign a JOIN probe USING (cell_id) JOIN c USING (cell_id)
+    ),
+    subd AS (
+        SELECT cand.vec_id, cand.cell_id, ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> ((cand.v[ms.m * 8 + i] - cand.ccv[ms.m * 8 + i])
+                         - cb.cv[ms.m * 8 + i])
+                        * ((cand.v[ms.m * 8 + i] - cand.ccv[ms.m * 8 + i])
+                           - cb.cv[ms.m * 8 + i])))
+                   AS d
+        FROM cand, ms, cb
+    ),
+    codes AS (
+        SELECT vec_id, cell_id, m, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+            FROM subd
+        ) WHERE rn = 1
+    ),
+    tab AS (
+        SELECT pc.cell_id, ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> ((q.qv[ms.m * 8 + i] - pc.cv[ms.m * 8 + i])
+                         - cb.cv[ms.m * 8 + i])
+                        * ((q.qv[ms.m * 8 + i] - pc.cv[ms.m * 8 + i])
+                           - cb.cv[ms.m * 8 + i])))
+                   AS dt
+        FROM (SELECT c.cell_id, c.cv FROM c JOIN probe USING (cell_id)) pc,
+             ms, cb, q
+    ),
+    dist AS (
+        SELECT codes.vec_id,
+               list_sum(list(tab.dt ORDER BY codes.m)) AS adc
+        FROM codes
+        JOIN tab ON codes.cell_id = tab.cell_id
+               AND codes.m = tab.m AND codes.code = tab.code
+        GROUP BY codes.vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, round(adc, 6) AS adc_distance
+    FROM dist
+    ORDER BY adc ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ivf_pq_residual_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import (
+        assign_cells_literal,
+        pq_adc_topk_residual,
+        pq_anchor_codebooks,
+        pq_encode_matmul,
+        residual_expr,
+    )
+
+    emb = _emb_double(spark, sf)
+    cents = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(
+            F.col("vec_id").isin(20, 120, 220, 320)
+        ).orderBy("vec_id").collect()
+    ]
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+
+    def _d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = [cid for _, cid in sorted((_d2(v, qvec), cid) for cid, v in cents)][:2]
+    assigned = assign_cells_literal(
+        emb.select("vec_id", "embedding"), cents, metric="l2"
+    )
+    pruned = assigned.filter(F.col("cell_id").isin(probe))
+    anchors = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    # residual = v − assigned centroid (zero-shuffle zip_with); BLAS
+    # encoder as in ivf_pq_search — the tie-margin guard in the
+    # agreement pytest covers the residual-transformed corpus too
+    cent_by_id = dict(cents)
+    probed_cents = [(cid, cent_by_id[cid]) for cid in probe]
+    codes = pq_encode_matmul(
+        pruned.withColumn("_res", residual_expr("embedding", cents)),
+        cbs,
+        vec_col="_res",
+    )
+    hits = pq_adc_topk_residual(codes, cbs, qvec, probed_cents, k=10)
+    return hits.select(
+        "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
+    )
+
+
 # Batched multi-query k-NN: one scan serves all queries (broadcast query
 # set, per-query window top-k).
 @_q(
@@ -8176,84 +8313,89 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
-# ---- round-8 window -----------------------------------------------
-# Never-checked-first rule, then stalest-first. Head of the line: the
-# 5 round-8 additions with NO driver history (the substring/token-span
-# dedup family, IVF-PQ, and the MMR re-rank), then the 5 queries whose
-# SEMANTICS or oracle text changed this round and need a fresh official
-# record — events_psi_drift (vanished bins now visible with NULL
-# psi_term), hybrid_search_rrf (oracle CTE body extracted for reuse,
-# byte-identical SQL), nation_copurchase_lift (overflow-proof double
-# cast in the lift denominator), and ivf_cosine_search + knn_cosine
-# (literal-norm precompute; same IEEE arithmetic, re-confirmed
-# officially). Then the 8 r3-green stragglers the round-7 forward note
-# promised, then 29 of the 50-query r5-green cohort (alphabetical =
-# deterministic). Rotated out: the full round-7 window (all green in
-# r7) — every rotated query remains pinned by the local oracle replica
+# ---- round-9 window -----------------------------------------------
+# Never-checked-first rule, then stalest-first — exactly what the
+# round-8 forward note promised. Head of the line: the one round-9
+# addition with NO driver history (ivf_pq_residual_search), then the
+# 21 queries whose latest official green is round 5 (3 rounds stale —
+# the only ones that old), then the round-6-green cohort, first 28
+# alphabetically (the remaining 19 head the round-10 note). Rotated
+# out: the full round-8 window (all 50 green in r8) — every rotated
+# query remains pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
 # oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
-    # never driver-checked: round-8 additions
-    "substring_dedup_spans", "substring_selfrepeat_spans",
-    "substring_dedup_docs", "ivf_pq_search", "search_mmr_rerank",
-    "substring_selfclean_docs", "benchmark_span_overlap",
-    "span_decontaminated_docs",
-    # changed this round: fresh official record wanted
-    "events_psi_drift", "hybrid_search_rrf", "nation_copurchase_lift",
-    "ivf_cosine_search", "knn_cosine",
-    # stalest: latest green record is round 3
-    "kmv_distinct_users", "upsample_repeat_docs", "embedding_row_stats",
-    "supplier_pagerank", "media_frame_sample", "global_shuffle_docs",
-    "weighted_sample_docs", "vocab_coverage",
-    # next-stalest: round-5-green cohort, first 29 alphabetically
-    # (the window's 50 slots minus 8 additions + 5 re-checks + 8
-    # stragglers; the other 21 head the round-9 note)
-    "bloom_decontaminated_docs",
-    "bm25_search",
-    "bpe_compression",
-    "bpe_merges",
-    "canonical_text_docs",
-    "cms_heavy_hitters",
-    "customer_churn_sets",
-    "customer_order_activity",
-    "dedup_lines_docs",
-    "dedup_survivor_report",
-    "doc_bigram_lm_score",
-    "doc_token_positions",
-    "domain_capped_docs",
-    "dq_violations",
-    "embedding_neardup_lsh",
-    "embedding_projection",
-    "eval_holdout_docs",
-    "event_type_lift",
-    "events_json_props",
-    "events_near_pairs",
-    "events_resampled_locf",
-    "events_scd2",
-    "events_value_outliers_mad",
-    "greedy_packed_docs",
-    "hard_negatives",
-    "incremental_dedup_docs",
-    "length_bucketed_batches",
-    "media_features",
-    "mixture_plan",
+    # never driver-checked: round-9 addition (residual IVFPQ)
+    "ivf_pq_residual_search",
+    # stalest: latest green record is round 5
+    "nation_trade_volume",
+    "ngram_containment_pairs",
+    "order_value_bootstrap_ci",
+    "orders_above_customer_avg",
+    "orders_cube",
+    "orders_monthly_growth",
+    "orders_page_with_total",
+    "orders_unpivot",
+    "orders_value_drift",
+    "profile_orders",
+    "projected_knn_rerank",
+    "quantized_embedding_error",
+    "remove_boilerplate_docs",
+    "rolling_7d_active_users",
+    "sampled_quantiles_lineitem",
+    "semantic_contaminated_docs",
+    "semantic_dedup_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_docs",
+    "training_corpus_pipeline",
+    "user_value_trend",
+    # next-stalest: round-6-green cohort, first 28 alphabetically
+    "approx_distinct_users",
+    "canonical_json_docs",
+    "cheapest_line_per_part",
+    "contains_token_docs",
+    "contaminated_docs",
+    "customer_name_linkage",
+    "customer_status_sets",
+    "customer_value_quartiles",
+    "dedup_clusters",
+    "doc_chunks",
+    "doc_excerpts",
+    "doc_fingerprints",
+    "doc_first_number",
+    "doc_length_quantiles",
+    "doc_length_quantiles_approx",
+    "doc_quality",
+    "doc_repetition",
+    "embedding_neardup_cosine",
+    "event_funnel",
+    "event_funnel_windowed",
+    "event_transitions",
+    "events_campaign_attribution",
+    "events_funnel",
+    "events_moving_avg",
+    "events_sessions",
+    "events_sliding",
+    "events_user_cumulative",
+    "events_user_gaps",
 ]
-# ---- round-9 forward note (same never-checked-first rule) ----------
-# After the round-8 check lands, nothing will be older than round 5.
-# Head of the round-9 line: the 21 r5-green queries that did not fit
-# this window — nation_trade_volume, ngram_containment_pairs,
-# order_value_bootstrap_ci, orders_above_customer_avg, orders_cube,
-# orders_monthly_growth, orders_page_with_total, orders_unpivot,
-# orders_value_drift, profile_orders, projected_knn_rerank,
-# quantized_embedding_error, remove_boilerplate_docs,
-# rolling_7d_active_users, sampled_quantiles_lineitem,
-# semantic_contaminated_docs, semantic_dedup_docs,
-# stratified_sample_docs, temperature_mixture_docs,
-# training_corpus_pipeline, user_value_trend — then the r6-green
-# cohort (49 queries, alphabetical), plus any round-9 additions at the
-# very front. Until then all are pinned by the local oracle replica
+# ---- round-10 forward note (same never-checked-first rule) ---------
+# After the round-9 check lands, nothing will be older than round 6.
+# Head of the round-10 line: the 19 r6-green queries that did not fit
+# this window — fuzzy_name_pairs, knn_batch, knn_batch_matmul,
+# minhash_signatures, nation_customer_supplier_sets,
+# ngram_jaccard_pairs, order_value_histogram, orders_last_30d,
+# orders_status_pivot, priority_class_counts, profile_orders_approx,
+# recent_orders, scan_union_distinct, semi_lookup_lines,
+# shipping_priority, simhash_fingerprints, supplier_clustering,
+# supplier_triangles, token_stats — then the r7-green cohort (47
+# queries, alphabetical), plus any round-10 additions at the very
+# front. Until then all are pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
-# oracle-gated queries regardless of window.
+# oracle-gated queries regardless of window. Note approx_distinct_users
+# / doc_length_quantiles_approx (this window) and profile_orders_approx
+# (r10 head) are ROWS_ONLY_BY_DESIGN — their artifact rows are
+# rows-only checks, the expected steady state, not defects.
 
 
 

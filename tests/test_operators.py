@@ -2834,6 +2834,128 @@ def test_pq_encode_matmul_agrees_with_expression_path(spark):
     }
     assert a == b and len(a) == 500
 
+    # Tie-margin guard: the BLAS path computes |s|²+|c|²−2·S@Cᵀ, which
+    # is not bit-identical to the expression path's (s−c)² fold — a
+    # near-tie between two codes could flip argmin between the encoders
+    # if the corpus ever changes. Assert the best/second-best gap per
+    # (row, subquantizer) clears the float error band by orders of
+    # magnitude, so a silent flip cannot hide inside the agreement.
+    import numpy as np
+
+    V = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").collect()],
+        dtype="float64",
+    )
+    CB = [np.asarray(cb, dtype="float64") for cb in cbs]
+    sub = CB[0].shape[1]
+    min_gap = float("inf")
+    for mi, cb_arr in enumerate(CB):
+        S = V[:, mi * sub : (mi + 1) * sub]
+        d = ((S[:, None, :] - cb_arr[None, :, :]) ** 2).sum(axis=2)
+        d.sort(axis=1)
+        min_gap = min(min_gap, float((d[:, 1] - d[:, 0]).min()))
+    assert min_gap > 1e-9, (
+        f"near-tie (gap {min_gap:g}) between two PQ codes on the test "
+        "corpus: the BLAS/expression argmin agreement is no longer "
+        "numerically safe — use exact (s-c)^2 per candidate in "
+        "pq_encode_matmul or change the corpus"
+    )
+
+
+def test_pq_tie_margins_hold_at_driver_scale():
+    """The ivf_pq_search / ivf_pq_residual_search registry queries use
+    the BLAS encoder while their oracles replay the EXPRESSION
+    arithmetic — safe only while no (row, subquantizer) has a near-tie
+    between two codes that float-path differences could flip. Check the
+    margins on the sf0.01 corpus (what the driver actually hashes) for
+    BOTH constructions, pure numpy, no Spark session."""
+    import numpy as np
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    tbl = pq_.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pydict()
+    by_id = dict(zip(tbl["vec_id"], tbl["embedding"]))
+    V = np.asarray(
+        [by_id[i] for i in sorted(by_id)], dtype="float64"
+    )
+    anchors = np.asarray([by_id[i] for i in range(16)], dtype="float64")
+    cents = np.asarray(
+        [by_id[i] for i in (20, 120, 220, 320)], dtype="float64"
+    )
+    assign = np.argmin(
+        ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    resid = V - cents[assign]
+    m, sub = 8, V.shape[1] // 8
+
+    def min_gap(X):
+        g = float("inf")
+        for mi in range(m):
+            S = X[:, mi * sub : (mi + 1) * sub]
+            C = anchors[:, mi * sub : (mi + 1) * sub]
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d.sort(axis=1)
+            g = min(g, float((d[:, 1] - d[:, 0]).min()))
+        return g
+
+    for name, X in (("raw", V), ("residual", resid)):
+        gap = min_gap(X)
+        assert gap > 1e-9, (
+            f"{name} PQ near-tie (gap {gap:g}) at sf0.01: the matmul "
+            "oracle agreement for the registry queries is unsafe"
+        )
+
+
+def test_opq_rotation_orthonormal_and_encode_paths_agree(spark):
+    """Parametric OPQ (pq_train_opq_rotation): the learned matrix must
+    be orthonormal (distances preserved — rotating is free w.r.t. ADC
+    semantics), the expression-side rotate_expr must match numpy's
+    V @ Rᵀ, and pq_encode(rotation=R) must produce the same codes as
+    pq_encode_matmul(rotation=R) on the shared corpus — the OPQ twin of
+    the plain agreement test above (their float paths differ: HOF fold
+    vs BLAS; code agreement is what's pinned)."""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import (
+        pq_anchor_codebooks,
+        pq_encode,
+        pq_encode_matmul,
+        pq_train_opq_rotation,
+        rotate_expr,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    R = pq_train_opq_rotation(emb, m=8, sample_n=500)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-8)
+
+    rows = emb.select(
+        "vec_id", rotate_expr("embedding", R).alias("r"), "embedding"
+    ).orderBy("vec_id").collect()
+    V = np.asarray([r.embedding for r in rows], dtype="float64")
+    got_rot = np.asarray([r.r for r in rows], dtype="float64")
+    assert np.allclose(got_rot, V @ Rm.T, atol=1e-9)
+
+    # codebooks from ROTATED anchors (rotation applied driver-side, the
+    # same arithmetic family as the lookup tables)
+    anchors = [
+        [float(x) for x in (Rm @ np.asarray(r.embedding, dtype="float64"))]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    a = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode(emb, cbs, rotation=R).collect()
+    }
+    b = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode_matmul(emb, cbs, rotation=R).collect()
+    }
+    assert a == b and len(a) == 500
+
 
 def test_mmr_rerank_diversifies_and_is_layout_invariant(spark):
     """Three near-identical high-relevance vectors + one orthogonal

@@ -858,3 +858,112 @@ def test_ivfpq_rerank_smaller_than_k_rejected(spark, tmp_path):
     q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first().embedding]
     with pytest.raises(ValueError, match="rerank"):
         ivf.search_pq(q, k=10, rerank=5)
+
+
+def test_ivfpq_residual_build_search_add(spark, tmp_path):
+    """Residual IVFPQ (build(pq_residual=True)): codes are trained and
+    encoded on v − assigned centroid, serving builds per-probed-cell
+    query-residual tables. The self-query must still rank itself first
+    (its stored code IS the nearest-code encoding of its own residual),
+    rerank+full-probe must equal the exact search, the ADC scan must
+    not read the embedding column, and add() must encode appended rows
+    with the same frozen centroid subtraction (a twin of an indexed
+    vector lands at the identical ADC distance)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ivf = IvfIndex(spark, str(tmp_path / "ivfpq_res"))
+    ivf.build(emb, n_cells=4, pq_m=8, pq_codes=16, pq_residual=True)
+    meta = json.loads((ivf.root / "meta.json").read_text())
+    assert meta["pq"]["residual"] is True
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    adc = ivf.search_pq(q, k=5, nprobe=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        adc.explain("formatted")
+    reads = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" not in l for l in reads)
+    got = adc.collect()
+    assert len(got) == 5 and got[0].vec_id == 7
+
+    exact = [r.vec_id for r in ivf.search(q, k=5, nprobe=4).collect()]
+    reranked = [
+        r.vec_id
+        for r in ivf.search_pq(q, k=5, nprobe=4, rerank=100).collect()
+    ]
+    assert reranked == exact
+
+    twin_q = [
+        float(x) for x in emb.filter(F.col("vec_id") == 3).first().embedding
+    ]
+    ivf.add(
+        spark.createDataFrame(
+            [(9_999, twin_q)], "vec_id long, embedding array<double>"
+        )
+    )
+    top = ivf.search_pq(twin_q, k=3, nprobe=4).collect()
+    assert {top[0].vec_id, top[1].vec_id} == {3, 9_999}
+    assert top[0].adc_distance == top[1].adc_distance
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
+    """The reason residual encoding exists: on a CLUSTERED corpus, raw
+    PQ codebooks must spread their codes across every cluster location
+    while residual codebooks model only the within-cell offsets — at
+    equal (m, codes), residual ADC recall@10 must be at least as good,
+    and on this strongly-clustered synthetic corpus strictly better.
+    (The near-random test corpus can't show this gap — hence the
+    purpose-built blobs; SCALE_r09 carries the larger-scale twin.)"""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(7)
+    d, n_clusters, per = 32, 8, 100
+    centers = rng.normal(scale=10.0, size=(n_clusters, d))
+    X = np.concatenate(
+        [c + rng.normal(scale=1.0, size=(per, d)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    raw = IvfIndex(spark, str(tmp_path / "raw"))
+    raw.build(df, n_cells=n_clusters, pq_m=8, pq_codes=16)
+    res = IvfIndex(spark, str(tmp_path / "res"))
+    res.build(
+        df, n_cells=n_clusters, pq_m=8, pq_codes=16, pq_residual=True
+    )
+
+    queries = [int(q) for q in rng.choice(len(X), size=8, replace=False)]
+    hits_raw = hits_res = 0
+    for qid in queries:
+        qv = [float(x) for x in X[qid]]
+        want = {
+            r.vec_id
+            for r in knn(df, qv, k=10, id_cols=("vec_id",)).collect()
+        }
+        got_raw = {
+            r.vec_id
+            for r in raw.search_pq(qv, k=10, nprobe=n_clusters).collect()
+        }
+        got_res = {
+            r.vec_id
+            for r in res.search_pq(qv, k=10, nprobe=n_clusters).collect()
+        }
+        hits_raw += len(want & got_raw)
+        hits_res += len(want & got_res)
+    # corpus/queries are seeded but MLlib KMeans centroids shift with
+    # the session's partitioning (float aggregation order), so counts
+    # move between sessions: measured residual 29-41 vs raw 23-26 of 80
+    # across local[8]/local[32]. Assert the structural gap, not points.
+    assert hits_res >= hits_raw + 5
+    assert hits_res >= 25  # raw ADC ordering drowns in cluster offsets
