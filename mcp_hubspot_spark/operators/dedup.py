@@ -1206,6 +1206,62 @@ def repeated_spans(
     return _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
 
 
+def cross_index_spans(
+    idx_old: DataFrame,
+    idx_new: DataFrame,
+    k: int = 8,
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """Maximal repeated spans between two DISJOINT positional shingle
+    indexes (both shaped like :func:`token_shingle_index` output:
+    (doc_id, pos, shingle)) — the new-vs-corpus quadrant of the
+    substring-dedup family: ``idx_old`` is the standing (persisted)
+    corpus index, ``idx_new`` a fresh increment's index. Output matches
+    :func:`repeated_spans` exactly — (doc_a, doc_b, a_start, a_end,
+    b_start, b_end, n_tokens) with doc_a < doc_b — so an incremental
+    run's union over increments equals one batch run (the equality the
+    streaming e2e test pins). Doc-id sets MUST be disjoint: a doc in
+    both indexes would double-emit its pairs.
+
+    Scale shape: one equi-join on the shingle key (the increment side
+    is small → AQE broadcasts it; the standing index never shuffles),
+    then the shared diagonal merge windows only matched rows. The
+    orientation (which side is doc_a) is decided per-pair by id, not by
+    side, so batch/stream agreement is exact."""
+    j = (
+        idx_old.select(
+            F.col(idx_old.columns[0]).alias("_oid"),
+            F.col("pos").alias("_opos"),
+            "shingle",
+        )
+        .join(
+            idx_new.select(
+                F.col(idx_new.columns[0]).alias("_nid"),
+                F.col("pos").alias("_npos"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .filter(F.col("_oid") != F.col("_nid"))
+    )
+    lower_old = F.col("_oid") < F.col("_nid")
+    matched = j.select(
+        F.when(lower_old, F.col("_oid")).otherwise(F.col("_nid")).alias(
+            "doc_a"
+        ),
+        F.when(lower_old, F.col("_nid")).otherwise(F.col("_oid")).alias(
+            "doc_b"
+        ),
+        F.when(lower_old, F.col("_opos")).otherwise(F.col("_npos")).alias(
+            "pos_a"
+        ),
+        F.when(lower_old, F.col("_npos")).otherwise(F.col("_opos")).alias(
+            "pos_b"
+        ),
+    ).withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    return _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
+
+
 def self_repeated_spans(
     df: DataFrame,
     k: int = 8,
@@ -1253,6 +1309,15 @@ def scrub_repeated_spans(
     n_tokens, n_tokens_removed) for EVERY input document (untouched docs
     pass through with 0 removed).
 
+    Text contract: ``clean_text`` is the KEPT TOKENS joined by single
+    spaces — whitespace-normalized, not byte-faithful. The span family
+    matches at token granularity (tokens() is the unit the shingle
+    index sees), so the scrub output is normalized the same way; a doc
+    with 0 removed tokens gets its newlines/tabs/space-runs collapsed
+    too. Lee et al. cut byte ranges from raw text instead; callers that
+    need byte-faithful output should map the kept token INDICES back to
+    original character offsets themselves.
+
     Scale shape: span detection is :func:`repeated_spans` (see its
     shuffle budget); the scrub itself merges each doc's removal
     intervals with one (id)-keyed window (gaps-and-islands on the
@@ -1290,7 +1355,10 @@ def _cut_spans(
     disjoint intervals per doc (bounded by the doc's own token count),
     and cut covered tokens with ONE expression-side filter over
     (token, index) pairs — no explode, no range join, no Python. Every
-    input doc comes back; untouched docs pass through with 0 removed."""
+    input doc comes back; untouched docs pass through with 0 removed.
+    ``clean_text`` is kept tokens joined by single spaces (whitespace-
+    normalized for ALL docs, including untouched ones) — see
+    scrub_repeated_spans for the full text contract."""
     from .text import tokens
 
     w = Window.partitionBy(id_col).orderBy("s", "e")

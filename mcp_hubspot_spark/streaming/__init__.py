@@ -7,6 +7,7 @@ from .windows import (
 from .incremental import IncrementalReader
 from .ingest import stream_embed_to_store, stream_merge_to_table
 from .monitor import histogram_fractions, stream_drift_monitor
+from .span_dedup import stream_span_dedup
 from .stateful import (
     first_seen_dedup,
     running_user_totals,
@@ -27,6 +28,7 @@ __all__ = [
     "stream_merge_to_table",
     "histogram_fractions",
     "stream_drift_monitor",
+    "stream_span_dedup",
     "first_seen_dedup",
     "running_user_totals",
     "streaming_cms",

@@ -509,6 +509,10 @@ def _make_minhash_fn():
             if state.exists
             else (None, 0)
         )
+        n0 = n  # every non-NULL row increments n, so n == n0 means
+        # this batch contributed nothing (all-NULL text for an existing
+        # key) — skip the no-op state.update AND the output row, which
+        # would otherwise surface as a spurious 'update' downstream
         for pdf in pdfs:
             for sig in pdf["_sig"]:
                 if sig is None:  # NULL text yields a NULL signature
@@ -518,7 +522,7 @@ def _make_minhash_fn():
                     a if a < b else b for a, b in zip(cur, s)
                 ]
                 n += 1
-        if cur is not None:
+        if cur is not None and n != n0:
             state.update((cur, n))
             yield pd.DataFrame(
                 {"key": [key[0]], "n_docs": [n], "sig": [cur]}
@@ -557,10 +561,18 @@ def streaming_minhash_signature(
 
     from ..operators.dedup import minhash_signature
 
+    # NULL text must reach the state fn as a NULL signature (the fn
+    # skips those rows). minhash_signature itself returns the all-MOD
+    # "empty set" SENTINEL for NULL input — min-merging that is a no-op
+    # on the signature but would still count the row — so gate on the
+    # text column explicitly.
     sigs = docs.select(
         F.col(key_col).cast("string").alias("key"),
-        minhash_signature(
-            F.col(text_col), num_perm=num_perm, shingle_n=shingle_n
+        F.when(
+            F.col(text_col).isNotNull(),
+            minhash_signature(
+                F.col(text_col), num_perm=num_perm, shingle_n=shingle_n
+            ),
         ).alias("_sig"),
     )
     return sigs.groupBy("key").applyInPandasWithState(

@@ -811,7 +811,96 @@ def test_streaming_minhash_state_agrees_with_batch(spark, tmp_path):
     want_n = {
         r.key: r.n
         for r in docs.groupBy(F.col("source").cast("string").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        # count(text): NULL-text rows carry no shingles and are not
+        # counted in n_docs (none exist in this corpus, but the contract
+        # is pinned separately by the noop-batch test below)
+        .agg(F.count("text").alias("n"))
         .collect()
     }
     assert got_n == want_n
+
+
+def test_stream_span_dedup_drained_equals_batch(spark, tmp_path):
+    """Streaming exact-substring dedup over a persisted shingle index:
+    stream the documents corpus in three micro-batches from an EMPTY
+    index — the union of all batches' span outputs (within-batch pairs
+    + new-vs-persisted pairs) must equal one batch repeated_spans run
+    over the full corpus EXACTLY, row for row (every pair's matched
+    shingles meet in exactly one batch's join, orientation is by id)."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+    from mcp_hubspot_spark.streaming.span_dedup import stream_span_dedup
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    d = tmp_path / "docs"
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = stream_span_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        spans_path=str(tmp_path / "spans"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=16,
+        min_tokens=24,
+    )
+    q.awaitTermination(180)
+    cols = [
+        "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "n_tokens"
+    ]
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(
+            str(tmp_path / "spans")
+        ).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in repeated_spans(
+            docs, k=16, min_tokens=24
+        ).select(*cols).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_streaming_minhash_skips_noop_batches(spark, tmp_path):
+    """A micro-batch containing ONLY NULL-text rows for an existing key
+    must not re-emit that key's unchanged (n_docs, sig) row: n_docs
+    cannot have moved (every non-NULL row increments it), so a second
+    emission would surface as a spurious 'update' downstream. Batch 1
+    seeds the key; batch 2 is all-NULL for the same key — exactly one
+    output row total."""
+    from mcp_hubspot_spark.streaming.stateful import (
+        streaming_minhash_signature,
+    )
+
+    d = tmp_path / "docs"
+    schema = "doc_id long, source string, text string"
+    spark.createDataFrame(
+        [(1, "web", "alpha beta gamma delta"), (2, "web", "beta gamma")],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame(
+        [(3, "web", None), (4, "web", None)], schema
+    ).coalesce(1).write.parquet(str(d / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = (
+        streaming_minhash_signature(stream, num_perm=8)
+        .writeStream.format("memory")
+        .queryName("mhsig_noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("mhsig_noop").collect()
+    assert len(out) == 1  # the NULL-only batch emitted nothing
+    assert out[0].key == "web" and out[0].n_docs == 2
