@@ -105,6 +105,7 @@ HEADLINE = [
     "span_decontaminated_docs", # span-level benchmark decontamination
     "ivf_pq_search",            # IVFPQ: cell pruning + asymmetric distance
     "search_mmr_rerank",        # MMR diversity re-rank on fused RRF top-k
+    "ivf_pq_residual_search",   # residual IVFPQ: per-probed-cell ADC tables
 ]
 
 

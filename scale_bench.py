@@ -710,6 +710,200 @@ def main() -> None:
             except Exception as exc:
                 errors["pq_search"] = f"{type(exc).__name__}: {exc}"[:200]
 
+        # -------- round-9: residual-PQ and OPQ recall on a CLUSTERED
+        # corpus. The replicated test embeddings are near-random — PQ's
+        # worst case AND the one distribution where residual encoding
+        # cannot help (residual ≈ vector when centroids are all near the
+        # origin), so the r8 artifact could not show the gap the
+        # construction exists for. This section builds two deterministic
+        # synthetic corpora (200k x 64d, xxhash-uniform noise, no RNG
+        # state — reruns are bit-stable):
+        #   (a) 64 well-separated centers spread over all dims →
+        #       IvfIndex raw vs residual codes at equal (m=8, 32
+        #       codes), ADC-only recall@10 at nprobe=8;
+        #   (b) a DECAYING per-dim variance spectrum (scale 10·0.88^j,
+        #       natural dim order → the first subquantizer carries most
+        #       of the variance) → flat PQ raw vs OPQ-rotated at equal
+        #       budget, ADC recall@10 — the variance-balancing case
+        #       parametric OPQ is for. (A clustered low-rank corpus is
+        #       the WRONG demo: there, within-cluster recall@10 rewards
+        #       noise fidelity, which eigen-allocation trades away —
+        #       measured OPQ 0.14 vs raw 0.21 on that shape before this
+        #       spectrum corpus replaced it, raw 0.13 vs OPQ 0.65
+        #       after.)
+        if wanted("pq_residual"):
+            try:
+                import numpy as np
+
+                # NB: knn comes from the module-level import — a local
+                # `from ... import knn` here would shadow it for ALL of
+                # main() and break the earlier pq_search section with
+                # UnboundLocalError
+                from mcp_hubspot_spark.operators.vector import (
+                    pq_adc_topk,
+                    pq_encode_matmul,
+                    pq_train_codebooks,
+                    pq_train_opq_rotation,
+                    rotate_expr,
+                )
+                from mcp_hubspot_spark.vector_store import IvfIndex
+
+                n_cl, d, n_cent = 200_000, 64, 64
+
+                def _noise(j):
+                    return (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(j)),
+                            F.lit(30000),
+                        ).cast("double")
+                        / F.lit(10000.0)
+                        - F.lit(1.5)
+                    )
+
+                def _clustered(path: str, center_dims: int) -> str:
+                    cl = (F.col("vec_id") % n_cent).cast("double")
+                    cols = []
+                    for j in range(d):
+                        center = (
+                            F.lit(10.0) * F.sin(cl * F.lit(float(center_dims)) + F.lit(float(j)))
+                            if j < center_dims
+                            else F.lit(0.0)
+                        )
+                        cols.append(center + _noise(j))
+                    spark.range(n_cl).select(
+                        F.col("id").alias("vec_id"),
+                        F.array(*cols).alias("embedding"),
+                    ).write.mode("overwrite").parquet(path)
+                    return path
+
+                qids = [i * (n_cl // 8) + i for i in range(8)]
+
+                # ---- (a) IvfIndex raw vs residual ----
+                c1 = spark.read.parquet(
+                    _clustered(str(work / "clustered_full"), d)
+                )
+                qvecs = {
+                    int(r.vec_id): [float(x) for x in r.embedding]
+                    for r in c1.filter(F.col("vec_id").isin(qids)).collect()
+                }
+                exact10 = {}
+                for qid in qids:
+                    exact10[qid] = {
+                        r.vec_id
+                        for r in knn(c1, qvecs[qid], k=10).collect()
+                    }
+                for tag, residual in (("raw", False), ("residual", True)):
+                    ivf = IvfIndex(spark, str(work / f"pqres_{tag}"))
+                    t0 = time.perf_counter()
+                    ivf.build(
+                        c1,
+                        n_cells=n_cent,
+                        pq_m=8,
+                        pq_codes=32,
+                        pq_residual=residual,
+                        sample_fraction=0.25,
+                    )
+                    timings[f"ivfpq_{tag}_build_200k"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"ivfpq_{tag}_build_200k"] = n_cl
+                    hit = 0
+                    t0 = time.perf_counter()
+                    for qid in qids:
+                        got = {
+                            r.vec_id
+                            for r in ivf.search_pq(
+                                qvecs[qid], k=10, nprobe=8
+                            ).collect()
+                        }
+                        hit += len(exact10[qid] & got)
+                    timings[f"ivfpq_{tag}_adc_search8_200k"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"ivfpq_{tag}_adc_search8_200k"] = 80
+                    extras[f"ivfpq_{tag}_recall_at10_nprobe8"] = round(
+                        hit / 80.0, 4
+                    )
+
+                # ---- (b) flat PQ raw vs OPQ on a decaying spectrum ----
+                spark.range(n_cl).select(
+                    F.col("id").alias("vec_id"),
+                    F.array(
+                        *[
+                            _noise(j) * F.lit(10.0 * (0.88 ** j))
+                            for j in range(d)
+                        ]
+                    ).alias("embedding"),
+                ).write.mode("overwrite").parquet(
+                    str(work / "spectrum_corpus")
+                )
+                c2 = spark.read.parquet(str(work / "spectrum_corpus"))
+                q2 = {
+                    int(r.vec_id): [float(x) for x in r.embedding]
+                    for r in c2.filter(F.col("vec_id").isin(qids)).collect()
+                }
+                exact2 = {
+                    qid: {r.vec_id for r in knn(c2, q2[qid], k=10).collect()}
+                    for qid in qids
+                }
+                t0 = time.perf_counter()
+                R = pq_train_opq_rotation(c2, m=8, sample_n=20_000)
+                timings["opq_train_rotation_200k"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                rows["opq_train_rotation_200k"] = d * d
+                Rm = np.asarray(R)
+                variants = {
+                    "flatpq_raw": (None, None),
+                    "flatpq_opq": (R, Rm),
+                }
+                for tag, (rot, rm) in variants.items():
+                    train_src = (
+                        c2
+                        if rot is None
+                        else c2.withColumn(
+                            "embedding", rotate_expr("embedding", rot)
+                        )
+                    )
+                    cbs2 = pq_train_codebooks(
+                        train_src,
+                        m=8,
+                        k=32,
+                        sample_fraction=0.1,
+                        max_iter=5,
+                    )
+                    t0 = time.perf_counter()
+                    pq_encode_matmul(
+                        c2, cbs2, rotation=rot
+                    ).select("vec_id", "pq_code").write.mode(
+                        "overwrite"
+                    ).parquet(str(work / f"{tag}_codes"))
+                    timings[f"{tag}_encode_200k"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"{tag}_encode_200k"] = n_cl
+                    codes2 = spark.read.parquet(str(work / f"{tag}_codes"))
+                    hit = 0
+                    for qid in qids:
+                        qv = (
+                            q2[qid]
+                            if rm is None
+                            else [
+                                float(x)
+                                for x in rm @ np.asarray(q2[qid])
+                            ]
+                        )
+                        got = {
+                            r.vec_id
+                            for r in pq_adc_topk(
+                                codes2, cbs2, qv, k=10
+                            ).collect()
+                        }
+                        hit += len(exact2[qid] & got)
+                    extras[f"{tag}_recall_at10"] = round(hit / 80.0, 4)
+            except Exception as exc:
+                errors["pq_residual"] = f"{type(exc).__name__}: {exc}"[:200]
+
         # -------- zone-map file skipping at corpus scale: fresh sidecar
         # prunes the scan to the files intersecting the range; a stale
         # sidecar (file appended after build) falls back to the full
