@@ -1300,6 +1300,7 @@ def scrub_repeated_spans(
     min_tokens: int | None = None,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    byte_faithful: bool = False,
 ) -> DataFrame:
     """Survivor text with cross-document repeated spans REMOVED — the
     Lee et al. scrub step. Keep-first policy: every repeated span keeps
@@ -1314,9 +1315,12 @@ def scrub_repeated_spans(
     matches at token granularity (tokens() is the unit the shingle
     index sees), so the scrub output is normalized the same way; a doc
     with 0 removed tokens gets its newlines/tabs/space-runs collapsed
-    too. Lee et al. cut byte ranges from raw text instead; callers that
-    need byte-faithful output should map the kept token INDICES back to
-    original character offsets themselves.
+    too. Lee et al. cut byte ranges from raw text instead — pass
+    ``byte_faithful=True`` for exactly that: each merged token
+    interval's character range is sliced out of the ORIGINAL text and
+    untouched docs pass through byte-identical (Arrow-batched
+    mapInPandas cut stage — the opt-in slower path; the default
+    expression path stays zero-Python).
 
     Scale shape: span detection is :func:`repeated_spans` (see its
     shuffle budget); the scrub itself merges each doc's removal
@@ -1343,11 +1347,15 @@ def scrub_repeated_spans(
         F.col("b_start").alias("s"),
         F.col("b_end").alias("e"),
     )
-    return _cut_spans(df, rem, id_col, text_col)
+    return _cut_spans(df, rem, id_col, text_col, byte_faithful)
 
 
 def _cut_spans(
-    df: DataFrame, rem: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    rem: DataFrame,
+    id_col: str,
+    text_col: str,
+    byte_faithful: bool = False,
 ) -> DataFrame:
     """Shared scrub back half: merge each doc's removal intervals
     (one gaps-and-islands window on the running max end — overlapping
@@ -1358,7 +1366,19 @@ def _cut_spans(
     input doc comes back; untouched docs pass through with 0 removed.
     ``clean_text`` is kept tokens joined by single spaces (whitespace-
     normalized for ALL docs, including untouched ones) — see
-    scrub_repeated_spans for the full text contract."""
+    scrub_repeated_spans for the full text contract.
+
+    ``byte_faithful=True`` switches the cut stage to the Lee-et-al
+    form: each merged token interval's exact CHARACTER range (start of
+    its first token to end of its last) is sliced out of the ORIGINAL
+    text, and untouched docs pass through byte-identical — original
+    newlines/tabs/space runs preserved everywhere outside the cuts
+    (whitespace BETWEEN two cut ranges survives; document-level
+    cleanup of doubled separators is the caller's choice). This stage
+    is an Arrow-batched mapInPandas (Python ``\\S+`` offsets — the
+    same maximal non-whitespace runs tokens() splits on), so it is the
+    opt-in slower path; the interval-merge front half is shared and
+    stays expression-side either way."""
     from .text import tokens
 
     w = Window.partitionBy(id_col).orderBy("s", "e")
@@ -1377,6 +1397,8 @@ def _cut_spans(
     iv = merged.groupBy(id_col).agg(
         F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
     )
+    if byte_faithful:
+        return _cut_spans_bytes(df, iv, id_col, text_col)
     toks_df = df.select(
         F.col(id_col),
         # NULL text has no tokens: coalesce to an empty array so the
@@ -1409,12 +1431,75 @@ def _cut_spans(
     )
 
 
+def _cut_spans_bytes(
+    df: DataFrame, iv: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Byte-faithful cut stage (see _cut_spans byte_faithful): slice
+    each merged token interval's exact character range out of the
+    original text. One mapInPandas pass over (id, text, intervals) —
+    no shuffle beyond the interval join the expression path also
+    pays."""
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        iv, id_col, "left"
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, clean_text string, "
+        "n_tokens long, n_tokens_removed long"
+    )
+
+    def cut(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\S+")
+        for pdf in batches:
+            out = []
+            for _id, text, ivs in zip(
+                pdf[id_col], pdf[text_col], pdf["_iv"]
+            ):
+                if text is None:
+                    # NULL text has no tokens — honest (None, 0, 0),
+                    # matching the expression path's accounting
+                    out.append((_id, None, 0, 0))
+                    continue
+                toks = list(ws.finditer(text))
+                n = len(toks)
+                if ivs is None or len(ivs) == 0:
+                    out.append((_id, text, n, 0))  # byte-identical
+                    continue
+                removed = 0
+                cut_ranges = []
+                for span in ivs:
+                    s, e = int(span["s"]), min(int(span["e"]), n - 1)
+                    if s >= n or e < s:
+                        continue
+                    removed += e - s + 1
+                    cut_ranges.append((toks[s].start(), toks[e].end()))
+                kept, prev = [], 0
+                for cs, ce in cut_ranges:  # sorted: intervals were
+                    kept.append(text[prev:cs])
+                    prev = ce
+                kept.append(text[prev:])
+                out.append((_id, "".join(kept), n, removed))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "clean_text", "n_tokens", "n_tokens_removed"
+                ],
+            )
+
+    return joined.mapInPandas(cut, schema=out_schema)
+
+
 def scrub_self_repeats(
     df: DataFrame,
     k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int | None = None,
+    byte_faithful: bool = False,
 ) -> DataFrame:
     """Within-document scrub: every LATER occurrence of a >= k-token
     self-repeated span is removed, the first stays — the in-page twin of
@@ -1429,7 +1514,7 @@ def scrub_self_repeats(
         F.col("b_start").alias("s"),
         F.col("b_end").alias("e"),
     )
-    return _cut_spans(df, rem, id_col, text_col)
+    return _cut_spans(df, rem, id_col, text_col, byte_faithful)
 
 
 def cross_corpus_spans(
@@ -1509,6 +1594,7 @@ def scrub_contaminated_spans(
     min_tokens: int | None = None,
     max_df: int | None = None,
     hash_shingles: bool = False,
+    byte_faithful: bool = False,
 ) -> DataFrame:
     """Span-level decontamination: remove EVERY corpus token covered by
     a span shared with the benchmark (no keep-first — contamination has
@@ -1530,4 +1616,4 @@ def scrub_contaminated_spans(
         F.col("d_start").alias("s"),
         F.col("d_end").alias("e"),
     )
-    return _cut_spans(docs, rem, id_col, text_col)
+    return _cut_spans(docs, rem, id_col, text_col, byte_faithful)

@@ -2696,6 +2696,51 @@ def test_scrub_repeated_spans_keep_first_and_pass_through(spark):
     assert out[4].n_tokens_removed == 0
 
 
+def test_scrub_byte_faithful_preserves_original_whitespace(spark):
+    """byte_faithful=True is the Lee-et-al cut: removed spans are
+    sliced out as exact character ranges of the ORIGINAL text, and
+    untouched docs pass through byte-identical — newlines, tabs and
+    space runs intact (the default expression path whitespace-
+    normalizes everything). Token accounting must agree with the
+    default path on every doc."""
+    from mcp_hubspot_spark.operators.dedup import scrub_repeated_spans
+
+    shared = "a b c d e f g h i j"  # 10 tokens, k=5 span
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} unique\tzero\n\ntail  end"),
+            (1, f"x  y\t{shared}\nz w"),
+            (2, "untouched\ttext\n with   weird\nspacing"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    default = {
+        r.doc_id: r for r in scrub_repeated_spans(docs, k=5).collect()
+    }
+    bf = {
+        r.doc_id: r
+        for r in scrub_repeated_spans(
+            docs, k=5, byte_faithful=True
+        ).collect()
+    }
+    assert set(bf) == {0, 1, 2, 3}
+    # keep-first: doc 0 untouched -> byte-identical including \t \n
+    assert bf[0].clean_text == f"{shared} unique\tzero\n\ntail  end"
+    # doc 1 loses the shared span's exact char range; everything
+    # outside survives verbatim (the cut leaves the surrounding
+    # whitespace where it was)
+    assert bf[1].clean_text == "x  y\t\nz w"
+    assert bf[2].clean_text == "untouched\ttext\n with   weird\nspacing"
+    assert bf[3].clean_text is None
+    # accounting agrees with the expression path on non-null docs;
+    # whitespace-collapsed byte output equals the normalized output
+    for i in (0, 1, 2):
+        assert bf[i].n_tokens == default[i].n_tokens
+        assert bf[i].n_tokens_removed == default[i].n_tokens_removed
+        assert " ".join(bf[i].clean_text.split()) == default[i].clean_text
+
+
 # ------------------------------------------------- product quantization ----
 
 
