@@ -363,6 +363,29 @@ class IvfIndex:
             return None
         return json.loads(p.read_text()).get("pq")
 
+    def _opq_meta(self) -> bool:
+        """Whether the index was built with the OPQ pretransform
+        (meta "opq": everything on disk lives in rotated space)."""
+        import json
+
+        p = self.root / self._META
+        if not p.exists():
+            return False
+        return bool(json.loads(p.read_text()).get("opq"))
+
+    def _load_rotation(self) -> list[list[float]]:
+        cached = getattr(self, "_rot_cache", None)
+        if cached is not None:
+            return cached
+        rows = self.spark.read.parquet(
+            str(self.root / "opq_rotation")
+        ).collect()  # d rows of d doubles — bounded by design
+        self._rot_cache = [
+            [float(x) for x in r.row]
+            for r in sorted(rows, key=lambda r: int(r.i))
+        ]
+        return self._rot_cache
+
     def _load_codebooks(self) -> list[list[list[float]]]:
         # cached per instance: reloading m*codes rows per query would add
         # a second Spark job to a serving path _probe keeps at one job;
@@ -395,6 +418,7 @@ class IvfIndex:
         pq_m: int | None = None,
         pq_codes: int = 256,
         pq_residual: bool = False,
+        pq_opq: bool = False,
     ) -> None:
         """Train + assign + write. With ``pq_m`` set, the index is an
         IVFPQ: per-subvector codebooks (m subquantizers x pq_codes
@@ -408,7 +432,16 @@ class IvfIndex:
         ``pq_residual=True`` trains/encodes on the residual
         ``v − assigned centroid`` — the FAISS IVFPQ construction
         (better recall at equal m on clustered corpora); serving builds
-        per-probed-cell query tables from the query residual."""
+        per-probed-cell query tables from the query residual.
+        ``pq_opq=True`` (requires pq_m) trains a parametric OPQ
+        rotation and builds the ENTIRE index in rotated space — the
+        FAISS ``OPQ,IVF,PQ`` pretransform composition: stored vectors,
+        centroids, and codebooks are all rotated (one expression-side
+        matmul folded into the build scan; queries rotate driver-side
+        in _probe), so exact search results are unchanged (orthogonal
+        invariance, pytest-pinned) while PQ codes stop wasting entropy
+        on correlated/unbalanced subspaces. Composes with
+        ``pq_residual`` (rotate first, residual in rotated space)."""
         import json
 
         from .operators.vector import (
@@ -420,6 +453,9 @@ class IvfIndex:
 
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric: {metric}")
+        if pq_opq and pq_m is None:
+            raise ValueError("pq_opq requires pq_m (rotation exists "
+                             "to balance PQ subspaces)")
         if metric == "cosine":
             df = self._normalized(
                 df.select(
@@ -430,6 +466,7 @@ class IvfIndex:
             )
         self.root.mkdir(parents=True, exist_ok=True)
         self._cb_cache = None  # rebuild replaces any cached codebooks
+        self._rot_cache = None
         # meta is written WITHOUT the pq entry first: a failure
         # mid-build (e.g. KMeans on a degenerate corpus) must not leave
         # meta claiming PQ with no codebooks parquet on disk — add()/
@@ -439,6 +476,35 @@ class IvfIndex:
         # cells/centroids ordering.
         meta: dict = {"metric": metric}
         (self.root / self._META).write_text(json.dumps(meta))
+        if pq_opq:
+            from .operators.vector import (
+                pq_train_opq_rotation,
+                rotate_expr,
+            )
+
+            rotation = pq_train_opq_rotation(
+                df, m=pq_m, vec_col=vec_col
+            )
+            # withColumn (not select): metadata columns ride into the
+            # cells exactly as they do on the un-rotated l2 path
+            df = df.withColumn(
+                vec_col,
+                rotate_expr(
+                    F.col(vec_col).cast("array<double>"), rotation
+                ),
+            )
+            # rotation parquet lands BEFORE meta claims opq (the same
+            # crash-ordering discipline as the pq codebooks): an index
+            # whose meta says opq but has no rotation file would
+            # mis-serve every query
+            self.spark.createDataFrame(
+                [(i, row) for i, row in enumerate(rotation)],
+                "i int, row array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(self.root / "opq_rotation")
+            )
+            meta["opq"] = True
+            (self.root / self._META).write_text(json.dumps(meta))
         cents = train_centroids(
             df, n_cells, vec_col=vec_col, sample_fraction=sample_fraction
         )
@@ -549,6 +615,19 @@ class IvfIndex:
                     vec_col, F.col(vec_col).cast("array<double>")
                 ),
                 vec_col,
+            )
+        if self._opq_meta():
+            # OPQ index: the whole index lives in rotated space —
+            # rotate the batch with the FROZEN rotation before
+            # assignment/encoding, exactly as build() did
+            from .operators.vector import rotate_expr
+
+            batch = batch.withColumn(
+                vec_col,
+                rotate_expr(
+                    F.col(vec_col).cast("array<double>"),
+                    self._load_rotation(),
+                ),
             )
         assigned = assign_cells_literal(
             batch, cent_rows, vec_col=vec_col, metric=self.metric()
@@ -807,6 +886,13 @@ class IvfIndex:
 
         metric = self.metric()
         query_vec = [float(x) for x in query_vec]
+        if self._opq_meta():
+            # rotate the query into the index's (rotated) space —
+            # d x d driver-side matmul, trivial next to the scan
+            rot = self._load_rotation()
+            query_vec = [
+                sum(w * x for w, x in zip(row, query_vec)) for row in rot
+            ]
         if metric == "cosine":
             # the index stores unit vectors; normalize the query so the
             # cell-selection geometry matches the assignment geometry

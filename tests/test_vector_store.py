@@ -967,3 +967,68 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
     # across local[8]/local[32]. Assert the structural gap, not points.
     assert hits_res >= hits_raw + 5
     assert hits_res >= 25  # raw ADC ordering drowns in cluster offsets
+
+
+def test_ivfpq_opq_pretransform_index(spark, tmp_path):
+    """build(pq_opq=True): the whole index lives in OPQ-rotated space.
+    Orthogonal invariance — exact search through the rotated index
+    returns the SAME ids as exact kNN on the raw corpus (full probe);
+    ADC recall at equal budget beats the unrotated index on a
+    decaying-spectrum corpus (the variance-balancing case); add()
+    rotates appended rows with the frozen rotation (an added twin ties
+    its original's ADC distance); pq_opq without pq_m raises."""
+    import numpy as np
+    import pytest
+
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(11)
+    n, d = 4_000, 32
+    scales = 10.0 * (0.8 ** np.arange(d))
+    X = rng.normal(size=(n, d)) * scales
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    opq = IvfIndex(spark, str(tmp_path / "opq"))
+    opq.build(df, n_cells=4, pq_m=8, pq_codes=16, pq_opq=True)
+    raw = IvfIndex(spark, str(tmp_path / "raw"))
+    raw.build(df, n_cells=4, pq_m=8, pq_codes=16)
+
+    qids = [0, 1111, 2222, 3333]
+    hits_opq = hits_raw = 0
+    for qid in qids:
+        qv = [float(x) for x in X[qid]]
+        want = [r.vec_id for r in knn(df, qv, k=5).collect()]
+        got_exact = [
+            r.vec_id for r in opq.search(qv, k=5, nprobe=4).collect()
+        ]
+        assert got_exact == want  # orthogonal invariance, full probe
+        want10 = set(
+            r.vec_id for r in knn(df, qv, k=10).collect()
+        )
+        hits_opq += len(
+            want10
+            & {r.vec_id for r in opq.search_pq(qv, k=10, nprobe=4).collect()}
+        )
+        hits_raw += len(
+            want10
+            & {r.vec_id for r in raw.search_pq(qv, k=10, nprobe=4).collect()}
+        )
+    assert hits_opq > hits_raw  # variance balancing must show here
+
+    twin_q = [float(x) for x in X[7]]
+    opq.add(
+        spark.createDataFrame(
+            [(9_999, twin_q)], "vec_id long, embedding array<double>"
+        )
+    )
+    top = opq.search_pq(twin_q, k=3, nprobe=4).collect()
+    assert {top[0].vec_id, top[1].vec_id} == {7, 9_999}
+    assert top[0].adc_distance == top[1].adc_distance
+
+    with pytest.raises(ValueError, match="pq_opq requires pq_m"):
+        IvfIndex(spark, str(tmp_path / "bad")).build(
+            df, n_cells=4, pq_opq=True
+        )
