@@ -1032,3 +1032,20 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
         IvfIndex(spark, str(tmp_path / "bad")).build(
             df, n_cells=4, pq_opq=True
         )
+
+    # full FAISS factory composition: OPQ pretransform + residual
+    # codes in rotated space — self-query ranks itself first on ADC,
+    # rerank at full probe equals exact search
+    both = IvfIndex(spark, str(tmp_path / "opq_res"))
+    both.build(
+        df, n_cells=4, pq_m=8, pq_codes=16, pq_opq=True, pq_residual=True
+    )
+    qv = [float(x) for x in X[0]]
+    got = both.search_pq(qv, k=5, nprobe=4).collect()
+    assert got[0].vec_id == 0
+    want = [r.vec_id for r in both.search(qv, k=5, nprobe=4).collect()]
+    reranked = [
+        r.vec_id
+        for r in both.search_pq(qv, k=5, nprobe=4, rerank=100).collect()
+    ]
+    assert reranked == want
