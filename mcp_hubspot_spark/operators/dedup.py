@@ -1186,6 +1186,27 @@ def repeated_spans(
             idx.join(counts.filter(F.col("_df") <= max_df), "shingle")
             .drop("_df")
         )
+    return index_repeated_spans(idx, k, min_tokens=min_tokens, id_col=id_col)
+
+
+def index_repeated_spans(
+    idx: DataFrame,
+    k: int = 8,
+    min_tokens: int | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The self-join back half of :func:`repeated_spans`, taking a
+    PREBUILT positional shingle index (token_shingle_index output) —
+    so a caller that already persisted the index (the streaming
+    incremental path) doesn't re-tokenize the corpus to find its
+    within-set spans. Same output contract as repeated_spans.
+    ``id_col`` defaults to the first column — pass it explicitly when
+    upstream ops may have reordered columns (a join puts its key
+    first). The index must not contain duplicate (id, pos) rows:
+    duplicated matched positions fragment the gaps-and-islands
+    diagonal merge into truncated spans."""
+    if id_col is None:
+        id_col = idx.columns[0]
     a = idx.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
     )
@@ -1220,8 +1241,12 @@ def cross_index_spans(
     :func:`repeated_spans` exactly — (doc_a, doc_b, a_start, a_end,
     b_start, b_end, n_tokens) with doc_a < doc_b — so an incremental
     run's union over increments equals one batch run (the equality the
-    streaming e2e test pins). Doc-id sets MUST be disjoint: a doc in
-    both indexes would double-emit its pairs.
+    streaming e2e test pins). Doc-id sets MUST be disjoint (a doc in
+    both indexes would double-emit its pairs) and neither index may
+    contain duplicate (id, pos) rows — duplicated matched positions
+    fragment the gaps-and-islands diagonal merge into truncated spans
+    (the streaming writer guarantees both by writing each batch's
+    index to its own overwrite-mode partition).
 
     Scale shape: one equi-join on the shingle key (the increment side
     is small → AQE broadcasts it; the standing index never shuffles),
@@ -1453,18 +1478,53 @@ def _cut_spans_bytes(
 
         import pandas as pd
 
-        ws = re.compile(r"\S+")
+        # Java's \s (what Spark's split compiles) is ASCII-only;
+        # Python's \s is Unicode — pin the exact Java set so Unicode
+        # whitespace (NBSP etc.) in the text cannot desync token
+        # indices between the paths
+        _JWS = " \t\n\x0b\f\r"
+        nonws = re.compile(rf"[^{_JWS}]+")
+
+        def tok_offsets(text: str) -> list[tuple[int, int]]:
+            # EXACT replica of tokens() = split(trim(text), r"\s+")
+            # with -1 limit semantics, as character offsets into the
+            # ORIGINAL text: Spark trim strips ASCII SPACES only, and
+            # split keeps a zero-width leading/trailing token when the
+            # trimmed text starts/ends with OTHER whitespace (\t, \n).
+            # Getting this exactly right is what keeps span token
+            # indices (built on the expression tokenizer) aligned with
+            # the byte cuts.
+            lo = 0
+            while lo < len(text) and text[lo] == " ":
+                lo += 1
+            hi = len(text)
+            while hi > lo and text[hi - 1] == " ":
+                hi -= 1
+            trimmed = text[lo:hi]
+            if trimmed == "":
+                return [(lo, lo)]  # [""] — the one empty token
+            offs = [
+                (lo + m.start(), lo + m.end())
+                for m in nonws.finditer(trimmed)
+            ]
+            if trimmed[0] in _JWS:
+                offs.insert(0, (lo, lo))  # zero-width leading token
+            if trimmed[-1] in _JWS:
+                offs.append((hi, hi))  # zero-width trailing token
+            return offs
+
         for pdf in batches:
             out = []
             for _id, text, ivs in zip(
                 pdf[id_col], pdf[text_col], pdf["_iv"]
             ):
                 if text is None:
-                    # NULL text has no tokens — honest (None, 0, 0),
-                    # matching the expression path's accounting
+                    # byte-faithful reading of NULL: NULL in, NULL out
+                    # (the expression path returns "" here — the one
+                    # documented divergence between the two paths)
                     out.append((_id, None, 0, 0))
                     continue
-                toks = list(ws.finditer(text))
+                toks = tok_offsets(text)
                 n = len(toks)
                 if ivs is None or len(ivs) == 0:
                     out.append((_id, text, n, 0))  # byte-identical
@@ -1476,7 +1536,7 @@ def _cut_spans_bytes(
                     if s >= n or e < s:
                         continue
                     removed += e - s + 1
-                    cut_ranges.append((toks[s].start(), toks[e].end()))
+                    cut_ranges.append((toks[s][0], toks[e][1]))
                 kept, prev = [], 0
                 for cs, ce in cut_ranges:  # sorted: intervals were
                     kept.append(text[prev:cs])

@@ -648,6 +648,45 @@ def pq_encode(
     return df.withColumn(code_col, F.array(*codes))
 
 
+def _adc_table(
+    codebooks: list[list[list[float]]], query_vec: Sequence[float]
+) -> list[list[float]]:
+    """The m x k query distance table, folded driver-side with
+    left-to-right Python float sums — the ONE table construction every
+    ADC path (raw, residual per-cell, and their oracles' replays)
+    shares."""
+    sub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (float(q) - float(c)) ** 2
+                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
+            )
+            for cent in cb
+        ]
+        for mi, cb in enumerate(codebooks)
+    ]
+
+
+def _ranked_topk(
+    scored: DataFrame, k: int, id_cols: Sequence[str], dist_col: str
+) -> DataFrame:
+    """Shared ADC ranking tail: TakeOrderedAndProject top-k on
+    (distance, first id), then rank over the bounded k rows — the one
+    tiebreak/nulls-ordering definition both PQ serving paths use."""
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col(id_cols[0]).asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col(dist_col).asc_nulls_last(), F.col(id_cols[0]).asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"), *id_cols, dist_col
+    )
+
+
 def _adc_expr(
     codebooks: list[list[list[float]]],
     query_vec: Sequence[float],
@@ -661,17 +700,7 @@ def _adc_expr(
     import operator as op
 
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    table = [
-        [
-            sum(
-                (float(q) - float(c)) ** 2
-                for q, c in zip(query_vec[mi * sub : (mi + 1) * sub], cent)
-            )
-            for cent in cb
-        ]
-        for mi, cb in enumerate(codebooks)
-    ]
+    table = _adc_table(codebooks, query_vec)
     tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
     code = F.col(code_col)
     return functools.reduce(
@@ -701,19 +730,9 @@ def pq_adc_topk(
     Output (rank, ids..., adc_distance): the distance is the PQ
     approximation (named so callers don't mistake it for exact L2);
     rerank the top-k' with exact distances when recall matters."""
-    from pyspark.sql.window import Window
-
     dist = _adc_expr(codebooks, query_vec, code_col)
     scored = df_codes.select(*id_cols, dist.alias("adc_distance"))
-    top = scored.orderBy(
-        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
-    ).limit(k)
-    w = Window.orderBy(
-        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
-    )
-    return top.select(
-        F.row_number().over(w).alias("rank"), *id_cols, "adc_distance"
-    )
+    return _ranked_topk(scored, k, id_cols, "adc_distance")
 
 
 def pq_search_rerank(
@@ -856,6 +875,7 @@ def pq_train_opq_rotation(
     vec_col: str = "embedding",
     sample_n: int = 10_000,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Parametric OPQ rotation (Ge et al. 2014, OPQ-P): when subvector
     dimensions are correlated, plain PQ wastes codebook entropy — the
@@ -870,9 +890,12 @@ def pq_train_opq_rotation(
 
     Scale shape: ONE bounded sample collect (sample_n rows x d doubles)
     + numpy eigh on the driver; the corpus itself is never shuffled or
-    collected. The full-table rotation happens later, inside the encode
-    pass (expression or BLAS), so OPQ adds zero extra Spark jobs to
-    encoding."""
+    collected. Pass ``sample_fraction`` (as the sibling trainers take)
+    to skip the count()-based fraction derivation — without it, one
+    extra counting scan runs to size the sample, which is a whole
+    wasted pass at corpus scale. The full-table rotation happens later,
+    inside the encode pass (expression or BLAS), so OPQ adds zero extra
+    Spark jobs to encoding."""
     import numpy as np
 
     dim_row = df.select(F.size(vec_col).alias("d")).first()
@@ -880,11 +903,12 @@ def pq_train_opq_rotation(
         raise ValueError("pq_train_opq_rotation: empty input")
     d = int(dim_row["d"])
     assert d % m == 0, f"dim {d} not divisible by m {m}"
-    n_total = df.count()
-    frac = min(1.0, (sample_n * 1.2) / max(n_total, 1))
+    if sample_fraction is None:
+        n_total = df.count()
+        sample_fraction = min(1.0, (sample_n * 1.2) / max(n_total, 1))
     sample = (
         df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-        .sample(fraction=frac, seed=seed)
+        .sample(fraction=min(1.0, sample_fraction), seed=seed)
         .limit(sample_n)
         .collect()
     )  # bounded: ≤ sample_n rows of d doubles
@@ -959,29 +983,16 @@ def pq_adc_topk_residual(
     import functools
     import operator as op
 
-    from pyspark.sql.window import Window
-
     if not probed_cents:
         raise ValueError("pq_adc_topk_residual: no probed cells")
     m = len(codebooks)
-    sub = len(codebooks[0][0])
-    tables = []  # [cell][m][code] in probed order
-    for _, cent in probed_cents:
-        qres = [float(q) - float(c) for q, c in zip(query_vec, cent)]
-        tables.append(
-            [
-                [
-                    sum(
-                        (float(q) - float(c)) ** 2
-                        for q, c in zip(
-                            qres[mi * sub : (mi + 1) * sub], code_cent
-                        )
-                    )
-                    for code_cent in cb
-                ]
-                for mi, cb in enumerate(codebooks)
-            ]
+    tables = [  # [cell][m][code] in probed order — the shared builder
+        _adc_table(
+            codebooks,
+            [float(q) - float(c) for q, c in zip(query_vec, cent)],
         )
+        for _, cent in probed_cents
+    ]
     t3 = F.array(
         *[
             F.array(*[F.array(*[F.lit(x) for x in row]) for row in tab])
@@ -1006,15 +1017,7 @@ def pq_adc_topk_residual(
         ],
     )
     scored = df_codes.select(*id_cols, dist.alias("adc_distance"))
-    top = scored.orderBy(
-        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
-    ).limit(k)
-    w = Window.orderBy(
-        F.col("adc_distance").asc_nulls_last(), F.col(id_cols[0]).asc()
-    )
-    return top.select(
-        F.row_number().over(w).alias("rank"), *id_cols, "adc_distance"
-    )
+    return _ranked_topk(scored, k, id_cols, "adc_distance")
 
 
 def mmr_rerank(

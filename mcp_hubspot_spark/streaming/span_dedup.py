@@ -6,39 +6,44 @@ index is UNBOUNDED state (every position of every document ever seen),
 so the honest streaming shape is the incremental_lsh_dedup quadrant
 discipline over a PERSISTED index — each micro-batch of new documents
 
-  1. detects within-batch spans with the batch operator itself
-     (new x new quadrant),
-  2. detects new-vs-corpus spans with one shingle equi-join against the
-     persisted positional index (new x old; the old x old quadrant was
-     settled when those docs streamed in),
-  3. appends its own index rows so later batches see it as corpus.
+  1. writes its own positional shingle index to a per-batch partition
+     (``batch=<id>``, overwrite mode — replays are IDEMPOTENT: a batch
+     that crashed after writing simply overwrites the same partition,
+     never double-appends),
+  2. detects within-batch spans by self-joining the just-written index
+     (new x new quadrant, no re-tokenization),
+  3. detects new-vs-corpus spans with one shingle equi-join against the
+     EARLIER batch partitions (new x old; partition pruning on
+     ``batch < id`` keeps a replayed batch from pairing against its own
+     rows — the old x old quadrant was settled when those docs streamed
+     in),
+  4. writes the union to the span log's own ``batch=<id>`` partition
+     (overwrite — the output is exactly-once per batch, no downstream
+     dedup needed).
 
 The union of all batches' span outputs equals one batch
 ``repeated_spans`` run over the same documents EXACTLY (pair
 orientation is by doc id, every pair's matched shingles meet in exactly
-one batch's join) — pinned by the e2e drain test. Checkpointing makes
-each batch at-least-once; a replayed batch re-appends both its spans
-and its index rows, so downstream readers of the span log should
-de-duplicate on (doc_a, doc_b, a_start, b_start) if the source can
-replay (the standard foreachBatch-append caveat, same as ingest.py).
+one batch's join) — pinned by the e2e drain test.
 
-Scale shape per batch: the increment index is small → AQE broadcasts it
-into the join; the persisted corpus index is scanned but never
+Scale shape per batch: the batch index is computed ONCE (written, then
+read back for both joins — the tokenize+posexplode that dominates batch
+cost is never repeated); the increment side is small → AQE broadcasts
+it into the cross join; the persisted corpus index is scanned but never
 shuffled; the diagonal merge windows only matched rows. The persisted
-index grows linearly with the corpus — at 100 TB keep it hash-bucketed
-by shingle (bucketed parquet) so the per-batch join prunes to matching
-buckets instead of scanning the world.
+index grows linearly with the corpus — at 100 TB keep it additionally
+hash-bucketed by shingle (bucketed parquet) so the per-batch join
+prunes to matching buckets instead of scanning the world.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F  # noqa: F401
-from pyspark.sql.utils import AnalysisException
+from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     cross_index_spans,
-    repeated_spans,
+    index_repeated_spans,
     token_shingle_index,
 )
 
@@ -54,11 +59,12 @@ def stream_span_dedup(
     min_tokens: int | None = None,
 ):
     """Start the streaming span-dedup query. ``index_path`` is the
-    persisted positional shingle index (seed it from an existing corpus
-    with ``token_shingle_index(corpus, k).write.parquet(index_path)``,
-    or start empty); ``spans_path`` accumulates one parquet row per
-    detected maximal span, in ``repeated_spans`` output shape. Returns
-    the StreamingQuery handle.
+    persisted positional shingle index, partitioned by micro-batch id
+    (seed it from an existing corpus by writing
+    ``token_shingle_index(corpus, k)`` to ``index_path/batch=-1``, or
+    start empty); ``spans_path`` accumulates spans in
+    ``repeated_spans`` output shape plus the ``batch`` partition
+    column. Returns the StreamingQuery handle.
 
     The corpus-global ``max_df`` / ``hash_shingles`` knobs of the batch
     operator are deliberately absent: a stop-shingle cap needs
@@ -69,26 +75,31 @@ def stream_span_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        idx_new = token_shingle_index(batch_df, k, id_col, text_col)
-        # new x new: the batch operator on the micro-batch itself
-        out = repeated_spans(
-            batch_df, k, id_col, text_col, min_tokens=min_tokens
+        # 1. the batch index lands FIRST, in its own overwrite-mode
+        # partition — the single tokenization pass; everything below
+        # reads it back instead of recomputing it
+        token_shingle_index(batch_df, k, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{index_path}/batch={int(batch_id)}")
+        idx_all = spark.read.option("basePath", index_path).parquet(
+            index_path
         )
-        try:
-            idx_old = spark.read.parquet(index_path)
-            has_index = True
-        except AnalysisException:  # first batch, nothing persisted yet
-            has_index = False
-        if has_index:
-            out = out.unionByName(
-                cross_index_spans(
-                    idx_old, idx_new, k, min_tokens=min_tokens
-                )
-            )
-        out.write.mode("append").parquet(spans_path)
-        # append AFTER matching: the batch must not pair against itself
-        # through the index (its within-batch pairs came from step 1)
-        idx_new.write.mode("append").parquet(index_path)
+        cols = [id_col, "pos", "shingle"]
+        idx_batch = idx_all.filter(
+            F.col("batch") == int(batch_id)
+        ).select(*cols)
+        idx_old = idx_all.filter(F.col("batch") < int(batch_id)).select(
+            *cols
+        )
+        out = index_repeated_spans(idx_batch, k, min_tokens=min_tokens)
+        out = out.unionByName(
+            cross_index_spans(idx_old, idx_batch, k, min_tokens=min_tokens)
+        )
+        # 4. overwrite-mode per-batch span partition: replaying the
+        # batch rewrites the identical rows — exactly-once output
+        out.write.mode("overwrite").parquet(
+            f"{spans_path}/batch={int(batch_id)}"
+        )
 
     return (
         stream_df.writeStream.foreachBatch(process)

@@ -467,13 +467,15 @@ class IvfIndex:
         self.root.mkdir(parents=True, exist_ok=True)
         self._cb_cache = None  # rebuild replaces any cached codebooks
         self._rot_cache = None
-        # meta is written WITHOUT the pq entry first: a failure
-        # mid-build (e.g. KMeans on a degenerate corpus) must not leave
-        # meta claiming PQ with no codebooks parquet on disk — add()/
-        # search_pq() would then die with an opaque file-not-found
-        # instead of the clear rebuild-needed ValueError. The pq entry
-        # lands only after the codebooks parquet does, mirroring the
-        # cells/centroids ordering.
+        # Crash-ordering discipline: meta is written as a bare
+        # {"metric"} placeholder first, and the pq / opq claims land in
+        # ONE final rewrite only after EVERY data file (rotation,
+        # cells, centroids, codebooks) is on disk. Claiming early is
+        # worse than a missing file: a REBUILD that crashes after
+        # writing meta{opq} but before the rotated cells land would
+        # leave serving silently rotating queries against the OLD
+        # unrotated cells — wrong neighbors, no error. (Same hazard for
+        # a pq claim over stale cells.)
         meta: dict = {"metric": metric}
         (self.root / self._META).write_text(json.dumps(meta))
         if pq_opq:
@@ -483,7 +485,10 @@ class IvfIndex:
             )
 
             rotation = pq_train_opq_rotation(
-                df, m=pq_m, vec_col=vec_col
+                df,
+                m=pq_m,
+                vec_col=vec_col,
+                sample_fraction=sample_fraction,
             )
             # withColumn (not select): metadata columns ride into the
             # cells exactly as they do on the un-rotated l2 path
@@ -493,18 +498,12 @@ class IvfIndex:
                     F.col(vec_col).cast("array<double>"), rotation
                 ),
             )
-            # rotation parquet lands BEFORE meta claims opq (the same
-            # crash-ordering discipline as the pq codebooks): an index
-            # whose meta says opq but has no rotation file would
-            # mis-serve every query
             self.spark.createDataFrame(
                 [(i, row) for i, row in enumerate(rotation)],
                 "i int, row array<double>",
             ).coalesce(1).write.mode("overwrite").parquet(
                 str(self.root / "opq_rotation")
             )
-            meta["opq"] = True
-            (self.root / self._META).write_text(json.dumps(meta))
         cents = train_centroids(
             df, n_cells, vec_col=vec_col, sample_fraction=sample_fraction
         )
@@ -564,12 +563,6 @@ class IvfIndex:
             ).coalesce(1).write.mode("overwrite").parquet(
                 str(self.root / "pq_codebooks")
             )
-            meta["pq"] = {
-                "m": int(pq_m),
-                "codes": int(pq_codes),
-                "residual": bool(pq_residual),
-            }
-            (self.root / self._META).write_text(json.dumps(meta))
         (
             assigned.write.mode("overwrite")
             .partitionBy("cell_id")
@@ -578,6 +571,18 @@ class IvfIndex:
         self.spark.createDataFrame(
             cent_rows, "cell_id int, centroid array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(str(self.root / "centroids"))
+        # the FINAL meta rewrite: pq / opq claims appear only now that
+        # every data file they describe is on disk (see the ordering
+        # comment above)
+        if pq_m is not None:
+            meta["pq"] = {
+                "m": int(pq_m),
+                "codes": int(pq_codes),
+                "residual": bool(pq_residual),
+            }
+        if pq_opq:
+            meta["opq"] = True
+        (self.root / self._META).write_text(json.dumps(meta))
         # a REBUILD invalidates an exported manifest (new centroids, new
         # cell files): refresh it like add() does, or a server would probe
         # with stale centroids against overwritten files
@@ -869,7 +874,9 @@ class IvfIndex:
 
     def _probe(
         self, query_vec: Sequence[float], nprobe: int
-    ) -> tuple[list[float], list[int], str]:
+    ) -> tuple[
+        list[float], list[int], str, list[tuple[int, list[float]]]
+    ]:
         """Shared serving front half: crash recovery, metric-matched
         query normalization, and driver-side cell ranking (zero Spark
         jobs when a manifest is exported). Returns the (possibly

@@ -8484,7 +8484,7 @@ _CHECK_PRIORITY = [
     "temperature_mixture_docs",
     "training_corpus_pipeline",
     "user_value_trend",
-    # next-stalest: round-6-green cohort, first 28 alphabetically
+    # next-stalest: round-6-green cohort, first 27 alphabetically
     "approx_distinct_users",
     "canonical_json_docs",
     "cheapest_line_per_part",

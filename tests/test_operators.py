@@ -2712,6 +2712,12 @@ def test_scrub_byte_faithful_preserves_original_whitespace(spark):
             (1, f"x  y\t{shared}\nz w"),
             (2, "untouched\ttext\n with   weird\nspacing"),
             (3, None),
+            (4, ""),        # expression path counts [""] as 1 token —
+            (5, "  \n\t "),  # the byte path must mirror the quirk
+            # leading \t: split(trim, \s+) emits a zero-width leading
+            # token (trim strips SPACES only), shifting every span
+            # index by one — the byte cut must track that shift
+            (6, f"\t{shared} own tail six"),
         ],
         "doc_id long, text string",
     )
@@ -2724,7 +2730,7 @@ def test_scrub_byte_faithful_preserves_original_whitespace(spark):
             docs, k=5, byte_faithful=True
         ).collect()
     }
-    assert set(bf) == {0, 1, 2, 3}
+    assert set(bf) == {0, 1, 2, 3, 4, 5, 6}
     # keep-first: doc 0 untouched -> byte-identical including \t \n
     assert bf[0].clean_text == f"{shared} unique\tzero\n\ntail  end"
     # doc 1 loses the shared span's exact char range; everything
@@ -2732,13 +2738,27 @@ def test_scrub_byte_faithful_preserves_original_whitespace(spark):
     # whitespace where it was)
     assert bf[1].clean_text == "x  y\t\nz w"
     assert bf[2].clean_text == "untouched\ttext\n with   weird\nspacing"
+    # NULL: byte path keeps NULL (the expression path returns "" — the
+    # one documented divergence)
     assert bf[3].clean_text is None
-    # accounting agrees with the expression path on non-null docs;
-    # whitespace-collapsed byte output equals the normalized output
-    for i in (0, 1, 2):
+    # empty / whitespace-only: byte-identical pass-through AND the
+    # expression path's [""]-token quirk mirrored in the accounting
+    assert bf[4].clean_text == "" and bf[5].clean_text == "  \n\t "
+    # doc 6 (leading \t): the shared span sits at token indices 1-10
+    # in the expression tokenizer; the byte cut must remove exactly
+    # those characters, keeping the leading tab and the tail verbatim
+    assert bf[6].clean_text == "\t own tail six"
+    # accounting agrees with the expression path on non-null docs
+    for i in (0, 1, 2, 4, 5, 6):
         assert bf[i].n_tokens == default[i].n_tokens
         assert bf[i].n_tokens_removed == default[i].n_tokens_removed
-        assert " ".join(bf[i].clean_text.split()) == default[i].clean_text
+    # whitespace-collapsed, the two paths keep the same tokens (both
+    # sides re-collapsed: the expression output can carry stray joins
+    # around kept zero-width tokens, e.g. doc 6's " own tail six")
+    for i in (0, 1, 2, 6):
+        assert " ".join(bf[i].clean_text.split()) == " ".join(
+            default[i].clean_text.split()
+        )
 
 
 # ------------------------------------------------- product quantization ----
