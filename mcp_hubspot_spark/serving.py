@@ -91,12 +91,19 @@ class IndexMaintainer:
         os.replace(tmp, self._state_path())
 
     # --------------------------------------------------------------- API
-    def initialize(self, n_cells: int = 16) -> int:
+    def initialize(self, n_cells: int = 16, **build_kwargs) -> int:
         """Full build from the table's current version (once); afterwards
-        ``sync()`` applies deltas. Returns the synced version."""
+        ``sync()`` applies deltas. Returns the synced version. Extra
+        kwargs go to ``IvfIndex.build`` — e.g. ``pq_m``/``pq_codes``/
+        ``pq_residual``/``pq_opq`` turn the maintained index into an
+        IVFPQ: sync()'s add() then encodes delta rows against the
+        frozen codebooks (and rotation) automatically, so CDC-driven
+        maintenance needs no PQ-specific handling."""
         v = self.table.version()
         self.index.build(
-            self._embed(self.table.read(version=v)), n_cells=n_cells
+            self._embed(self.table.read(version=v)),
+            n_cells=n_cells,
+            **build_kwargs,
         )
         self.index.export_manifest()
         self._record(v)

@@ -918,3 +918,32 @@ def test_benchmark_span_overlap_broadcasts_bench_index(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_residual_pq_serving_plan_prunes_and_reads_codes_only(spark, tmp_path):
+    """Residual IVFPQ serving plan contract: the ADC scan must prune to
+    the probed cell PARTITIONS at planning time (literal IN on the
+    partition column) and read only (id, pq_code) — cell_id comes from
+    the partition value, the embedding column never enters ReadSchema;
+    and the per-cell table dispatch must stay one expression (no
+    join/explode introduced by the 3-D literal)."""
+    import numpy as np
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = IvfIndex(spark, str(tmp_path / "res"))
+    ivf.build(df, n_cells=6, pq_m=4, pq_codes=8, pq_residual=True)
+    plan = plan_of(
+        ivf.search_pq([float(x) for x in X[3]], k=5, nprobe=2)
+    )
+    reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert reads and all("embedding" not in l for l in reads)
+    parts = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert parts and any("cell_id" in l and " IN " in l for l in parts)
+    assert "Join" not in plan and "Generate" not in plan

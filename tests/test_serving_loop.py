@@ -217,6 +217,45 @@ def test_index_maintainer_sync_cycles(spark, tmp_path):
     assert hit3.vec_id == 3 and hit3.distance < 1e-9
 
 
+def test_index_maintainer_pq_index_sync(spark, tmp_path):
+    """CDC maintenance of an IVFPQ index: initialize(pq_m=...) builds
+    codebooks once; sync()'s add() then encodes delta rows against the
+    FROZEN codebooks with no PQ-specific handling — the ADC search
+    finds a synced-in document, and every stored row (original and
+    delta) carries a pq_code of the right shape."""
+    from mcp_hubspot_spark.serving import IndexMaintainer
+
+    docs = spark.createDataFrame(
+        [(i, f"pq maintained doc {i} topic {i % 5}") for i in range(120)],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "docs"))
+    table.create(docs, keys=["doc_id"], n_buckets=8)
+    idx = IvfIndex(spark, str(tmp_path / "ivfpq"))
+    m = IndexMaintainer(spark, table, idx, dim=DIM)
+    assert m.initialize(n_cells=4, pq_m=4, pq_codes=8) == 0
+
+    table.merge_upsert(
+        spark.createDataFrame(
+            [(700, "pq cycle new doc")], "doc_id long, text string"
+        )
+    )
+    # a purely-added delta deletes nothing (the convergence-union
+    # delete of an absent id removes 0 rows)
+    assert m.sync() == {"from": 0, "to": 1, "deleted": 0, "added": 1}
+    hit = idx.search_pq(
+        _probe_for(spark, "pq cycle new doc"), k=1, nprobe=4, rerank=10
+    ).first()
+    assert hit.vec_id == 700 and hit.distance < 1e-9
+    codes = (
+        spark.read.option("basePath", str(idx.root / "cells"))
+        .parquet(str(idx.root / "cells"))
+        .select("vec_id", F.size("pq_code").alias("m"))
+        .collect()
+    )
+    assert len(codes) == 121 and all(r.m == 4 for r in codes)
+
+
 def test_sync_crash_retry_converges(spark, tmp_path):
     """Crash-idempotency of sync() (round-6 advice): a crash between
     index.add() and _record() means the retry re-runs the SAME delta.
