@@ -106,6 +106,7 @@ HEADLINE = [
     "ivf_pq_search",            # IVFPQ: cell pruning + asymmetric distance
     "search_mmr_rerank",        # MMR diversity re-rank on fused RRF top-k
     "ivf_pq_residual_search",   # residual IVFPQ: per-probed-cell ADC tables
+    "pq_rotated_residual_search",  # rotation+IVF+residual PQ composition
 ]
 
 

@@ -2717,6 +2717,178 @@ def pq_rotated_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The FULL FAISS factory shape under the hash gate (round 9):
+# rotation -> IVF assignment -> residual PQ codes -> per-cell ADC — the
+# oracle-gated composition of pq_rotated_search and
+# ivf_pq_residual_search, i.e. what IvfIndex.build(pq_opq=True,
+# pq_residual=True) does, replayed bit-for-bit in SQL with the
+# Householder rotation standing in for the trained OPQ matrix.
+# Everything — corpus, coarse centroids, codebook anchors, query —
+# lives in rotated space; the tie-margin pytest covers the
+# rotated-residual construction at driver scale so the BLAS encoder is
+# safe against the expression-replaying oracle.
+@_q(
+    "pq_rotated_residual_search",
+    f"""
+    WITH u AS (
+        SELECT embedding::DOUBLE[] AS uv FROM embeddings WHERE vec_id = 5
+    ),
+    ud AS (
+        SELECT list_sum(list_transform(range(1, 65), i -> uv[i] * uv[i]))
+                   AS udot
+        FROM u
+    ),
+    e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+    dots AS (
+        SELECT e0.vec_id,
+               list_sum(list_transform(range(1, 65),
+                   j -> u.uv[j] * e0.v0[j])) AS dv
+        FROM e0, u
+    ),
+    e AS (
+        SELECT e0.vec_id,
+               list_transform(range(1, 65),
+                   i -> e0.v0[i] - (2 * d.dv / ud.udot) * u.uv[i]) AS v
+        FROM e0 JOIN dots d USING (vec_id), u, ud
+    ),
+    c AS (
+        SELECT vec_id AS cell_id, v AS cv
+        FROM e WHERE vec_id IN (20, 120, 220, 320)
+    ),
+    cb AS (
+        SELECT CAST(vec_id AS INT) AS code, v AS cv
+        FROM e WHERE vec_id < 16
+    ),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    assign AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT e.vec_id, e.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_IVF_DIST.format(a="e.v", b="c.cv")} ASC,
+                                c.cell_id ASC) AS rn
+            FROM e, c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT cell_id FROM c, q
+        ORDER BY {_IVF_DIST.format(a="c.cv", b="q.qv")} ASC, cell_id ASC
+        LIMIT 2
+    ),
+    cand AS (
+        SELECT a.vec_id, a.v, a.cell_id, c.cv AS ccv
+        FROM assign a JOIN probe USING (cell_id) JOIN c USING (cell_id)
+    ),
+    subd AS (
+        SELECT cand.vec_id, cand.cell_id, ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> ((cand.v[ms.m * 8 + i] - cand.ccv[ms.m * 8 + i])
+                         - cb.cv[ms.m * 8 + i])
+                        * ((cand.v[ms.m * 8 + i] - cand.ccv[ms.m * 8 + i])
+                           - cb.cv[ms.m * 8 + i])))
+                   AS d
+        FROM cand, ms, cb
+    ),
+    codes AS (
+        SELECT vec_id, cell_id, m, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+            FROM subd
+        ) WHERE rn = 1
+    ),
+    tab AS (
+        SELECT pc.cell_id, ms.m, cb.code,
+               list_sum(list_transform(range(1, 9),
+                   i -> ((q.qv[ms.m * 8 + i] - pc.cv[ms.m * 8 + i])
+                         - cb.cv[ms.m * 8 + i])
+                        * ((q.qv[ms.m * 8 + i] - pc.cv[ms.m * 8 + i])
+                           - cb.cv[ms.m * 8 + i])))
+                   AS dt
+        FROM (SELECT c.cell_id, c.cv FROM c JOIN probe USING (cell_id)) pc,
+             ms, cb, q
+    ),
+    dist AS (
+        SELECT codes.vec_id,
+               list_sum(list(tab.dt ORDER BY codes.m)) AS adc
+        FROM codes
+        JOIN tab ON codes.cell_id = tab.cell_id
+               AND codes.m = tab.m AND codes.code = tab.code
+        GROUP BY codes.vec_id
+    )
+    SELECT CAST(row_number() OVER (ORDER BY adc ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, round(adc, 6) AS adc_distance
+    FROM dist
+    ORDER BY adc ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def pq_rotated_residual_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import (
+        _vec_lit,
+        assign_cells_literal,
+        pq_adc_topk_residual,
+        pq_anchor_codebooks,
+        pq_encode_matmul,
+        residual_expr,
+    )
+
+    emb = _emb_double(spark, sf)
+    u = [float(x) for x in emb.filter(F.col("vec_id") == 5).first().embedding]
+    udot = sum(x * x for x in u)
+
+    def _rot_py(x: list[float]) -> list[float]:
+        d = sum(a * b for a, b in zip(u, x))
+        s = 2 * d / udot
+        return [xi - s * ui for xi, ui in zip(x, u)]
+
+    v = F.col("embedding")
+    u_lit = _vec_lit(u)
+    dot = F.aggregate(
+        F.zip_with(u_lit, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s = F.lit(2.0) * dot / F.lit(udot)
+    df_rot = emb.select(
+        "vec_id",
+        F.zip_with(v, u_lit, lambda a, b: a - s * b).alias("embedding"),
+    )
+    cents = [
+        (int(r.vec_id), _rot_py([float(x) for x in r.embedding]))
+        for r in emb.filter(
+            F.col("vec_id").isin(20, 120, 220, 320)
+        ).orderBy("vec_id").collect()
+    ]
+    qvec = _rot_py(
+        [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    )
+
+    def _d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = [cid for _, cid in sorted((_d2(c, qvec), cid) for cid, c in cents)][:2]
+    assigned = assign_cells_literal(df_rot, cents, metric="l2")
+    pruned = assigned.filter(F.col("cell_id").isin(probe))
+    anchors = [
+        _rot_py([float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    cbs = pq_anchor_codebooks(anchors, m=8)
+    cent_by_id = dict(cents)
+    probed_cents = [(cid, cent_by_id[cid]) for cid in probe]
+    codes = pq_encode_matmul(
+        pruned.withColumn("_res", residual_expr("embedding", cents)),
+        cbs,
+        vec_col="_res",
+    )
+    hits = pq_adc_topk_residual(codes, cbs, qvec, probed_cents, k=10)
+    return hits.select(
+        "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
+    )
+
+
 # Batched multi-query k-NN: one scan serves all queries (broadcast query
 # set, per-query window top-k).
 @_q(
@@ -8449,11 +8621,12 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 
 # ---- round-9 window -----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-8 forward note promised. Head of the line: the two round-9
-# additions with NO driver history (residual IVFPQ and the
-# Householder-rotated PQ), then the 21 queries whose latest official
-# green is round 5 (3 rounds stale — the only ones that old), then the
-# round-6-green cohort, first 27 alphabetically (the remaining 20 head
+# round-8 forward note promised. Head of the line: the three round-9
+# additions with NO driver history (residual IVFPQ, the
+# Householder-rotated PQ, and their composition — the full FAISS
+# factory shape), then the 21 queries whose latest official green is
+# round 5 (3 rounds stale — the only ones that old), then the
+# round-6-green cohort, first 26 alphabetically (the remaining 21 head
 # the round-10 note). Rotated out: the full round-8 window (all 50
 # green in r8) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
@@ -8462,6 +8635,7 @@ _CHECK_PRIORITY = [
     # never driver-checked: round-9 additions
     "ivf_pq_residual_search",
     "pq_rotated_search",
+    "pq_rotated_residual_search",
     # stalest: latest green record is round 5
     "nation_trade_volume",
     "ngram_containment_pairs",
@@ -8511,12 +8685,12 @@ _CHECK_PRIORITY = [
     "events_moving_avg",
     "events_sessions",
     "events_sliding",
-    "events_user_cumulative",
 ]
 # ---- round-10 forward note (same never-checked-first rule) ---------
 # After the round-9 check lands, nothing will be older than round 6.
-# Head of the round-10 line: the 20 r6-green queries that did not fit
-# this window — events_user_gaps, fuzzy_name_pairs, knn_batch, knn_batch_matmul,
+# Head of the round-10 line: the 21 r6-green queries that did not fit
+# this window — events_user_cumulative, events_user_gaps,
+# fuzzy_name_pairs, knn_batch, knn_batch_matmul,
 # minhash_signatures, nation_customer_supplier_sets,
 # ngram_jaccard_pairs, order_value_histogram, orders_last_30d,
 # orders_status_pivot, priority_class_counts, profile_orders_approx,

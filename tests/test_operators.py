@@ -2954,18 +2954,35 @@ def test_pq_tie_margins_hold_at_driver_scale():
     resid = V - cents[assign]
     m, sub = 8, V.shape[1] // 8
 
-    def min_gap(X):
+    # Householder-rotated twin (pq_rotated_residual_search): rotate
+    # corpus/cents/anchors with u = row 5, re-assign and re-residual in
+    # rotated space, margins vs rotated anchors
+    u = np.asarray(by_id[5], dtype="float64")
+    H = np.eye(len(u)) - 2.0 * np.outer(u, u) / float(u @ u)
+    Vr = V @ H.T
+    cr = cents @ H.T
+    ar = anchors @ H.T
+    assign_r = np.argmin(
+        ((Vr[:, None, :] - cr[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    resid_r = Vr - cr[assign_r]
+
+    def min_gap(X, A):
         g = float("inf")
         for mi in range(m):
             S = X[:, mi * sub : (mi + 1) * sub]
-            C = anchors[:, mi * sub : (mi + 1) * sub]
+            C = A[:, mi * sub : (mi + 1) * sub]
             d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             d.sort(axis=1)
             g = min(g, float((d[:, 1] - d[:, 0]).min()))
         return g
 
-    for name, X in (("raw", V), ("residual", resid)):
-        gap = min_gap(X)
+    for name, X, A in (
+        ("raw", V, anchors),
+        ("residual", resid, anchors),
+        ("rotated-residual", resid_r, ar),
+    ):
+        gap = min_gap(X, A)
         assert gap > 1e-9, (
             f"{name} PQ near-tie (gap {gap:g}) at sf0.01: the matmul "
             "oracle agreement for the registry queries is unsafe"
