@@ -969,6 +969,42 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
     assert hits_res >= 25  # raw ADC ordering drowns in cluster offsets
 
 
+def test_ivfpq_rerank_composite_ids_full_tuple_filter(spark, tmp_path):
+    """search_pq(rerank=N) with composite id_cols must filter the exact
+    stage on the FULL id tuple (round-9 advice fix): with a non-unique
+    first id column, an isin on it alone would admit out-of-shortlist
+    twins into the exact stage. The smoke contract: composite-id rerank
+    returns correctly-shaped rows, the top hit is the query's own
+    (id, tag) tuple, and rows sharing vec_id but differing in tag are
+    distinct results."""
+    import numpy as np
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(200, 16))
+    rows = [
+        (i % 100, "a" if i < 100 else "b", [float(x) for x in X[i]])
+        for i in range(200)
+    ]  # every vec_id appears twice, once per tag
+    df = spark.createDataFrame(
+        rows, "vec_id long, tag string, embedding array<double>"
+    )
+    ivf = IvfIndex(spark, str(tmp_path / "comp"))
+    ivf.build(df, n_cells=4, pq_m=4, pq_codes=16, id_col="vec_id")
+    q = [float(x) for x in X[137]]  # (vec_id=37, tag='b')
+    got = ivf.search_pq(
+        q, k=3, nprobe=4, rerank=20, id_cols=("vec_id", "tag")
+    ).collect()
+    assert len(got) == 3
+    assert (got[0].vec_id, got[0].tag) == (37, "b")
+    assert got[0].distance < 1e-12
+    # the twin (37, 'a') is a DIFFERENT random vector — if it appears
+    # it must rank below the exact self-hit
+    for r in got[1:]:
+        assert (r.vec_id, r.tag) != (37, "b")
+
+
 def test_ivfpq_opq_pretransform_index(spark, tmp_path):
     """build(pq_opq=True): the whole index lives in OPQ-rotated space.
     Orthogonal invariance — exact search through the rotated index
