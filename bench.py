@@ -107,6 +107,7 @@ HEADLINE = [
     "search_mmr_rerank",        # MMR diversity re-rank on fused RRF top-k
     "ivf_pq_residual_search",   # residual IVFPQ: per-probed-cell ADC tables
     "pq_rotated_residual_search",  # rotation+IVF+residual PQ composition
+    "hamming_search",           # binary sign quantization, XOR+popcount
 ]
 
 

@@ -843,6 +843,96 @@ def pq_encode_matmul(
     return df.mapInPandas(enc, schema=out_schema)
 
 
+def sign_pack(vec, dim: int, bits_per_word: int = 32) -> Column:
+    """Binary (sign) quantization: pack ``sign(v_i) > 0`` bits into an
+    array<long> of ceil(dim/bits_per_word) words — 32x compression over
+    float32 at bits_per_word=32 and the coarsest member of the
+    quantization family (JL/int8/PQ are the finer knobs). Packing is a
+    SUM of distinct powers of two per word (identical to bitwise OR for
+    distinct bits, and ANSI-safe at <= 31-bit shifts on every engine a
+    SQL oracle might run) — one aggregate fold per word, zero shuffle,
+    whole-stage codegen. Hamming distance over packed words
+    approximates angular distance (Charikar 2002 — the same hyperplane
+    family embedding_neardup_lsh banding uses, here axis-aligned for
+    oracle replayability; rotate first via rotate_expr for the random-
+    hyperplane form)."""
+    v = vec if isinstance(vec, Column) else F.col(vec)
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    words = []
+    for w in range(n_words):
+        lo = w * bits_per_word
+        n_bits = min(bits_per_word, dim - lo)
+        words.append(
+            _chain_add(
+                [
+                    F.when(
+                        F.element_at(v, lo + i + 1) > 0,
+                        F.lit(1 << i).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                    for i in range(n_bits)
+                ]
+            )
+        )
+    return F.array(*words)
+
+
+def _chain_add(cols: list[Column]) -> Column:
+    """Left-to-right chained adds (matches SQL list_sum / Python sum —
+    the fold-order family every oracle-replayed expression uses)."""
+    import functools
+    import operator as op
+
+    return functools.reduce(op.add, cols)
+
+
+def sign_pack_py(vec: Sequence[float], bits_per_word: int = 32) -> list[int]:
+    """Driver-side twin of :func:`sign_pack` for query vectors."""
+    dim = len(vec)
+    n_words = (dim + bits_per_word - 1) // bits_per_word
+    out = []
+    for w in range(n_words):
+        lo = w * bits_per_word
+        word = 0
+        for i in range(min(bits_per_word, dim - lo)):
+            if float(vec[lo + i]) > 0:
+                word += 1 << i
+        out.append(word)
+    return out
+
+
+def hamming_topk(
+    df_packed: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "sign_code",
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """Top-k by Hamming distance over sign-packed codes: per row, XOR
+    each word against the packed query literal and bit_count — pure
+    integer codegen, ~2 instructions per word at scale (the scan reads
+    n_words longs per row, never the embedding), then
+    TakeOrderedAndProject. Integer distances make the result exactly
+    hash-checkable (no float rounding anywhere). Output
+    (rank, ids..., hamming); rerank the top-k' against exact distances
+    when angular precision matters — the same refinement contract as
+    PQ serving."""
+    q = sign_pack_py(query_vec, bits_per_word)
+    code = F.col(code_col)
+    ham = _chain_add(
+        [
+            F.bit_count(
+                F.element_at(code, w + 1).bitwiseXOR(
+                    F.lit(int(qw)).cast("long")
+                )
+            ).cast("long")
+            for w, qw in enumerate(q)
+        ]
+    )
+    scored = df_packed.select(*id_cols, ham.alias("hamming"))
+    return _ranked_topk(scored, k, id_cols, "hamming")
+
+
 def rotate_expr(vec, rotation: list[list[float]]) -> Column:
     """Expression-side orthogonal rotation ``R @ v`` of an array column
     (the OPQ pre-transform): the d x d matrix is inlined as a 2-D

@@ -2889,6 +2889,56 @@ def pq_rotated_residual_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# BINARY (sign) quantization + Hamming top-k (round 9): the coarsest
+# member of the quantization family (JL -> int8 -> PQ -> 1 bit/dim).
+# Each vector packs to ceil(d/32) longs (32x over float32); distance is
+# XOR + popcount per word — pure integer codegen, and INTEGER distances
+# make this the one ANN query with zero float-rounding exposure in the
+# hash gate. Axis-aligned signs here so the oracle replays packing
+# bit-for-bit; compose with rotate_expr for the random-hyperplane form
+# (Charikar 2002 — the same family embedding_neardup_lsh bands).
+@_q(
+    "hamming_search",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    packed AS (
+        SELECT vec_id,
+               list_transform(range(0, 2), w ->
+                   CAST(list_sum(list_transform(range(0, 32), i ->
+                       CASE WHEN e.v[w * 32 + i + 1] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                   AS BIGINT)) AS code
+        FROM e
+    ),
+    qp AS (SELECT code AS qcode FROM packed WHERE vec_id = 7),
+    dist AS (
+        SELECT p.vec_id,
+               CAST(bit_count(xor(p.code[1], qp.qcode[1])) AS BIGINT)
+               + CAST(bit_count(xor(p.code[2], qp.qcode[2])) AS BIGINT)
+                   AS hamming
+        FROM packed p, qp
+    )
+    SELECT CAST(row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id, hamming
+    FROM dist
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def hamming_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import hamming_topk, sign_pack
+
+    emb = _emb_double(spark, sf)
+    packed = emb.select(
+        "vec_id", sign_pack("embedding", dim=64).alias("sign_code")
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+    return hamming_topk(packed, qvec, k=10)
+
+
 # Batched multi-query k-NN: one scan serves all queries (broadcast query
 # set, per-query window top-k).
 @_q(
@@ -8621,21 +8671,23 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 
 # ---- round-9 window -----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-8 forward note promised. Head of the line: the three round-9
+# round-8 forward note promised. Head of the line: the four round-9
 # additions with NO driver history (residual IVFPQ, the
-# Householder-rotated PQ, and their composition — the full FAISS
-# factory shape), then the 21 queries whose latest official green is
-# round 5 (3 rounds stale — the only ones that old), then the
-# round-6-green cohort, first 26 alphabetically (the remaining 21 head
-# the round-10 note). Rotated out: the full round-8 window (all 50
-# green in r8) — every rotated query remains pinned by the local
-# oracle replica (tests/test_oracle_parity.py) and the verify gate,
-# which run ALL oracle-gated queries regardless of window.
+# Householder-rotated PQ, their composition — the full FAISS factory
+# shape — and binary-sign Hamming search), then the 21 queries whose
+# latest official green is round 5 (3 rounds stale — the only ones
+# that old), then the round-6-green cohort, first 25 alphabetically
+# (the remaining 22 head the round-10 note). Rotated out: the full
+# round-8 window (all 50 green in r8) — every rotated query remains
+# pinned by the local oracle replica (tests/test_oracle_parity.py) and
+# the verify gate, which run ALL oracle-gated queries regardless of
+# window.
 _CHECK_PRIORITY = [
     # never driver-checked: round-9 additions
     "ivf_pq_residual_search",
     "pq_rotated_search",
     "pq_rotated_residual_search",
+    "hamming_search",
     # stalest: latest green record is round 5
     "nation_trade_volume",
     "ngram_containment_pairs",
@@ -8684,13 +8736,12 @@ _CHECK_PRIORITY = [
     "events_funnel",
     "events_moving_avg",
     "events_sessions",
-    "events_sliding",
 ]
 # ---- round-10 forward note (same never-checked-first rule) ---------
 # After the round-9 check lands, nothing will be older than round 6.
-# Head of the round-10 line: the 21 r6-green queries that did not fit
-# this window — events_user_cumulative, events_user_gaps,
-# fuzzy_name_pairs, knn_batch, knn_batch_matmul,
+# Head of the round-10 line: the 22 r6-green queries that did not fit
+# this window — events_sliding, events_user_cumulative,
+# events_user_gaps, fuzzy_name_pairs, knn_batch, knn_batch_matmul,
 # minhash_signatures, nation_customer_supplier_sets,
 # ngram_jaccard_pairs, order_value_histogram, orders_last_30d,
 # orders_status_pivot, priority_class_counts, profile_orders_approx,

@@ -2989,6 +2989,61 @@ def test_pq_tie_margins_hold_at_driver_scale():
         )
 
 
+def test_sign_pack_hamming_topk_exact_integer_contract(spark):
+    """Binary quantization: sign_pack packs sign bits into 32-bit words
+    (known vector -> known word values, Python twin agrees on every
+    corpus row), and hamming_topk's XOR+popcount ranking reproduces a
+    brute-force Python popcount over the whole corpus exactly — integer
+    distances, no float anywhere."""
+    from mcp_hubspot_spark.operators.vector import (
+        hamming_topk,
+        sign_pack,
+        sign_pack_py,
+    )
+
+    tiny = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 0.0, -1.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = tiny.select(sign_pack("embedding", dim=6).alias("c")).first().c
+    # bits 0,2,5 set (v>0; 0.0 is NOT set) -> 1 + 4 + 32 = 37, one word
+    assert list(got) == [37] == sign_pack_py([1.0, -2.0, 0.5, 0.0, -1.0, 3.0])
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.collect()
+    }
+    packed = emb.select(
+        "vec_id", sign_pack("embedding", dim=64).alias("sign_code")
+    )
+    spark_codes = {
+        int(r.vec_id): list(r.sign_code) for r in packed.collect()
+    }
+    py_codes = {i: sign_pack_py(v) for i, v in rows.items()}
+    assert spark_codes == py_codes
+
+    qvec = rows[7]
+    got10 = [
+        (r.vec_id, r.hamming)
+        for r in hamming_topk(packed, qvec, k=10).collect()
+    ]
+    qc = sign_pack_py(qvec)
+    brute = sorted(
+        (
+            sum(
+                bin(a ^ b).count("1") for a, b in zip(code, qc)
+            ),
+            i,
+        )
+        for i, code in py_codes.items()
+    )[:10]
+    assert got10 == [(i, h) for h, i in brute]
+    assert got10[0] == (7, 0)  # self-hit at Hamming 0
+
+
 def test_opq_rotation_orthonormal_and_encode_paths_agree(spark):
     """Parametric OPQ (pq_train_opq_rotation): the learned matrix must
     be orthonormal (distances preserved — rotating is free w.r.t. ADC
