@@ -48,6 +48,45 @@ from ..operators.dedup import (
 )
 
 
+def process_span_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    spans_path: str,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int | None = None,
+) -> None:
+    """One micro-batch's work (module-level so the replay-idempotency
+    contract is directly testable: calling it twice with the same
+    batch_id must leave index and span output byte-identical to one
+    call — foreachBatch redelivers exactly this way after a crash
+    between the writes and the checkpoint commit)."""
+    spark = batch_df.sparkSession
+    # 1. the batch index lands FIRST, in its own overwrite-mode
+    # partition — the single tokenization pass; everything below
+    # reads it back instead of recomputing it
+    token_shingle_index(batch_df, k, id_col, text_col).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/batch={int(batch_id)}")
+    idx_all = spark.read.option("basePath", index_path).parquet(index_path)
+    cols = [id_col, "pos", "shingle"]
+    idx_batch = idx_all.filter(F.col("batch") == int(batch_id)).select(
+        *cols
+    )
+    idx_old = idx_all.filter(F.col("batch") < int(batch_id)).select(*cols)
+    out = index_repeated_spans(idx_batch, k, min_tokens=min_tokens)
+    out = out.unionByName(
+        cross_index_spans(idx_old, idx_batch, k, min_tokens=min_tokens)
+    )
+    # 4. overwrite-mode per-batch span partition: replaying the
+    # batch rewrites the identical rows — exactly-once output
+    out.write.mode("overwrite").parquet(
+        f"{spans_path}/batch={int(batch_id)}"
+    )
+
+
 def stream_span_dedup(
     stream_df: DataFrame,
     index_path: str,
@@ -74,31 +113,15 @@ def stream_span_dedup(
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # 1. the batch index lands FIRST, in its own overwrite-mode
-        # partition — the single tokenization pass; everything below
-        # reads it back instead of recomputing it
-        token_shingle_index(batch_df, k, id_col, text_col).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/batch={int(batch_id)}")
-        idx_all = spark.read.option("basePath", index_path).parquet(
-            index_path
-        )
-        cols = [id_col, "pos", "shingle"]
-        idx_batch = idx_all.filter(
-            F.col("batch") == int(batch_id)
-        ).select(*cols)
-        idx_old = idx_all.filter(F.col("batch") < int(batch_id)).select(
-            *cols
-        )
-        out = index_repeated_spans(idx_batch, k, min_tokens=min_tokens)
-        out = out.unionByName(
-            cross_index_spans(idx_old, idx_batch, k, min_tokens=min_tokens)
-        )
-        # 4. overwrite-mode per-batch span partition: replaying the
-        # batch rewrites the identical rows — exactly-once output
-        out.write.mode("overwrite").parquet(
-            f"{spans_path}/batch={int(batch_id)}"
+        process_span_batch(
+            batch_df,
+            batch_id,
+            index_path=index_path,
+            spans_path=spans_path,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            min_tokens=min_tokens,
         )
 
     return (

@@ -867,6 +867,86 @@ def test_stream_span_dedup_drained_equals_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_span_batch_replay_is_idempotent(spark, tmp_path):
+    """The round-9 review finding, pinned: foreachBatch redelivers a
+    batch after a crash between the writes and the checkpoint commit.
+    Replaying process_span_batch with the SAME batch_id must leave the
+    persisted index and the span log byte-identical to a single
+    delivery (overwrite-mode per-batch partitions) — under the old
+    append design the replay doubled the batch's index rows, and
+    duplicated matched positions fragmented the diagonal merge into
+    truncated spans that poisoned every later batch."""
+    from mcp_hubspot_spark.streaming.span_dedup import process_span_batch
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    b0 = spark.createDataFrame(
+        [(0, f"{shared} zero tail"), (1, "unrelated text one")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(2, f"prefix two {shared}")], "doc_id long, text string"
+    )
+    ip, sp = str(tmp_path / "idx"), str(tmp_path / "spans")
+    kw = dict(index_path=ip, spans_path=sp, k=16)
+
+    process_span_batch(b0, 0, **kw)
+    process_span_batch(b0, 0, **kw)  # REPLAY of batch 0
+    process_span_batch(b1, 1, **kw)
+    process_span_batch(b1, 1, **kw)  # replay of batch 1 too
+
+    cols = ["doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end",
+            "n_tokens"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sp).select(*cols).collect()
+    )
+    # exactly ONE maximal 20-token span between docs 0 and 2 — no
+    # duplicates, no truncated fragments, despite both replays
+    assert got == [(0, 2, 0, 19, 2, 21, 20)]
+    # the index holds each (doc, pos) exactly once
+    idx = spark.read.parquet(ip)
+    assert idx.count() == idx.select("doc_id", "pos").distinct().count()
+
+
+def test_cross_index_spans_orientation_and_disjoint_quadrants(spark):
+    """Operator-level contract of cross_index_spans: pair orientation
+    is by doc id regardless of which side a doc arrived on (an old doc
+    with the HIGHER id still lands in doc_b), and output matches
+    repeated_spans on the union corpus restricted to cross pairs."""
+    from mcp_hubspot_spark.operators.dedup import (
+        cross_index_spans,
+        repeated_spans,
+        token_shingle_index,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    old = spark.createDataFrame(
+        [(5, f"{shared} old tail")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, f"new head {shared}"), (9, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in cross_index_spans(
+            token_shingle_index(old, 8), token_shingle_index(new, 8), 8
+        ).collect()
+    )
+    both = old.unionByName(new)
+    want = sorted(
+        tuple(r)
+        for r in repeated_spans(both, 8)
+        .filter(  # cross pairs only: {2,5} — within-side pairs excluded
+            (F.col("doc_a") == 2) & (F.col("doc_b") == 5)
+        )
+        .collect()
+    )
+    assert got == want and len(got) == 1
+    # orientation: the NEW doc (id 2) is doc_a because its id is lower
+    assert got[0][0] == 2 and got[0][1] == 5
+
+
 def test_streaming_minhash_skips_noop_batches(spark, tmp_path):
     """A micro-batch containing ONLY NULL-text rows for an existing key
     must not re-emit that key's unchanged (n_docs, sig) row: n_docs
