@@ -904,6 +904,60 @@ def main() -> None:
             except Exception as exc:
                 errors["pq_residual"] = f"{type(exc).__name__}: {exc}"[:200]
 
+        # -------- round-9: binary sign quantization at corpus scale —
+        # pack the full replicated embedding table to 2 longs/row (32x
+        # over float32), then compare the XOR+popcount top-10 scan
+        # against brute-force exact kNN on the same corpus: the latency
+        # ratio is the integer-scan win, the recall row the honest
+        # price of 1 bit/dim on near-random vectors (sign quantization
+        # is the candidate-generator tier — rerank the shortlist
+        # exactly when precision matters).
+        if wanted("hamming"):
+            try:
+                from mcp_hubspot_spark.operators.vector import (
+                    hamming_topk,
+                    sign_pack,
+                )
+
+                embs_d = embs.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias(
+                        "embedding"
+                    ),
+                )
+                t0 = time.perf_counter()
+                embs_d.select(
+                    "vec_id", sign_pack("embedding", dim=64).alias(
+                        "sign_code"
+                    )
+                ).write.mode("overwrite").parquet(str(work / "signs"))
+                timings[f"sign_pack_{ek}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                rows[f"sign_pack_{ek}"] = n_embs
+                signs = spark.read.parquet(str(work / "signs"))
+
+                def _ham():
+                    return [
+                        r.vec_id
+                        for r in hamming_topk(signs, probe, k=10).collect()
+                    ]
+
+                run_special(f"hamming_top10_{ek}", _ham, len)
+                hit = 0
+                for _, qv in queries[:8]:
+                    exact_ids = {
+                        r.vec_id for r in knn(embs_d, qv, k=10).collect()
+                    }
+                    got = {
+                        r.vec_id
+                        for r in hamming_topk(signs, qv, k=10).collect()
+                    }
+                    hit += len(exact_ids & got)
+                extras["hamming_recall_at10"] = round(hit / 80.0, 4)
+            except Exception as exc:
+                errors["hamming"] = f"{type(exc).__name__}: {exc}"[:200]
+
         # -------- zone-map file skipping at corpus scale: fresh sidecar
         # prunes the scan to the files intersecting the range; a stale
         # sidecar (file appended after build) falls back to the full
