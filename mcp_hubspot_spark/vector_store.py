@@ -324,15 +324,34 @@ class IvfIndex:
     # ----------------------------------------------------------- metric
     _META = "meta.json"
 
-    def metric(self) -> str:
-        """The index's distance metric ("l2" or "cosine"), persisted by
-        build(); indexes from before the metric existed read as l2."""
+    def _meta_dict(self) -> dict:
+        """Parsed meta.json, failing LOUD when it still carries the
+        ``building`` sentinel :meth:`build` sets before touching any
+        data file. A rebuild that crashed mid-flight leaves the
+        directory mixing epochs (e.g. the OLD index's rotated cells
+        with no surviving ``opq`` claim, or new centroids over old
+        cells) — serving that silently returns wrong neighbors, so
+        every meta reader raises instead and the caller rebuilds."""
         import json
 
         p = self.root / self._META
         if not p.exists():
-            return "l2"
-        return json.loads(p.read_text()).get("metric", "l2")
+            return {}
+        meta = json.loads(p.read_text())
+        if meta.get("building"):
+            raise RuntimeError(
+                f"IvfIndex at {self.root}: meta.json carries the "
+                "'building' sentinel — a build() was interrupted and "
+                "the data files may mix old and new index epochs "
+                "(e.g. rotated cells with no opq claim). Rebuild the "
+                "index before serving."
+            )
+        return meta
+
+    def metric(self) -> str:
+        """The index's distance metric ("l2" or "cosine"), persisted by
+        build(); indexes from before the metric existed read as l2."""
+        return self._meta_dict().get("metric", "l2")
 
     @staticmethod
     def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
@@ -356,22 +375,12 @@ class IvfIndex:
     def _pq_meta(self) -> dict | None:
         """The index's PQ config ({"m", "codes"}) or None when built
         without product quantization."""
-        import json
-
-        p = self.root / self._META
-        if not p.exists():
-            return None
-        return json.loads(p.read_text()).get("pq")
+        return self._meta_dict().get("pq")
 
     def _opq_meta(self) -> bool:
         """Whether the index was built with the OPQ pretransform
         (meta "opq": everything on disk lives in rotated space)."""
-        import json
-
-        p = self.root / self._META
-        if not p.exists():
-            return False
-        return bool(json.loads(p.read_text()).get("opq"))
+        return bool(self._meta_dict().get("opq"))
 
     def _load_rotation(self) -> list[list[float]]:
         cached = getattr(self, "_rot_cache", None)
@@ -467,17 +476,24 @@ class IvfIndex:
         self.root.mkdir(parents=True, exist_ok=True)
         self._cb_cache = None  # rebuild replaces any cached codebooks
         self._rot_cache = None
-        # Crash-ordering discipline: meta is written as a bare
-        # {"metric"} placeholder first, and the pq / opq claims land in
-        # ONE final rewrite only after EVERY data file (rotation,
-        # cells, centroids, codebooks) is on disk. Claiming early is
-        # worse than a missing file: a REBUILD that crashes after
-        # writing meta{opq} but before the rotated cells land would
-        # leave serving silently rotating queries against the OLD
-        # unrotated cells — wrong neighbors, no error. (Same hazard for
-        # a pq claim over stale cells.)
+        # Crash-ordering discipline: meta is written first with a
+        # "building" sentinel, and the pq / opq claims land in ONE
+        # final rewrite — WITHOUT the sentinel — only after EVERY data
+        # file (rotation, cells, centroids, codebooks) is on disk.
+        # Claiming early is worse than a missing file: a REBUILD that
+        # crashes after writing meta{opq} but before the rotated cells
+        # land would leave serving silently rotating queries against
+        # the OLD unrotated cells — wrong neighbors, no error. The
+        # sentinel closes the MIRROR hazard: a rebuild of an existing
+        # OPQ index that crashes after stripping the old meta but
+        # before new cells land would otherwise serve the OLD rotated
+        # cells as if unrotated (again wrong neighbors, no error) —
+        # with the sentinel every meta reader (_meta_dict) fails loud
+        # until a build completes.
         meta: dict = {"metric": metric}
-        (self.root / self._META).write_text(json.dumps(meta))
+        (self.root / self._META).write_text(
+            json.dumps({**meta, "building": True})
+        )
         if pq_opq:
             from .operators.vector import (
                 pq_train_opq_rotation,

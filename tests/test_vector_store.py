@@ -1085,3 +1085,48 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
         for r in both.search_pq(qv, k=5, nprobe=4, rerank=100).collect()
     ]
     assert reranked == want
+
+
+def test_ivf_interrupted_build_fails_loud_not_wrong(spark, tmp_path):
+    """A REBUILD that crashes mid-flight must make serving RAISE, not
+    silently answer from mixed-epoch files. The nasty case: rebuilding
+    an existing OPQ index strips the old meta's opq claim first — a
+    crash before the new cells land would otherwise leave the OLD
+    rotated cells served as if unrotated (wrong neighbors, no error).
+    The 'building' sentinel in meta.json closes it: every meta reader
+    fails loud until a build completes, and a completed build clears
+    the sentinel."""
+    import numpy as np
+    import pytest
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(80, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(df, n_cells=4, pq_m=4, pq_codes=8, pq_opq=True)
+    qv = [float(x) for x in X[0]]
+    assert idx.search(qv, k=1, nprobe=4).first().vec_id == 0
+
+    # simulate the crash window: rebuild has written the sentinel meta
+    # (the first thing build() does after validation) but died before
+    # any data file landed — the OLD rotated cells are still on disk
+    import json
+
+    meta_path = tmp_path / "ivf" / "meta.json"
+    meta_path.write_text(json.dumps({"metric": "l2", "building": True}))
+    fresh = IvfIndex(spark, str(tmp_path / "ivf"))
+    with pytest.raises(RuntimeError, match="interrupted"):
+        fresh.search(qv, k=1, nprobe=4).collect()
+    with pytest.raises(RuntimeError, match="interrupted"):
+        fresh.search_pq(qv, k=1, nprobe=4)
+    with pytest.raises(RuntimeError, match="interrupted"):
+        fresh.add(df.limit(1))
+
+    # a completed rebuild clears the sentinel and serves again
+    fresh.build(df, n_cells=4, pq_m=4, pq_codes=8, pq_opq=True)
+    assert fresh.search(qv, k=1, nprobe=4).first().vec_id == 0
