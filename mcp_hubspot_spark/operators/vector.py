@@ -900,6 +900,46 @@ def sign_pack_py(vec: Sequence[float], bits_per_word: int = 32) -> list[int]:
     return out
 
 
+def _hamming_expr(
+    query_vec: Sequence[float], code_col: str, bits_per_word: int = 32
+) -> Column:
+    """The shared Hamming-distance expression over sign-packed codes:
+    per row, XOR each word against the packed query literal and
+    bit_count — pure integer codegen, with a per-row word-count guard
+    that fails LOUD on a dimension mismatch (query packed at a
+    different dim/bits_per_word than the stored codes): element_at
+    past the end would return NULL, bit_count would propagate it, and
+    the mismatched row would silently sort LAST via asc_nulls_last
+    instead of erroring. assert_true returns NULL when the check
+    passes, so the coalesce adds 0 and the distance is unchanged —
+    one integer compare per row, still whole-stage codegen."""
+    q = sign_pack_py(query_vec, bits_per_word)
+    code = F.col(code_col)
+    ham = _chain_add(
+        [
+            F.bit_count(
+                F.element_at(code, w + 1).bitwiseXOR(
+                    F.lit(int(qw)).cast("long")
+                )
+            ).cast("long")
+            for w, qw in enumerate(q)
+        ]
+    )
+    guard = F.assert_true(
+        F.size(code) == F.lit(len(q)),
+        F.concat(
+            F.lit(
+                f"hamming distance: query packs to {len(q)} words "
+                f"(dim {len(query_vec)} @ {bits_per_word} bits/word) "
+                f"but stored {code_col} has "
+            ),
+            F.size(code).cast("string"),
+            F.lit(" words"),
+        ),
+    )
+    return ham + F.coalesce(guard.cast("long"), F.lit(0))
+
+
 def hamming_topk(
     df_packed: DataFrame,
     query_vec: Sequence[float],
@@ -916,21 +956,58 @@ def hamming_topk(
     hash-checkable (no float rounding anywhere). Output
     (rank, ids..., hamming); rerank the top-k' against exact distances
     when angular precision matters — the same refinement contract as
-    PQ serving."""
-    q = sign_pack_py(query_vec, bits_per_word)
-    code = F.col(code_col)
-    ham = _chain_add(
-        [
-            F.bit_count(
-                F.element_at(code, w + 1).bitwiseXOR(
-                    F.lit(int(qw)).cast("long")
-                )
-            ).cast("long")
-            for w, qw in enumerate(q)
-        ]
-    )
+    PQ serving (:func:`hamming_topk_rerank` is that composition in one
+    plan)."""
+    ham = _hamming_expr(query_vec, code_col, bits_per_word)
     scored = df_packed.select(*id_cols, ham.alias("hamming"))
     return _ranked_topk(scored, k, id_cols, "hamming")
+
+
+def hamming_topk_rerank(
+    df_packed: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "sign_code",
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """The binary-quantization serving pattern in ONE plan (the
+    :func:`pq_search_rerank` contract at the coarsest tier): the
+    integer Hamming scan shortlists ``shortlist`` candidates over the
+    packed sign codes — XOR+popcount per row, the cheapest possible
+    candidate generator — then the exact L2 fold reranks only those.
+    No collect, no second job; the shortlist stage is a
+    TakeOrderedAndProject carrying the embedding column, so the
+    expensive exact distance runs on ``shortlist`` rows total. Sign
+    bits only preserve ANGULAR order (Charikar 2002), so recall comes
+    from the rerank — recall@k rises with shortlist exactly as PQ's
+    does (SCALE recall rows). Output matches :func:`knn`
+    (rank, ids, distance, similarity)."""
+    from pyspark.sql.window import Window
+
+    ham = _hamming_expr(query_vec, code_col, bits_per_word)
+    short = (
+        df_packed.select(*id_cols, vec_col, ham.alias("_ham"))
+        .orderBy(F.col("_ham").asc_nulls_last(), F.col(id_cols[0]).asc())
+        .limit(shortlist)
+    )
+    exact = l2_squared(F.col(vec_col), _vec_lit(query_vec))
+    top = (
+        short.select(*id_cols, exact.alias("distance"))
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+    )
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        *id_cols,
+        "distance",
+        (F.lit(1.0) - F.col("distance") / F.lit(2.0)).alias("similarity"),
+    )
 
 
 def rotate_expr(vec, rotation: list[list[float]]) -> Column:

@@ -3044,6 +3044,67 @@ def test_sign_pack_hamming_topk_exact_integer_contract(spark):
     assert got10[0] == (7, 0)  # self-hit at Hamming 0
 
 
+def test_hamming_topk_word_count_mismatch_fails_loud(spark):
+    """A query packed at a different dim than the stored codes must
+    RAISE, not silently rank mismatched rows last (element_at past the
+    end -> NULL -> asc_nulls_last would bury the error)."""
+    import pytest
+
+    from mcp_hubspot_spark.operators.vector import hamming_topk, sign_pack
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [-1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    packed = df.select(
+        "vec_id", sign_pack("embedding", dim=64).alias("sign_code")
+    )
+    with pytest.raises(Exception, match="words"):
+        hamming_topk(packed, [1.0] * 32, k=1).collect()
+    # matched dims keep working (guard adds 0)
+    ok = hamming_topk(packed, [1.0] * 64, k=1).first()
+    assert ok.vec_id == 1 and ok.hamming == 0
+
+
+def test_hamming_topk_rerank_recovers_exact_order(spark):
+    """Sign-shortlist + exact rerank: with the shortlist covering the
+    whole corpus the output equals exact knn (rank/ids/distance/
+    similarity), and at a small shortlist every returned id comes from
+    the Hamming shortlist — the candidate-generator contract."""
+    from mcp_hubspot_spark.operators.vector import (
+        hamming_topk,
+        hamming_topk_rerank,
+        knn,
+        sign_pack,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+    packed = emb.select(
+        "vec_id", "embedding", sign_pack("embedding", dim=64).alias("sign_code")
+    )
+    got = [
+        (r.rank, r.vec_id, round(r.distance, 9), round(r.similarity, 9))
+        for r in hamming_topk_rerank(packed, qvec, k=5, shortlist=n).collect()
+    ]
+    want = [
+        (r.rank, r.vec_id, round(r.distance, 9), round(r.similarity, 9))
+        for r in knn(emb, qvec, k=5).collect()
+    ]
+    assert got == want
+    small = hamming_topk_rerank(packed, qvec, k=5, shortlist=20).collect()
+    shortlist_ids = {
+        r.vec_id for r in hamming_topk(packed, qvec, k=20).collect()
+    }
+    assert {r.vec_id for r in small} <= shortlist_ids
+    assert small[0].vec_id == 7  # self-hit survives any shortlist >= 1
+
+
 def test_opq_rotation_orthonormal_and_encode_paths_agree(spark):
     """Parametric OPQ (pq_train_opq_rotation): the learned matrix must
     be orthonormal (distances preserved — rotating is free w.r.t. ADC
