@@ -26,6 +26,23 @@ The union of all batches' span outputs equals one batch
 orientation is by doc id, every pair's matched shingles meet in exactly
 one batch's join) — pinned by the e2e drain test.
 
+``max_df`` (round 10) extends the equality to the stop-shingle cap:
+per-batch shingle position counts persist beside the index
+(``_shingle_stats/batch=<id>`` — a hidden directory, so index readers
+never see it), the CUMULATIVE counts derive the standing stop-shingle
+set, and both join sides anti-join it. Because the batch operator's cap
+is corpus-GLOBAL, a shingle that crosses the cap in batch B can
+invalidate spans an EARLIER batch already emitted — so when the stop
+set grows, the affected earlier span partitions (exactly those whose
+own index contains a newly-stopped shingle: a matched pair needs the
+shingle on the new side too, so untouched partitions are provably
+unaffected) are recomputed under the current stop set and overwritten.
+At drain every partition therefore reflects the FINAL stop set for
+every shingle it contains, and the drained union equals one batch
+``repeated_spans(max_df=...)`` run exactly — same e2e pin as the
+uncapped path. Rewrites are deterministic functions of (index ≤ batch,
+current stop set), so replays stay idempotent.
+
 Scale shape per batch: the batch index is computed ONCE (written, then
 read back for both joins — the tokenize+posexplode that dominates batch
 cost is never repeated); the increment side is small → AQE broadcasts
@@ -33,7 +50,14 @@ it into the cross join; the persisted corpus index is scanned but never
 shuffled; the diagonal merge windows only matched rows. The persisted
 index grows linearly with the corpus — at 100 TB keep it additionally
 hash-bucketed by shingle (bucketed parquet) so the per-batch join
-prunes to matching buckets instead of scanning the world.
+prunes to matching buckets instead of scanning the world. The stats
+table is ONE row per distinct (batch, shingle) — far smaller than the
+positional index — and the stop-set aggregation reads only it. Retro
+recomputes are the max_df trade: true boilerplate crosses the cap
+EARLY in corpus life (frequencies accumulate fast), so rewrite storms
+taper to zero as the stop set stabilizes; at scale, seed the stop set
+from a corpus sample (write its stats to ``batch=-1``) so the cap is
+mostly settled before streaming starts.
 """
 
 from __future__ import annotations
@@ -48,6 +72,53 @@ from ..operators.dedup import (
 )
 
 
+def _stop_shingles(stats: DataFrame, upto_batch: int, max_df: int) -> DataFrame:
+    """The standing stop-shingle set as of ``upto_batch`` (inclusive):
+    shingles whose cumulative position count over batches <= upto_batch
+    exceeds ``max_df`` — the same corpus-global count
+    ``repeated_spans(max_df=...)`` caps on, assembled from the per-batch
+    stats partitions instead of a corpus rescan."""
+    return (
+        stats.filter(F.col("batch") <= int(upto_batch))
+        .groupBy("shingle")
+        .agg(F.sum("cnt").alias("_df"))
+        .filter(F.col("_df") > int(max_df))
+        .select("shingle")
+    )
+
+
+def _batch_spans(
+    idx_all: DataFrame,
+    batch_id: int,
+    k: int,
+    min_tokens: int | None,
+    id_col: str,
+    stops: DataFrame | None,
+) -> DataFrame:
+    """Spans attributed to ``batch_id``'s partition: within-batch pairs
+    plus new-vs-earlier pairs, both sides anti-joined against ``stops``
+    when a cap is active. Pure function of (index <= batch_id, stops) —
+    the property that makes both crash replays and stop-set retro
+    rewrites idempotent. Columns are re-projected after the anti-join
+    (a USING join moves its key first, and index_repeated_spans /
+    cross_index_spans key the id column positionally)."""
+    cols_ = [id_col, "pos", "shingle"]
+
+    def _side(df: DataFrame) -> DataFrame:
+        df = df.select(*cols_)
+        if stops is not None:
+            df = df.join(stops, "shingle", "left_anti").select(*cols_)
+        return df
+
+    bid = int(batch_id)
+    idx_batch = _side(idx_all.filter(F.col("batch") == bid))
+    idx_old = _side(idx_all.filter(F.col("batch") < bid))
+    out = index_repeated_spans(idx_batch, k, min_tokens=min_tokens, id_col=id_col)
+    return out.unionByName(
+        cross_index_spans(idx_old, idx_batch, k, min_tokens=min_tokens)
+    )
+
+
 def process_span_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -57,6 +128,7 @@ def process_span_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int | None = None,
+    max_df: int | None = None,
 ) -> None:
     """One micro-batch's work (module-level so the replay-idempotency
     contract is directly testable: calling it twice with the same
@@ -64,27 +136,61 @@ def process_span_batch(
     call — foreachBatch redelivers exactly this way after a crash
     between the writes and the checkpoint commit)."""
     spark = batch_df.sparkSession
+    bid = int(batch_id)
     # 1. the batch index lands FIRST, in its own overwrite-mode
     # partition — the single tokenization pass; everything below
     # reads it back instead of recomputing it
     token_shingle_index(batch_df, k, id_col, text_col).write.mode(
         "overwrite"
-    ).parquet(f"{index_path}/batch={int(batch_id)}")
+    ).parquet(f"{index_path}/batch={bid}")
     idx_all = spark.read.option("basePath", index_path).parquet(index_path)
-    cols = [id_col, "pos", "shingle"]
-    idx_batch = idx_all.filter(F.col("batch") == int(batch_id)).select(
-        *cols
-    )
-    idx_old = idx_all.filter(F.col("batch") < int(batch_id)).select(*cols)
-    out = index_repeated_spans(idx_batch, k, min_tokens=min_tokens)
-    out = out.unionByName(
-        cross_index_spans(idx_old, idx_batch, k, min_tokens=min_tokens)
-    )
-    # 4. overwrite-mode per-batch span partition: replaying the
+    stops = None
+    if max_df is not None:
+        # 2. per-batch shingle stats beside the index (hidden dir —
+        # index readers never see it), then the cumulative stop set
+        # INCLUDING this batch: the cap is corpus-global, so a shingle
+        # this batch pushes over the line is stopped for this batch's
+        # own join too (exactly what the batch operator would do)
+        stats_path = f"{index_path}/_shingle_stats"
+        (
+            idx_all.filter(F.col("batch") == bid)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(f"{stats_path}/batch={bid}")
+        )
+        stats = spark.read.option("basePath", stats_path).parquet(stats_path)
+        stops = _stop_shingles(stats, bid, max_df)
+    out = _batch_spans(idx_all, bid, k, min_tokens, id_col, stops)
+    # 3. overwrite-mode per-batch span partition: replaying the
     # batch rewrites the identical rows — exactly-once output
-    out.write.mode("overwrite").parquet(
-        f"{spans_path}/batch={int(batch_id)}"
-    )
+    out.write.mode("overwrite").parquet(f"{spans_path}/batch={bid}")
+    if max_df is not None:
+        # 4. retro scrub: shingles that JUST crossed the cap invalidate
+        # spans earlier batches emitted while they were still under it.
+        # Affected partitions are exactly the earlier batches whose own
+        # index contains a newly-stopped shingle (a matched pair needs
+        # the shingle on the batch side of its join, so any other
+        # partition's output is invariant to the new stop). Each is
+        # recomputed under the CURRENT stop set — by induction every
+        # partition ends reflecting the final stop set for the shingles
+        # it contains, which is what makes the drained union equal the
+        # batch operator. Deterministic given (index, stats), so a
+        # crash+replay of this batch redoes identical rewrites.
+        stops_prev = _stop_shingles(stats, bid - 1, max_df)
+        newly = stops.join(stops_prev, "shingle", "left_anti")
+        affected = sorted(
+            int(r["batch"])
+            for r in idx_all.filter(F.col("batch") < bid)
+            .join(newly, "shingle", "left_semi")
+            .select("batch")
+            .distinct()
+            .collect()  # bounded: one row per earlier batch, at most
+        )
+        for b in affected:
+            _batch_spans(idx_all, b, k, min_tokens, id_col, stops).write.mode(
+                "overwrite"
+            ).parquet(f"{spans_path}/batch={b}")
 
 
 def stream_span_dedup(
@@ -96,20 +202,27 @@ def stream_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_tokens: int | None = None,
+    max_df: int | None = None,
 ):
     """Start the streaming span-dedup query. ``index_path`` is the
     persisted positional shingle index, partitioned by micro-batch id
     (seed it from an existing corpus by writing
-    ``token_shingle_index(corpus, k)`` to ``index_path/batch=-1``, or
-    start empty); ``spans_path`` accumulates spans in
+    ``token_shingle_index(corpus, k)`` to ``index_path/batch=-1`` —
+    plus, when ``max_df`` is set, its per-shingle counts to
+    ``index_path/_shingle_stats/batch=-1`` so the cap sees the seed
+    corpus — or start empty); ``spans_path`` accumulates spans in
     ``repeated_spans`` output shape plus the ``batch`` partition
     column. Returns the StreamingQuery handle.
 
-    The corpus-global ``max_df`` / ``hash_shingles`` knobs of the batch
-    operator are deliberately absent: a stop-shingle cap needs
-    corpus-wide frequencies, which an increment cannot see — at scale,
-    maintain a standing stop-shingle list beside the index and
-    anti-join it into both sides instead.
+    ``max_df`` is the batch operator's corpus-global stop-shingle cap,
+    maintained incrementally: cumulative per-shingle counts persist
+    beside the index, both join sides anti-join the standing stop set,
+    and span partitions invalidated by a shingle newly crossing the cap
+    are recomputed (see the module docstring) — so the drained output
+    still equals one batch ``repeated_spans(max_df=...)`` run exactly.
+    ``hash_shingles`` remains deliberately absent: the persisted index
+    is the corpus of record across batches, and rehashing it would
+    orphan the seeded/early partitions.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -122,6 +235,7 @@ def stream_span_dedup(
             id_col=id_col,
             text_col=text_col,
             min_tokens=min_tokens,
+            max_df=max_df,
         )
 
     return (

@@ -908,6 +908,130 @@ def test_span_batch_replay_is_idempotent(spark, tmp_path):
     assert idx.count() == idx.select("doc_id", "pos").distinct().count()
 
 
+_SPAN_COLS = [
+    "doc_a", "doc_b", "a_start", "a_end", "b_start", "b_end", "n_tokens"
+]
+
+
+def _max_df_corpus(spark):
+    """Five docs over three batches: a 20-token BOILERPLATE prefix in
+    every doc (shingle df grows 2 -> 3 -> 5 across batches, crossing
+    max_df=3 only at the LAST batch — the retro-scrub trigger) plus a
+    20-token UNIQUE span shared by docs 0 and 2 only (df 2, survives
+    the cap)."""
+    boiler = " ".join(f"boil{i}" for i in range(20))
+    uniq = " ".join(f"uniq{i}" for i in range(20))
+    rows = [
+        (0, f"{boiler} x0 {uniq}"),
+        (1, f"{boiler} y1 onlyone"),
+        (2, f"{boiler} z2 {uniq} tail2"),
+        (3, f"{boiler} w3 other"),
+        (4, f"{boiler} v4 more"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batches = [
+        docs.filter(F.col("doc_id").isin(0, 1)),
+        docs.filter(F.col("doc_id") == 2),
+        docs.filter(F.col("doc_id").isin(3, 4)),
+    ]
+    return docs, batches
+
+
+def test_stream_span_dedup_max_df_drained_equals_batch(spark, tmp_path):
+    """The round-9 documented gap, closed: the corpus-global max_df
+    stop-shingle cap maintained INCREMENTALLY. The boilerplate shingles
+    cross the cap only at the last batch — batches 0 and 1 have already
+    emitted boilerplate spans by then, so equality with the batch
+    operator REQUIRES the retro scrub of earlier span partitions. After
+    the drain: output == repeated_spans(max_df=3) exactly (only the
+    unique 0-2 span survives), and != the uncapped run (the cap did
+    real work)."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+    from mcp_hubspot_spark.streaming.span_dedup import stream_span_dedup
+
+    docs, batches = _max_df_corpus(spark)
+    d = tmp_path / "docs"
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = stream_span_dedup(
+        stream,
+        index_path=str(tmp_path / "idx"),
+        spans_path=str(tmp_path / "spans"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        k=16,
+        max_df=3,
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "spans"))
+        .select(*_SPAN_COLS)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, k=16, max_df=3)
+        .select(*_SPAN_COLS)
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    uncapped = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, k=16).select(*_SPAN_COLS).collect()
+    )
+    assert got != uncapped  # the cap removed the boilerplate pairs
+    # the surviving span is the unique 0-2 pair only
+    assert {(r[0], r[1]) for r in got} == {(0, 2)}
+
+
+def test_span_batch_max_df_replay_and_retro_scrub_idempotent(spark, tmp_path):
+    """Replaying the batch that TRIGGERED a retro scrub must leave
+    index, stats, and every span partition identical to a single
+    delivery — the rewrites are pure functions of (index, stop set),
+    so redelivery redoes them bit-for-bit."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+    from mcp_hubspot_spark.streaming.span_dedup import process_span_batch
+
+    docs, batches = _max_df_corpus(spark)
+    ip, sp = str(tmp_path / "idx"), str(tmp_path / "spans")
+    kw = dict(index_path=ip, spans_path=sp, k=16, max_df=3)
+    process_span_batch(batches[0], 0, **kw)
+    process_span_batch(batches[1], 1, **kw)
+    # BEFORE the cap crosses (df(boiler)=3 <= max_df), the boilerplate
+    # spans are legitimately present — so equality after batch 2 proves
+    # the retro scrub actually REMOVED emitted rows, not that the cap
+    # never emitted them
+    mid_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(sp).select("doc_a", "doc_b").collect()
+    }
+    assert mid_pairs == {(0, 1), (0, 2), (1, 2)}
+    process_span_batch(batches[2], 2, **kw)
+    # batch 2 crossed the cap and scrubbed partitions 0 and 1; replay it
+    process_span_batch(batches[2], 2, **kw)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sp).select(*_SPAN_COLS).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, k=16, max_df=3)
+        .select(*_SPAN_COLS)
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    # stats bookkeeping: one row per (batch, shingle), counts sum to
+    # the index's total position count
+    idx = spark.read.option("basePath", ip).parquet(ip)
+    stats = spark.read.parquet(f"{ip}/_shingle_stats")
+    assert stats.agg(F.sum("cnt")).first()[0] == idx.count()
+
+
 def test_cross_index_spans_orientation_and_disjoint_quadrants(spark):
     """Operator-level contract of cross_index_spans: pair orientation
     is by doc id regardless of which side a doc arrived on (an old doc
