@@ -1187,6 +1187,70 @@ def pq_adc_topk_residual(
     return _ranked_topk(scored, k, id_cols, "adc_distance")
 
 
+def pq_adc_topk_residual_join(
+    df_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: Sequence[float],
+    probed_cents: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_cols: Sequence[str] = ("vec_id",),
+    code_col: str = "pq_code",
+    cell_col: str = "cell_id",
+) -> DataFrame:
+    """Broadcast-join twin of :func:`pq_adc_topk_residual` for the
+    LARGE-nprobe·k regime: the literal path inlines all nprobe per-cell
+    query tables as one 3-D literal — O(nprobe·m·k) doubles in the
+    expression tree, fine at nprobe=8/k=32 (2k doubles, measured 3.7x
+    faster than a when-chain) but expression-tree bloat at a
+    production-ish nprobe=64/k=256 (~131k literal doubles: the plan
+    string alone is megabytes and Catalyst re-walks it per rule). Here
+    the tables become a tiny nprobe-row DataFrame broadcast-joined on
+    ``cell_col`` — plan size O(1) in nprobe·k, the per-row cost still m
+    element_at lookups + adds on the joined table column, and the
+    broadcast ships nprobe·m·k doubles ONCE per executor instead of
+    once per plan copy. Same output contract, agreement-pinned by
+    pytest; ``IvfIndex.search_pq(adc_tables=...)`` picks between the
+    twins at the measured crossover."""
+    import functools
+    import operator as op
+
+    if not probed_cents:
+        raise ValueError("pq_adc_topk_residual_join: no probed cells")
+    m = len(codebooks)
+    spark = df_codes.sparkSession
+    table_rows = [
+        (
+            int(cid),
+            _adc_table(
+                codebooks,
+                [float(q) - float(c) for q, c in zip(query_vec, cent)],
+            ),
+        )
+        for cid, cent in probed_cents
+    ]
+    tdf = spark.createDataFrame(
+        table_rows, "_adc_cell long, _adc_tab array<array<double>>"
+    )
+    joined = df_codes.join(
+        F.broadcast(tdf),
+        F.col(cell_col).cast("long") == F.col("_adc_cell"),
+        "inner",
+    )
+    tab = F.col("_adc_tab")
+    code = F.col(code_col)
+    dist = functools.reduce(
+        op.add,
+        [
+            F.element_at(
+                F.element_at(tab, mi + 1), F.element_at(code, mi + 1) + 1
+            )
+            for mi in range(m)
+        ],
+    )
+    scored = joined.select(*id_cols, dist.alias("adc_distance"))
+    return _ranked_topk(scored, k, id_cols, "adc_distance")
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 5,

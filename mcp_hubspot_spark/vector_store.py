@@ -970,6 +970,16 @@ class IvfIndex:
         # literal IN-list on the partition column → planning-time pruning
         return cells.filter(F.col("cell_id").isin(probe))
 
+    # Literal-vs-join crossover for residual ADC serving: below this
+    # many inlined doubles (nprobe · m · codes) the 3-D-literal path
+    # wins (no join, no broadcast); above it the expression tree itself
+    # becomes the cost (the plan string grows linearly and Catalyst
+    # re-walks it per rule) and the broadcast-join twin takes over.
+    # Set from the SCALE_r10 characterization: literal and join are
+    # within noise at nprobe·m·k ≈ 16k doubles and the literal's
+    # plan-build time grows past it, so the switch point sits there.
+    ADC_LITERAL_MAX_DOUBLES = 16_384
+
     def search_pq(
         self,
         query_vec: Sequence[float],
@@ -979,6 +989,7 @@ class IvfIndex:
         vec_col: str = "embedding",
         id_cols: Sequence[str] = ("vec_id",),
         where=None,
+        adc_tables: str = "auto",
     ) -> DataFrame:
         """IVFPQ serving (requires ``build(pq_m=...)``): probe cells as
         ``search`` does, but rank candidates by ASYMMETRIC distance over
@@ -992,8 +1003,19 @@ class IvfIndex:
         top-k — two pruned scans total, the second touching ≤ N rows.
         For cosine indexes both stages run on unit vectors, so L2 ADC
         ordering equals cosine ordering and the exact stage returns the
-        cosine-metric shaping."""
-        from .operators.vector import pq_adc_topk, pq_adc_topk_residual
+        cosine-metric shaping.
+
+        ``adc_tables`` (residual indexes only) picks how the per-cell
+        query tables reach the scan: ``"literal"`` inlines them as one
+        3-D literal (fastest at small nprobe·codes), ``"join"``
+        broadcast-joins a tiny nprobe-row table DataFrame (plan size
+        O(1) — the large-nprobe·codes regime), ``"auto"`` switches at
+        ``ADC_LITERAL_MAX_DOUBLES`` (the SCALE-measured crossover)."""
+        from .operators.vector import (
+            pq_adc_topk,
+            pq_adc_topk_residual,
+            pq_adc_topk_residual_join,
+        )
 
         pq_meta = self._pq_meta()
         if pq_meta is None:
@@ -1016,7 +1038,21 @@ class IvfIndex:
             # from THIS cell's query residual; the scan still reads
             # (ids, cell_id, pq_code) only — cell_id is the partition
             # column, so it costs nothing extra
-            adc = pq_adc_topk_residual(
+            if adc_tables not in ("auto", "literal", "join"):
+                raise ValueError(
+                    f"adc_tables must be auto|literal|join, got {adc_tables!r}"
+                )
+            n_doubles = (
+                len(probed_cents) * len(cbs) * int(pq_meta["codes"])
+            )
+            use_join = adc_tables == "join" or (
+                adc_tables == "auto"
+                and n_doubles > self.ADC_LITERAL_MAX_DOUBLES
+            )
+            residual_topk = (
+                pq_adc_topk_residual_join if use_join else pq_adc_topk_residual
+            )
+            adc = residual_topk(
                 pruned.select(*id_cols, "cell_id", "pq_code"),
                 cbs,
                 query_vec,

@@ -1130,3 +1130,78 @@ def test_ivf_interrupted_build_fails_loud_not_wrong(spark, tmp_path):
     # a completed rebuild clears the sentinel and serves again
     fresh.build(df, n_cells=4, pq_m=4, pq_codes=8, pq_opq=True)
     assert fresh.search(qv, k=1, nprobe=4).first().vec_id == 0
+
+
+def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
+    """The broadcast-join residual-ADC twin (large-nprobe·codes regime)
+    must agree with the 3-D-literal path EXACTLY — same _adc_table
+    construction, same fold order, so identical distances, ids, and
+    ranks — and its scan must still read codes, never the embedding
+    column. Also pins the auto switch: small nprobe·codes stays on the
+    literal plan (no BroadcastHashJoin), forced join uses one."""
+    import numpy as np
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(scale=8.0, size=(8, 16))
+    X = np.concatenate(
+        [centers[i % 8] + rng.normal(size=16) for i in range(240)]
+    ).reshape(240, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(df, n_cells=8, pq_m=4, pq_codes=16, pq_residual=True)
+
+    for qid in (0, 7, 100):
+        qv = [float(x) for x in X[qid]]
+        lit = [
+            (r.rank, r.vec_id, round(r.adc_distance, 9))
+            for r in idx.search_pq(
+                qv, k=10, nprobe=8, adc_tables="literal"
+            ).collect()
+        ]
+        join = [
+            (r.rank, r.vec_id, round(r.adc_distance, 9))
+            for r in idx.search_pq(
+                qv, k=10, nprobe=8, adc_tables="join"
+            ).collect()
+        ]
+        assert lit == join and len(lit) == 10
+
+    qv = [float(x) for x in X[0]]
+    # auto at nprobe=8, m=4, codes=16 -> 512 doubles, far under the
+    # crossover: literal plan, no broadcast join
+    auto_plan = idx.search_pq(
+        qv, k=5, nprobe=8, adc_tables="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in auto_plan
+    join_df = idx.search_pq(qv, k=5, nprobe=8, adc_tables="join")
+    join_plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in join_plan
+    # the join twin's pruned scan still never reads the embedding column
+    assert "embedding" not in join_plan.split("ReadSchema", 1)[-1].split(
+        "\n", 1
+    )[0]
+
+    # rerank composes with the join twin identically
+    want = [
+        r.vec_id
+        for r in idx.search_pq(
+            qv, k=5, nprobe=8, rerank=50, adc_tables="literal"
+        ).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in idx.search_pq(
+            qv, k=5, nprobe=8, rerank=50, adc_tables="join"
+        ).collect()
+    ]
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="adc_tables"):
+        idx.search_pq(qv, k=5, adc_tables="bogus")
