@@ -2939,6 +2939,78 @@ def hamming_search(spark: SparkSession, sf: str) -> DataFrame:
     return hamming_topk(packed, qvec, k=10)
 
 
+# Hamming shortlist -> exact rerank (round 10): the SERVING shape of
+# binary quantization — hamming_search proves the integer candidate
+# tier; this is the full recipe in ONE plan (the projected_knn_rerank /
+# pq_search_rerank refinement contract at the coarsest tier): XOR+
+# popcount shortlists 50 candidates over 2-long codes, then the exact
+# L2 fold runs on those 50 rows only. Sign bits preserve only ANGULAR
+# order, so the recall comes from the rerank; the shortlist stage never
+# reads the embedding column until the TakeOrderedAndProject has cut
+# the row count to the shortlist.
+@_q(
+    "hamming_rerank_search",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    packed AS (
+        SELECT vec_id,
+               list_transform(range(0, 2), w ->
+                   CAST(list_sum(list_transform(range(0, 32), i ->
+                       CASE WHEN e.v[w * 32 + i + 1] > 0
+                            THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+                   AS BIGINT)) AS code
+        FROM e
+    ),
+    qp AS (SELECT code AS qcode FROM packed WHERE vec_id = 7),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = 7),
+    ham AS (
+        SELECT p.vec_id,
+               CAST(bit_count(xor(p.code[1], qp.qcode[1])) AS BIGINT)
+               + CAST(bit_count(xor(p.code[2], qp.qcode[2])) AS BIGINT)
+                   AS hamming
+        FROM packed p, qp
+    ),
+    short AS (
+        SELECT vec_id FROM ham ORDER BY hamming ASC, vec_id ASC LIMIT 50
+    ),
+    exact AS (
+        SELECT e.vec_id,
+               list_sum(list_transform(range(1, len(e.v) + 1),
+                   i -> (e.v[i] - qv.qv[i]) * (e.v[i] - qv.qv[i])))
+                   AS d
+        FROM e JOIN short USING (vec_id), qv
+    )
+    SELECT CAST(row_number() OVER (ORDER BY d ASC, vec_id ASC) AS INT)
+               AS rank,
+           vec_id,
+           round(d, 6) AS distance,
+           round(1.0 - d / 2.0, 6) AS similarity
+    FROM exact
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def hamming_rerank_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.vector import hamming_topk_rerank, sign_pack
+
+    emb = _emb_double(spark, sf)
+    packed = emb.select(
+        "vec_id",
+        "embedding",
+        sign_pack("embedding", dim=64).alias("sign_code"),
+    )
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
+    ]
+    out = hamming_topk_rerank(packed, qvec, k=10, shortlist=50)
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("distance", 6).alias("distance"),
+        F.round("similarity", 6).alias("similarity"),
+    )
+
+
 # Batched multi-query k-NN: one scan serves all queries (broadcast query
 # set, per-query window top-k).
 @_q(
@@ -8669,92 +8741,90 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
-# ---- round-9 window -----------------------------------------------
+# ---- round-10 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-8 forward note promised. Head of the line: the four round-9
-# additions with NO driver history (residual IVFPQ, the
-# Householder-rotated PQ, their composition — the full FAISS factory
-# shape — and binary-sign Hamming search), then the 21 queries whose
-# latest official green is round 5 (3 rounds stale — the only ones
-# that old), then the round-6-green cohort, first 25 alphabetically
-# (the remaining 22 head the round-10 note). Rotated out: the full
-# round-8 window (all 50 green in r8) — every rotated query remains
-# pinned by the local oracle replica (tests/test_oracle_parity.py) and
-# the verify gate, which run ALL oracle-gated queries regardless of
-# window.
+# round-9 forward note promised. Head of the line: the one round-10
+# addition with NO driver history (hamming_rerank_search — the sign-
+# shortlist + exact-rerank serving composition), then the full
+# 22-query round-6-checked cohort (after this window nothing in the
+# registry is staler than round 7), then the round-7-checked cohort,
+# first 27 alphabetically (the remaining 20 head the round-11 note).
+# Rotated out: the full round-9 window (48 green + 2 rows-only-by-
+# design in r9) — every rotated query remains pinned by the local
+# oracle replica (tests/test_oracle_parity.py) and the verify gate,
+# which run ALL oracle-gated queries regardless of window. Note
+# profile_orders_approx and embed_documents (both in this window) are
+# ROWS_ONLY_BY_DESIGN — their artifact rows are rows-only checks, the
+# expected steady state, not defects.
 _CHECK_PRIORITY = [
-    # never driver-checked: round-9 additions
-    "ivf_pq_residual_search",
-    "pq_rotated_search",
-    "pq_rotated_residual_search",
-    "hamming_search",
-    # stalest: latest green record is round 5
-    "nation_trade_volume",
-    "ngram_containment_pairs",
-    "order_value_bootstrap_ci",
-    "orders_above_customer_avg",
-    "orders_cube",
-    "orders_monthly_growth",
-    "orders_page_with_total",
-    "orders_unpivot",
-    "orders_value_drift",
-    "profile_orders",
-    "projected_knn_rerank",
-    "quantized_embedding_error",
-    "remove_boilerplate_docs",
-    "rolling_7d_active_users",
-    "sampled_quantiles_lineitem",
-    "semantic_contaminated_docs",
-    "semantic_dedup_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_docs",
-    "training_corpus_pipeline",
-    "user_value_trend",
-    # next-stalest: round-6-green cohort, first 27 alphabetically
-    "approx_distinct_users",
-    "canonical_json_docs",
-    "cheapest_line_per_part",
-    "contains_token_docs",
-    "contaminated_docs",
-    "customer_name_linkage",
-    "customer_status_sets",
-    "customer_value_quartiles",
-    "dedup_clusters",
-    "doc_chunks",
-    "doc_excerpts",
-    "doc_fingerprints",
-    "doc_first_number",
-    "doc_length_quantiles",
-    "doc_length_quantiles_approx",
-    "doc_quality",
-    "doc_repetition",
-    "embedding_neardup_cosine",
-    "event_funnel",
-    "event_funnel_windowed",
-    "event_transitions",
-    "events_campaign_attribution",
-    "events_funnel",
-    "events_moving_avg",
-    "events_sessions",
+    # never driver-checked: round-10 addition
+    "hamming_rerank_search",
+    # stalest: last driver check was round 6
+    "events_sliding",
+    "events_user_cumulative",
+    "events_user_gaps",
+    "fuzzy_name_pairs",
+    "knn_batch",
+    "knn_batch_matmul",
+    "minhash_signatures",
+    "nation_customer_supplier_sets",
+    "ngram_jaccard_pairs",
+    "order_value_histogram",
+    "orders_last_30d",
+    "orders_status_pivot",
+    "priority_class_counts",
+    "profile_orders_approx",
+    "recent_orders",
+    "scan_union_distinct",
+    "semi_lookup_lines",
+    "shipping_priority",
+    "simhash_fingerprints",
+    "supplier_clustering",
+    "supplier_triangles",
+    "token_stats",
+    # next-stalest: round-7-checked cohort, first 27 alphabetically
+    "big_order_customers",
+    "corpus_clean_stats",
+    "customer_spend_percentile",
+    "doc_hash_split",
+    "doc_zscore_by_source",
+    "dsir_selected_docs",
+    "embed_documents",
+    "event_attribution",
+    "event_path_trigrams",
+    "events_asof_click",
+    "events_hourly",
+    "events_ks_drift",
+    "events_seasonal_anomalies",
+    "events_seasonality",
+    "events_sessionized",
+    "events_type_drift",
+    "exact_dedup_groups",
+    "filtered_scan_or_groups",
+    "funnel_latency_quantiles",
+    "ivf_search",
+    "knn_l2",
+    "label_centroids",
+    "lang_id",
+    "lineitem_correlations",
+    "lineitem_suppkey_skew",
+    "minhash_lsh_pairs",
+    "mixture_resample_docs",
 ]
-# ---- round-10 forward note (same never-checked-first rule) ---------
-# After the round-9 check lands, nothing will be older than round 6.
-# Head of the round-10 line: the 22 r6-green queries that did not fit
-# this window — events_sliding, events_user_cumulative,
-# events_user_gaps, fuzzy_name_pairs, knn_batch, knn_batch_matmul,
-# minhash_signatures, nation_customer_supplier_sets,
-# ngram_jaccard_pairs, order_value_histogram, orders_last_30d,
-# orders_status_pivot, priority_class_counts, profile_orders_approx,
-# recent_orders, scan_union_distinct, semi_lookup_lines,
-# shipping_priority, simhash_fingerprints, supplier_clustering,
-# supplier_triangles, token_stats — then the r7-green cohort (47
-# queries, alphabetical), plus any round-10 additions at the very
-# front. Until then all are pinned by the local oracle replica
-# (tests/test_oracle_parity.py) and the verify gate, which run ALL
-# oracle-gated queries regardless of window. Note approx_distinct_users
-# / doc_length_quantiles_approx (this window) and profile_orders_approx
-# (r10 head) are ROWS_ONLY_BY_DESIGN — their artifact rows are
-# rows-only checks, the expected steady state, not defects.
+# ---- round-11 forward note (same never-checked-first rule) ---------
+# After the round-10 check lands, nothing will be older than round 8.
+# Head of the round-11 line: the 20 round-7-checked queries that did
+# not fit this window — order_counts_by_status, order_lines_nested,
+# order_priority_stats, order_ranking_quality, orders_rollup,
+# orders_snapshot_diff, packed_sequences, parts_without_lineitem,
+# pricing_summary, quality_filter_docs, redact_pii_docs,
+# revenue_by_nation, salted_flag_totals, simhash_neardup_pairs,
+# source_token_kl, tfidf_top_terms, top_bigrams,
+# top_orders_per_customer, user_cohort_retention, user_overlap_kmv —
+# then the round-8-checked cohort (alphabetical), plus any round-11
+# additions at the very front. Until then all are pinned by the local
+# oracle replica (tests/test_oracle_parity.py) and the verify gate,
+# which run ALL oracle-gated queries regardless of window.
 
 
 
