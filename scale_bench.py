@@ -68,6 +68,42 @@ SF_DIR = "/root/testdata/sf0.1"
 GROUP_SIZE = 40  # near-dup group size is FIXED as the corpus grows
 
 
+def _synth_noise(j: int):
+    """Deterministic xxhash-uniform noise in [-1.5, 1.5) — no RNG
+    state, reruns are bit-stable."""
+    return (
+        F.pmod(F.xxhash64(F.col("vec_id"), F.lit(j)), F.lit(30000)).cast(
+            "double"
+        )
+        / F.lit(10000.0)
+        - F.lit(1.5)
+    )
+
+
+def _synth_clustered(
+    spark, path: str, n: int, d: int, n_cent: int, center_dims: int
+) -> str:
+    """Deterministic clustered corpus: n vectors of dim d around n_cent
+    well-separated centers spread over the first center_dims dims, plus
+    xxhash noise — the distribution residual-PQ's recall advantage
+    exists for (shared by the pq_residual and residual_serving
+    sections)."""
+    cl = (F.col("vec_id") % n_cent).cast("double")
+    cols = []
+    for j in range(d):
+        center = (
+            F.lit(10.0)
+            * F.sin(cl * F.lit(float(center_dims)) + F.lit(float(j)))
+            if j < center_dims
+            else F.lit(0.0)
+        )
+        cols.append(center + _synth_noise(j))
+    spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
 def build_corpus(spark, work: Path, copies: int) -> tuple[str, str, str]:
     """Materialize the replicated corpus; returns (docs, embs, events)
     paths.
@@ -749,38 +785,14 @@ def main() -> None:
                 from mcp_hubspot_spark.vector_store import IvfIndex
 
                 n_cl, d, n_cent = 200_000, 64, 64
-
-                def _noise(j):
-                    return (
-                        F.pmod(
-                            F.xxhash64(F.col("vec_id"), F.lit(j)),
-                            F.lit(30000),
-                        ).cast("double")
-                        / F.lit(10000.0)
-                        - F.lit(1.5)
-                    )
-
-                def _clustered(path: str, center_dims: int) -> str:
-                    cl = (F.col("vec_id") % n_cent).cast("double")
-                    cols = []
-                    for j in range(d):
-                        center = (
-                            F.lit(10.0) * F.sin(cl * F.lit(float(center_dims)) + F.lit(float(j)))
-                            if j < center_dims
-                            else F.lit(0.0)
-                        )
-                        cols.append(center + _noise(j))
-                    spark.range(n_cl).select(
-                        F.col("id").alias("vec_id"),
-                        F.array(*cols).alias("embedding"),
-                    ).write.mode("overwrite").parquet(path)
-                    return path
-
                 qids = [i * (n_cl // 8) + i for i in range(8)]
 
                 # ---- (a) IvfIndex raw vs residual ----
                 c1 = spark.read.parquet(
-                    _clustered(str(work / "clustered_full"), d)
+                    _synth_clustered(
+                        spark, str(work / "clustered_full"), n_cl, d,
+                        n_cent, d,
+                    )
                 )
                 qvecs = {
                     int(r.vec_id): [float(x) for x in r.embedding]
@@ -824,13 +836,36 @@ def main() -> None:
                     extras[f"ivfpq_{tag}_recall_at10_nprobe8"] = round(
                         hit / 80.0, 4
                     )
+                    # round-10: the END-TO-END serving recipe — ADC
+                    # shortlist -> exact rerank — for BOTH encodings,
+                    # so the artifact states what a user would actually
+                    # serve (the r9 row stopped at ADC-only and only
+                    # proved the shortlist-quality gap)
+                    for rr in (50, 200):
+                        hit = 0
+                        t0 = time.perf_counter()
+                        for qid in qids:
+                            got = {
+                                r.vec_id
+                                for r in ivf.search_pq(
+                                    qvecs[qid], k=10, nprobe=8, rerank=rr
+                                ).collect()
+                            }
+                            hit += len(exact10[qid] & got)
+                        timings[
+                            f"ivfpq_{tag}_rerank{rr}_search8_200k"
+                        ] = round(time.perf_counter() - t0, 3)
+                        rows[f"ivfpq_{tag}_rerank{rr}_search8_200k"] = 80
+                        extras[
+                            f"ivfpq_{tag}_recall_at10_nprobe8_rerank{rr}"
+                        ] = round(hit / 80.0, 4)
 
                 # ---- (b) flat PQ raw vs OPQ on a decaying spectrum ----
                 spark.range(n_cl).select(
                     F.col("id").alias("vec_id"),
                     F.array(
                         *[
-                            _noise(j) * F.lit(10.0 * (0.88 ** j))
+                            _synth_noise(j) * F.lit(10.0 * (0.88 ** j))
                             for j in range(d)
                         ]
                     ).alias("embedding"),
@@ -904,6 +939,101 @@ def main() -> None:
             except Exception as exc:
                 errors["pq_residual"] = f"{type(exc).__name__}: {exc}"[:200]
 
+        # -------- round-10: residual ADC serving at production
+        # nprobe·codes — the literal path inlines all nprobe per-cell
+        # query tables as ONE 3-D literal (O(nprobe·m·k) doubles in the
+        # expression tree: 16k at nprobe=8/k=256, 131k at nprobe=64),
+        # the broadcast-join twin ships them as a tiny nprobe-row
+        # DataFrame instead (plan size O(1)). This section builds a
+        # residual index at the production-ish codes=256 and times both
+        # paths at nprobe ∈ {8, 32, 64} (8 queries each), records the
+        # literal plan size, and pins agreement at every probed width —
+        # the measured crossover feeds IvfIndex.ADC_LITERAL_MAX_DOUBLES
+        # (the auto switch).
+        if wanted("residual_serving"):
+            try:
+                from mcp_hubspot_spark.vector_store import IvfIndex
+
+                n_cl, d, n_cent = 200_000, 64, 64
+                c1 = spark.read.parquet(
+                    _synth_clustered(
+                        spark, str(work / "clustered_full"), n_cl, d,
+                        n_cent, d,
+                    )
+                )
+                qids = [i * (n_cl // 8) + i for i in range(8)]
+                qvecs = {
+                    int(r.vec_id): [float(x) for x in r.embedding]
+                    for r in c1.filter(F.col("vec_id").isin(qids)).collect()
+                }
+                ivf = IvfIndex(spark, str(work / "res256"))
+                t0 = time.perf_counter()
+                ivf.build(
+                    c1,
+                    n_cells=n_cent,
+                    pq_m=8,
+                    pq_codes=256,
+                    pq_residual=True,
+                    sample_fraction=0.1,
+                )
+                timings["ivfpq_res256_build_200k"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                rows["ivfpq_res256_build_200k"] = n_cl
+                for np_ in (8, 32, 64):
+                    for mode in ("literal", "join"):
+                        t0 = time.perf_counter()
+                        for qid in qids:
+                            ivf.search_pq(
+                                qvecs[qid],
+                                k=10,
+                                nprobe=np_,
+                                adc_tables=mode,
+                            ).collect()
+                        key = f"res256_adc_{mode}_nprobe{np_}_200k"
+                        timings[key] = round(time.perf_counter() - t0, 3)
+                        rows[key] = 80
+                    qv0 = qvecs[qids[0]]
+                    lit = [
+                        (r.rank, r.vec_id, round(r.adc_distance, 9))
+                        for r in ivf.search_pq(
+                            qv0, k=10, nprobe=np_, adc_tables="literal"
+                        ).collect()
+                    ]
+                    jn = [
+                        (r.rank, r.vec_id, round(r.adc_distance, 9))
+                        for r in ivf.search_pq(
+                            qv0, k=10, nprobe=np_, adc_tables="join"
+                        ).collect()
+                    ]
+                    extras[f"res256_twins_agree_nprobe{np_}"] = bool(
+                        lit == jn
+                    )
+                    extras[f"res256_literal_doubles_nprobe{np_}"] = (
+                        np_ * 8 * 256
+                    )
+                # expression-tree bloat, made visible: physical-plan
+                # string size of the literal path at the widest probe
+                for np_ in (8, 64):
+                    plan = (
+                        ivf.search_pq(
+                            qvecs[qids[0]],
+                            k=10,
+                            nprobe=np_,
+                            adc_tables="literal",
+                        )
+                        ._jdf.queryExecution()
+                        .executedPlan()
+                        .toString()
+                    )
+                    extras[
+                        f"res256_literal_plan_chars_nprobe{np_}"
+                    ] = len(plan)
+            except Exception as exc:
+                errors["residual_serving"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+
         # -------- round-9: binary sign quantization at corpus scale —
         # pack the full replicated embedding table to 2 longs/row (32x
         # over float32), then compare the XOR+popcount top-10 scan
@@ -955,6 +1085,49 @@ def main() -> None:
                     }
                     hit += len(exact_ids & got)
                 extras["hamming_recall_at10"] = round(hit / 80.0, 4)
+
+                # round-10: the serving composition — sign shortlist ->
+                # exact rerank (hamming_topk_rerank), recall@10 vs
+                # shortlist width. The packed table alone cannot serve
+                # the rerank (it needs the embedding back), so this
+                # scans the joined projection — at scale keep the
+                # embedding column in the same files as the codes (as
+                # IvfIndex does for PQ) so the shortlist stage still
+                # prunes IO via TakeOrderedAndProject before the exact
+                # fold touches any vector.
+                from mcp_hubspot_spark.operators.vector import (
+                    hamming_topk_rerank,
+                )
+
+                packed_v = embs_d.join(signs, "vec_id").select(
+                    "vec_id", "embedding", "sign_code"
+                )
+                packed_v.write.mode("overwrite").parquet(
+                    str(work / "signs_v")
+                )
+                packed_v = spark.read.parquet(str(work / "signs_v"))
+                exact8 = {
+                    qid: {r.vec_id for r in knn(embs_d, qv, k=10).collect()}
+                    for qid, qv in queries[:8]
+                }
+                for sl in (20, 100, 400):
+                    hit = 0
+                    t0 = time.perf_counter()
+                    for qid, qv in queries[:8]:
+                        got = {
+                            r.vec_id
+                            for r in hamming_topk_rerank(
+                                packed_v, qv, k=10, shortlist=sl
+                            ).collect()
+                        }
+                        hit += len(exact8[qid] & got)
+                    timings[f"hamming_rerank{sl}_{ek}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    rows[f"hamming_rerank{sl}_{ek}"] = 80
+                    extras[
+                        f"hamming_rerank{sl}_recall_at10"
+                    ] = round(hit / 80.0, 4)
             except Exception as exc:
                 errors["hamming"] = f"{type(exc).__name__}: {exc}"[:200]
 
