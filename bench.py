@@ -108,6 +108,7 @@ HEADLINE = [
     "ivf_pq_residual_search",   # residual IVFPQ: per-probed-cell ADC tables
     "pq_rotated_residual_search",  # rotation+IVF+residual PQ composition
     "hamming_search",           # binary sign quantization, XOR+popcount
+    "hamming_rerank_search",    # sign shortlist -> exact rerank serving
 ]
 
 

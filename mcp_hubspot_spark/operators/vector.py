@@ -1197,20 +1197,25 @@ def pq_adc_topk_residual_join(
     code_col: str = "pq_code",
     cell_col: str = "cell_id",
 ) -> DataFrame:
-    """Broadcast-join twin of :func:`pq_adc_topk_residual` for the
-    LARGE-nprobe·k regime: the literal path inlines all nprobe per-cell
-    query tables as one 3-D literal — O(nprobe·m·k) doubles in the
-    expression tree, fine at nprobe=8/k=32 (2k doubles, measured 3.7x
-    faster than a when-chain) but expression-tree bloat at a
-    production-ish nprobe=64/k=256 (~131k literal doubles: the plan
-    string alone is megabytes and Catalyst re-walks it per rule). Here
-    the tables become a tiny nprobe-row DataFrame broadcast-joined on
+    """Broadcast-join twin of :func:`pq_adc_topk_residual`, and the
+    SERVING default above tiny probes: the literal path inlines all
+    nprobe per-cell query tables as one 3-D literal — O(nprobe·m·k)
+    doubles of expression tree, whose py4j construction and
+    per-Catalyst-rule re-walks grow linearly while the join's
+    createDataFrame+broadcast overhead is a flat ~0.1 s/query. Measured
+    at 200k rows / 8 queries (SCALE_r10): join wins at EVERY width —
+    8.05 vs 9.05 s at 512 inlined doubles, 9.5 vs 17.4 s at 2048
+    (nprobe=8, k=32), 7.8 vs 106.7 s at 16k, 15.9 vs 768 s at 131k
+    (nprobe=64, k=256 — the literal plan string alone is 19 MB there).
+    The tables become a tiny nprobe-row DataFrame broadcast-joined on
     ``cell_col`` — plan size O(1) in nprobe·k, the per-row cost still m
     element_at lookups + adds on the joined table column, and the
     broadcast ships nprobe·m·k doubles ONCE per executor instead of
-    once per plan copy. Same output contract, agreement-pinned by
-    pytest; ``IvfIndex.search_pq(adc_tables=...)`` picks between the
-    twins at the measured crossover."""
+    once per plan copy. Same output contract (same ``_adc_table``
+    construction and fold order — identical distances, agreement-pinned
+    by pytest); ``IvfIndex.search_pq(adc_tables=...)`` picks between
+    the twins, keeping the literal only at/below 512 doubles where the
+    two are within host noise (and for SQL-oracle replayability)."""
     import functools
     import operator as op
 

@@ -970,15 +970,21 @@ class IvfIndex:
         # literal IN-list on the partition column → planning-time pruning
         return cells.filter(F.col("cell_id").isin(probe))
 
-    # Literal-vs-join crossover for residual ADC serving: below this
-    # many inlined doubles (nprobe · m · codes) the 3-D-literal path
-    # wins (no join, no broadcast); above it the expression tree itself
-    # becomes the cost (the plan string grows linearly and Catalyst
-    # re-walks it per rule) and the broadcast-join twin takes over.
-    # Set from the SCALE_r10 characterization: literal and join are
-    # within noise at nprobe·m·k ≈ 16k doubles and the literal's
-    # plan-build time grows past it, so the switch point sits there.
-    ADC_LITERAL_MAX_DOUBLES = 16_384
+    # Literal-vs-join switch for residual ADC serving, from the
+    # SCALE_r10 characterization (200k rows, 8 queries, m=8): the
+    # broadcast-join twin wins at EVERY measured table width — 8.05 vs
+    # 9.05 s at 512 inlined doubles, 9.5 vs 17.4 s at 2048, 7.8 vs
+    # 106.7 s at 16k, 15.9 vs 768 s at 131k (the literal's plan string
+    # alone is 19 MB there) — because the 3-D literal costs O(doubles)
+    # py4j lit-construction per query plus Catalyst re-walking the
+    # whole tree per rule, while the join's fixed ~0.1 s/query
+    # createDataFrame+broadcast overhead is flat in nprobe·codes.
+    # Auto therefore switches to the join twin above 512 doubles; at
+    # or below that the two are within host-drift noise and the
+    # literal's zero-extra-jobs single-expression plan is kept for the
+    # smallest probes (and for SQL-oracle replayability, which is why
+    # the literal path exists at all).
+    ADC_LITERAL_MAX_DOUBLES = 512
 
     def search_pq(
         self,

@@ -1172,8 +1172,9 @@ def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
         assert lit == join and len(lit) == 10
 
     qv = [float(x) for x in X[0]]
-    # auto at nprobe=8, m=4, codes=16 -> 512 doubles, far under the
-    # crossover: literal plan, no broadcast join
+    # auto at nprobe=8, m=4, codes=16 -> 512 doubles, exactly AT the
+    # switch threshold (auto goes join strictly above it): literal
+    # plan, no broadcast join
     auto_plan = idx.search_pq(
         qv, k=5, nprobe=8, adc_tables="auto"
     )._jdf.queryExecution().executedPlan().toString()
