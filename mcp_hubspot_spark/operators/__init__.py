@@ -29,7 +29,15 @@ from .sampling import (
     poisson_bootstrap_ci,
     weighted_sample,
 )
+from .classifier import (
+    classifier_score,
+    classifier_score_expr,
+    hashed_weight_table,
+)
+from .profiling import zipf_fit
 from .text import (
+    blocklist_hits,
+    blocklist_scrub,
     bpe_learn_merges,
     chunk_documents,
     greedy_pack_docs,
@@ -74,6 +82,12 @@ __all__ = [
     "per_group_cap",
     "poisson_bootstrap_ci",
     "weighted_sample",
+    "classifier_score",
+    "classifier_score_expr",
+    "hashed_weight_table",
+    "zipf_fit",
+    "blocklist_hits",
+    "blocklist_scrub",
     "bpe_learn_merges",
     "chunk_documents",
     "greedy_pack_docs",

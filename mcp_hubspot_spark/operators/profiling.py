@@ -640,3 +640,58 @@ def categorical_drift(
             6,
         ).alias("chi2_term"),
     )
+
+
+def zipf_fit(
+    df: DataFrame, *, text_col: str = "text", top_k: int = 500
+) -> DataFrame:
+    """Power-law (Zipf) fit over the corpus term-frequency distribution:
+    OLS of ln(freq) on ln(rank) for the top-k terms, returning ONE row
+    (n_terms, zipf_slope, zipf_intercept, r2). A healthy natural-language
+    corpus fits slope ~ -1; synthetic/template-heavy corpora flatten —
+    this is the corpus-level twin of the per-doc repetition signals
+    (operators/text.py) used to smoke-test a crawl snapshot before
+    training.
+
+    Scale shape: term counts are one hash aggregate (map-side partial);
+    the top-k is a DISTRIBUTED TakeOrdered (orderBy+limit compiles to
+    per-partition top-k + merge — never a global sort of the vocabulary,
+    which at 100 TB is ~100M terms). Only the <=k surviving rows pass
+    through the rank window (single-partition over k rows, bounded by
+    construction) and the final single-row OLS aggregate. Ties rank
+    deterministically (freq desc, term asc) so both engines agree.
+    """
+    from .text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_k)
+    w = W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("freq").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )

@@ -817,3 +817,124 @@ def token_kl_divergence(
         "n_tokens",
         F.round(F.col("_a") + F.log2(n_total), 6).alias("kl_bits"),
     )
+
+
+# ------------------------------------------------------------------ #
+# Multi-phrase blocklist filtering (token-aligned).                   #
+# ------------------------------------------------------------------ #
+#
+# The blocklist stage of a corpus pipeline (spam templates, license
+# boilerplate, eval-set canaries): find every document containing ANY of
+# N token-aligned phrases. The naive form is N `LIKE`/`regexp` scans —
+# O(N) passes over 100 TB, unusable beyond a handful of patterns. Both
+# shapes here make it ONE pass, mirroring the literal-vs-join split the
+# ADC serving family characterized (SCALE_r10):
+#
+# - expr path: per-length shingle arrays tested against a LITERAL
+#   phrase array (`arrays_overlap`). Zero shuffle, zero join — but the
+#   plan carries O(N) string literals, the same expression-bloat
+#   failure mode the 3-D ADC literal hit; right for small lists.
+# - join path: distinct doc shingles exploded ONCE (narrow) and
+#   broadcast-joined against the phrase table. Plan size O(1) in N; a
+#   10k-phrase table is ~100 KB broadcast. The post-join rows are only
+#   the HITS, so the per-doc aggregate's shuffle is proportional to
+#   matches, not corpus size. This is the serving default.
+#
+# Phrases are normalized with the SAME tokenizer as the corpus
+# (whitespace split, single-space join) so matching is exact.
+
+
+def _norm_phrase(p: str) -> str:
+    return " ".join(p.split())
+
+
+def _phrase_lengths(phrases: list[str]) -> dict[int, list[str]]:
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        q = _norm_phrase(p)
+        if not q:
+            continue
+        by_len.setdefault(len(q.split()), []).append(q)
+    return {n: sorted(set(ps)) for n, ps in sorted(by_len.items())}
+
+
+def blocklist_flag_expr(
+    df: DataFrame, phrases: list[str], *, text_col: str = "text"
+) -> DataFrame:
+    """Literal-array path: adds ``is_blocked`` without a join or a
+    shuffle. Plan carries one literal per phrase — use for lists under
+    a few hundred; beyond that the join path's flat overhead wins (the
+    SCALE_r10 ADC-literal lesson at the text tier)."""
+    toks = tokens(F.col(text_col))
+    flag = F.lit(False)
+    for n, ps in _phrase_lengths(phrases).items():
+        lit = F.array(*[F.lit(p) for p in ps])
+        flag = flag | F.arrays_overlap(ngram_list(toks, n), lit)
+    return df.withColumn("is_blocked", F.coalesce(flag, F.lit(False)))
+
+
+def blocklist_hits(
+    df: DataFrame,
+    phrases: list[str] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lengths: list[int] | None = None,
+) -> DataFrame:
+    """Broadcast-join path: (id, n_hits, first_hit) for every document
+    matching ANY phrase. ``phrases`` is a list or a (phrase STRING)
+    DataFrame (a managed blocklist table); DataFrame callers must pass
+    ``lengths`` (the distinct phrase token-counts to shingle at) since
+    discovering them would cost a collect on the blocklist.
+
+    Plan (pytest-audited): Scan -> Generate(explode distinct shingles,
+    narrow) -> BroadcastHashJoin(phrase table) -> hash agg on the id.
+    Different-length phrases cannot collide as strings (token counts
+    differ), so one join on the string key covers all lengths.
+    """
+    if isinstance(phrases, DataFrame):
+        if not lengths:
+            raise ValueError("DataFrame blocklist requires explicit lengths")
+        phrase_df = phrases.select(F.col("phrase"))
+        lens = sorted(set(lengths))
+    else:
+        by_len = _phrase_lengths(phrases)
+        if not by_len:
+            raise ValueError("empty blocklist")
+        lens = list(by_len)
+        spark = df.sparkSession
+        phrase_df = spark.createDataFrame(
+            [(p,) for ps in by_len.values() for p in ps], "phrase string"
+        )
+    toks = tokens(F.col(text_col))
+    gram_arrays = [ngram_list(toks, n) for n in lens]
+    grams = F.array_distinct(
+        gram_arrays[0] if len(gram_arrays) == 1 else F.concat(*gram_arrays)
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    hits = exploded.join(
+        F.broadcast(phrase_df), exploded["gram"] == phrase_df["phrase"], "inner"
+    )
+    # (id, gram) pairs are UNIQUE by construction (array_distinct before
+    # the explode), so plain count == count(DISTINCT gram) without the
+    # second shuffle a distinct-aggregate would plan.
+    return hits.groupBy(id_col).agg(
+        F.count("gram").cast("long").alias("n_hits"),
+        F.min("gram").alias("first_hit"),
+    )
+
+
+def blocklist_scrub(
+    df: DataFrame,
+    phrases: list[str] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lengths: list[int] | None = None,
+) -> DataFrame:
+    """Corpus minus blocked documents (left_anti against the hit set) —
+    the filter form pipelines compose after review of the hit report."""
+    hit_ids = blocklist_hits(
+        df, phrases, id_col=id_col, text_col=text_col, lengths=lengths
+    ).select(id_col)
+    return df.join(hit_ids, id_col, "left_anti")

@@ -8494,6 +8494,149 @@ def funnel_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+# ============================================= round-10 text additions ====
+
+# Hashed-feature linear classifier scoring (round 10): the quality-
+# classifier stage of a corpus pipeline (FineWeb-Edu / CCNet tier) as a
+# SERVING plan — a trained (bucket, weight) model broadcast-joined
+# against hashed bag-of-token features, mean-aggregated per doc,
+# sigmoid at the edge. The weight table here is the hash-seeded
+# stand-in (operators/classifier.py) so DuckDB rebuilds the identical
+# model from range(4096); a real checkpoint drops in unchanged. The
+# zero-shuffle expression twin is agreement-pinned in pytest.
+@_q(
+    "classifier_scored_docs",
+    f"""
+    WITH w AS (
+        SELECT i AS bucket,
+               ((('0x' || substr(md5('s7:' || i::VARCHAR), 1, 15))::BIGINT
+                 % 2001) - 1000) / 1000.0 AS weight
+        FROM range(0, 4096) t(i)
+    ),
+    tok AS (
+        SELECT doc_id, unnest({_duck_tokens()}) AS tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+        FROM tok
+    ),
+    s AS (
+        SELECT b.doc_id,
+               CAST(count(*) AS BIGINT) AS n_toks,
+               sum(coalesce(w.weight, 0.0)) AS wsum
+        FROM b LEFT JOIN w USING (bucket)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_toks,
+           round(1.0 / (1.0 + exp(-(wsum / n_toks))), 4) AS score
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def classifier_scored_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.classifier import classifier_score, hashed_weight_table
+
+    docs = load_table(spark, sf, "documents")
+    weights = hashed_weight_table(spark, 4096, seed="s7")
+    out = classifier_score(docs, weights, num_buckets=4096)
+    return out.select(
+        "doc_id", "n_toks", F.round("score", 4).alias("score")
+    ).orderBy("doc_id")
+
+
+# Multi-phrase blocklist hits (round 10): ONE corpus pass finds every
+# document containing ANY of N token-aligned phrases — distinct doc
+# shingles exploded once (narrow), broadcast-joined against the phrase
+# table, per-doc aggregate over the HITS only. The O(N)-LIKE-scans
+# naive form this replaces cannot survive N > a handful at 100 TB; the
+# literal arrays_overlap twin (small-N path) is agreement-pinned in
+# pytest, mirroring the ADC literal-vs-join split at the text tier.
+@_q(
+    "blocklist_hit_docs",
+    f"""
+    WITH g2 AS (
+        SELECT doc_id, unnest({_duck_shingles(2)}) AS gram FROM documents
+    ),
+    g3 AS (
+        SELECT doc_id, unnest({_duck_shingles(3)}) AS gram FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, gram FROM g2
+        WHERE gram IN ('fast fast', 'table table')
+        UNION ALL
+        SELECT doc_id, gram FROM g3
+        WHERE gram IN ('scan slow fast', 'the line sort',
+                       'value table part')
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_hits,
+           min(gram) AS first_hit
+    FROM hits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def blocklist_hit_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import blocklist_hits
+
+    docs = load_table(spark, sf, "documents")
+    phrases = [
+        "table table",
+        "fast fast",
+        "scan slow fast",
+        "the line sort",
+        "value table part",
+    ]
+    return blocklist_hits(docs, phrases).orderBy("doc_id")
+
+
+# Corpus Zipf fit (round 10): OLS power-law fit of ln(freq) on ln(rank)
+# over the top-k terms — the corpus-level health signal beside the
+# per-doc repetition features. Term counts are one map-side-partial
+# hash aggregate; the top-k is a DISTRIBUTED TakeOrdered (never a
+# global vocabulary sort); only <=k rows reach the rank window and the
+# single-row OLS reduce.
+@_q(
+    "corpus_zipf_fit",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_duck_tokens()}) AS term FROM documents
+    ),
+    c AS (
+        SELECT term, count(*)::DOUBLE AS freq FROM tok
+        WHERE term <> '' GROUP BY term
+    ),
+    top AS (SELECT term, freq FROM c ORDER BY freq DESC, term LIMIT 500),
+    r AS (
+        SELECT ln((row_number() OVER (ORDER BY freq DESC, term))::DOUBLE)
+                   AS x,
+               ln(freq) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS zipf_intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import zipf_fit
+
+    docs = load_table(spark, sf, "documents")
+    return zipf_fit(docs, top_k=500)
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -8743,12 +8886,14 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 
 # ---- round-10 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-9 forward note promised. Head of the line: the one round-10
-# addition with NO driver history (hamming_rerank_search — the sign-
-# shortlist + exact-rerank serving composition), then the full
-# 22-query round-6-checked cohort (after this window nothing in the
-# registry is staler than round 7), then the round-7-checked cohort,
-# first 27 alphabetically (the remaining 20 head the round-11 note).
+# round-9 forward note promised. Head of the line: the four round-10
+# additions with NO driver history (hamming_rerank_search — the sign-
+# shortlist + exact-rerank serving composition — plus the text-tier
+# wave: blocklist_hit_docs, classifier_scored_docs, corpus_zipf_fit),
+# then the full 22-query round-6-checked cohort (after this window
+# nothing in the registry is staler than round 7), then the round-7-
+# checked cohort, first 24 alphabetically (the remaining 23 head the
+# round-11 note).
 # Rotated out: the full round-9 window (48 green + 2 rows-only-by-
 # design in r9) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
@@ -8757,8 +8902,11 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 # ROWS_ONLY_BY_DESIGN — their artifact rows are rows-only checks, the
 # expected steady state, not defects.
 _CHECK_PRIORITY = [
-    # never driver-checked: round-10 addition
+    # never driver-checked: round-10 additions
     "hamming_rerank_search",
+    "blocklist_hit_docs",
+    "classifier_scored_docs",
+    "corpus_zipf_fit",
     # stalest: last driver check was round 6
     "events_sliding",
     "events_user_cumulative",
@@ -8782,7 +8930,7 @@ _CHECK_PRIORITY = [
     "supplier_clustering",
     "supplier_triangles",
     "token_stats",
-    # next-stalest: round-7-checked cohort, first 27 alphabetically
+    # next-stalest: round-7-checked cohort, first 24 alphabetically
     "big_order_customers",
     "corpus_clean_stats",
     "customer_spend_percentile",
@@ -8807,14 +8955,12 @@ _CHECK_PRIORITY = [
     "label_centroids",
     "lang_id",
     "lineitem_correlations",
-    "lineitem_suppkey_skew",
-    "minhash_lsh_pairs",
-    "mixture_resample_docs",
 ]
 # ---- round-11 forward note (same never-checked-first rule) ---------
 # After the round-10 check lands, nothing will be older than round 8.
-# Head of the round-11 line: the 20 round-7-checked queries that did
-# not fit this window — order_counts_by_status, order_lines_nested,
+# Head of the round-11 line: the 23 round-7-checked queries that did
+# not fit this window — lineitem_suppkey_skew, minhash_lsh_pairs,
+# mixture_resample_docs, order_counts_by_status, order_lines_nested,
 # order_priority_stats, order_ranking_quality, orders_rollup,
 # orders_snapshot_diff, packed_sequences, parts_without_lineitem,
 # pricing_summary, quality_filter_docs, redact_pii_docs,

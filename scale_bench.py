@@ -58,6 +58,16 @@ from mcp_hubspot_spark.operators.text import (
     remove_boilerplate_lines,
     repetition_features,
 )
+from mcp_hubspot_spark.operators.classifier import (
+    classifier_score,
+    classifier_score_expr,
+    hashed_weight_table,
+)
+from mcp_hubspot_spark.operators.profiling import zipf_fit
+from mcp_hubspot_spark.operators.text import (
+    blocklist_flag_expr,
+    blocklist_hits,
+)
 from mcp_hubspot_spark.operators.vector import knn, knn_batch_matmul
 from mcp_hubspot_spark.session import get_spark
 from mcp_hubspot_spark.sources.catalog import load_table
@@ -401,7 +411,43 @@ def main() -> None:
             # shrinks with k.
             f"substring_spans_{dk}": lambda: _substring_spans(docs),
             f"substring_scrub_{dk}": lambda: _substring_scrub(docs),
+            # round-10 text tier: hashed-feature classifier serving at a
+            # production-ish width (2^18 buckets, ~2 MB broadcast) plus
+            # its zero-shuffle expression twin, and the blocklist
+            # literal-vs-join boundary (16 vs 1024 phrases, realistic
+            # ~8-real-hit selectivity) — the ADC-literal lesson measured
+            # at the text tier. zipf_fit: one wordcount agg + TakeOrdered.
+            f"classifier_join_{dk}": lambda: classifier_score(
+                docs, clf_w, num_buckets=1 << 18
+            ),
+            f"classifier_expr_{dk}": lambda: classifier_score_expr(
+                docs, num_buckets=1 << 18
+            ),
+            f"blocklist_expr_16_{dk}": lambda: blocklist_flag_expr(
+                docs, _blk_phrases(16)
+            ),
+            f"blocklist_join_16_{dk}": lambda: blocklist_hits(
+                docs, _blk_phrases(16)
+            ),
+            f"blocklist_expr_1024_{dk}": lambda: blocklist_flag_expr(
+                docs, _blk_phrases(1024)
+            ),
+            f"blocklist_join_1024_{dk}": lambda: blocklist_hits(
+                docs, _blk_phrases(1024)
+            ),
+            f"zipf_fit_{dk}": lambda: zipf_fit(docs),
         }
+
+        clf_w = hashed_weight_table(spark, 1 << 18)
+
+        def _blk_phrases(n: int) -> list[str]:
+            real = [
+                "table table", "fast fast", "scan slow fast",
+                "value table part", "the line sort", "key agg row",
+                "batch window spark", "order data column",
+            ]
+            fake = [f"zzq{i} qqz{i}" for i in range(max(0, n - len(real)))]
+            return real[:n] + fake
 
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}

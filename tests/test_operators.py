@@ -3283,3 +3283,143 @@ def test_mmr_rerank_string_ids(spark):
     )
     got = [r.doc_id for r in mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()]
     assert got == ["u/a", "u/c"]  # diversity beats the near-dup twin
+
+
+# ------------------------------------------------------------------ #
+# round 10: hashed-feature classifier, blocklist, zipf fit            #
+# ------------------------------------------------------------------ #
+
+
+def test_classifier_join_and_expr_paths_agree(spark):
+    """The broadcast-join serving path with the hash-seeded weight table
+    must score identically to the zero-shuffle expression twin (same
+    buckets, same weights, same mean/sigmoid)."""
+    from mcp_hubspot_spark.operators.classifier import (
+        classifier_score,
+        classifier_score_expr,
+        hashed_weight_table,
+    )
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    w = hashed_weight_table(spark, 4096, seed="s7")
+    a = {
+        r.doc_id: (r.n_toks, round(r.score, 9))
+        for r in classifier_score(docs, w, num_buckets=4096).collect()
+    }
+    b = {
+        r.doc_id: (r.n_toks, round(r.score, 9))
+        for r in classifier_score_expr(
+            docs, num_buckets=4096, seed="s7"
+        ).collect()
+    }
+    assert a == b and len(a) == docs.count()
+
+
+def test_classifier_missing_buckets_contribute_zero(spark):
+    """Tokens hashing to buckets absent from the (sparse) weight table
+    contribute weight 0 — a doc made entirely of unknown tokens scores
+    exactly sigmoid(0) = 0.5."""
+    from mcp_hubspot_spark.operators.classifier import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "zzqx wvvk pqrm")], "doc_id long, text string"
+    )
+    empty_w = spark.createDataFrame([], "bucket long, weight double")
+    row = classifier_score(docs, empty_w).first()
+    assert row.n_toks == 3 and row.score == 0.5
+
+
+def test_classifier_known_weights_exact_score(spark):
+    """Hand-check the arithmetic: weight table built FROM the docs'
+    actual buckets with fixed weights -> score == sigmoid(mean)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mcp_hubspot_spark.operators.classifier import (
+        classifier_score,
+        hash_bucket,
+    )
+
+    docs = spark.createDataFrame([(1, "aa bb cc")], "doc_id long, text string")
+    toks = spark.createDataFrame(
+        [("aa", 0.3), ("bb", 0.6), ("cc", -0.3)], "tok string, weight double"
+    )
+    w = toks.select(hash_bucket(F.col("tok"), 4096).alias("bucket"), "weight")
+    assert w.select("bucket").distinct().count() == 3  # no collisions
+    row = classifier_score(docs, w).first()
+    expect = 1.0 / (1.0 + math.exp(-((0.3 + 0.6 - 0.3) / 3.0)))
+    assert row.n_toks == 3 and abs(row.score - expect) < 1e-12
+
+
+def test_blocklist_expr_and_join_paths_agree(spark):
+    """The literal arrays_overlap flag and the broadcast-join hit set
+    must mark exactly the same documents."""
+    from mcp_hubspot_spark.operators.text import (
+        blocklist_flag_expr,
+        blocklist_hits,
+    )
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = ["table table", "fast fast", "scan slow fast"]
+    flagged = {
+        r.doc_id
+        for r in blocklist_flag_expr(docs, phrases)
+        .filter("is_blocked")
+        .collect()
+    }
+    hit = {r.doc_id for r in blocklist_hits(docs, phrases).collect()}
+    assert flagged == hit and hit  # non-trivial on the test corpus
+
+
+def test_blocklist_scrub_removes_exactly_the_hits(spark):
+    from mcp_hubspot_spark.operators.text import blocklist_hits, blocklist_scrub
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = ["table table", "fast fast"]
+    n_hits = blocklist_hits(docs, phrases).count()
+    kept = blocklist_scrub(docs, phrases)
+    assert kept.count() == docs.count() - n_hits
+    hit_ids = {r.doc_id for r in blocklist_hits(docs, phrases).collect()}
+    assert not {r.doc_id for r in kept.select("doc_id").collect()} & hit_ids
+
+
+def test_blocklist_phrase_normalization_and_validation(spark):
+    """Ragged whitespace in a phrase normalizes to the corpus tokenizer's
+    single-space join; degenerate blocklists fail loud."""
+    import pytest
+
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [(1, "a table table z"), (2, "no hits here")],
+        "doc_id long, text string",
+    )
+    got = blocklist_hits(docs, ["  table \t table "]).collect()
+    assert [(r.doc_id, r.n_hits, r.first_hit) for r in got] == [
+        (1, 1, "table table")
+    ]
+    with pytest.raises(ValueError):
+        blocklist_hits(docs, ["   "])
+    with pytest.raises(ValueError):
+        blocklist_hits(docs, docs.selectExpr("text AS phrase"))  # no lengths
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """Terms with freq = 60/rank lie exactly on ln(f) = ln(60) - ln(r):
+    slope -1, r2 = 1, intercept ln(60)."""
+    import math
+
+    freqs = {"w1": 60, "w2": 30, "w3": 20, "w4": 15, "w5": 12, "w6": 10}
+    text = " ".join(t for t, n in freqs.items() for _ in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    from mcp_hubspot_spark.operators.profiling import zipf_fit
+
+    row = zipf_fit(docs).first()
+    assert row.n_terms == 6
+    assert row.zipf_slope == -1.0 and row.r2 == 1.0
+    assert row.zipf_intercept == round(math.log(60.0), 4)

@@ -7,6 +7,7 @@ invariants SURVEY §4 maps from the reference's hand-coded optimizations."""
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -947,3 +948,62 @@ def test_residual_pq_serving_plan_prunes_and_reads_codes_only(spark, tmp_path):
     parts = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert parts and any("cell_id" in l and " IN " in l for l in parts)
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_classifier_serving_plan_shape(spark):
+    """classifier_score: weight table broadcast (never sort-merge), token
+    fan-out narrow, ONE hash-partition exchange (the per-doc agg) with a
+    map-side partial HashAggregate below it."""
+    from mcp_hubspot_spark.operators.classifier import (
+        classifier_score,
+        hashed_weight_table,
+    )
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    w = hashed_weight_table(spark, 4096)
+    plan = plan_of(classifier_score(docs, w))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    assert len(shuffles) == 1
+    assert len(set(re.findall(r"HashAggregate \(\d+\)", plan))) >= 2
+
+
+def test_classifier_expr_twin_is_shuffle_free(spark):
+    from mcp_hubspot_spark.operators.classifier import classifier_score_expr
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(classifier_score_expr(docs))
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_blocklist_join_path_broadcasts(spark):
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(blocklist_hits(docs, ["table table", "scan slow fast"]))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    assert len(shuffles) == 1
+
+
+def test_blocklist_expr_path_is_shuffle_free(spark):
+    from mcp_hubspot_spark.operators.text import blocklist_flag_expr
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(blocklist_flag_expr(docs, ["table table", "a b c"]))
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_zipf_topk_is_distributed_take_ordered(spark):
+    """The vocabulary top-k must compile to TakeOrderedAndProject (per-
+    partition heaps + merge), never a global Sort of the term counts."""
+    from mcp_hubspot_spark.operators.profiling import zipf_fit
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(zipf_fit(docs))
+    assert "TakeOrderedAndProject" in plan
