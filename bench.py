@@ -109,6 +109,9 @@ HEADLINE = [
     "pq_rotated_residual_search",  # rotation+IVF+residual PQ composition
     "hamming_search",           # binary sign quantization, XOR+popcount
     "hamming_rerank_search",    # sign shortlist -> exact rerank serving
+    "classifier_scored_docs",   # hashed-feature linear classifier serving
+    "blocklist_hit_docs",       # multi-phrase blocklist shingle join
+    "corpus_zipf_fit",          # term power-law OLS fit (TakeOrdered top-k)
 ]
 
 

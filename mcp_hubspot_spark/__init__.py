@@ -11,6 +11,7 @@ Layout:
     functions   scalar helpers + pluggable embedding UDF
     streaming   event-time windows / incremental ingest patterns
     serving     CDC-driven ANN index maintenance (IndexMaintainer)
+    text_index  persisted inverted index (bucketed postings, BM25/phrase)
     api         façade mirroring the reference's 9 MCP tools
 
 Every operator is a pure ``DataFrame -> DataFrame`` transformation: declare

@@ -831,14 +831,20 @@ def token_kl_divergence(
 # ADC serving family characterized (SCALE_r10):
 #
 # - expr path: per-length shingle arrays tested against a LITERAL
-#   phrase array (`arrays_overlap`). Zero shuffle, zero join — but the
-#   plan carries O(N) string literals, the same expression-bloat
-#   failure mode the 3-D ADC literal hit; right for small lists.
-# - join path: distinct doc shingles exploded ONCE (narrow) and
-#   broadcast-joined against the phrase table. Plan size O(1) in N; a
-#   10k-phrase table is ~100 KB broadcast. The post-join rows are only
-#   the HITS, so the per-doc aggregate's shuffle is proportional to
-#   matches, not corpus size. This is the serving default.
+#   phrase array (`arrays_overlap`). Zero shuffle, zero join, and the
+#   test runs IN PLACE inside the scan's project — SCALE_r10 measured
+#   it FASTER than the bare join at both 16 and 1024 phrases (9.6 vs
+#   17.0 s and 11.2 vs 13.4 s per 1M docs): the text tier inverts the
+#   ADC literal-vs-join outcome because the join must materialize the
+#   full gram explosion while the overlap never leaves the row. The
+#   plan still carries O(N) string literals, so VERY wide lists
+#   (>>10k) eventually hit the expression-bloat wall.
+# - join path: distinct doc shingles exploded (narrow) and broadcast-
+#   joined against the phrase table — the only shape for blocklists
+#   that are managed TABLES or too wide to inline, and the source of
+#   the per-phrase hit report. For list blocklists `blocklist_hits`
+#   runs the HYBRID: literal flag first, explode/join only the flagged
+#   docs — hit-proportional join input at literal-flag cost.
 #
 # Phrases are normalized with the SAME tokenizer as the corpus
 # (whitespace split, single-space join) so matching is exact.
@@ -881,17 +887,30 @@ def blocklist_hits(
     text_col: str = "text",
     lengths: list[int] | None = None,
 ) -> DataFrame:
-    """Broadcast-join path: (id, n_hits, first_hit) for every document
+    """Per-phrase hit report: (id, n_hits, first_hit) for every document
     matching ANY phrase. ``phrases`` is a list or a (phrase STRING)
     DataFrame (a managed blocklist table); DataFrame callers must pass
     ``lengths`` (the distinct phrase token-counts to shingle at) since
     discovering them would cost a collect on the blocklist.
 
-    Plan (pytest-audited): Scan -> Generate(explode distinct shingles,
-    narrow) -> BroadcastHashJoin(phrase table) -> hash agg on the id.
-    Different-length phrases cannot collide as strings (token counts
-    differ), so one join on the string key covers all lengths.
+    Plan (pytest-audited): [literal prefilter ->] Scan -> Generate
+    (explode distinct shingles, narrow) -> BroadcastHashJoin(phrase
+    table) -> hash agg on the id. Different-length phrases cannot
+    collide as strings (token counts differ), so one join on the string
+    key covers all lengths.
+
+    For LIST blocklists the expensive gram explode is gated behind the
+    literal ``arrays_overlap`` flag first: SCALE_r10 measured the bare
+    explode+join at 17.0 s / 1M docs vs 9.6 s for the in-place overlap
+    test at 16 phrases (the join must materialize every distinct gram;
+    the overlap never leaves the scan's project), so the hybrid pays
+    the cheap flag pass and explodes ONLY flagged docs — hit-proportional join input
+    at literal-flag cost. Non-hit docs produce no output rows either
+    way, so the prefilter is result-invariant (pytest-pinned).
+    DataFrame blocklists (too wide to inline, or managed tables) take
+    the bare join path.
     """
+    prefilter = None
     if isinstance(phrases, DataFrame):
         if not lengths:
             raise ValueError("DataFrame blocklist requires explicit lengths")
@@ -905,6 +924,11 @@ def blocklist_hits(
         spark = df.sparkSession
         phrase_df = spark.createDataFrame(
             [(p,) for ps in by_len.values() for p in ps], "phrase string"
+        )
+        prefilter = [p for ps in by_len.values() for p in ps]
+    if prefilter is not None:
+        df = blocklist_flag_expr(df, prefilter, text_col=text_col).filter(
+            "is_blocked"
         )
     toks = tokens(F.col(text_col))
     gram_arrays = [ngram_list(toks, n) for n in lens]

@@ -158,3 +158,163 @@ class IndexMaintainer:
             "deleted": int(n_deleted),
             "added": int(n_added),
         }
+
+
+class TextIndexMaintainer:
+    """Keeps a :class:`~.text_index.TextIndex` answering for the current
+    version of a :class:`~.sources.snapshot_table.SnapshotTable` — the
+    lexical twin of :class:`IndexMaintainer`, with the same CDC-delta
+    economics (nothing scales with corpus size except the delta) but a
+    different convergence mechanism, because postings for one document
+    spread across MANY term buckets:
+
+    - IvfIndex converges by delete-the-union-then-re-add (physical cell
+      rewrites); TextIndex instead uses EPOCHED generations: the sync's
+      tombstones kill every generation below the target table version,
+      and the re-add writes AT that version — so the new rows survive
+      their own tombstone, and a crash-retry replays both steps
+      idempotently (tombstone max() collapses duplicates; the add is a
+      dynamic overwrite of its own epoch; the stats delta is guarded by
+      ``last_epoch``).
+    - Corpus stats move by the NET delta computed from the CDC before/
+      after images (tokenized here, no index or corpus scan): n_docs by
+      added−removed, sum_dl by len(after)−len(before).
+
+    Epochs are the table versions themselves, which are monotonic by
+    the snapshot table's commit protocol.
+
+    Shared diff-replay bound (applies equally to :class:`IndexMaintainer`):
+    a crash-retry whose window spans a VALUE-REVERT — a doc changed
+    after the crashed sync's target version and changed BACK before the
+    retry's — replays ``table_changes(v_from, v_to')``, where the
+    reverted doc nets out absent, so the crashed sync's intermediate
+    generation keeps serving until that doc next changes (or a rebuild).
+    This is inherent to snapshot-diff replay; syncs that complete record
+    their version atomically, so the window is only crash-to-retry.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        index,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.table = table
+        self.index = index
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _state_path(self) -> str:
+        return str(self.index.root / _STATE)
+
+    def synced_version(self) -> int | None:
+        try:
+            with open(self._state_path()) as fh:
+                return int(json.load(fh)["synced_version"])
+        except FileNotFoundError:
+            return None
+
+    def _record(self, version: int) -> None:
+        os.makedirs(self.index.root, exist_ok=True)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"synced_version": version}, fh)
+        os.replace(tmp, self._state_path())
+
+    def initialize(self, num_buckets: int = 64) -> int:
+        v = self.table.version()
+        self.index.build(
+            self.table.read(version=v),
+            id_col=self.id_col,
+            text_col=self.text_col,
+            num_buckets=num_buckets,
+        )
+        self._record(v)
+        return v
+
+    def sync(self) -> dict:
+        """Advance the index to the table's current version. Returns
+        ``{"from": v0, "to": v1, "tombstoned": n, "added": n}``; a no-op
+        sync returns zeros without touching any file. Crash-retry safe
+        at every boundary: tombstones collapse under max(), the epoch
+        add overwrites itself, the stats delta applies exactly once
+        (last_epoch guard), and ``_record`` is the final atomic step."""
+        from .operators.text import tokens as _tok
+
+        v_from = self.synced_version()
+        if v_from is None:
+            raise ValueError("TextIndexMaintainer.sync() before initialize()")
+        v_to = self.table.version()
+        if v_to == v_from:
+            return {"from": v_from, "to": v_to, "tombstoned": 0, "added": 0}
+        changes = self.table.table_changes(v_from, v_to, include_values=True)
+        stale = changes.select(self.id_col).distinct()
+        fresh = changes.filter(
+            F.col("diff_status").isin("added", "changed")
+        ).select(
+            F.col(self.id_col),
+            F.col("after").getField(self.text_col).alias(self.text_col),
+        )
+        # NET stats delta from the CDC images alone — no corpus scan.
+        # dl(after) counts for added+changed rows, dl(before) for
+        # removed+changed rows; the difference of the two sums moves
+        # sum_dl, added-minus-removed moves n_docs. Baseline: the
+        # index's OWN last applied epoch, not v_from — a crash-retry
+        # that spans extra table movement replays postings from v_from
+        # (idempotent) but must not re-apply a stats delta that already
+        # landed under the last_epoch guard.
+        stats_base = max(v_from, self.index.last_epoch())
+        stats_changes = None
+        if stats_base == v_from:
+            stats_changes = changes
+        elif stats_base < v_to:
+            stats_changes = self.table.table_changes(
+                stats_base, v_to, include_values=True
+            )
+        # stats_base == v_to: the crashed sync already applied this
+        # delta's stats (last_epoch guard) — add() will skip them too,
+        # so an empty-range diff is never requested
+        dl_after = F.when(
+            F.col("diff_status").isin("added", "changed"),
+            F.size(_tok(F.lower(F.col("after").getField(self.text_col)))),
+        ).otherwise(F.lit(0))
+        dl_before = F.when(
+            F.col("diff_status").isin("removed", "changed"),
+            F.size(_tok(F.lower(F.col("before").getField(self.text_col)))),
+        ).otherwise(F.lit(0))
+        if stats_changes is not None:
+            mov = stats_changes.agg(
+                F.sum(
+                    F.when(F.col("diff_status") == "added", 1).otherwise(0)
+                ).alias("n_add"),
+                F.sum(
+                    F.when(F.col("diff_status") == "removed", 1).otherwise(0)
+                ).alias("n_rm"),
+                F.sum(dl_after - dl_before).alias("d_dl"),
+            ).first()
+            stats_delta = (
+                int(mov.n_add or 0) - int(mov.n_rm or 0),
+                int(mov.d_dl or 0),
+            )
+        else:
+            stats_delta = (0, 0)
+        counts = changes.groupBy("diff_status").count().collect()
+        by_status = {r.diff_status: int(r["count"]) for r in counts}
+        self.index.delete(stale, dead_epoch=v_to)
+        self.index.add(
+            fresh,
+            id_col=self.id_col,
+            text_col=self.text_col,
+            epoch=v_to,
+            stats_delta=stats_delta,
+        )
+        self._record(v_to)
+        return {
+            "from": v_from,
+            "to": v_to,
+            "tombstoned": sum(by_status.values()),
+            "added": by_status.get("added", 0) + by_status.get("changed", 0),
+        }

@@ -413,10 +413,14 @@ def main() -> None:
             f"substring_scrub_{dk}": lambda: _substring_scrub(docs),
             # round-10 text tier: hashed-feature classifier serving at a
             # production-ish width (2^18 buckets, ~2 MB broadcast) plus
-            # its zero-shuffle expression twin, and the blocklist
+            # its zero-shuffle expression twin; the blocklist
             # literal-vs-join boundary (16 vs 1024 phrases, realistic
-            # ~8-real-hit selectivity) — the ADC-literal lesson measured
-            # at the text tier. zipf_fit: one wordcount agg + TakeOrdered.
+            # ~8-real-hit selectivity) — the text tier INVERTS the ADC
+            # outcome (overlap tests in place; the bare join must
+            # materialize the gram explosion), so the report path runs
+            # the flag-gated hybrid and the bare join is kept as the
+            # measured negative via a DataFrame blocklist. zipf_fit:
+            # one wordcount agg + TakeOrdered.
             f"classifier_join_{dk}": lambda: classifier_score(
                 docs, clf_w, num_buckets=1 << 18
             ),
@@ -426,14 +430,28 @@ def main() -> None:
             f"blocklist_expr_16_{dk}": lambda: blocklist_flag_expr(
                 docs, _blk_phrases(16)
             ),
-            f"blocklist_join_16_{dk}": lambda: blocklist_hits(
+            f"blocklist_report_16_{dk}": lambda: blocklist_hits(
                 docs, _blk_phrases(16)
             ),
             f"blocklist_expr_1024_{dk}": lambda: blocklist_flag_expr(
                 docs, _blk_phrases(1024)
             ),
-            f"blocklist_join_1024_{dk}": lambda: blocklist_hits(
+            f"blocklist_report_1024_{dk}": lambda: blocklist_hits(
                 docs, _blk_phrases(1024)
+            ),
+            f"blocklist_barejoin_16_{dk}": lambda: blocklist_hits(
+                docs,
+                spark.createDataFrame(
+                    [(p,) for p in _blk_phrases(16)], "phrase string"
+                ),
+                lengths=[2, 3],
+            ),
+            f"blocklist_barejoin_1024_{dk}": lambda: blocklist_hits(
+                docs,
+                spark.createDataFrame(
+                    [(p,) for p in _blk_phrases(1024)], "phrase string"
+                ),
+                lengths=[2, 3],
             ),
             f"zipf_fit_{dk}": lambda: zipf_fit(docs),
         }
@@ -1227,6 +1245,31 @@ def main() -> None:
                 run_special(f"zonemap_stale_fallback_{dk}", _stale, int)
             except Exception as exc:
                 errors["zonemap"] = f"{type(exc).__name__}: {exc}"[:200]
+
+        # round-10: persisted inverted index — the lexical serving twin.
+        # build once (one tokenize pass + (doc,term) agg + partitioned
+        # write), then BM25 and phrase queries read ONLY the buckets
+        # their terms hash to; compare bm25_search_{dk} (the one-shot
+        # corpus rescan) for the build-once/query-many payoff.
+        if wanted("text_index"):
+            from mcp_hubspot_spark.text_index import TextIndex
+
+            tix = TextIndex(spark, str(work / "tix"))
+            run_special(
+                f"text_index_build_{dk}",
+                lambda: tix.build(docs),
+                lambda _: n_docs,
+            )
+            run_special(
+                f"text_index_bm25_{dk}",
+                lambda: tix.search(["spark", "window", "hash"], k=10).collect(),
+                len,
+            )
+            run_special(
+                f"text_index_phrase_{dk}",
+                lambda: tix.phrase_hits("table table").collect(),
+                len,
+            )
 
         for name, fn in cases.items():
             if not wanted(name):

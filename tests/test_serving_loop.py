@@ -300,3 +300,103 @@ def test_sync_crash_retry_converges(spark, tmp_path):
     top = idx.search(_probe_for(spark, "a brand new retry doc"), k=3, nprobe=8).collect()
     assert top[0].vec_id == 900
     assert [r.vec_id for r in top].count(900) == 1  # appears ONCE in top-k
+
+
+# ------------------------------------------------------------------ #
+# round 10: the lexical serving loop (SnapshotTable CDC -> TextIndex)  #
+# ------------------------------------------------------------------ #
+
+
+def test_cdc_to_text_index_serving_loop(spark, tmp_path):
+    """The TextIndexMaintainer contract: upserted docs become
+    searchable with corpus-exact BM25 stats, edited docs answer ONLY
+    for their new text, deleted docs stop matching — and the synced
+    index is score-identical to a fresh build of the current table."""
+    from mcp_hubspot_spark.serving import TextIndexMaintainer
+    from mcp_hubspot_spark.sources.snapshot_table import SnapshotTable
+    from mcp_hubspot_spark.text_index import TextIndex
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    table = SnapshotTable(spark, str(tmp_path / "docs"))
+    table.create(docs, keys=["doc_id"], n_buckets=4)
+    ix = TextIndex(spark, str(tmp_path / "tix"))
+    m = TextIndexMaintainer(spark, table, ix)
+    v0 = m.initialize(num_buckets=16)
+    assert m.synced_version() == v0
+
+    # no-op sync touches nothing
+    assert m.sync()["added"] == 0
+
+    # the system of record moves: add, edit, delete
+    table.merge_upsert(
+        spark.createDataFrame(
+            [
+                (999, "quantum lemurs quantum"),
+                (5, "rewritten rewritten text entirely"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    table.delete_where(F.col("doc_id") == 7)
+    rep = m.sync()
+    assert rep["added"] == 2 and rep["tombstoned"] == 3
+
+    # fresh doc searchable; edited doc answers only for new text;
+    # deleted doc gone
+    assert [r.doc_id for r in ix.search(["lemurs"], k=5).collect()] == [999]
+    assert {r.doc_id for r in ix.phrase_hits("rewritten rewritten").collect()} == {5}
+    assert not ix.search(["number"], k=500).filter("doc_id = 7").collect()
+    assert not ix.phrase_hits("document number 5").filter("doc_id = 5").collect()
+
+    # score parity with a from-scratch build of the current table:
+    # stats deltas (N, sum_dl) and postings must both be exact
+    ref = TextIndex(spark, str(tmp_path / "ref"))
+    ref.build(table.read(), num_buckets=16)
+    for terms in (["number"], ["quantum"], ["rewritten", "topic"]):
+        a = [
+            (r.doc_id, round(r.score, 9))
+            for r in ix.search(terms, k=20).collect()
+        ]
+        b = [
+            (r.doc_id, round(r.score, 9))
+            for r in ref.search(terms, k=20).collect()
+        ]
+        assert a == b, terms
+
+    # replayed sync after simulated lost state-record: table moves
+    # again BETWEEN crash and retry; stats must not double-apply
+    import json as _json
+
+    state = str(ix.root / "_sync_state.json")
+    saved = open(state).read()
+    table.merge_upsert(
+        spark.createDataFrame(
+            [(1000, "brand new entry")], "doc_id long, text string"
+        )
+    )
+    m.sync()
+    # rewind the state file to simulate a crash BEFORE _record but
+    # AFTER the index absorbed the delta, then sync again
+    with open(state, "w") as fh:
+        fh.write(saved)
+    m.sync()
+    ref2 = TextIndex(spark, str(tmp_path / "ref2"))
+    ref2.build(table.read(), num_buckets=16)
+    a = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix.search(["number", "entry"], k=30).collect()
+    ]
+    b = [
+        (r.doc_id, round(r.score, 9))
+        for r in ref2.search(["number", "entry"], k=30).collect()
+    ]
+    assert a == b
+    meta = _json.loads((ix.root / "meta.json").read_text())
+    ref2_meta = _json.loads((tmp_path / "ref2" / "meta.json").read_text())
+    assert (meta["n_docs"], meta["sum_dl"]) == (
+        ref2_meta["n_docs"],
+        ref2_meta["sum_dl"],
+    )

@@ -1,0 +1,228 @@
+"""TextIndex: the persisted lexical serving twin (build-once postings,
+partition-pruned BM25 + positional phrase queries)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_hubspot_spark.text_index import TextIndex
+from mcp_hubspot_spark.workload import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, tmp_path_factory):
+    ix = TextIndex(spark, str(tmp_path_factory.mktemp("tix") / "ix"))
+    ix.build(docs)
+    return ix
+
+
+def test_search_matches_batch_bm25(spark, docs, built):
+    """The pruned-read BM25 must be score-identical to the one-shot
+    corpus scan (same idf, same fixed-order fold, same stats)."""
+    from mcp_hubspot_spark.operators.text import bm25_scores
+
+    terms = ["spark", "window", "hash"]
+    batch = (
+        bm25_scores(docs, terms)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .collect()
+    )
+    served = built.search(terms, k=10).orderBy("rank").collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in served] == [
+        (r.doc_id, round(r.score, 9)) for r in batch
+    ]
+
+
+def test_phrase_hits_matches_blocklist_scan(spark, docs, built):
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+
+    scan_ids = {
+        r.doc_id for r in blocklist_hits(docs, ["table table"]).collect()
+    }
+    served = {r.doc_id for r in built.phrase_hits("table table").collect()}
+    assert served == scan_ids and served
+
+
+def test_phrase_positions_exact(spark, tmp_path):
+    """Positional intersection by hand: 'a b a b a' contains 'a b a' at
+    starts {0, 2} (overlapping occurrences both count)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "b a b")],
+        "doc_id long, text string",
+    )
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(docs, num_buckets=8)
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in ix.phrase_hits("a b a").collect()
+    }
+    assert got == {1: (2, 0)}
+
+
+def test_add_equals_full_rebuild(spark, docs, tmp_path):
+    """Incremental add must serve the same scores as building on the
+    full corpus: df comes from the postings (never stale) and N/sum_dl
+    update exactly in meta."""
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = TextIndex(spark, str(tmp_path / "inc"))
+    inc.build(half_a)
+    inc.add(half_b)
+    full = TextIndex(spark, str(tmp_path / "full"))
+    full.build(docs)
+    terms = ["spark", "merge"]
+    a = [(r.doc_id, round(r.score, 9)) for r in inc.search(terms, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in full.search(terms, k=10).collect()]
+    assert a == b
+
+
+def test_building_sentinel_fails_loud(spark, tmp_path):
+    root = tmp_path / "ix"
+    root.mkdir()
+    (root / "meta.json").write_text(json.dumps({"building": True}))
+    ix = TextIndex(spark, str(root))
+    with pytest.raises(RuntimeError, match="building"):
+        ix.search(["spark"])
+
+
+def test_driver_hash_replica_matches_expression(spark):
+    """_pruned's hashlib bucket replica must agree with the expression-
+    side classifier.hash_bucket for any term."""
+    import hashlib
+
+    from mcp_hubspot_spark.operators.classifier import hash_bucket
+
+    terms = ["spark", "table", "zzq9", "a", ""]
+    sdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    got = {
+        r.t: r.b
+        for r in sdf.select("t", hash_bucket(F.col("t"), 64).alias("b")).collect()
+    }
+    for t in terms:
+        assert got[t] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 64
+
+
+def test_search_plan_prunes_partitions_and_positions(spark, built):
+    """The BM25 read must (a) prune bucket partitions at planning time
+    and (b) never read the positions column."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = built.search(["spark", "window"], k=5)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("bucket" in ln for ln in scan_lines)
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("positions" not in ln for ln in read_schemas)
+
+
+def test_delete_tombstones_then_compact(spark, docs, tmp_path):
+    """delete() hides docs from every read immediately (tombstone
+    anti-join); compact() physically drops them, refreshes stats, and
+    search results equal an index built without those docs."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(docs)
+    dead = [r.doc_id for r in docs.limit(5).collect()]
+    ix.delete(dead)
+    terms = ["spark", "window"]
+    hidden = {r.doc_id for r in ix.search(terms, k=500).collect()}
+    assert not hidden & set(dead)
+    assert {
+        r.doc_id for r in ix.phrase_hits("table table").collect()
+    }.isdisjoint(dead)
+    ix.compact()
+    assert not (tmp_path / "ix" / "tombstones").exists()
+    ref = TextIndex(spark, str(tmp_path / "ref"))
+    ref.build(docs.filter(~F.col("doc_id").isin(dead)))
+    a = [(r.doc_id, round(r.score, 9)) for r in ix.search(terms, k=10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in ref.search(terms, k=10).collect()]
+    assert a == b
+
+
+def test_compact_crash_recovery_mid_swap(spark, docs, tmp_path):
+    """Simulate a compact() crash between the two directory renames:
+    postings gone, _postings_new complete. The next read must complete
+    the swap and serve correct (tombstone-filtered) results."""
+    import os
+
+    root = tmp_path / "ix"
+    ix = TextIndex(spark, str(root))
+    ix.build(docs)
+    dead = [r.doc_id for r in docs.limit(3).collect()]
+    ix.delete(dead)
+    # hand-build the crash layout: a completed _postings_new (already
+    # tombstone-filtered, as compact writes it), postings renamed away
+    ix._read_postings().write.mode("overwrite").partitionBy(
+        "epoch", "bucket"
+    ).parquet(str(root / "_postings_new"))
+    os.rename(root / "postings", root / "_postings_old")
+    got = {r.doc_id for r in ix.search(["spark"], k=500).collect()}
+    assert got and not got & set(dead)
+    assert (root / "postings").exists()
+    assert not (root / "_postings_old").exists()
+    assert not (root / "_postings_new").exists()
+
+
+def test_changed_doc_replaced_via_epoch_tombstone(spark, tmp_path):
+    """The CDC changed-doc recipe: tombstone at epoch E, re-add at epoch
+    E — old generation dies, new one survives, scores reflect ONLY the
+    new text, and a replayed add converges (dynamic epoch overwrite)."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    ix.build(v1)
+    changed = spark.createDataFrame(
+        [(1, "delta delta epsilon")], "doc_id long, text string"
+    )
+    ix.delete([1], dead_epoch=1)
+    # net stats: doc count unchanged, length 2 -> 3
+    ix.add(changed, epoch=1, stats_delta=(0, 1))
+    ix.add(changed, epoch=1, stats_delta=(0, 1))  # crash-retry replay
+    import json as _json
+
+    meta = _json.loads((tmp_path / "ix" / "meta.json").read_text())
+    assert meta["n_docs"] == 2 and meta["sum_dl"] == 5  # applied ONCE
+    assert {r.doc_id for r in ix.phrase_hits("delta delta").collect()} == {1}
+    assert not ix.search(["alpha"], k=10).filter("doc_id = 1").collect()
+    got = ix.search(["delta"], k=10).collect()
+    assert [r.doc_id for r in got] == [1]
+    # tf must be the NEW generation's (2 occurrences), not doubled by
+    # the replayed add
+    ref = TextIndex(spark, str(tmp_path / "ref"))
+    ref.build(
+        spark.createDataFrame(
+            [(1, "delta delta epsilon"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        )
+    )
+    assert round(got[0].score, 9) == round(
+        ref.search(["delta"], k=10).collect()[0].score, 9
+    )
+
+
+def test_add_epoch_monotonicity_enforced(spark, tmp_path):
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(
+        spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    )
+    d = spark.createDataFrame([(2, "c d")], "doc_id long, text string")
+    ix.add(d, epoch=3)
+    with pytest.raises(ValueError, match="monotonic"):
+        ix.add(d, epoch=2)
