@@ -112,6 +112,8 @@ HEADLINE = [
     "classifier_scored_docs",   # hashed-feature linear classifier serving
     "blocklist_hit_docs",       # multi-phrase blocklist shingle join
     "corpus_zipf_fit",          # term power-law OLS fit (TakeOrdered top-k)
+    "corpus_heaps_fit",         # vocab-growth fit (first-seen min-agg)
+    "phrase_occurrences_docs",  # inline positional phrase-match report
 ]
 
 

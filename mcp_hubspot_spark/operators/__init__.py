@@ -34,10 +34,11 @@ from .classifier import (
     classifier_score_expr,
     hashed_weight_table,
 )
-from .profiling import zipf_fit
+from .profiling import heaps_fit, zipf_fit
 from .text import (
     blocklist_hits,
     blocklist_scrub,
+    phrase_occurrences,
     bpe_learn_merges,
     chunk_documents,
     greedy_pack_docs,
@@ -86,8 +87,10 @@ __all__ = [
     "classifier_score_expr",
     "hashed_weight_table",
     "zipf_fit",
+    "heaps_fit",
     "blocklist_hits",
     "blocklist_scrub",
+    "phrase_occurrences",
     "bpe_learn_merges",
     "chunk_documents",
     "greedy_pack_docs",

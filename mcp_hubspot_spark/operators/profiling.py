@@ -695,3 +695,87 @@ def zipf_fit(
         F.round((sy - slope * sx) / n, 4).alias("zipf_intercept"),
         F.round((cov * cov) / (varx * vary), 4).alias("r2"),
     )
+
+
+def heaps_fit(
+    df, *, id_col: str = "doc_id", text_col: str = "text",
+    checkpoints: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit V = K·N^beta (vocabulary growth vs tokens seen):
+    OLS of ln(vocab) on ln(tokens) over ``checkpoints`` prefixes of the
+    corpus in id order — the companion corpus-health signal to
+    :func:`zipf_fit` (natural text grows vocabulary at beta ~ 0.5;
+    template/duplicated corpora flatten toward 0). Returns one row
+    (n_checkpoints, heaps_beta, heaps_k, r2).
+
+    Scale shape: a term's FIRST-SEEN doc id is one min-aggregate per
+    term (map-side partial, same cost tier as a wordcount) and each
+    checkpoint's vocab/token totals are conditional sums over that
+    small table and the per-doc lengths — no ordered scan, no window
+    over the corpus, no crossJoin against the vocabulary. Checkpoints
+    are id-space prefixes (deterministic integer arithmetic both
+    engines replay); the final OLS runs over <= ``checkpoints`` rows.
+    """
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    docs = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"),
+        F.size(toks).cast("long").alias("_dl"),
+    )
+    max_id = int(docs.agg(F.max("_id")).first()[0])
+    cs = [(max_id * i) // checkpoints for i in range(1, checkpoints + 1)]
+    cs = sorted(set(cs))
+    terms = (
+        docs.select("_id", F.explode("_toks").alias("_t"))
+        .filter(F.col("_t") != "")
+        .groupBy("_t")
+        .agg(F.min("_id").alias("_first"))
+    )
+    v_row = terms.agg(
+        *[
+            F.sum(F.when(F.col("_first") <= c, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_v{i}")
+            for i, c in enumerate(cs)
+        ]
+    )
+    n_row = docs.agg(
+        *[
+            F.sum(F.when(F.col("_id") <= c, F.col("_dl")).otherwise(0))
+            .cast("double")
+            .alias(f"_n{i}")
+            for i, c in enumerate(cs)
+        ]
+    )
+    both = v_row.crossJoin(n_row)
+    pairs = both.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.col(f"_n{i}") for i in range(len(cs))]).alias("n"),
+                F.array(*[F.col(f"_v{i}") for i in range(len(cs))]).alias("v"),
+            )
+        ).alias("_p")
+    ).select(
+        F.log(F.col("_p.n")).alias("x"), F.log(F.col("_p.v")).alias("y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    return s.select(
+        n.cast("long").alias("n_checkpoints"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.exp((sy - slope * sx) / n), 4).alias("heaps_k"),
+        F.round((cov * cov) / (varx * vary), 4).alias("r2"),
+    )

@@ -962,3 +962,49 @@ def blocklist_scrub(
         df, phrases, id_col=id_col, text_col=text_col, lengths=lengths
     ).select(id_col)
     return df.join(hit_ids, id_col, "left_anti")
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-aligned phrase occurrences computed INLINE — the
+    corpus-rescan twin of ``TextIndex.phrase_hits`` (text_index.py),
+    and its oracle face: start positions fall out of one filtered index
+    sequence per document (position i matches iff token i+j equals
+    phrase term j for all j), zero shuffle, zero join, O(len·k) inside
+    the scan's project. Returns (id, n_occurrences, first_pos) for
+    matching docs; overlapping occurrences all count. Agreement with
+    the persisted-index path is pytest-pinned; the arithmetic replays
+    in SQL (the registry's hash gate for the positional-phrase math).
+    """
+    terms = phrase.lower().split()
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    staged = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+
+    def _match(i: Column) -> Column:
+        cond = F.element_at(toks, i + 1) == terms[0]
+        for j, t in enumerate(terms[1:], start=1):
+            cond = cond & (F.element_at(toks, i + j + 1) == t)
+        return cond
+
+    # guard: a bare sequence(0, size-k) DESCENDS for docs shorter than
+    # the phrase and fabricates positions (the ngram_list lesson)
+    starts = F.when(
+        F.size(toks) >= k,
+        F.filter(F.sequence(F.lit(0), F.size(toks) - k), _match),
+    ).otherwise(F.array().cast("array<int>"))
+    out = staged.select(
+        id_col,
+        F.size(starts).cast("long").alias("n_occurrences"),
+        F.array_min(starts).cast("long").alias("first_pos"),
+    )
+    return out.filter(F.col("n_occurrences") > 0)

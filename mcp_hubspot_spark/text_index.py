@@ -5,7 +5,7 @@ The batch retrieval operators (``operators/text.py::bm25_scores``,
 ``blocklist_hits``) re-scan and re-tokenize the corpus per query — right
 for one-shot pipeline stages, wrong for a serving workload that asks
 many queries of one corpus. ``TextIndex.build()`` tokenizes ONCE and
-writes positional postings PARTITIONED BY a term-hash bucket;
+writes positional postings PARTITIONED BY (epoch, term-hash bucket);
 ``search()`` (BM25 top-k) and ``phrase_hits()`` (exact token-aligned
 phrase lookup) then read only the buckets their query terms hash to —
 partition pruning turns |query-term buckets| / num_buckets into a

@@ -8549,9 +8549,9 @@ def classifier_scored_docs(spark: SparkSession, sf: str) -> DataFrame:
 # Multi-phrase blocklist hits (round 10): ONE corpus pass finds every
 # document containing ANY of N token-aligned phrases — a literal
 # arrays_overlap flag gates the corpus (in-place, zero shuffle;
-# SCALE_r10 measured it 3.2x cheaper than a bare gram-explode join at
-# 1M docs), then only the FLAGGED docs explode their distinct shingles
-# into the broadcast phrase join that yields the per-phrase report.
+# SCALE_r10 measured it 1.8x cheaper than a bare gram-explode join at
+# 16 phrases / 1M docs), then only the FLAGGED docs explode their
+# distinct shingles into the broadcast join for the per-phrase report.
 # The O(N)-LIKE-scans naive form this replaces cannot survive N > a
 # handful at 100 TB; flag/join agreement is pytest-pinned.
 @_q(
@@ -8636,6 +8636,91 @@ def corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     return zipf_fit(docs, top_k=500)
+
+
+# Inline positional phrase occurrences (round 10): the hash gate for
+# the phrase math TextIndex.phrase_hits serves from postings — here
+# start positions fall out of ONE filtered index sequence per doc
+# (zero shuffle, zero join); inline/index agreement is pytest-pinned,
+# so this oracle transitively covers the serving path's arithmetic.
+@_q(
+    "phrase_occurrences_docs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_filter(range(0, len(toks) - 1),
+                   i -> toks[i + 1] = 'table' AND toks[i + 2] = 'table')
+                   AS starts
+        FROM d
+        WHERE len(toks) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(starts) AS BIGINT) AS n_occurrences,
+           CAST(list_min(starts) AS BIGINT) AS first_pos
+    FROM s
+    WHERE len(starts) > 0
+    ORDER BY doc_id
+    """,
+)
+def phrase_occurrences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import phrase_occurrences
+
+    docs = load_table(spark, sf, "documents")
+    return phrase_occurrences(docs, "table table").orderBy("doc_id")
+
+
+# Heaps'-law vocabulary-growth fit (round 10): the companion corpus-
+# health signal to corpus_zipf_fit — V = K*N^beta over id-order corpus
+# prefixes, first-seen ids via one min-agg per term (no ordered scan,
+# no window, no vocab crossJoin), checkpoints by deterministic integer
+# arithmetic both engines replay.
+@_q(
+    "corpus_heaps_fit",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_duck_tokens()} AS toks FROM documents
+    ),
+    mx AS (SELECT max(doc_id) AS m FROM d),
+    cs AS (
+        SELECT DISTINCT (mx.m * i.i) // 8 AS c
+        FROM mx, (SELECT unnest(range(1, 9)) AS i) i
+    ),
+    tf AS (
+        SELECT t.term, min(d.doc_id) AS first_seen
+        FROM d, unnest(d.toks) AS t(term)
+        WHERE t.term <> ''
+        GROUP BY t.term
+    ),
+    xy AS (
+        SELECT ln((SELECT sum(len(toks)) FROM d WHERE doc_id <= cs.c)::DOUBLE)
+                   AS x,
+               ln((SELECT count(*) FROM tf WHERE first_seen <= cs.c)::DOUBLE)
+                   AS y
+        FROM cs
+    ),
+    s AS (
+        SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_checkpoints,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+               AS heaps_beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n), 4) AS heaps_k,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+)
+def corpus_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.profiling import heaps_fit
+
+    docs = load_table(spark, sf, "documents")
+    return heaps_fit(docs, checkpoints=8)
 
 
 # ================================================ driver-check rotation ====
@@ -8887,13 +8972,13 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 
 # ---- round-10 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-9 forward note promised. Head of the line: the four round-10
+# round-9 forward note promised. Head of the line: the six round-10
 # additions with NO driver history (hamming_rerank_search — the sign-
 # shortlist + exact-rerank serving composition — plus the text-tier
 # wave: blocklist_hit_docs, classifier_scored_docs, corpus_zipf_fit),
 # then the full 22-query round-6-checked cohort (after this window
 # nothing in the registry is staler than round 7), then the round-7-
-# checked cohort, first 24 alphabetically (the remaining 23 head the
+# checked cohort, first 22 alphabetically (the remaining 25 head the
 # round-11 note).
 # Rotated out: the full round-9 window (48 green + 2 rows-only-by-
 # design in r9) — every rotated query remains pinned by the local
@@ -8908,6 +8993,8 @@ _CHECK_PRIORITY = [
     "blocklist_hit_docs",
     "classifier_scored_docs",
     "corpus_zipf_fit",
+    "corpus_heaps_fit",
+    "phrase_occurrences_docs",
     # stalest: last driver check was round 6
     "events_sliding",
     "events_user_cumulative",
@@ -8931,7 +9018,7 @@ _CHECK_PRIORITY = [
     "supplier_clustering",
     "supplier_triangles",
     "token_stats",
-    # next-stalest: round-7-checked cohort, first 24 alphabetically
+    # next-stalest: round-7-checked cohort, first 22 alphabetically
     "big_order_customers",
     "corpus_clean_stats",
     "customer_spend_percentile",
@@ -8954,14 +9041,13 @@ _CHECK_PRIORITY = [
     "ivf_search",
     "knn_l2",
     "label_centroids",
-    "lang_id",
-    "lineitem_correlations",
 ]
 # ---- round-11 forward note (same never-checked-first rule) ---------
 # After the round-10 check lands, nothing will be older than round 8.
-# Head of the round-11 line: the 23 round-7-checked queries that did
-# not fit this window — lineitem_suppkey_skew, minhash_lsh_pairs,
-# mixture_resample_docs, order_counts_by_status, order_lines_nested,
+# Head of the round-11 line: the 25 round-7-checked queries that did
+# not fit this window — lang_id, lineitem_correlations,
+# lineitem_suppkey_skew, minhash_lsh_pairs, mixture_resample_docs,
+# order_counts_by_status, order_lines_nested,
 # order_priority_stats, order_ranking_quality, orders_rollup,
 # orders_snapshot_diff, packed_sequences, parts_without_lineitem,
 # pricing_summary, quality_filter_docs, redact_pii_docs,

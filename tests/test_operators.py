@@ -3423,3 +3423,31 @@ def test_zipf_fit_exact_power_law(spark):
     assert row.n_terms == 6
     assert row.zipf_slope == -1.0 and row.r2 == 1.0
     assert row.zipf_intercept == round(math.log(60.0), 4)
+
+
+def test_heaps_fit_exact_linear_growth(spark):
+    """A corpus where every token is globally unique has V(N) = N
+    exactly, so the log-log OLS is beta=1, K=1, r2=1 with no float
+    slack (x == y at every checkpoint)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(5))) for i in range(64)],
+        "doc_id long, text string",
+    )
+    from mcp_hubspot_spark.operators.profiling import heaps_fit
+
+    row = heaps_fit(docs, checkpoints=8).first()
+    assert row.n_checkpoints == 8
+    assert row.heaps_beta == 1.0 and row.heaps_k == 1.0 and row.r2 == 1.0
+
+
+def test_heaps_fit_flattens_on_closed_vocab(spark):
+    """The template-corpus signal: a closed vocabulary saturates V, so
+    beta ~ 0 (every checkpoint sees the same vocab)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(64)],
+        "doc_id long, text string",
+    )
+    from mcp_hubspot_spark.operators.profiling import heaps_fit
+
+    row = heaps_fit(docs, checkpoints=8).first()
+    assert row.heaps_beta == 0.0 and row.heaps_k == 3.0

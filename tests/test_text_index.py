@@ -226,3 +226,35 @@ def test_add_epoch_monotonicity_enforced(spark, tmp_path):
     ix.add(d, epoch=3)
     with pytest.raises(ValueError, match="monotonic"):
         ix.add(d, epoch=2)
+
+
+def test_inline_phrase_occurrences_matches_index(spark, docs, built):
+    """The zero-state inline operator (the registry's oracle face for
+    the phrase math) must agree row-for-row with the persisted-index
+    phrase_hits on the same corpus."""
+    from mcp_hubspot_spark.operators.text import phrase_occurrences
+
+    for phrase in ("table table", "scan slow fast"):
+        inline = {
+            r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_occurrences(docs, phrase).collect()
+        }
+        served = {
+            r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in built.phrase_hits(phrase).collect()
+        }
+        assert inline == served and inline, phrase
+
+
+def test_inline_phrase_occurrences_plan_is_shuffle_free(spark, docs):
+    import io
+    from contextlib import redirect_stdout
+
+    from mcp_hubspot_spark.operators.text import phrase_occurrences
+
+    df = phrase_occurrences(docs, "table table")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan and "Exchange" not in plan
