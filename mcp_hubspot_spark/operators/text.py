@@ -990,21 +990,39 @@ def phrase_occurrences(
     )
     toks = F.col("_toks")
 
-    def _match(i: Column) -> Column:
-        cond = F.element_at(toks, i + 1) == terms[0]
-        for j, t in enumerate(terms[1:], start=1):
-            cond = cond & (F.element_at(toks, i + j + 1) == t)
-        return cond
+    # PERF: the start list is built from per-term BOOLEAN flag arrays
+    # combined by shifted zips — every lambda references only its own
+    # argument, never the token column. The element_at(toks, i+j)
+    # formulation this replaces turns pathological when Catalyst pushes
+    # the emptiness filter below the projections by SUBSTITUTION: the
+    # token column inlines as split(...) INSIDE the lambda, and with no
+    # CSE in HOFs the corpus re-tokenizes once per sequence element
+    # (measured 3.4 s -> 0.4 s at sf0.1). Flag arrays keep the worst
+    # case at one whole-expression re-evaluation per pushed consumer.
+    def _flags(term: str) -> Column:
+        return F.transform(toks, lambda x: x == term)
 
-    # guard: a bare sequence(0, size-k) DESCENDS for docs shorter than
-    # the phrase and fabricates positions (the ngram_list lesson)
-    starts = F.when(
-        F.size(toks) >= k,
-        F.filter(F.sequence(F.lit(0), F.size(toks) - k), _match),
-    ).otherwise(F.array().cast("array<int>"))
+    sz = F.size(toks)
+    acc = _flags(terms[0])
+    for j, t in enumerate(terms[1:], start=1):
+        shifted = F.slice(_flags(t), j + 1, F.greatest(sz - j, F.lit(0)))
+        # zip pads the shorter (shifted) side with nulls — the ragged
+        # tail must be FALSE, not null-propagated
+        acc = F.zip_with(
+            acc,
+            shifted,
+            lambda a, b: F.coalesce(b, F.lit(False)) & a,
+        )
+    # two-argument transform binds (element, index) — here the index IS
+    # the payload (the start position of a full match)
+    starts = F.filter(
+        F.transform(acc, lambda x, i: F.when(x, i)),
+        lambda p: p.isNotNull(),
+    )
+    staged = staged.select(F.col(id_col), starts.alias("_starts"))
     out = staged.select(
         id_col,
-        F.size(starts).cast("long").alias("n_occurrences"),
-        F.array_min(starts).cast("long").alias("first_pos"),
+        F.size("_starts").cast("long").alias("n_occurrences"),
+        F.array_min("_starts").cast("long").alias("first_pos"),
     )
     return out.filter(F.col("n_occurrences") > 0)
