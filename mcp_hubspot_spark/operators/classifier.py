@@ -115,7 +115,10 @@ def classifier_score(
     """
     toks = df.select(
         F.col(id_col),
-        F.explode_outer(tokens(F.col(text_col))).alias("_tok"),
+        # lowercased before hashing, like the rest of the text family
+        # and the SQL oracles' tokenizer — case variants of a word must
+        # land in one feature bucket
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("_tok"),
     ).select(
         id_col,
         F.when(
@@ -158,7 +161,7 @@ def classifier_score_expr(
     failure mode SCALE_r10 characterized for ADC serving); agreement
     with the join path on that family is pytest-pinned.
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.lower(F.col(text_col)))
     wsum = F.aggregate(
         toks,
         F.lit(0.0),

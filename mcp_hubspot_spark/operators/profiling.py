@@ -664,7 +664,7 @@ def zipf_fit(
     from .text import tokens
 
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("freq"))
@@ -715,15 +715,24 @@ def heaps_fit(
     over the corpus, no crossJoin against the vocabulary. Checkpoints
     are id-space prefixes (deterministic integer arithmetic both
     engines replay); the final OLS runs over <= ``checkpoints`` rows.
+
+    Note: unlike the module's other fits this triggers ONE small Spark
+    job at call time (max over the id column — the checkpoint ids are
+    driver-side literals so both engines replay identical integer
+    arithmetic); the returned DataFrame is lazy from there. Raises
+    ``ValueError`` on an empty corpus (no checkpoints to fit).
     """
     from .text import tokens
 
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.lower(F.col(text_col)))
     docs = df.select(
         F.col(id_col).alias("_id"), toks.alias("_toks"),
         F.size(toks).cast("long").alias("_dl"),
     )
-    max_id = int(docs.agg(F.max("_id")).first()[0])
+    _max = docs.agg(F.max("_id")).first()[0]
+    if _max is None:
+        raise ValueError("heaps_fit: empty corpus — no ids to checkpoint")
+    max_id = int(_max)
     cs = [(max_id * i) // checkpoints for i in range(1, checkpoints + 1)]
     cs = sorted(set(cs))
     terms = (

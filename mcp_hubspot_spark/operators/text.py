@@ -850,8 +850,24 @@ def token_kl_divergence(
 # (whitespace split, single-space join) so matching is exact.
 
 
+# The literal arrays_overlap path inlines ONE string literal per
+# phrase into the plan — the same growth wall the ADC serving family
+# measured for inlined float tables (vector_store.ADC_LITERAL_MAX_
+# DOUBLES): fine for hundreds, a multi-MB expression tree at 50k.
+# Above this cap, list blocklists are routed to the broadcast-join
+# path automatically (blocklist_hits skips the literal prefilter;
+# blocklist_flag dispatches to the join flag). SCALE_r11 locates the
+# crossover: the literal flag stays ahead of the bare join through
+# ~1k phrases (SCALE_r10: 9.6 vs 17.0 s at 16, 11.2 vs 13.4 s at 1024
+# per 1M docs) but analysis/planning cost grows linearly with the
+# literal count while the join is flat.
+BLOCKLIST_LITERAL_MAX_PHRASES = 4096
+
+
 def _norm_phrase(p: str) -> str:
-    return " ".join(p.split())
+    # lowercased like every other matcher in the text family
+    # (phrase_occurrences, TextIndex) and the SQL oracles' tokenizer
+    return " ".join(p.lower().split())
 
 
 def _phrase_lengths(phrases: list[str]) -> dict[int, list[str]]:
@@ -870,13 +886,73 @@ def blocklist_flag_expr(
     """Literal-array path: adds ``is_blocked`` without a join or a
     shuffle. Plan carries one literal per phrase — use for lists under
     a few hundred; beyond that the join path's flat overhead wins (the
-    SCALE_r10 ADC-literal lesson at the text tier)."""
-    toks = tokens(F.col(text_col))
+    SCALE_r10 ADC-literal lesson at the text tier). Matching is
+    case-insensitive (text and phrases both lowercased), like the rest
+    of the text family."""
+    toks = tokens(F.lower(F.col(text_col)))
     flag = F.lit(False)
     for n, ps in _phrase_lengths(phrases).items():
         lit = F.array(*[F.lit(p) for p in ps])
         flag = flag | F.arrays_overlap(ngram_list(toks, n), lit)
     return df.withColumn("is_blocked", F.coalesce(flag, F.lit(False)))
+
+
+def blocklist_flag_join(
+    df: DataFrame,
+    phrases: list[str] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lengths: list[int] | None = None,
+    max_literals: int | None = None,
+) -> DataFrame:
+    """Join twin of :func:`blocklist_flag_expr`: adds ``is_blocked``
+    via the gram-explode broadcast join instead of inlined literals —
+    plan size O(1) in the phrase count, so this is the shape for
+    managed blocklist TABLES and for lists past the literal wall.
+    Needs ``id_col`` to attach the flag back onto the corpus (the
+    expression twin flags in place and doesn't). Agreement with the
+    literal path is pytest-pinned."""
+    hit_ids = (
+        blocklist_hits(
+            df, phrases, id_col=id_col, text_col=text_col, lengths=lengths,
+            max_literals=max_literals,
+        )
+        .select(id_col)
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        df.join(hit_ids, id_col, "left")
+        .withColumn("is_blocked", F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )
+
+
+def blocklist_flag(
+    df: DataFrame,
+    phrases: list[str] | DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lengths: list[int] | None = None,
+    max_literals: int | None = None,
+) -> DataFrame:
+    """Auto-routing flag front door (the ``adc_tables="auto"`` pattern
+    at the text tier): list blocklists at or under ``max_literals``
+    (default ``BLOCKLIST_LITERAL_MAX_PHRASES``) take the zero-shuffle
+    literal path; wider lists and DataFrame blocklists take the
+    O(1)-plan join path. Both add the same ``is_blocked`` column."""
+    cap = BLOCKLIST_LITERAL_MAX_PHRASES if max_literals is None else max_literals
+    if not isinstance(phrases, DataFrame):
+        by_len = _phrase_lengths(phrases)
+        if not by_len:
+            raise ValueError("empty blocklist")
+        if sum(len(ps) for ps in by_len.values()) <= cap:
+            return blocklist_flag_expr(df, phrases, text_col=text_col)
+    return blocklist_flag_join(
+        df, phrases, id_col=id_col, text_col=text_col, lengths=lengths,
+        max_literals=max_literals,
+    )
 
 
 def blocklist_hits(
@@ -886,6 +962,7 @@ def blocklist_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     lengths: list[int] | None = None,
+    max_literals: int | None = None,
 ) -> DataFrame:
     """Per-phrase hit report: (id, n_hits, first_hit) for every document
     matching ANY phrase. ``phrases`` is a list or a (phrase STRING)
@@ -908,13 +985,18 @@ def blocklist_hits(
     at literal-flag cost. Non-hit docs produce no output rows either
     way, so the prefilter is result-invariant (pytest-pinned).
     DataFrame blocklists (too wide to inline, or managed tables) take
-    the bare join path.
+    the bare join path, and list blocklists wider than
+    ``BLOCKLIST_LITERAL_MAX_PHRASES`` are routed there automatically —
+    the literal flag's plan grows O(N) with the phrase count (the ADC
+    literal-wall lesson at the text tier) while the join is flat.
     """
     prefilter = None
     if isinstance(phrases, DataFrame):
         if not lengths:
             raise ValueError("DataFrame blocklist requires explicit lengths")
-        phrase_df = phrases.select(F.col("phrase"))
+        # same case fold as the list path's _norm_phrase — grams are
+        # built from lowercased text, so the join key must match
+        phrase_df = phrases.select(F.lower(F.col("phrase")).alias("phrase"))
         lens = sorted(set(lengths))
     else:
         by_len = _phrase_lengths(phrases)
@@ -922,15 +1004,22 @@ def blocklist_hits(
             raise ValueError("empty blocklist")
         lens = list(by_len)
         spark = df.sparkSession
+        flat = [p for ps in by_len.values() for p in ps]
         phrase_df = spark.createDataFrame(
-            [(p,) for ps in by_len.values() for p in ps], "phrase string"
+            [(p,) for p in flat], "phrase string"
         )
-        prefilter = [p for ps in by_len.values() for p in ps]
+        cap = (
+            BLOCKLIST_LITERAL_MAX_PHRASES
+            if max_literals is None
+            else max_literals
+        )
+        if len(flat) <= cap:
+            prefilter = flat
     if prefilter is not None:
         df = blocklist_flag_expr(df, prefilter, text_col=text_col).filter(
             "is_blocked"
         )
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.lower(F.col(text_col)))
     gram_arrays = [ngram_list(toks, n) for n in lens]
     grams = F.array_distinct(
         gram_arrays[0] if len(gram_arrays) == 1 else F.concat(*gram_arrays)

@@ -201,10 +201,24 @@ class TextIndex:
         """Tokenize once, write positional postings partitioned by the
         term-hash bucket. Crash-ordering: meta carries a ``building``
         sentinel from before the first data write until the final
-        claims write, so readers fail loud on a half-built index."""
+        claims write, so readers fail loud on a half-built index.
+
+        Rebuilding over an EXISTING index resets it completely: the
+        tombstone table (and any interrupted-compact leftovers) are
+        dropped INSIDE the sentinel window — everything in ``df`` is
+        epoch 0 again, so a stale tombstone with dead_epoch >= 1 would
+        otherwise silently hide every previously-deleted doc that is
+        still in the corpus (rebuild is the documented remediation for
+        interrupted builds, so this path must be loss-free)."""
+        import shutil
+
         self.root.mkdir(parents=True, exist_ok=True)
         meta_path = self.root / self._META
         meta_path.write_text(json.dumps({"building": True}))
+        for stale in ("tombstones", "_postings_new", "_postings_old"):
+            p = self.root / stale
+            if p.exists():
+                shutil.rmtree(p)
         stats = df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("sum_dl"),
@@ -456,7 +470,18 @@ class TextIndex:
     def _pruned(self, terms: list[str]) -> DataFrame:
         """Postings for exactly ``terms``: the bucket IN-list prunes
         partitions at planning time (PartitionFilters, plan-audited);
-        the term IN-list cuts hash-collision neighbors inside them."""
+        the term IN-list cuts hash-collision neighbors inside them.
+
+        Multi-epoch safety net: re-adding an id without the paired
+        tombstone (``delete(ids, dead_epoch=epoch)``) is a documented
+        convention, not enforced — if violated, more than one
+        generation of a (doc, term) posting survives the tombstone
+        filter, double-counting df/tf and (under the default
+        ``spark.sql.mapKeyDedupPolicy=EXCEPTION``) throwing inside
+        ``phrase_hits``'s map assembly. When the index has ever grown
+        past epoch 0, the pruned read keeps only the NEWEST generation
+        per (doc, term) — one map-side-combinable aggregate over the
+        already-tiny pruned subset; single-epoch indexes skip it."""
         import hashlib
 
         meta = self._meta_dict()
@@ -471,9 +496,26 @@ class TextIndex:
                 for t in terms
             }
         )
-        return reader.filter(
+        pruned = reader.filter(
             F.col("bucket").isin(bucket_lits) & F.col("term").isin(terms)
         )
+        if int(meta["last_epoch"]) > 0:
+            pruned = (
+                pruned.groupBy("doc_id", "term")
+                .agg(
+                    F.max_by(
+                        F.struct("tf", "positions", "dl"), F.col("epoch")
+                    ).alias("_r"),
+                    F.max("epoch").alias("epoch"),
+                )
+                .select(
+                    "epoch", "doc_id", "term",
+                    F.col("_r.tf").alias("tf"),
+                    F.col("_r.positions").alias("positions"),
+                    F.col("_r.dl").alias("dl"),
+                )
+            )
+        return pruned
 
     def search(
         self,

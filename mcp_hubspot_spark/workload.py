@@ -8970,94 +8970,87 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
-# ---- round-10 window ----------------------------------------------
+# ---- round-11 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-9 forward note promised. Head of the line: the six round-10
-# additions with NO driver history (hamming_rerank_search — the sign-
-# shortlist + exact-rerank serving composition — plus the text-tier
-# wave: blocklist_hit_docs, classifier_scored_docs, corpus_zipf_fit),
-# then the full 22-query round-6-checked cohort (after this window
-# nothing in the registry is staler than round 7), then the round-7-
-# checked cohort, first 22 alphabetically (the remaining 25 head the
-# round-11 note).
-# Rotated out: the full round-9 window (48 green + 2 rows-only-by-
-# design in r9) — every rotated query remains pinned by the local
-# oracle replica (tests/test_oracle_parity.py) and the verify gate,
-# which run ALL oracle-gated queries regardless of window. Note
-# profile_orders_approx and embed_documents (both in this window) are
-# ROWS_ONLY_BY_DESIGN — their artifact rows are rows-only checks, the
-# expected steady state, not defects.
-_CHECK_PRIORITY = [
-    # never driver-checked: round-10 additions
-    "hamming_rerank_search",
-    "blocklist_hit_docs",
-    "classifier_scored_docs",
-    "corpus_zipf_fit",
-    "corpus_heaps_fit",
-    "phrase_occurrences_docs",
-    # stalest: last driver check was round 6
-    "events_sliding",
-    "events_user_cumulative",
-    "events_user_gaps",
-    "fuzzy_name_pairs",
-    "knn_batch",
-    "knn_batch_matmul",
-    "minhash_signatures",
-    "nation_customer_supplier_sets",
-    "ngram_jaccard_pairs",
-    "order_value_histogram",
-    "orders_last_30d",
-    "orders_status_pivot",
-    "priority_class_counts",
-    "profile_orders_approx",
-    "recent_orders",
-    "scan_union_distinct",
-    "semi_lookup_lines",
-    "shipping_priority",
-    "simhash_fingerprints",
-    "supplier_clustering",
-    "supplier_triangles",
-    "token_stats",
-    # next-stalest: round-7-checked cohort, first 22 alphabetically
-    "big_order_customers",
-    "corpus_clean_stats",
-    "customer_spend_percentile",
-    "doc_hash_split",
-    "doc_zscore_by_source",
-    "dsir_selected_docs",
-    "embed_documents",
-    "event_attribution",
-    "event_path_trigrams",
-    "events_asof_click",
-    "events_hourly",
-    "events_ks_drift",
-    "events_seasonal_anomalies",
-    "events_seasonality",
-    "events_sessionized",
-    "events_type_drift",
-    "exact_dedup_groups",
-    "filtered_scan_or_groups",
-    "funnel_latency_quantiles",
-    "ivf_search",
-    "knn_l2",
-    "label_centroids",
-]
-# ---- round-11 forward note (same never-checked-first rule) ---------
-# After the round-10 check lands, nothing will be older than round 8.
-# Head of the round-11 line: the 25 round-7-checked queries that did
-# not fit this window — lang_id, lineitem_correlations,
-# lineitem_suppkey_skew, minhash_lsh_pairs, mixture_resample_docs,
-# order_counts_by_status, order_lines_nested,
-# order_priority_stats, order_ranking_quality, orders_rollup,
-# orders_snapshot_diff, packed_sequences, parts_without_lineitem,
-# pricing_summary, quality_filter_docs, redact_pii_docs,
-# revenue_by_nation, salted_flag_totals, simhash_neardup_pairs,
-# source_token_kl, tfidf_top_terms, top_bigrams,
-# top_orders_per_customer, user_cohort_retention, user_overlap_kmv —
-# then the round-8-checked cohort (alphabetical), plus any round-11
-# additions at the very front. Until then all are pinned by the local
+# round-10 forward note (and the r10 verdict's worklist #1) promised.
+# Head of the line: any round-11 additions with NO driver history,
+# then the 25 remaining round-7-checked queries (after this window
+# nothing in the registry is staler than round 8), then the round-8-
+# checked cohort alphabetically up to the 50-query cap.
+# Rotated out: the full round-10 window (48 green + 2 rows-only-by-
+# design in r10) — every rotated query remains pinned by the local
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
 # which run ALL oracle-gated queries regardless of window.
+_CHECK_PRIORITY = [
+    # stalest: last driver check was round 7
+    "lang_id",
+    "lineitem_correlations",
+    "lineitem_suppkey_skew",
+    "minhash_lsh_pairs",
+    "mixture_resample_docs",
+    "order_counts_by_status",
+    "order_lines_nested",
+    "order_priority_stats",
+    "order_ranking_quality",
+    "orders_rollup",
+    "orders_snapshot_diff",
+    "packed_sequences",
+    "parts_without_lineitem",
+    "pricing_summary",
+    "quality_filter_docs",
+    "redact_pii_docs",
+    "revenue_by_nation",
+    "salted_flag_totals",
+    "simhash_neardup_pairs",
+    "source_token_kl",
+    "tfidf_top_terms",
+    "top_bigrams",
+    "top_orders_per_customer",
+    "user_cohort_retention",
+    "user_overlap_kmv",
+    # next-stalest: round-8-checked cohort, alphabetical prefix
+    "benchmark_span_overlap",
+    "bloom_decontaminated_docs",
+    "bm25_search",
+    "bpe_compression",
+    "bpe_merges",
+    "canonical_text_docs",
+    "cms_heavy_hitters",
+    "customer_churn_sets",
+    "customer_order_activity",
+    "dedup_lines_docs",
+    "dedup_survivor_report",
+    "doc_bigram_lm_score",
+    "doc_token_positions",
+    "domain_capped_docs",
+    "dq_violations",
+    "embedding_neardup_lsh",
+    "embedding_projection",
+    "embedding_row_stats",
+    "eval_holdout_docs",
+    "event_type_lift",
+    "events_json_props",
+    "events_near_pairs",
+    "events_psi_drift",
+    "events_resampled_locf",
+    "events_scd2",
+]
+# ---- round-12 forward note (same never-checked-first rule) ---------
+# After the round-11 check lands, nothing will be older than round 9.
+# Head of the round-12 line: the 25 round-8-checked queries that did
+# not fit this window — events_value_outliers_mad, global_shuffle_docs,
+# greedy_packed_docs, hard_negatives, hybrid_search_rrf,
+# incremental_dedup_docs, ivf_cosine_search, ivf_pq_search,
+# kmv_distinct_users, knn_cosine, length_bucketed_batches,
+# media_features, media_frame_sample, mixture_plan,
+# nation_copurchase_lift, search_mmr_rerank, span_decontaminated_docs,
+# substring_dedup_docs, substring_dedup_spans, substring_selfclean_docs,
+# substring_selfrepeat_spans, supplier_pagerank, upsample_repeat_docs,
+# vocab_coverage, weighted_sample_docs — then the round-9-checked
+# cohort (alphabetical), plus any round-12 additions at the very
+# front. Until then all are pinned by the local oracle replica
+# (tests/test_oracle_parity.py) and the verify gate, which run ALL
+# oracle-gated queries regardless of window.
 
 
 

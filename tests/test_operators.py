@@ -3408,6 +3408,75 @@ def test_blocklist_phrase_normalization_and_validation(spark):
         blocklist_hits(docs, docs.selectExpr("text AS phrase"))  # no lengths
 
 
+def test_blocklist_flag_join_agrees_with_literal(spark):
+    """The O(1)-plan join flag must mark exactly the docs the literal
+    arrays_overlap flag marks (same is_blocked column, same rows)."""
+    from mcp_hubspot_spark.operators.text import (
+        blocklist_flag_expr,
+        blocklist_flag_join,
+    )
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = ["table table", "fast fast", "scan slow fast"]
+    lit = {
+        (r.doc_id, r.is_blocked)
+        for r in blocklist_flag_expr(docs, phrases)
+        .select("doc_id", "is_blocked")
+        .collect()
+    }
+    joined = {
+        (r.doc_id, r.is_blocked)
+        for r in blocklist_flag_join(docs, phrases)
+        .select("doc_id", "is_blocked")
+        .collect()
+    }
+    assert lit == joined and any(b for _, b in lit)
+
+
+def test_blocklist_literal_wall_auto_switch(spark):
+    """Past BLOCKLIST_LITERAL_MAX_PHRASES, blocklist_flag routes to the
+    join path (no O(N) literal array in the plan) and blocklist_hits
+    skips the literal prefilter — the ADC auto-switch pattern at the
+    text tier. Results are identical either side of the cap."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mcp_hubspot_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a table table z"), (2, "no hits here")],
+        "doc_id long, text string",
+    )
+    phrases = ["table table", "fast fast", "qq zz"]
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    wide = T.blocklist_flag(docs, phrases, max_literals=2)  # over cap
+    narrow = T.blocklist_flag(docs, phrases, max_literals=10)  # under
+    assert "arrays_overlap" not in plan_of(wide)
+    assert "arrays_overlap" in plan_of(narrow)
+    assert (
+        {(r.doc_id, r.is_blocked) for r in wide.collect()}
+        == {(r.doc_id, r.is_blocked) for r in narrow.collect()}
+        == {(1, True), (2, False)}
+    )
+    # blocklist_hits drops its literal prefilter past the cap but
+    # reports the same hits
+    over = T.blocklist_hits(docs, phrases, max_literals=2)
+    assert "arrays_overlap" not in plan_of(over)
+    got_over = [(r.doc_id, r.n_hits, r.first_hit) for r in over.collect()]
+    under = T.blocklist_hits(docs, phrases)
+    assert "arrays_overlap" in plan_of(under)
+    assert got_over == [
+        (r.doc_id, r.n_hits, r.first_hit) for r in under.collect()
+    ] == [(1, 1, "table table")]
+
+
 def test_zipf_fit_exact_power_law(spark):
     """Terms with freq = 60/rank lie exactly on ln(f) = ln(60) - ln(r):
     slope -1, r2 = 1, intercept ln(60)."""
@@ -3451,3 +3520,63 @@ def test_heaps_fit_flattens_on_closed_vocab(spark):
 
     row = heaps_fit(docs, checkpoints=8).first()
     assert row.heaps_beta == 0.0 and row.heaps_k == 3.0
+
+
+def test_heaps_fit_empty_corpus_raises(spark):
+    """heaps_fit runs a small driver job to place its checkpoints; an
+    empty corpus must fail loud, not TypeError on int(None)."""
+    import pytest
+
+    from mcp_hubspot_spark.operators.profiling import heaps_fit
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        heaps_fit(docs, checkpoints=8)
+
+
+def test_text_family_case_folds(spark):
+    """blocklist / classifier / zipf must lowercase before matching or
+    hashing — the same fold as phrase_occurrences, TextIndex, and the
+    SQL oracles' tokenizer (lower() inside _duck_tokens). Previously
+    these matched case-sensitively and parity held only because the
+    fixture corpus is all-lowercase."""
+    from pyspark.sql import functions as F
+
+    from mcp_hubspot_spark.operators.classifier import classifier_score_expr
+    from mcp_hubspot_spark.operators.profiling import zipf_fit
+    from mcp_hubspot_spark.operators.text import (
+        blocklist_flag_expr,
+        blocklist_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a Table TABLE z"), (2, "no hits here")],
+        "doc_id long, text string",
+    )
+    # mixed-case text AND mixed-case phrase both fold
+    assert blocklist_flag_expr(docs, ["TABLE table"]).filter(
+        "is_blocked"
+    ).count() == 1
+    got = blocklist_hits(docs, ["Table TABLE"]).collect()
+    assert [(r.doc_id, r.n_hits, r.first_hit) for r in got] == [
+        (1, 1, "table table")
+    ]
+    # DataFrame blocklists fold their phrase column the same way
+    bl = spark.createDataFrame([("Table TABLE",)], "phrase string")
+    got_df = blocklist_hits(docs, bl, lengths=[2]).collect()
+    assert [(r.doc_id, r.n_hits) for r in got_df] == [(1, 1)]
+    # classifier: case variants of a token land in one bucket
+    pair = spark.createDataFrame(
+        [(1, "Spark TABLE"), (2, "spark table")], "doc_id long, text string"
+    )
+    scores = {
+        r.doc_id: r.score for r in classifier_score_expr(pair).collect()
+    }
+    assert scores[1] == scores[2]
+    # zipf: "The"/"the" fold to ONE term (2 distinct, not 3)
+    z = zipf_fit(
+        spark.createDataFrame(
+            [(1, "The the the zebra")], "doc_id long, text string"
+        )
+    ).first()
+    assert z.n_terms == 2

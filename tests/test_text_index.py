@@ -258,3 +258,50 @@ def test_inline_phrase_occurrences_plan_is_shuffle_free(spark, docs):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_rebuild_after_delete_clears_stale_tombstones(spark, tmp_path):
+    """build() over an existing index resets it COMPLETELY: rebuild
+    lands everything at epoch 0 again, so a tombstone surviving from
+    the previous life (dead_epoch >= 1) would silently hide every
+    previously-deleted doc still present in the rebuild corpus — the
+    exact silent-missing-results failure, since rebuild is the
+    documented remediation for interrupted builds."""
+    docs = spark.createDataFrame(
+        [(1, "spark table scan"), (2, "spark window merge"),
+         (3, "hash join plan")],
+        "doc_id long, text string",
+    )
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(docs, num_buckets=8)
+    ix.delete([1, 2])
+    assert not ix.search(["spark"], k=10).collect()  # tombstoned away
+    ix.build(docs, num_buckets=8)  # rebuild: docs 1 and 2 live again
+    assert {r.doc_id for r in ix.search(["spark"], k=10).collect()} == {1, 2}
+    assert not (tmp_path / "ix" / "tombstones").exists()
+
+
+def test_readd_without_tombstone_serves_newest_generation(spark, tmp_path):
+    """Re-adding an id WITHOUT the paired tombstone violates the
+    documented convention, but the pruned read's max-epoch safety net
+    must still serve each (doc, term) once from the newest generation —
+    no duplicate-map-key throw in phrase_hits (default
+    mapKeyDedupPolicy=EXCEPTION), no double-counted tf/df in search."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "a b x"), (2, "c d")], "doc_id long, text string"
+        ),
+        num_buckets=8,
+    )
+    # convention violation: no delete([1], dead_epoch=1) first
+    ix.add(
+        spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    )
+    hits = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in ix.phrase_hits("a b").collect()
+    }
+    assert hits == {1: (2, 0)}  # newest generation only
+    got = ix.search(["a"], k=10).collect()
+    assert [r.doc_id for r in got] == [1]  # one row, not one per epoch
