@@ -49,6 +49,8 @@ __all__ = [
     "hashed_weight_table",
     "classifier_score",
     "classifier_score_expr",
+    "classifier_train",
+    "binary_auc",
 ]
 
 
@@ -173,4 +175,152 @@ def classifier_score_expr(
         F.col(id_col),
         n.cast("long").alias("n_toks"),
         _sigmoid(F.lit(float(bias)) + mean).alias("score"),
+    )
+
+
+def classifier_train(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    lr: float = 0.5,
+    epochs: int = 2,
+    seed: int = 13,
+) -> DataFrame:
+    """Train the (bucket, weight) table :func:`classifier_score` serves:
+    distributed logistic regression over hashed bag-of-token features by
+    PARALLEL SGD WITH PARAMETER AVERAGING (the one-pass "parameter
+    mixing" recipe of Zinkevich et al. 2010 / Mann et al. 2009, the
+    standard fasttext-tier trainer shape) — each partition runs local
+    SGD over its documents from the shared starting weights, and the
+    per-partition models merge by example-weighted averaging. The model
+    matches serving exactly: a doc's feature vector is the MEAN of its
+    token buckets (md5 ``hash_bucket``, case-folded tokens), so
+    ``classifier_score(df, classifier_train(labeled))`` is the
+    train→serve loop with no representation skew.
+
+    Scale shape: one ``mapInPandas`` pass per epoch (Arrow-batched,
+    local numpy SGD, ONE output row per partition carrying the
+    num_buckets-double weight vector and its example count), and the
+    merge is a DISTRIBUTED posexplode + weighted-average aggregate —
+    the O(num_buckets x partitions) intermediate never lands on the
+    driver. Only the merged O(num_buckets) table is collected between
+    epochs (and only when ``epochs > 1``) to re-seed the next pass —
+    the same parameter-server-step memory any trainer pays. Label
+    column must be 0/1.
+
+    Returns a sparse (bucket BIGINT, weight DOUBLE) table (zero-weight
+    buckets dropped — :func:`classifier_score` treats missing as 0).
+    ``seed`` shuffles nothing (data order is partition order); it is
+    reserved for future minibatch shuffling and recorded for parity.
+    """
+    import numpy as np
+    import pandas as pd
+
+    toks = F.filter(
+        tokens(F.lower(F.col(text_col))), lambda x: x != ""
+    )
+    feats = df.select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.transform(toks, lambda t: hash_bucket(t, num_buckets)).alias(
+            "_b"
+        ),
+    ).filter(F.size("_b") > 0)
+
+    def _epoch(w0: "np.ndarray"):
+        def fit(batches):
+            w = w0.copy()
+            seen = 0
+            for pdf in batches:
+                for y, buckets in zip(pdf["_y"], pdf["_b"]):
+                    b = np.asarray(buckets, dtype=np.int64)
+                    x = 1.0 / len(b)
+                    z = float(w[b].sum()) * x
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    # duplicate buckets in one doc accumulate (.at),
+                    # matching the mean-of-occurrences serving feature
+                    np.subtract.at(w, b, lr * (p - y) * x)
+                    seen += 1
+            if seen:
+                yield pd.DataFrame({"w": [w.tolist()], "n": [seen]})
+
+        return fit
+
+    w0 = np.zeros(num_buckets, dtype=np.float64)
+    merged = None
+    for ep in range(max(1, int(epochs))):
+        if ep > 0:
+            # re-seed the next pass from the merged model: O(model)
+            # driver memory, the parameter-server step
+            w0 = np.zeros(num_buckets, dtype=np.float64)
+            for r in merged.collect():
+                w0[int(r.bucket)] = float(r.weight)
+        parts = feats.mapInPandas(
+            _epoch(w0), schema="w array<double>, n long"
+        )
+        merged = (
+            parts.select(
+                F.posexplode("w").alias("bucket", "_wv"), F.col("n")
+            )
+            .groupBy("bucket")
+            .agg(
+                (
+                    F.sum(F.col("_wv") * F.col("n")) / F.sum("n")
+                ).alias("weight")
+            )
+        )
+    return merged.filter(F.col("weight") != 0.0).select(
+        F.col("bucket").cast("long"), "weight"
+    )
+
+
+def binary_auc(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """ROC AUC for a binary classifier by the Mann-Whitney pair count,
+    computed over DISTINCT score values: per-score (n_pos, n_neg)
+    aggregates first (map-side partial), then one window over the
+    distinct-score rows accumulates negatives-below, and ties
+    contribute half (the standard mid-rank convention). Returns one row
+    (n_pos, n_neg, auc).
+
+    Scale: the window runs over |distinct scores| rows, not documents —
+    already reduced by the aggregate; for continuous scores at extreme
+    corpus sizes, quantize the score column first (standard binned-AUC
+    practice) to bound the distinct count.
+    """
+    from pyspark.sql.window import Window
+
+    per_score = (
+        df.select(
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("double").alias("_np"),
+            F.sum(1 - F.col("_y")).cast("double").alias("_nn"),
+        )
+    )
+    w = (
+        Window.orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = per_score.select(
+        "_np",
+        "_nn",
+        (F.sum("_nn").over(w) - F.col("_nn")).alias("_below"),
+    ).select(
+        "_np",
+        "_nn",
+        (F.col("_np") * (F.col("_below") + F.col("_nn") / 2)).alias("_u"),
+    )
+    return contrib.agg(
+        F.sum("_np").cast("long").alias("n_pos"),
+        F.sum("_nn").cast("long").alias("n_neg"),
+        (F.sum("_u") / (F.sum("_np") * F.sum("_nn"))).alias("auc"),
     )

@@ -534,6 +534,30 @@ def bm25_scores(
     fixed-order fold rather than a shuffle-order float sum, so results
     are bit-stable across partitionings (and engines).
     """
+    contrib = _bm25_contrib(df, query_terms, text_col, id_col, k1, b)
+    return contrib.groupBy(id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_term", "_c"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_c"),
+        ).alias("score")
+    )
+
+
+def _bm25_contrib(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str,
+    id_col: str,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions for ``query_terms`` in ONE
+    corpus scan — the shared front half of :func:`bm25_scores` and
+    :func:`bm25_topk_batch`. Tokens are filtered to the term list
+    map-side before the explode, so exploded rows are bounded by
+    |terms| * matching docs; df/N/avgdl are tiny broadcast aggregates.
+    Returns (id_col, _term, _c)."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(
         F.col(id_col),
@@ -544,7 +568,7 @@ def bm25_scores(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in sorted(query_terms)])
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
     hits = base.select(
         id_col,
         "_dl",
@@ -559,7 +583,7 @@ def bm25_scores(
     dfreq = tf.groupBy("_term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
-    contrib = (
+    return (
         tf.join(F.broadcast(dfreq), "_term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -583,12 +607,63 @@ def bm25_scores(
             ).alias("_c"),
         )
     )
-    return contrib.groupBy(id_col).agg(
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    *,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k for MANY queries in ONE corpus scan — the
+    ``knn_batch`` analog at the lexical tier. The naive form runs
+    |queries| full corpus scans; here per-(doc, term) contributions
+    are computed once over the UNION of all query terms (one scan, one
+    tf aggregate — term df is corpus-global so it is shared across
+    queries by construction), then a tiny broadcast (query_id, term)
+    map fans each contribution into the queries that asked for that
+    term, each query folds its own contributions in sorted term order
+    (the same fixed-order fold as :func:`bm25_scores`, so per-query
+    results are bit-identical to the one-query operator — pinned), and
+    rank-k survives a per-query window whose input is already reduced
+    to matching docs. Returns (query_id, rank, doc_id, score).
+
+    Scale: one corpus scan regardless of Q; the window partitions by
+    query_id over match-proportional rows, never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("empty query batch")
+    qmap = sorted(
+        (qid, t)
+        for qid, ts in queries.items()
+        for t in {x.lower() for x in ts}
+    )
+    all_terms = sorted({t for _, t in qmap})
+    contrib = _bm25_contrib(df, all_terms, text_col, id_col, k1, b)
+    qdf = df.sparkSession.createDataFrame(
+        qmap, "query_id string, _term string"
+    )
+    per_q = contrib.join(F.broadcast(qdf), "_term")
+    scored = per_q.groupBy("query_id", id_col).agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("_term", "_c"))),
             F.lit(0.0),
             lambda acc, s: acc + s.getField("_c"),
         ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
     )
 
 

@@ -318,3 +318,59 @@ class TextIndexMaintainer:
             "tombstoned": sum(by_status.values()),
             "added": by_status.get("added", 0) + by_status.get("changed", 0),
         }
+
+
+def hybrid_rrf_serve(
+    text_index,
+    vector_index,
+    query_terms: list[str],
+    query_vec,
+    *,
+    k: int = 10,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Index-backed hybrid retrieval: TextIndex BM25 shortlist +
+    IvfIndex ANN shortlist, fused by reciprocal-rank fusion — the
+    serving shape of the brute ``hybrid_search_rrf`` registry query
+    (workload.py), which rescans and re-tokenizes the whole corpus per
+    query on BOTH legs. Here each leg reads only what its index prunes
+    to: the lexical leg touches |query-term buckets| / num_buckets of
+    the postings (SCALE_r10: 1.79 s vs 7.92 s brute at 1M docs) and the
+    dense leg scans nprobe cells. Output schema matches the brute twin:
+    (doc_id, lex_rank, vec_rank, rrf_score).
+
+    Agreement is pytest-pinned against the brute query: the BM25 leg is
+    score-identical by the TextIndex agreement pin, and the ANN leg
+    equals exact kNN when ``nprobe`` covers every cell — so full-probe
+    serving replays the brute fusion row-for-row; partial-probe serving
+    trades the dense leg's recall for cell pruning exactly as
+    ``IvfIndex.search`` documents.
+
+    RRF is rank-only (score scales never mix), so the fusion itself is
+    engine-exact: 1/(rrf_k + rank) summed over the legs a doc appears
+    in, descending, doc_id tiebreak.
+    """
+    lex = text_index.search(query_terms, k=shortlist).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vec = vector_index.search(query_vec, k=shortlist, nprobe=nprobe).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+    )
+    return (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round(rrf, 6).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -119,6 +119,43 @@ def _batch_spans(
     )
 
 
+def seed_stop_stats(
+    sample_df: DataFrame,
+    index_path: str,
+    k: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Pre-settle the ``max_df`` stop-shingle cap from a corpus sample:
+    writes the sample's per-shingle position counts to the stats
+    table's ``batch=-1`` partition (the seeding recipe the module
+    docstring describes), WITHOUT seeding the positional index — the
+    sample's documents are not deduplicated against, they only inform
+    the cap. Hot boilerplate then enters the stop set at batch 0
+    instead of crossing the cap mid-stream, so the retro-rewrite storm
+    the cap otherwise causes early in corpus life never starts
+    (e2e-pinned: a seeded stream performs ZERO retroactive partition
+    rewrites on the storm corpus and still drains equal to the batch
+    operator).
+
+    Semantics note: seed counts ADD to streamed counts, so a shingle
+    present in both is capped at a lower streamed-df than the pure
+    stream would cap it — the intended bias (a sample's hot shingles
+    are the corpus's hot shingles; that is exactly the steady state
+    the seed is fast-forwarding to). Idempotent: the overwrite-mode
+    partition makes re-seeding replace, never double-count.
+    """
+    stats_path = f"{index_path}/_shingle_stats"
+    (
+        token_shingle_index(sample_df, k, id_col, text_col)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .parquet(f"{stats_path}/batch=-1")
+    )
+
+
 def process_span_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -129,12 +166,14 @@ def process_span_batch(
     text_col: str = "text",
     min_tokens: int | None = None,
     max_df: int | None = None,
-) -> None:
+) -> dict:
     """One micro-batch's work (module-level so the replay-idempotency
     contract is directly testable: calling it twice with the same
     batch_id must leave index and span output byte-identical to one
     call — foreachBatch redelivers exactly this way after a crash
-    between the writes and the checkpoint commit)."""
+    between the writes and the checkpoint commit). Returns
+    ``{"retro_rewrites": [batch ids recomputed]}`` for observability
+    (foreachBatch ignores it; tests assert on it)."""
     spark = batch_df.sparkSession
     bid = int(batch_id)
     # 1. the batch index lands FIRST, in its own overwrite-mode
@@ -165,6 +204,7 @@ def process_span_batch(
     # 3. overwrite-mode per-batch span partition: replaying the
     # batch rewrites the identical rows — exactly-once output
     out.write.mode("overwrite").parquet(f"{spans_path}/batch={bid}")
+    affected: list[int] = []
     if max_df is not None:
         # 4. retro scrub: shingles that JUST crossed the cap invalidate
         # spans earlier batches emitted while they were still under it.
@@ -191,6 +231,7 @@ def process_span_batch(
             _batch_spans(idx_all, b, k, min_tokens, id_col, stops).write.mode(
                 "overwrite"
             ).parquet(f"{spans_path}/batch={b}")
+    return {"retro_rewrites": affected}
 
 
 def stream_span_dedup(

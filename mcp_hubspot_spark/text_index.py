@@ -578,6 +578,88 @@ class TextIndex:
             F.row_number().over(w).alias("rank"), "doc_id", "score"
         )
 
+    def search_batch(
+        self,
+        queries: dict[str, list[str]],
+        k: int = 10,
+        *,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """BM25 top-k for MANY queries from ONE pruned posting read —
+        the ``knn_batch`` analog on the persisted index (and the
+        serving twin of ``operators/text.py::bm25_topk_batch``, which
+        rescans the corpus). The read prunes to the union of all
+        query-term buckets, per-term df aggregates once over that read
+        (corpus-global by construction, shared across queries), a tiny
+        broadcast (query_id, term) map fans contributions into their
+        queries, and each query folds its own terms in sorted order —
+        so every per-query ranking is bit-identical to a ``search()``
+        call for that query (pytest-pinned). Returns
+        (query_id, rank, doc_id, score).
+        """
+        from pyspark.sql.window import Window
+
+        if not queries:
+            raise ValueError("empty query batch")
+        meta = self._meta_dict()
+        n_docs = float(meta["n_docs"])
+        avgdl = meta["sum_dl"] / n_docs if n_docs else 1.0
+        qmap = sorted(
+            (qid, t)
+            for qid, ts in queries.items()
+            for t in {x.lower() for x in ts}
+        )
+        all_terms = sorted({t for _, t in qmap})
+        post = self._pruned(all_terms).select("term", "doc_id", "tf", "dl")
+        dfreq = post.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("_df")
+        )
+        contrib = post.join(F.broadcast(dfreq), "term").select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        / F.lit(avgdl)
+                    )
+                )
+            ).alias("_c"),
+        )
+        qdf = self.spark.createDataFrame(
+            qmap, "query_id string, term string"
+        )
+        scored = (
+            contrib.join(F.broadcast(qdf), "term")
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "_c"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s.getField("_c"),
+                ).alias("score")
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def phrase_hits(self, phrase: str) -> DataFrame:
         """Documents containing the exact token-aligned phrase, via
         positional intersection over the pruned read: a doc matches at

@@ -8723,6 +8723,81 @@ def corpus_heaps_fit(spark: SparkSession, sf: str) -> DataFrame:
     return heaps_fit(docs, checkpoints=8)
 
 
+# ============================================= round-11 additions =========
+
+# Batched BM25 (round 11): top-k for MANY queries in ONE corpus scan —
+# the knn_batch analog at the lexical tier. Per-(doc, term)
+# contributions are computed once over the UNION of all query terms
+# (df is corpus-global, shared across queries by construction), a tiny
+# broadcast (query_id, term) map fans them into their queries, each
+# query folds its own terms in sorted order (bit-identical to the
+# one-query bm25_scores — pinned), and rank-k survives a per-query
+# window over match-proportional rows. TextIndex.search_batch is the
+# persisted-index serving twin, pinned per-query to search().
+_BM25_BATCH_QUERIES = {
+    "q_lex": ["spark", "window", "hash"],
+    "q_scan": ["table", "scan", "fast"],
+    "q_sort": ["sort", "merge"],
+}
+@_q(
+    "bm25_batch_search",
+    f"""
+    WITH q(query_id, term) AS (
+        VALUES ('q_lex', 'hash'), ('q_lex', 'spark'), ('q_lex', 'window'),
+               ('q_scan', 'fast'), ('q_scan', 'scan'), ('q_scan', 'table'),
+               ('q_sort', 'merge'), ('q_sort', 'sort')
+    ),
+    base AS (
+        SELECT doc_id, {_duck_tokens()} AS toks,
+               CAST(len({_duck_tokens()}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM base
+    ),
+    hits AS (
+        SELECT doc_id, dl, unnest(list_filter(toks,
+            t -> list_contains({sorted({t for ts in
+                [["spark", "window", "hash"], ["table", "scan", "fast"],
+                 ["sort", "merge"]] for t in ts})!r}, t))) AS term
+        FROM base
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, any_value(dl) AS dl
+        FROM hits GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+        SELECT doc_id, term,
+               ln(1.0 + (n - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS c
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT q.query_id, contrib.doc_id,
+               list_sum(list(c ORDER BY contrib.term)) AS score
+        FROM contrib JOIN q USING (term)
+        GROUP BY q.query_id, contrib.doc_id
+    )
+    SELECT query_id, rank, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def bm25_batch_search(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.text import bm25_topk_batch
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_topk_batch(docs, _BM25_BATCH_QUERIES, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -8982,6 +9057,8 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 # oracle replica (tests/test_oracle_parity.py) and the verify gate,
 # which run ALL oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
+    # never driver-checked: round-11 additions
+    "bm25_batch_search",
     # stalest: last driver check was round 7
     "lang_id",
     "lineitem_correlations",
@@ -9033,12 +9110,11 @@ _CHECK_PRIORITY = [
     "events_near_pairs",
     "events_psi_drift",
     "events_resampled_locf",
-    "events_scd2",
 ]
 # ---- round-12 forward note (same never-checked-first rule) ---------
 # After the round-11 check lands, nothing will be older than round 9.
-# Head of the round-12 line: the 25 round-8-checked queries that did
-# not fit this window — events_value_outliers_mad, global_shuffle_docs,
+# Head of the round-12 line: the 26 round-8-checked queries that did
+# not fit this window — events_scd2, events_value_outliers_mad, global_shuffle_docs,
 # greedy_packed_docs, hard_negatives, hybrid_search_rrf,
 # incremental_dedup_docs, ivf_cosine_search, ivf_pq_search,
 # kmv_distinct_users, knn_cosine, length_bucketed_batches,

@@ -3353,6 +3353,61 @@ def test_classifier_known_weights_exact_score(spark):
     assert row.n_toks == 3 and abs(row.score - expect) < 1e-12
 
 
+def test_classifier_train_score_e2e(spark):
+    """The train->serve loop: parameter-averaged SGD over hashed
+    features must learn a planted vocabulary split (positives use one
+    token pool, negatives another, shared filler in both) well enough
+    to rank held-out docs near-perfectly, through the SAME
+    classifier_score serving path the hash-seeded model uses."""
+    from mcp_hubspot_spark.operators.classifier import (
+        binary_auc,
+        classifier_score,
+        classifier_train,
+    )
+
+    pos_vocab = ["alpha", "beta", "gamma", "delta"]
+    neg_vocab = ["omega", "psi", "chi", "phi"]
+    filler = ["the", "a", "of", "scan"]
+    rows = []
+    for i in range(400):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        # deterministic pseudo-text: signal + filler mixed by index
+        words = [
+            vocab[(i + j) % len(vocab)] if j % 2 == 0
+            else filler[(i * 3 + j) % len(filler)]
+            for j in range(8)
+        ]
+        rows.append((i, " ".join(words), i % 2 == 0 and 1 or 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).repartition(8)
+    train = docs.filter(F.col("doc_id") % 4 < 2)  # half train, half test
+    test = docs.filter(F.col("doc_id") % 4 >= 2)
+    w = classifier_train(train, num_buckets=1024, epochs=2, lr=0.5)
+    assert w.columns == ["bucket", "weight"]
+    scored = classifier_score(test, w, num_buckets=1024).join(
+        test.select("doc_id", "label"), "doc_id"
+    )
+    row = binary_auc(scored).first()
+    assert row.n_pos == 100 and row.n_neg == 100
+    assert row.auc > 0.99, row.auc
+
+
+def test_binary_auc_hand_check(spark):
+    """Mann-Whitney arithmetic by hand, including the tie convention:
+    scores [.9 .8 .8 .1] with labels [1 1 0 0] -> pairs: pos .9 beats
+    both negs (2), pos .8 beats .1 (1) and ties .8 (0.5) -> U = 3.5,
+    AUC = 3.5 / (2*2) = 0.875."""
+    from mcp_hubspot_spark.operators.classifier import binary_auc
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.8, 0), (0.1, 0)], "score double, label int"
+    )
+    row = binary_auc(df).first()
+    assert (row.n_pos, row.n_neg) == (2, 2)
+    assert abs(row.auc - 0.875) < 1e-12
+
+
 def test_blocklist_expr_and_join_paths_agree(spark):
     """The literal arrays_overlap flag and the broadcast-join hit set
     must mark exactly the same documents."""

@@ -400,3 +400,43 @@ def test_cdc_to_text_index_serving_loop(spark, tmp_path):
         ref2_meta["n_docs"],
         ref2_meta["sum_dl"],
     )
+
+
+def test_hybrid_rrf_serve_matches_brute_twin(spark, tmp_path):
+    """Index-backed hybrid retrieval (TextIndex BM25 shortlist +
+    IvfIndex ANN shortlist -> RRF fuse) must replay the brute
+    hybrid_search_rrf registry query row-for-row when the dense leg
+    probes every cell: the lexical leg is score-identical by the
+    TextIndex agreement pin, full-probe IVF equals exact kNN, and RRF
+    is rank-only arithmetic."""
+    from mcp_hubspot_spark.serving import hybrid_rrf_serve
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import hybrid_search_rrf, load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    tix = TextIndex(spark, str(tmp_path / "tix"))
+    tix.build(docs)
+    vix = IvfIndex(spark, str(tmp_path / "vix"))
+    vix.build(embs, n_cells=8, metric="l2")
+    qv = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    served = [
+        tuple(r)
+        for r in hybrid_rrf_serve(
+            tix, vix, ["spark", "window", "hash"], qv,
+            k=10, shortlist=20, nprobe=8,  # nprobe == n_cells: exact
+        ).collect()
+    ]
+    brute = [tuple(r) for r in hybrid_search_rrf(spark, sf).collect()]
+    assert served == brute and len(served) == 10
+    # partial probe stays well-formed (k rows, same schema), recall
+    # traded per the IVF contract
+    part = hybrid_rrf_serve(
+        tix, vix, ["spark", "window", "hash"], qv, k=10, nprobe=2
+    )
+    assert part.columns == ["doc_id", "lex_rank", "vec_rank", "rrf_score"]
+    assert part.count() == 10

@@ -1108,3 +1108,45 @@ def test_streaming_minhash_skips_noop_batches(spark, tmp_path):
     out = spark.table("mhsig_noop").collect()
     assert len(out) == 1  # the NULL-only batch emitted nothing
     assert out[0].key == "web" and out[0].n_docs == 2
+
+
+def test_seeded_stop_stats_skip_retro_storm(spark, tmp_path):
+    """seed_stop_stats pre-settles the max_df cap from a corpus sample:
+    on the retro-storm corpus (boilerplate crosses the cap only at the
+    LAST batch when unseeded), a seeded run performs ZERO retroactive
+    partition rewrites — the stop set already contains the boilerplate
+    at batch 0 — and the drain still equals the batch operator."""
+    from mcp_hubspot_spark.operators.dedup import repeated_spans
+    from mcp_hubspot_spark.streaming.span_dedup import (
+        process_span_batch,
+        seed_stop_stats,
+    )
+
+    docs, batches = _max_df_corpus(spark)
+    ip, sp = str(tmp_path / "idx"), str(tmp_path / "spans")
+    # sample: four pure-boilerplate docs — their shingle counts alone
+    # (4 each) already exceed max_df=3, so the cap is settled upfront
+    boiler = " ".join(f"boil{i}" for i in range(20))
+    sample = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(4)], "doc_id long, text string"
+    )
+    seed_stop_stats(sample, ip, k=16)
+    seed_stop_stats(sample, ip, k=16)  # re-seeding replaces, no double
+    rewrites = []
+    for i, b in enumerate(batches):
+        out = process_span_batch(
+            b, i, index_path=ip, spans_path=sp, k=16, max_df=3
+        )
+        rewrites += out["retro_rewrites"]
+    assert rewrites == []  # the storm never started
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(sp).select(*_SPAN_COLS).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in repeated_spans(docs, k=16, max_df=3)
+        .select(*_SPAN_COLS)
+        .collect()
+    )
+    assert got == want and {(r[0], r[1]) for r in got} == {(0, 2)}

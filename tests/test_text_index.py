@@ -305,3 +305,31 @@ def test_readd_without_tombstone_serves_newest_generation(spark, tmp_path):
     assert hits == {1: (2, 0)}  # newest generation only
     got = ix.search(["a"], k=10).collect()
     assert [r.doc_id for r in got] == [1]  # one row, not one per epoch
+
+
+def test_search_batch_matches_per_query_search(spark, docs, built):
+    """One pruned read serving Q queries must rank bit-identically to a
+    search() call per query (shared df aggregate, same fixed-order
+    fold) — and agree with the corpus-rescan bm25_topk_batch twin."""
+    from mcp_hubspot_spark.operators.text import bm25_topk_batch
+
+    queries = {
+        "q_lex": ["spark", "window", "hash"],
+        "q_scan": ["table", "scan", "fast"],
+        "q_sort": ["sort", "merge"],
+    }
+    batch = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in built.search_batch(queries, k=10).collect()
+    }
+    for qid, terms in queries.items():
+        single = {
+            (qid, r.rank): (r.doc_id, round(r.score, 9))
+            for r in built.search(terms, k=10).collect()
+        }
+        assert single == {k: v for k, v in batch.items() if k[0] == qid}, qid
+    rescan = {
+        (r.query_id, r.rank): (r.doc_id, round(r.score, 9))
+        for r in bm25_topk_batch(docs, queries, k=10).collect()
+    }
+    assert rescan == batch
