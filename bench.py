@@ -114,6 +114,7 @@ HEADLINE = [
     "corpus_zipf_fit",          # term power-law OLS fit (TakeOrdered top-k)
     "corpus_heaps_fit",         # vocab-growth fit (first-seen min-agg)
     "phrase_occurrences_docs",  # inline positional phrase-match report
+    "bm25_batch_search",        # one-scan multi-query BM25 (knn_batch analog)
 ]
 
 
@@ -199,10 +200,38 @@ def main() -> None:
     # plan variant + GC can inflate it up to 3x; observed on orders_cube).
     # First-run timings are kept in "cold_queries" so codegen cost stays
     # visible instead of hidden.
+    #
+    # Noise bars (round 11): queries under ~3 s get a THIRD steady rep —
+    # the r10 verdict caught same-code same-day spreads like 2.74↔6.30 s
+    # (dedup_clusters) and 0.59↔2.96 s (knn_cosine) that the min-of-2
+    # couldn't bound — and every query records its steady SPREAD
+    # (max − min of its reps) in "spread_queries", so bench_compare.py
+    # can suppress movers whose delta sits inside the measured noise
+    # instead of leaving that to cross-artifact forensics.
+    # Interleaved calibration series (round 11): the r10 measurements
+    # showed the one-shot calibration sampling a single instant while
+    # the suite spans ~25 minutes of fluctuating neighbor load (three
+    # same-code runs read CPU calib +46%/+57%/+116% within 4 hours). A
+    # short CPU-calib rep every CALIB_EVERY queries samples the load
+    # the queries themselves saw; the MEDIAN of the series is what
+    # bench_compare should trust, and the min/max bound the drift.
+    CALIB_EVERY = 25
+    calib_series: list[float] = []
+
+    def _calib_rep() -> None:
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr(
+            "sum(xxhash64(id) % 100000)", "avg(id * 2.5)"
+        ).collect()
+        calib_series.append(round(time.perf_counter() - t0, 4))
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     cold: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i and i % CALIB_EVERY == 0:
+            _calib_rep()
         fn = QUERIES[name]
         try:
             t0 = time.perf_counter()
@@ -213,7 +242,12 @@ def main() -> None:
                 t1 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 steady.append(time.perf_counter() - t1)
+            if min(steady) < 3.0:  # cheap query: a third rep is cheap too
+                t1 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                steady.append(time.perf_counter() - t1)
             timings[name] = round(min(steady), 3)
+            spreads[name] = round(max(steady) - min(steady), 3)
         except Exception as exc:  # one broken query must not kill the run
             # NOTE: "value" then sums only the surviving queries — any
             # non-empty "errors" key invalidates cross-run comparison of
@@ -230,10 +264,17 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread_queries": spreads,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "calib_sec": calib,
         "calib_shuffle_sec": calib_shuffle,
+        "calib_series": calib_series,
+        "calib_series_median": (
+            round(sorted(calib_series)[len(calib_series) // 2], 4)
+            if calib_series
+            else None
+        ),
         "sf": sf,
     }
     if errors:

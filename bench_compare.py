@@ -51,7 +51,12 @@ def main() -> None:
     # calibration job's time, normalize the new total by the host-speed
     # ratio — identical code has measured 5-25% total swings between
     # sessions on this microVM, which raw totals misreport as code moves
-    ca, cb = a.get("calib_sec"), b.get("calib_sec")
+    # prefer the interleaved calibration series' median when an artifact
+    # carries one (round 11): it samples the same ~25-minute load window
+    # the queries ran under, where the one-shot calib samples a single
+    # instant (measured swinging +46%→+116% between same-code runs)
+    ca = a.get("calib_series_median") or a.get("calib_sec")
+    cb = b.get("calib_series_median") or b.get("calib_sec")
     if ca and cb:
         ratio = cb / ca
         adj = round(both_total_new / ratio, 2)
@@ -90,20 +95,36 @@ def main() -> None:
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
 
+    # noise-bar suppression (round 11): artifacts written by the current
+    # bench.py carry per-query steady-rep spreads (max − min of the 2-3
+    # reps). A mover whose |delta| sits inside the SUM of the two
+    # rounds' spreads is same-code scheduler noise by the artifacts' own
+    # measurement (the r10 dedup_clusters 2.74↔6.30 s case) — reported
+    # separately, never as a regression.
+    spa = a.get("spread_queries", {})
+    spb = b.get("spread_queries", {})
     moves = []
+    noise = []
     for q in common:
         o, n = qa[q], qb[q]
         if max(o, n) < args.min_sec:
             continue
         rel = n / o - 1 if o > 0 else float("inf")
         if abs(rel) >= args.threshold:
-            moves.append((rel, q, o, n))
+            bar = spa.get(q, 0.0) + spb.get(q, 0.0)
+            if (q in spa or q in spb) and abs(n - o) <= bar:
+                noise.append((rel, q, o, n, bar))
+            else:
+                moves.append((rel, q, o, n))
     if not moves:
         print(f"no moves beyond ±{args.threshold:.0%} "
               f"(>{args.min_sec}s queries)")
     for rel, q, o, n in sorted(moves, key=lambda t: -abs(t[0])):
         tag = "REGRESSED" if rel > 0 else "improved"
         print(f"  {tag:9s} {q:32s} {o:7.3f}s -> {n:7.3f}s ({rel:+.0%})")
+    for rel, q, o, n, bar in sorted(noise, key=lambda t: -abs(t[0])):
+        print(f"  noise     {q:32s} {o:7.3f}s -> {n:7.3f}s ({rel:+.0%}) "
+              f"within spread bar {bar:.3f}s")
 
 
 if __name__ == "__main__":

@@ -67,6 +67,7 @@ from mcp_hubspot_spark.operators.profiling import zipf_fit
 from mcp_hubspot_spark.operators.text import (
     blocklist_flag_expr,
     blocklist_hits,
+    bm25_topk_batch,
 )
 from mcp_hubspot_spark.operators.vector import knn, knn_batch_matmul
 from mcp_hubspot_spark.session import get_spark
@@ -454,6 +455,44 @@ def main() -> None:
                 lengths=[2, 3],
             ),
             f"zipf_fit_{dk}": lambda: zipf_fit(docs),
+            # round-11: locate the blocklist literal wall (the r10
+            # verdict's worklist #2) — literal flag vs bare join at
+            # widening phrase counts. The DataFrame form bypasses the
+            # BLOCKLIST_LITERAL_MAX_PHRASES auto-switch so the join is
+            # measured at every width; the list form measures the
+            # literal until it loses.
+            f"blocklist_expr_4096_{dk}": lambda: blocklist_flag_expr(
+                docs, _blk_phrases(4096)
+            ),
+            f"blocklist_expr_10240_{dk}": lambda: blocklist_flag_expr(
+                docs, _blk_phrases(10240)
+            ),
+            f"blocklist_barejoin_4096_{dk}": lambda: blocklist_hits(
+                docs,
+                spark.createDataFrame(
+                    [(p,) for p in _blk_phrases(4096)], "phrase string"
+                ),
+                lengths=[2, 3],
+            ),
+            f"blocklist_barejoin_10240_{dk}": lambda: blocklist_hits(
+                docs,
+                spark.createDataFrame(
+                    [(p,) for p in _blk_phrases(10240)], "phrase string"
+                ),
+                lengths=[2, 3],
+            ),
+            f"blocklist_barejoin_51200_{dk}": lambda: blocklist_hits(
+                docs,
+                spark.createDataFrame(
+                    [(p,) for p in _blk_phrases(51200)], "phrase string"
+                ),
+                lengths=[2, 3],
+            ),
+            # round-11: one-scan batched BM25 (8 queries) vs 8x the
+            # single-query scan (bm25_search_{dk} is the unit cost)
+            f"bm25_batch8_{dk}": lambda: bm25_topk_batch(
+                docs, _bm25_batch_queries(), k=10
+            ),
         }
 
         clf_w = hashed_weight_table(spark, 1 << 18)
@@ -466,6 +505,16 @@ def main() -> None:
             ]
             fake = [f"zzq{i} qqz{i}" for i in range(max(0, n - len(real)))]
             return real[:n] + fake
+
+        def _bm25_batch_queries() -> dict[str, list[str]]:
+            pool = [
+                "spark", "window", "hash", "table", "scan", "fast",
+                "sort", "merge", "join", "order", "line", "value",
+            ]
+            return {
+                f"q{i}": [pool[i % 12], pool[(i + 3) % 12], pool[(i + 7) % 12]]
+                for i in range(8)
+            }
 
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
@@ -1270,6 +1319,142 @@ def main() -> None:
                 lambda: tix.phrase_hits("table table").collect(),
                 len,
             )
+            # round-11: one pruned read serving 8 BM25 queries — compare
+            # 8x text_index_bm25_{dk} for the batching payoff
+            run_special(
+                f"text_index_bm25_batch8_{dk}",
+                lambda: tix.search_batch(
+                    _bm25_batch_queries(), k=10
+                ).collect(),
+                len,
+            )
+
+        # round-11: index-backed hybrid retrieval (r10 verdict worklist
+        # #3) — TextIndex BM25 shortlist + IvfIndex ANN shortlist -> RRF
+        # fuse, vs the brute twin that rescans the corpus on both legs.
+        # The pinning test runs at full probe; here the serving config
+        # (nprobe=4) measures the deployed shape.
+        if wanted("hybrid"):
+            try:
+                from mcp_hubspot_spark.serving import hybrid_rrf_serve
+                from mcp_hubspot_spark.text_index import TextIndex
+                from mcp_hubspot_spark.vector_store import IvfIndex
+                from mcp_hubspot_spark.operators.vector import knn
+                from pyspark.sql.window import Window as _W
+
+                htix = TextIndex(spark, str(work / "htix"))
+                htix.build(docs)
+                hvix = IvfIndex(spark, str(work / "hvix"))
+                hvix.build(embs, n_cells=max(16, n_embs // 25_000))
+                hterms = ["spark", "window", "hash"]
+
+                def _hybrid_served():
+                    return hybrid_rrf_serve(
+                        htix, hvix, hterms, probe, k=10,
+                        shortlist=20, nprobe=4,
+                    ).collect()
+
+                def _hybrid_brute():
+                    lex = (
+                        bm25_scores(docs, hterms)
+                        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                        .limit(20)
+                        .withColumn(
+                            "lex_rank",
+                            F.row_number().over(
+                                _W.orderBy(
+                                    F.col("score").desc(),
+                                    F.col("doc_id").asc(),
+                                )
+                            ),
+                        )
+                        .select("doc_id", "lex_rank")
+                    )
+                    vec = knn(
+                        embs.select(
+                            "vec_id",
+                            F.col("embedding")
+                            .cast("array<double>")
+                            .alias("embedding"),
+                        ),
+                        probe,
+                        k=20,
+                    ).select(
+                        F.col("vec_id").alias("doc_id"),
+                        F.col("rank").alias("vec_rank"),
+                    )
+                    rrf = F.coalesce(
+                        1.0 / (60 + F.col("lex_rank")), F.lit(0.0)
+                    ) + F.coalesce(
+                        1.0 / (60 + F.col("vec_rank")), F.lit(0.0)
+                    )
+                    return (
+                        lex.join(vec, "doc_id", "full_outer")
+                        .select(
+                            "doc_id",
+                            F.round(rrf, 6).alias("rrf_score"),
+                        )
+                        .orderBy(
+                            F.col("rrf_score").desc(), F.col("doc_id").asc()
+                        )
+                        .limit(10)
+                        .collect()
+                    )
+
+                run_special(f"hybrid_rrf_served_{dk}", _hybrid_served, len)
+                run_special(f"hybrid_rrf_brute_{dk}", _hybrid_brute, len)
+            except Exception as exc:
+                errors["hybrid"] = f"{type(exc).__name__}: {exc}"[:200]
+
+        # round-11: trained-weights loop (r10 verdict worklist #5) —
+        # parameter-averaged SGD over hashed features on a planted
+        # label (docs containing 'spark' are positives), scored through
+        # the serving join, ranked by the distinct-score AUC operator.
+        if wanted("classifier_train"):
+            try:
+                from mcp_hubspot_spark.operators.classifier import (
+                    binary_auc,
+                    classifier_train,
+                )
+
+                lab = docs.withColumn(
+                    "label",
+                    F.array_contains(
+                        F.split(F.lower("text"), r"\s+"), "spark"
+                    ).cast("int"),
+                )
+                tr = lab.filter(F.col("doc_id") % 2 == 0)
+                te = lab.filter(F.col("doc_id") % 2 == 1)
+                trained = {}
+
+                def _train():
+                    w = classifier_train(
+                        tr, num_buckets=1 << 18, epochs=1, lr=0.5
+                    )
+                    trained["w"] = w.cache()
+                    return trained["w"].count()
+
+                run_special(f"classifier_train_{dk}", _train, int)
+                if "w" in trained:
+
+                    def _auc():
+                        scored = classifier_score(
+                            te, trained["w"], num_buckets=1 << 18
+                        ).join(te.select("doc_id", "label"), "doc_id")
+                        return binary_auc(scored).first()
+
+                    run_special(
+                        f"classifier_train_auc_{dk}", _auc, lambda r: 1
+                    )
+                    row = _auc()
+                    extras["classifier_train_auc"] = round(
+                        float(row.auc), 4
+                    )
+                    trained["w"].unpersist()
+            except Exception as exc:
+                errors["classifier_train"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
 
         for name, fn in cases.items():
             if not wanted(name):
