@@ -5,7 +5,11 @@ from .windows import (
     session_stream,
 )
 from .incremental import IncrementalReader
-from .ingest import stream_embed_to_store, stream_merge_to_table
+from .ingest import (
+    stream_docs_to_text_index,
+    stream_embed_to_store,
+    stream_merge_to_table,
+)
 from .monitor import histogram_fractions, stream_drift_monitor
 from .span_dedup import stream_span_dedup
 from .stateful import (
@@ -29,6 +33,7 @@ __all__ = [
     "histogram_fractions",
     "stream_drift_monitor",
     "stream_span_dedup",
+    "stream_docs_to_text_index",
     "first_seen_dedup",
     "running_user_totals",
     "streaming_cms",

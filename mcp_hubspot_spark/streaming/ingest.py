@@ -76,3 +76,48 @@ def stream_merge_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_docs_to_text_index(
+    stream_df: DataFrame,
+    index,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming append-only ingest into a :class:`~.text_index.TextIndex`
+    — the lexical twin of :func:`stream_embed_to_store`, built directly
+    on the index's epoch machinery: each micro-batch ``add()``s at
+    ``epoch = batch_id + 1`` (build owns epoch 0), so recovery is free
+    by construction — a crash-retried batch re-adds at ITS OWN epoch,
+    which is a dynamic partition overwrite (replaces partial output,
+    never double-appends) with a ``last_epoch``-guarded stats bump
+    (applies exactly once). Structured Streaming redelivers only the
+    newest uncommitted batch, matching add()'s epoch monotonicity
+    contract exactly.
+
+    Append-only: NEW document ids per batch. A stream that carries
+    CHANGES to existing docs should land in a
+    :class:`~.sources.snapshot_table.SnapshotTable` (stream_merge_to_table)
+    with a :class:`~.serving.TextIndexMaintainer` syncing the index —
+    the changed-doc path needs the paired tombstone this ingest
+    deliberately skips. The index must exist (``build()`` the seed
+    corpus first, or build on an empty frame). Returns the
+    StreamingQuery handle.
+    """
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        index.add(
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            epoch=int(batch_id) + 1,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1150,3 +1150,45 @@ def test_seeded_stop_stats_skip_retro_storm(spark, tmp_path):
         .collect()
     )
     assert got == want and {(r[0], r[1]) for r in got} == {(0, 2)}
+
+
+def test_stream_docs_to_text_index_equals_rebuild(spark, tmp_path):
+    """Streaming append-only ingest rides the TextIndex epoch machinery
+    (one epoch per micro-batch): after the drain, BM25 served from the
+    streamed index must be score-identical to one build over the full
+    corpus — df from postings, stats bumped exactly once per batch."""
+    from mcp_hubspot_spark.streaming.ingest import stream_docs_to_text_index
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+    d = tmp_path / "in"
+    for i in (1, 2):
+        rest.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(seed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = stream_docs_to_text_index(
+        stream, ix, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    full = TextIndex(spark, str(tmp_path / "full"))
+    full.build(docs)
+    terms = ["spark", "merge", "hash"]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix.search(terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in full.search(terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 10
