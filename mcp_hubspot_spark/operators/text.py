@@ -931,11 +931,12 @@ def token_kl_divergence(
 # DOUBLES): fine for hundreds, a multi-MB expression tree at 50k.
 # Above this cap, list blocklists are routed to the broadcast-join
 # path automatically (blocklist_hits skips the literal prefilter;
-# blocklist_flag dispatches to the join flag). SCALE_r11 locates the
-# crossover: the literal flag stays ahead of the bare join through
-# ~1k phrases (SCALE_r10: 9.6 vs 17.0 s at 16, 11.2 vs 13.4 s at 1024
-# per 1M docs) but analysis/planning cost grows linearly with the
-# literal count while the join is flat.
+# blocklist_flag dispatches to the join flag). SCALE_r11 located the
+# crossover at 1M docs: literal flag 9.4 s @16 phrases, 11.0 s @1k,
+# 16.5 s @4k, 34.5 s @10k vs the bare join FLAT at 15.7-17.3 s from
+# 16 through 51k phrases — the two meet almost exactly at this cap
+# (16.5 vs 15.9 s), and past it the literal loses 2x by 10k while the
+# join stays flat.
 BLOCKLIST_LITERAL_MAX_PHRASES = 4096
 
 

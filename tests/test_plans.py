@@ -1007,3 +1007,25 @@ def test_zipf_topk_is_distributed_take_ordered(spark):
     docs = load_table(spark, SF, "documents")
     plan = plan_of(zipf_fit(docs))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_batch_scan_count_is_query_invariant(spark):
+    """bm25_topk_batch's promise is ONE corpus pass regardless of Q:
+    the number of parquet scans in the 8-query plan must equal the
+    1-query plan's (the fan-out into queries is a broadcast of the tiny
+    (query_id, term) map, never another corpus read), and the per-query
+    rank must be a window over the already-reduced rows."""
+    from mcp_hubspot_spark.operators.text import bm25_topk_batch
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    one = plan_of(bm25_topk_batch(docs, {"q0": ["spark", "hash"]}, k=5))
+    eight = plan_of(
+        bm25_topk_batch(
+            docs,
+            {f"q{i}": ["spark", "hash", "table", "scan"] for i in range(8)},
+            k=5,
+        )
+    )
+    assert one.count("Scan parquet") == eight.count("Scan parquet")
+    assert "BroadcastExchange" in eight and "Window" in eight
