@@ -374,3 +374,71 @@ def hybrid_rrf_serve(
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def hybrid_rrf_serve_batch(
+    text_index,
+    vector_index,
+    queries: dict,
+    *,
+    k: int = 10,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Batched :func:`hybrid_rrf_serve`: Q hybrid queries against ONE
+    pruned posting read (``TextIndex.search_batch``) and ONE pruned
+    cell scan (``IvfIndex.search_batch``), fused per query by RRF.
+    ``queries`` maps query_id (string) -> (terms list, query vector).
+    Per-query output is pytest-pinned identical to a
+    ``hybrid_rrf_serve`` call (both legs pin to their own per-query
+    twins, and RRF + per-query window rank is rank-only arithmetic).
+    Returns (query_id, doc_id, lex_rank, vec_rank, rrf_score), top-k
+    per query by (rrf_score desc, doc_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("empty query batch")
+    order = sorted(queries)
+    lex = text_index.search_batch(
+        {q: queries[q][0] for q in order}, k=shortlist
+    ).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vec_raw = vector_index.search_batch(
+        [(i, queries[q][1]) for i, q in enumerate(order)],
+        k=shortlist,
+        nprobe=nprobe,
+    ).select(
+        F.col("query_id").alias("_qi"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    spark = vec_raw.sparkSession
+    mapping = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(order)], "_qi long, query_id string"
+    )
+    vec = vec_raw.join(F.broadcast(mapping), "_qi").select(
+        "query_id", "doc_id", "vec_rank"
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(rrf, 6).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

@@ -888,6 +888,91 @@ class IvfIndex:
             metric=metric,
         )
 
+    def search_batch(
+        self,
+        queries: Sequence[tuple[int, Sequence[float]]],
+        k: int = 10,
+        nprobe: int = 2,
+        vec_col: str = "embedding",
+        id_cols: Sequence[str] = ("vec_id",),
+    ) -> DataFrame:
+        """Many queries against ONE pruned scan — the index-tier
+        ``knn_batch`` (and the dense twin of ``TextIndex.search_batch``):
+        every query's cells are ranked driver-side as ``search`` does
+        (zero Spark jobs with a manifest), the scan prunes to the UNION
+        of all probed cells, a tiny broadcast (query_id, cell_id) map
+        restricts each candidate row to the queries that actually
+        probed its cell (so a query never sees cells it didn't ask
+        for — per-query results are EXACTLY ``search``'s, pytest-
+        pinned), and per-query top-k survives a window over the
+        candidate rows. Returns (query_id, rank, *id_cols, distance,
+        similarity) — ``search``'s schema plus the query id.
+
+        Scale: one partition-pruned scan regardless of Q; both join
+        sides against it are broadcast; the window input is bounded by
+        |union cells| rows, never the index.
+        """
+        import math
+
+        from pyspark.sql.window import Window
+
+        from .operators.vector import dot, l2_norm, l2_squared
+
+        if not queries:
+            raise ValueError("empty query batch")
+        qcell_rows: list[tuple[int, int]] = []
+        qvec_rows: list[tuple[int, list[float], float]] = []
+        all_cells: set[int] = set()
+        metric = "l2"
+        for qid, vec in queries:
+            qv, probe, metric, _ = self._probe(vec, nprobe)
+            qid = int(qid)
+            qcell_rows += [(qid, int(c)) for c in probe]
+            # the same driver-folded query norm knn uses for cosine, so
+            # batch arithmetic is bit-identical to the per-query path
+            qn = math.sqrt(sum(x * x for x in qv))
+            qvec_rows.append((qid, [float(x) for x in qv], qn))
+            all_cells.update(int(c) for c in probe)
+        qcells = self.spark.createDataFrame(
+            qcell_rows, "query_id long, _qcell long"
+        )
+        qvecs = self.spark.createDataFrame(
+            qvec_rows, "query_id long, _qv array<double>, _qn double"
+        )
+        pruned = self._pruned_cells(sorted(all_cells)).select(
+            *id_cols,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            F.col("cell_id").cast("long").alias("_cell"),
+        )
+        cand = pruned.join(
+            F.broadcast(qcells), F.col("_cell") == F.col("_qcell")
+        ).join(F.broadcast(qvecs), "query_id")
+        v = F.col(vec_col)
+        if metric == "cosine":
+            sim_expr = dot(v, F.col("_qv")) / (l2_norm(v) * F.col("_qn"))
+            dist = F.lit(1.0) - sim_expr
+        else:
+            dist = l2_squared(v, F.col("_qv"))
+        scored = cand.select(
+            "query_id", *id_cols, dist.alias("distance")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc_nulls_last(), F.col(id_cols[0]).asc()
+        )
+        sim = (
+            (F.lit(1.0) - F.col("distance"))
+            if metric == "cosine"
+            else (F.lit(1.0) - F.col("distance") / F.lit(2.0))
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "rank", *id_cols, "distance",
+                sim.alias("similarity"),
+            )
+        )
+
     def _probe(
         self, query_vec: Sequence[float], nprobe: int
     ) -> tuple[

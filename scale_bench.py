@@ -1403,6 +1403,46 @@ def main() -> None:
 
                 run_special(f"hybrid_rrf_served_{dk}", _hybrid_served, len)
                 run_special(f"hybrid_rrf_brute_{dk}", _hybrid_brute, len)
+
+                # batched serving twins: 8 queries against ONE pruned
+                # posting read / cell scan each — compare 8x the
+                # single-query rows above for the batching payoff
+                def _ivf_batch():
+                    return hvix.search_batch(
+                        queries[:8], k=10, nprobe=4
+                    ).collect()
+
+                def _hybrid_batch():
+                    from mcp_hubspot_spark.serving import (
+                        hybrid_rrf_serve_batch,
+                    )
+
+                    tpool = [
+                        "spark", "window", "hash", "table", "scan",
+                        "fast", "sort", "merge", "join", "order",
+                        "line", "value",
+                    ]
+                    hq = {
+                        f"q{i}": (
+                            [tpool[i % 12], tpool[(i + 3) % 12],
+                             tpool[(i + 7) % 12]],
+                            queries[i][1],
+                        )
+                        for i in range(8)
+                    }
+                    return hybrid_rrf_serve_batch(
+                        htix, hvix, hq, k=10, shortlist=20, nprobe=4
+                    ).collect()
+
+                run_special(f"ivf_search_batch8_{ek}", _ivf_batch, len)
+                run_special(
+                    f"hybrid_rrf_served_batch8_{dk}", _hybrid_batch, len
+                )
+                run_special(
+                    f"ivf_search_single_{ek}",
+                    lambda: hvix.search(probe, k=10, nprobe=4).collect(),
+                    len,
+                )
             except Exception as exc:
                 errors["hybrid"] = f"{type(exc).__name__}: {exc}"[:200]
 

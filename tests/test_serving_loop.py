@@ -440,3 +440,48 @@ def test_hybrid_rrf_serve_matches_brute_twin(spark, tmp_path):
     )
     assert part.columns == ["doc_id", "lex_rank", "vec_rank", "rrf_score"]
     assert part.count() == 10
+
+
+def test_hybrid_rrf_serve_batch_matches_per_query(spark, tmp_path):
+    """The batched hybrid (one pruned posting read + one pruned cell
+    scan for Q queries) must return each query's hybrid_rrf_serve
+    result exactly — both legs pin to their per-query twins, so the
+    batch is agreement-by-composition, at partial probe too."""
+    from mcp_hubspot_spark.serving import (
+        hybrid_rrf_serve,
+        hybrid_rrf_serve_batch,
+    )
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    tix = TextIndex(spark, str(tmp_path / "tix"))
+    tix.build(docs)
+    vix = IvfIndex(spark, str(tmp_path / "vix"))
+    vix.build(embs, n_cells=8, metric="l2")
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in embs.filter(F.col("vec_id").isin(0, 7)).collect()
+    }
+    queries = {
+        "qa": (["spark", "window", "hash"], vecs[0]),
+        "qb": (["table", "merge"], vecs[7]),
+    }
+    batch = {
+        (r.query_id, r.doc_id): (r.lex_rank, r.vec_rank, r.rrf_score)
+        for r in hybrid_rrf_serve_batch(
+            tix, vix, queries, k=10, shortlist=20, nprobe=2
+        ).collect()
+    }
+    for qid, (terms, vec) in queries.items():
+        single = {
+            (qid, r.doc_id): (r.lex_rank, r.vec_rank, r.rrf_score)
+            for r in hybrid_rrf_serve(
+                tix, vix, terms, vec, k=10, shortlist=20, nprobe=2
+            ).collect()
+        }
+        assert single == {
+            kk: vv for kk, vv in batch.items() if kk[0] == qid
+        }, qid

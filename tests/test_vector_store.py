@@ -1206,3 +1206,35 @@ def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
 
     with pytest.raises(ValueError, match="adc_tables"):
         idx.search_pq(qv, k=5, adc_tables="bogus")
+
+
+def test_search_batch_matches_per_query_search(spark, tmp_path):
+    """One pruned scan serving Q queries must rank each query exactly
+    as its own search() call does — the (query_id, cell_id) broadcast
+    map restricts every candidate row to the queries that probed its
+    cell, so partial-probe results agree too, for BOTH metrics."""
+    from pyspark.sql import functions as F
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+    from mcp_hubspot_spark.workload import load_table
+
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embs.filter(F.col("vec_id").isin(1, 5, 9)).collect()
+    ]
+    for metric in ("l2", "cosine"):
+        ix = IvfIndex(spark, str(tmp_path / f"ix_{metric}"))
+        ix.build(embs, n_cells=8, metric=metric)
+        batch = {
+            (r.query_id, r.rank): (r.vec_id, round(r.distance, 12))
+            for r in ix.search_batch(queries, k=5, nprobe=2).collect()
+        }
+        for qid, vec in queries:
+            single = {
+                (qid, r.rank): (r.vec_id, round(r.distance, 12))
+                for r in ix.search(vec, k=5, nprobe=2).collect()
+            }
+            assert single == {
+                kk: vv for kk, vv in batch.items() if kk[0] == qid
+            }, (metric, qid)
