@@ -1434,12 +1434,12 @@ def main() -> None:
                         htix, hvix, hq, k=10, shortlist=20, nprobe=4
                     ).collect()
 
-                run_special(f"ivf_search_batch8_{ek}", _ivf_batch, len)
+                run_special(f"hybrid_ivf_batch8_{ek}", _ivf_batch, len)
                 run_special(
                     f"hybrid_rrf_served_batch8_{dk}", _hybrid_batch, len
                 )
                 run_special(
-                    f"ivf_search_single_{ek}",
+                    f"hybrid_ivf_single_{ek}",
                     lambda: hvix.search(probe, k=10, nprobe=4).collect(),
                     len,
                 )
