@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_heaps_fit",         # vocab-growth fit (first-seen min-agg)
     "phrase_occurrences_docs",  # inline positional phrase-match report
     "bm25_batch_search",        # one-scan multi-query BM25 (knn_batch analog)
+    "media_resized",            # multimodal resize plumbing (mapInPandas)
 ]
 
 

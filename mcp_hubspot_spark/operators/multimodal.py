@@ -172,3 +172,71 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 100).cast("long").alias("duration_ms"),
     )
+
+
+RESIZED_MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("byte_len", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resizer: the output payload is
+    the input digest hex + target dims, tiled to a length proportional
+    to the TARGET pixel area — so downstream sees the real contract (a
+    new binary payload whose size tracks the target dims, reproducible
+    for a given input), while the digest+repeat construction stays
+    VARCHAR-derivable so the SQL oracle can recompute byte_len and
+    sha256 bit-for-bit (the frame_sample_plan convention). A real
+    deployment injects a Pillow-backed ``resize_fn`` and none of the
+    Spark-side plumbing changes."""
+    unit = f"{hashlib.sha256(payload).hexdigest()}:{width}x{height}#"
+    k = max(1, (width * height) // 256)
+    return (unit * k).encode()
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: payload -> payload' at (width, height) via
+    mapInPandas — the transform-in-place member of the multimodal verb
+    set (decode / feature-extract / RESIZE / frame-sample). The payload
+    never enters a shuffle: the resize runs inside the scan's Arrow
+    batches and the output is written/consumed downstream partition-
+    local. Null payloads pass through as null (byte_len 0).
+
+    Input: at least (media_id long, kind string, payload binary).
+    Output: RESIZED_MEDIA_SCHEMA with the RESIZED payload.
+    """
+    rz = resize_fn or _fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: rz(b, width, height) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": width,
+                    "height": height,
+                    "byte_len": resized.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "payload": resized,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZED_MEDIA_SCHEMA
+    )

@@ -8798,6 +8798,52 @@ def bm25_batch_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Media resize plumbing (round 11): the transform-in-place member of
+# the multimodal verb set (decode / feature-extract / RESIZE /
+# frame-sample — media_features and media_frame_sample cover the other
+# three). The stub resizer tiles digest-hex + target dims to a length
+# proportional to the target pixel area (VARCHAR-derivable, the
+# frame_sample convention), so the oracle recomputes byte_len AND the
+# output payload's sha256 bit-for-bit; a real Pillow resize_fn drops in
+# without touching the Spark plumbing. Payload never enters a shuffle.
+@_q(
+    "media_resized",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3)::INT + 1] AS kind,
+               text
+        FROM documents WHERE doc_id < 100
+    ),
+    r AS (
+        SELECT media_id, kind,
+               repeat(sha256(text) || ':64x48#', (64 * 48) // 256)
+                   AS payload
+        FROM m
+    )
+    SELECT media_id, kind,
+           CAST(64 AS INT) AS width, CAST(48 AS INT) AS height,
+           CAST(octet_length(encode(payload)) AS BIGINT) AS byte_len,
+           sha256(payload) AS payload_sha256
+    FROM r
+    ORDER BY media_id
+    """,
+)
+def media_resized(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.multimodal import documents_as_media, resize_media
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    out = resize_media(documents_as_media(docs), 64, 48)
+    return out.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "byte_len",
+        F.sha2("payload", 256).alias("payload_sha256"),
+    ).orderBy("media_id")
+
+
 # ================================================ driver-check rotation ====
 # The correctness driver verifies the FIRST 50 registered queries
 # (CORRECTNESS_r01 checked exactly the 50-query insertion-order prefix).
@@ -9059,6 +9105,7 @@ ROWS_ONLY_BY_DESIGN = frozenset(
 _CHECK_PRIORITY = [
     # never driver-checked: round-11 additions
     "bm25_batch_search",
+    "media_resized",
     # stalest: last driver check was round 7
     "lang_id",
     "lineitem_correlations",
@@ -9109,12 +9156,12 @@ _CHECK_PRIORITY = [
     "events_json_props",
     "events_near_pairs",
     "events_psi_drift",
-    "events_resampled_locf",
 ]
 # ---- round-12 forward note (same never-checked-first rule) ---------
 # After the round-11 check lands, nothing will be older than round 9.
-# Head of the round-12 line: the 26 round-8-checked queries that did
-# not fit this window — events_scd2, events_value_outliers_mad, global_shuffle_docs,
+# Head of the round-12 line: the 27 round-8-checked queries that did
+# not fit this window — events_resampled_locf, events_scd2,
+# events_value_outliers_mad, global_shuffle_docs,
 # greedy_packed_docs, hard_negatives, hybrid_search_rrf,
 # incremental_dedup_docs, ivf_cosine_search, ivf_pq_search,
 # kmv_distinct_users, knn_cosine, length_bucketed_batches,

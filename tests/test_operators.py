@@ -106,6 +106,47 @@ def test_frame_sample_fanout(spark):
     }
 
 
+def test_resize_media_plumbing(spark):
+    """The resize verb: payload -> payload' at the target dims through
+    mapInPandas. Stub contract: output length tracks the TARGET pixel
+    area and is deterministic per input; null payloads pass through as
+    null; an injected resize_fn replaces the stub with no plumbing
+    change (the production seam)."""
+    from mcp_hubspot_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10)
+    media = documents_as_media(docs)
+    out = {r.media_id: r for r in resize_media(media, 64, 48).collect()}
+    assert len(out) == 10
+    unit_len = len(hashlib.sha256(b"x").hexdigest()) + len(":64x48#")
+    for r in out.values():
+        assert (r.width, r.height) == (64, 48)
+        assert r.byte_len == unit_len * ((64 * 48) // 256)
+        assert len(r.payload) == r.byte_len
+    # deterministic: same input -> same bytes
+    again = {r.media_id: r for r in resize_media(media, 64, 48).collect()}
+    assert {k: bytes(v.payload) for k, v in out.items()} == {
+        k: bytes(v.payload) for k, v in again.items()
+    }
+    # target-area proportionality: double the area, double the length
+    big = resize_media(media, 64, 96).first()
+    assert big.byte_len == 2 * unit_len * ((64 * 48) // 256)
+    # null payload passes through
+    nulls = spark.createDataFrame(
+        [(1, "image", None)], "media_id long, kind string, payload binary"
+    )
+    nr = resize_media(nulls, 64, 48).first()
+    assert nr.payload is None and nr.byte_len == 0
+    # injectable real resizer
+    got = resize_media(
+        media, 8, 8, resize_fn=lambda b, w, h: b[: w * h]
+    ).first()
+    assert got.byte_len <= 64
+
+
 def test_hash_embedder_deterministic_and_unit_norm(spark):
     from mcp_hubspot_spark.functions.embedding import embed_column
 
