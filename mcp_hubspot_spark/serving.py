@@ -330,6 +330,8 @@ def hybrid_rrf_serve(
     shortlist: int = 20,
     nprobe: int = 2,
     rrf_k: int = 60,
+    dense: str = "exact",
+    pq_rerank: int | None = None,
 ) -> DataFrame:
     """Index-backed hybrid retrieval: TextIndex BM25 shortlist +
     IvfIndex ANN shortlist, fused by reciprocal-rank fusion — the
@@ -351,11 +353,33 @@ def hybrid_rrf_serve(
     RRF is rank-only (score scales never mix), so the fusion itself is
     engine-exact: 1/(rrf_k + rank) summed over the legs a doc appears
     in, descending, doc_id tiebreak.
+
+    ``dense`` picks the ANN leg's physical path: ``"exact"`` (default)
+    scans the probed cells' embedding column; ``"pq"`` (requires an
+    index built with ``pq_m``) scans only the m-byte-ish PQ codes and
+    exact-reranks the ADC top-``pq_rerank`` (default 4x shortlist) —
+    the 100 TB IO shape (SCALE_r10: codes cut the dense read ~32x at
+    m=8/64-d float32). The PQ leg's final ranks are EXACT over its
+    shortlist, so with ``nprobe`` covering every cell and ``pq_rerank``
+    at least the probed row count it degenerates to the exact leg
+    (pytest-pinned); at serving settings it trades recall for IO
+    exactly as ``search_pq`` documents.
     """
     lex = text_index.search(query_terms, k=shortlist).select(
         "doc_id", F.col("rank").alias("lex_rank")
     )
-    vec = vector_index.search(query_vec, k=shortlist, nprobe=nprobe).select(
+    if dense == "pq":
+        vec_raw = vector_index.search_pq(
+            query_vec,
+            k=shortlist,
+            nprobe=nprobe,
+            rerank=(pq_rerank if pq_rerank is not None else 4 * shortlist),
+        )
+    elif dense == "exact":
+        vec_raw = vector_index.search(query_vec, k=shortlist, nprobe=nprobe)
+    else:
+        raise ValueError(f"dense must be exact|pq, got {dense!r}")
+    vec = vec_raw.select(
         F.col("vec_id").alias("doc_id"), F.col("rank").alias("vec_rank")
     )
     rrf = F.coalesce(

@@ -1345,7 +1345,11 @@ def main() -> None:
                 htix = TextIndex(spark, str(work / "htix"))
                 htix.build(docs)
                 hvix = IvfIndex(spark, str(work / "hvix"))
-                hvix.build(embs, n_cells=max(16, n_embs // 25_000))
+                # pq_m so the PQ dense leg is measurable on this index
+                hvix.build(
+                    embs, n_cells=max(16, n_embs // 25_000),
+                    pq_m=8, pq_codes=256,
+                )
                 hterms = ["spark", "window", "hash"]
 
                 def _hybrid_served():
@@ -1403,6 +1407,36 @@ def main() -> None:
 
                 run_special(f"hybrid_rrf_served_{dk}", _hybrid_served, len)
                 run_special(f"hybrid_rrf_brute_{dk}", _hybrid_brute, len)
+
+                # PQ dense leg: the scan reads 8-byte-ish codes instead
+                # of the embedding column, exact-reranks the ADC top-80
+                def _hybrid_served_pq():
+                    return hybrid_rrf_serve(
+                        htix, hvix, hterms, probe, k=10,
+                        shortlist=20, nprobe=4, dense="pq", pq_rerank=80,
+                    ).collect()
+
+                run_special(
+                    f"hybrid_rrf_served_pq_{dk}", _hybrid_served_pq, len
+                )
+                # recall@10 of each serving config vs the brute fusion
+                try:
+                    brute_ids = {r.doc_id for r in _hybrid_brute()}
+                    for label, fn_ in (
+                        ("hybrid_recall_exact_nprobe2", lambda: hybrid_rrf_serve(
+                            htix, hvix, hterms, probe, k=10,
+                            shortlist=20, nprobe=2).collect()),
+                        ("hybrid_recall_exact_nprobe4", _hybrid_served),
+                        ("hybrid_recall_pq_nprobe4", _hybrid_served_pq),
+                    ):
+                        got = {r.doc_id for r in fn_()}
+                        extras[label] = round(
+                            len(got & brute_ids) / max(1, len(brute_ids)), 4
+                        )
+                except Exception as exc:
+                    errors["hybrid_recall"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
 
                 # batched serving twins: 8 queries against ONE pruned
                 # posting read / cell scan each — compare 8x the

@@ -485,3 +485,46 @@ def test_hybrid_rrf_serve_batch_matches_per_query(spark, tmp_path):
         assert single == {
             kk: vv for kk, vv in batch.items() if kk[0] == qid
         }, qid
+
+
+def test_hybrid_pq_dense_leg_degenerates_to_exact(spark, tmp_path):
+    """dense="pq" reads PQ codes + exact-reranks the ADC shortlist; with
+    every cell probed and the rerank budget covering every probed row,
+    the exact rerank ranks ALL candidates — so the PQ-leg hybrid must
+    equal the exact-leg hybrid row-for-row (and transitively the brute
+    twin). At serving settings it trades recall for the ~32x smaller
+    dense read, as search_pq documents."""
+    from mcp_hubspot_spark.serving import hybrid_rrf_serve
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    tix = TextIndex(spark, str(tmp_path / "tix"))
+    tix.build(docs)
+    vix = IvfIndex(spark, str(tmp_path / "vix"))
+    vix.build(embs, n_cells=8, metric="l2", pq_m=8, pq_codes=16)
+    qv = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    n = embs.count()
+    args = (tix, vix, ["spark", "window", "hash"], qv)
+    exact = [
+        tuple(r)
+        for r in hybrid_rrf_serve(
+            *args, k=10, shortlist=20, nprobe=8
+        ).collect()
+    ]
+    pq = [
+        tuple(r)
+        for r in hybrid_rrf_serve(
+            *args, k=10, shortlist=20, nprobe=8,
+            dense="pq", pq_rerank=int(n),
+        ).collect()
+    ]
+    assert pq == exact and len(pq) == 10
+    # serving settings stay well-formed
+    part = hybrid_rrf_serve(*args, k=10, shortlist=20, nprobe=2, dense="pq")
+    assert part.count() == 10
