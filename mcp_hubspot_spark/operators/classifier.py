@@ -183,10 +183,12 @@ def classifier_train(
     *,
     label_col: str = "label",
     text_col: str = "text",
+    id_col: str = "doc_id",
     num_buckets: int = 4096,
     lr: float = 0.5,
     epochs: int = 2,
     seed: int = 13,
+    shuffle: bool = False,
 ) -> DataFrame:
     """Train the (bucket, weight) table :func:`classifier_score` serves:
     distributed logistic regression over hashed bag-of-token features by
@@ -212,8 +214,13 @@ def classifier_train(
 
     Returns a sparse (bucket BIGINT, weight DOUBLE) table (zero-weight
     buckets dropped — :func:`classifier_score` treats missing as 0).
-    ``seed`` shuffles nothing (data order is partition order); it is
-    reserved for future minibatch shuffling and recorded for parity.
+
+    ``shuffle=True`` orders examples by ``xxhash64(id, seed)`` (one
+    range repartition + in-partition sort per training run, reused by
+    every epoch) — the minibatch-shuffling step SGD convergence theory
+    assumes. Deterministic: same (data, seed, partitioning) trains the
+    same model. Default off: clustered input order is the honest
+    baseline and the planted-task pytests pin both modes.
     """
     import numpy as np
     import pandas as pd
@@ -221,12 +228,25 @@ def classifier_train(
     toks = F.filter(
         tokens(F.lower(F.col(text_col))), lambda x: x != ""
     )
-    feats = df.select(
+    cols = [
         F.col(label_col).cast("double").alias("_y"),
         F.transform(toks, lambda t: hash_bucket(t, num_buckets)).alias(
             "_b"
         ),
-    ).filter(F.size("_b") > 0)
+    ]
+    if shuffle:
+        cols.append(
+            F.xxhash64(
+                F.col(id_col).cast("string"), F.lit(int(seed))
+            ).alias("_ord")
+        )
+    feats = df.select(*cols).filter(F.size("_b") > 0)
+    if shuffle:
+        feats = (
+            feats.repartitionByRange("_ord")
+            .sortWithinPartitions("_ord")
+            .drop("_ord")
+        )
 
     def _epoch(w0: "np.ndarray"):
         def fit(batches):

@@ -1525,6 +1525,43 @@ def main() -> None:
                         float(row.auc), 4
                     )
                     trained["w"].unpersist()
+
+                # convergence probe on a HARDER planted task: 10% label
+                # noise caps achievable AUC, so epoch count and shuffle
+                # mode become visible (the clean task saturates at 1.0)
+                flip = F.pmod(
+                    F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(10)
+                ) == 0
+                noisy = lab.withColumn(
+                    "label",
+                    F.when(flip, 1 - F.col("label")).otherwise(
+                        F.col("label")
+                    ),
+                )
+                ntr = noisy.filter(F.col("doc_id") % 2 == 0)
+                nte = noisy.filter(F.col("doc_id") % 2 == 1)
+                for tag, ep, sh in (
+                    ("e1", 1, False),
+                    ("e2", 2, False),
+                    ("e1_shuf", 1, True),
+                ):
+                    try:
+                        wn = classifier_train(
+                            ntr, num_buckets=1 << 18, epochs=ep,
+                            lr=0.5, shuffle=sh,
+                        ).cache()
+                        wn.count()
+                        sc = classifier_score(
+                            nte, wn, num_buckets=1 << 18
+                        ).join(nte.select("doc_id", "label"), "doc_id")
+                        extras[f"classifier_noisy_auc_{tag}"] = round(
+                            float(binary_auc(sc).first().auc), 4
+                        )
+                        wn.unpersist()
+                    except Exception as exc:
+                        errors[f"classifier_noisy_{tag}"] = (
+                            f"{type(exc).__name__}: {exc}"[:200]
+                        )
             except Exception as exc:
                 errors["classifier_train"] = (
                     f"{type(exc).__name__}: {exc}"[:200]

@@ -3434,6 +3434,52 @@ def test_classifier_train_score_e2e(spark):
     assert row.auc > 0.99, row.auc
 
 
+def test_classifier_train_shuffle_mode(spark):
+    """shuffle=True reorders examples by xxhash64(id, seed): training
+    must stay deterministic for a fixed seed (same weights on rerun)
+    and still learn the planted split through the serving path."""
+    from mcp_hubspot_spark.operators.classifier import (
+        binary_auc,
+        classifier_score,
+        classifier_train,
+    )
+
+    rows = [
+        (
+            i,
+            " ".join(
+                (["alpha", "beta"] if i % 2 == 0 else ["omega", "psi"])
+                + ["the", "scan"]
+            ),
+            1 if i % 2 == 0 else 0,
+        )
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    ).repartition(8)
+    w1 = {
+        (r.bucket): round(r.weight, 12)
+        for r in classifier_train(
+            docs, num_buckets=1024, epochs=1, shuffle=True, seed=7
+        ).collect()
+    }
+    w2 = {
+        (r.bucket): round(r.weight, 12)
+        for r in classifier_train(
+            docs, num_buckets=1024, epochs=1, shuffle=True, seed=7
+        ).collect()
+    }
+    assert w1 == w2 and w1  # deterministic for a fixed seed
+    wdf = classifier_train(
+        docs, num_buckets=1024, epochs=1, shuffle=True, seed=7
+    )
+    scored = classifier_score(docs, wdf, num_buckets=1024).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    assert binary_auc(scored).first().auc > 0.99
+
+
 def test_binary_auc_hand_check(spark):
     """Mann-Whitney arithmetic by hand, including the tie convention:
     scores [.9 .8 .8 .1] with labels [1 1 0 0] -> pairs: pos .9 beats
