@@ -9160,8 +9160,8 @@ _CHECK_PRIORITY = [
 # ---- round-12 forward note (same never-checked-first rule) ---------
 # After the round-11 check lands, nothing will be older than round 9.
 # Head of the round-12 line: the 27 round-8-checked queries that did
-# not fit this window — events_resampled_locf, events_scd2,
-# events_value_outliers_mad, global_shuffle_docs,
+# not fit this window — events_resampled_locf,
+# events_scd2, events_value_outliers_mad, global_shuffle_docs,
 # greedy_packed_docs, hard_negatives, hybrid_search_rrf,
 # incremental_dedup_docs, ivf_cosine_search, ivf_pq_search,
 # kmv_distinct_users, knn_cosine, length_bucketed_batches,
