@@ -660,6 +660,93 @@ class TextIndex:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def phrase_hits_batch(self, phrases: list[str]) -> DataFrame:
+        """Positional matches for MANY phrases from ONE pruned read —
+        the index-served twin of the corpus-rescan blocklist family
+        (``operators/text.py::blocklist_hits``) and the batch member of
+        the phrase tier (``search_batch`` is the BM25 analog). One
+        broadcast (phrase, term, offset) map joins the pruned postings
+        (a phrase with repeated terms contributes one row per OFFSET,
+        reusing the single posting row), docs missing any offset drop
+        at the count gate, and each (doc, phrase) folds its shifted
+        position arrays by ``array_intersect`` in offset order — the
+        same arithmetic as :meth:`phrase_hits`, which is pinned
+        row-for-row per phrase. Returns (phrase, doc_id,
+        n_occurrences, first_pos); overlapping occurrences all count.
+        """
+        norm = []
+        for p in phrases:
+            q = " ".join(p.lower().split())
+            if q:
+                norm.append(q)
+        if not norm:
+            raise ValueError("empty phrase list")
+        norm = sorted(set(norm))
+        trip = [
+            (p, t, j)
+            for p in norm
+            for j, t in enumerate(p.split())
+        ]
+        uniq = sorted({t for _, t, _ in trip})
+        n_offsets = {p: len(p.split()) for p in norm}
+        pmap = self.spark.createDataFrame(
+            trip, "phrase string, term string, _off int"
+        )
+        nmap = self.spark.createDataFrame(
+            list(n_offsets.items()), "phrase string, _n int"
+        )
+        post = self._pruned(uniq).select("doc_id", "term", "positions")
+        cand = post.join(F.broadcast(pmap), "term")
+        per = (
+            cand.groupBy("phrase", "doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_off", "positions"))
+                ).alias("_parts"),
+            )
+            .join(F.broadcast(nmap), "phrase")
+            .filter(F.size("_parts") == F.col("_n"))
+        )
+        head = F.element_at(F.col("_parts"), 1)
+        starts = F.aggregate(
+            F.slice(
+                F.col("_parts"), 2,
+                F.greatest(F.size("_parts") - 1, F.lit(0)),
+            ),
+            F.transform(
+                head.getField("positions"),
+                lambda p: p - head.getField("_off"),
+            ),
+            lambda acc, s: F.array_intersect(
+                acc,
+                F.transform(
+                    s.getField("positions"),
+                    lambda p: p - s.getField("_off"),
+                ),
+            ),
+        )
+        out = per.select(
+            "phrase",
+            "doc_id",
+            F.size(starts).cast("long").alias("n_occurrences"),
+            F.array_min(starts).alias("first_pos"),
+        )
+        return out.filter(F.col("n_occurrences") > 0)
+
+    def blocklist_hits(self, phrases: list[str]) -> DataFrame:
+        """Per-doc blocklist report served from the index: (doc_id,
+        n_hits, first_hit) for docs matching ANY phrase — the
+        persisted-index twin of the batch ``blocklist_hits`` corpus
+        scan (agreement pytest-pinned; n_hits counts distinct matched
+        phrases, first_hit is the lexicographically first, exactly the
+        batch operator's distinct-gram semantics since phrases are
+        distinct strings)."""
+        hits = self.phrase_hits_batch(phrases)
+        return hits.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("phrase").alias("first_hit"),
+        )
+
     def phrase_hits(self, phrase: str) -> DataFrame:
         """Documents containing the exact token-aligned phrase, via
         positional intersection over the pruned read: a doc matches at

@@ -1328,6 +1328,13 @@ def main() -> None:
                 ).collect(),
                 len,
             )
+            # round-11: index-served multi-phrase blocklist — compare
+            # blocklist_report_16_{dk} (the corpus-rescan hybrid)
+            run_special(
+                f"text_index_blocklist16_{dk}",
+                lambda: tix.blocklist_hits(_blk_phrases(16)).count(),
+                int,
+            )
 
         # round-11: index-backed hybrid retrieval (r10 verdict worklist
         # #3) — TextIndex BM25 shortlist + IvfIndex ANN shortlist -> RRF

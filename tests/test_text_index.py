@@ -333,3 +333,40 @@ def test_search_batch_matches_per_query_search(spark, docs, built):
         for r in bm25_topk_batch(docs, queries, k=10).collect()
     }
     assert rescan == batch
+
+
+def test_phrase_hits_batch_matches_per_phrase_and_blocklist(spark, docs, built):
+    """One pruned read serving N phrases must reproduce phrase_hits()
+    per phrase exactly (same positional arithmetic, folded by offset
+    order), and the doc-level rollup must equal the corpus-rescan
+    blocklist_hits report."""
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+
+    phrases = ["table table", "scan slow fast", "fast fast"]
+    batch = {
+        (r.phrase, r.doc_id): (r.n_occurrences, r.first_pos)
+        for r in built.phrase_hits_batch(phrases).collect()
+    }
+    for p in phrases:
+        single = {
+            (p, r.doc_id): (r.n_occurrences, r.first_pos)
+            for r in built.phrase_hits(p).collect()
+        }
+        assert single == {
+            k: v for k, v in batch.items() if k[0] == p
+        }, p
+    assert batch  # non-trivial on the corpus
+    served = {
+        r.doc_id: (r.n_hits, r.first_hit)
+        for r in built.blocklist_hits(phrases).collect()
+    }
+    scan = {
+        r.doc_id: (r.n_hits, r.first_hit)
+        for r in blocklist_hits(docs, phrases).collect()
+    }
+    assert served == scan and served
+    # repeated-term phrases reuse one posting row per offset
+    import pytest
+
+    with pytest.raises(ValueError):
+        built.phrase_hits_batch(["   "])
