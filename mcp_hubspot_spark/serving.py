@@ -466,3 +466,58 @@ def hybrid_rrf_serve_batch(
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
+
+
+def hybrid_mmr_serve(
+    text_index,
+    vector_index,
+    query_terms: list[str],
+    query_vec,
+    *,
+    k: int = 5,
+    fuse_k: int = 10,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    lam: float = 0.7,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """The full served retrieval stack: index-backed hybrid RRF fusion
+    (:func:`hybrid_rrf_serve`, top ``fuse_k``) -> MMR diversity rerank
+    (``operators/vector.py::mmr_rerank``) over the fused shortlist,
+    with candidate embeddings point-looked-up from the IvfIndex cells
+    (``IvfIndex.lookup`` — a fused doc may come from the LEXICAL leg,
+    so its cell is unknown and the lookup scans cells with an isin
+    pushdown; bounded by fuse_k rows). The brute twin is the
+    oracle-gated ``search_mmr_rerank`` registry query; at full probe
+    the fusion is pinned row-identical to the brute fusion and the
+    stored vectors are the corpus vectors (float->double cast exact),
+    so the MMR picks replay bit-for-bit (pytest). Returns
+    (doc_id, mmr_rank, mmr_score).
+    """
+    from .operators.vector import mmr_rerank
+
+    fused = hybrid_rrf_serve(
+        text_index,
+        vector_index,
+        query_terms,
+        query_vec,
+        k=fuse_k,
+        shortlist=shortlist,
+        nprobe=nprobe,
+        rrf_k=rrf_k,
+    )
+    ids = [r.doc_id for r in fused.select("doc_id").collect()]  # ≤ fuse_k
+    cand = fused.join(
+        vector_index.lookup(ids, id_col="vec_id").withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        "doc_id",
+    )
+    return mmr_rerank(
+        cand,
+        k=k,
+        lam=lam,
+        id_col="doc_id",
+        score_col="rrf_score",
+        vec_col="embedding",
+    )

@@ -973,6 +973,37 @@ class IvfIndex:
             )
         )
 
+    def lookup(
+        self,
+        ids: Sequence,
+        *,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Bounded point-lookup of stored rows by id — the
+        refinement-stage read (``search_pq``'s rerank runs the same
+        shape inline over its probed cells). A document's cell is
+        unknowable from its id alone, so this scans ALL cells with an
+        ``isin`` filter (pushed to the parquet row-group stats); use it
+        for BOUNDED id lists (shortlists, rerank candidates), never as
+        a join side. Embeddings are cast to double (float→double is
+        exact) so downstream arithmetic matches the batch operators'
+        ``array<double>`` convention bit-for-bit."""
+        self._recover_swap_backup_if_idle()
+        ids = list(ids)
+        if len(ids) > 10_000:
+            raise ValueError(
+                f"lookup() is a bounded point-lookup ({len(ids)} ids); "
+                "join against the cells table for bulk reads"
+            )
+        cells = self.spark.read.option(
+            "basePath", str(self.root / "cells")
+        ).parquet(str(self.root / "cells"))
+        return cells.filter(F.col(id_col).isin(ids)).select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+        )
+
     def _probe(
         self, query_vec: Sequence[float], nprobe: int
     ) -> tuple[

@@ -528,3 +528,39 @@ def test_hybrid_pq_dense_leg_degenerates_to_exact(spark, tmp_path):
     # serving settings stay well-formed
     part = hybrid_rrf_serve(*args, k=10, shortlist=20, nprobe=2, dense="pq")
     assert part.count() == 10
+
+
+def test_hybrid_mmr_serve_matches_brute_twin(spark, tmp_path):
+    """The full served stack (index hybrid fusion -> IvfIndex.lookup of
+    the shortlist vectors -> MMR) must replay the brute
+    search_mmr_rerank registry query row-for-row at full probe: the
+    fusion is pinned to the brute fusion, the stored vectors are the
+    corpus vectors (float->double exact), and MMR's fold is
+    deterministic left-to-right floats."""
+    from mcp_hubspot_spark.serving import hybrid_mmr_serve
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import load_table, search_mmr_rerank
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    tix = TextIndex(spark, str(tmp_path / "tix"))
+    tix.build(docs)
+    vix = IvfIndex(spark, str(tmp_path / "vix"))
+    vix.build(embs, n_cells=8, metric="l2")
+    qv = [
+        float(x)
+        for x in embs.filter(F.col("vec_id") == 0).first().embedding
+    ]
+    served = [
+        (r.doc_id, r.mmr_rank, round(r.mmr_score, 6))
+        for r in hybrid_mmr_serve(
+            tix, vix, ["spark", "window", "hash"], qv,
+            k=5, fuse_k=10, shortlist=20, nprobe=8, lam=0.7,
+        ).orderBy("mmr_rank").collect()
+    ]
+    brute = [
+        (r.doc_id, r.mmr_rank, r.mmr_score)
+        for r in search_mmr_rerank(spark, sf).collect()
+    ]
+    assert served == brute and len(served) == 5
