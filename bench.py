@@ -116,6 +116,7 @@ HEADLINE = [
     "phrase_occurrences_docs",  # inline positional phrase-match report
     "bm25_batch_search",        # one-scan multi-query BM25 (knn_batch analog)
     "media_resized",            # multimodal resize plumbing (mapInPandas)
+    "classifier_auc",           # distinct-score Mann-Whitney ROC AUC
 ]
 
 
@@ -301,11 +302,25 @@ def main() -> None:
     top = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:40]
     )
+    # The driver-recorded artifact is THIS line, so it must carry the
+    # same noise instrumentation the full file artifact does (r11
+    # verdict: same-day driver/local per-query ratios spanned
+    # 0.38x-4.5x with no way to adjudicate from the driver artifact
+    # alone). "spreads" is ALIGNED to the "queries" map's insertion
+    # order (steady max-min per query, 2 dp) — an array, not a second
+    # name-keyed map, to stay inside the tail-capture budget; the
+    # calib scalars + interleaved series let bench_compare blend-adjust
+    # driver artifacts directly.
     stdout_payload = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
         "queries": {k: round(v, 2) for k, v in top.items()},
+        "spreads": [round(spreads[k], 2) for k in top],
+        "calib_sec": calib,
+        "calib_shuffle_sec": calib_shuffle,
+        "calib_series": [round(c, 2) for c in calib_series],
+        "calib_series_median": payload["calib_series_median"],
         "n_queries": len(timings),
         "full": Path(out_path).name,
         "sf": payload["sf"],
@@ -323,6 +338,8 @@ def main() -> None:
     line = json.dumps(stdout_payload)
     while len(line) >= 1900 and stdout_payload["queries"]:
         stdout_payload["queries"].pop(next(reversed(stdout_payload["queries"])))
+        if stdout_payload["spreads"]:
+            stdout_payload["spreads"].pop()  # stays aligned to queries
         line = json.dumps(stdout_payload)
     if len(line) >= 1900 and "first_error" in stdout_payload:
         stdout_payload["first_error"] = stdout_payload["first_error"][:80]

@@ -33,8 +33,20 @@ def main() -> None:
                     help="suppress queries below this in both rounds")
     args = ap.parse_args()
 
-    a = json.load(open(args.old))
-    b = json.load(open(args.new))
+    def _load(path: str) -> dict:
+        """Accept either a BENCH_LOCAL_r*.json (full payload) or a
+        driver-recorded BENCH_r*.json ({tail, parsed}) — the round-12
+        stdout line carries the same instrumentation, with per-query
+        spreads as an array ALIGNED to the queries map's order."""
+        d = json.load(open(path))
+        if "parsed" in d and isinstance(d["parsed"], dict):
+            d = d["parsed"]
+        if "spreads" in d and "spread_queries" not in d:
+            d["spread_queries"] = dict(zip(d["queries"], d["spreads"]))
+        return d
+
+    a = _load(args.old)
+    b = _load(args.new)
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
 

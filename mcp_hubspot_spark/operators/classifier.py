@@ -51,6 +51,7 @@ __all__ = [
     "classifier_score_expr",
     "classifier_train",
     "binary_auc",
+    "calibration_task",
 ]
 
 
@@ -339,8 +340,81 @@ def binary_auc(
         "_nn",
         (F.col("_np") * (F.col("_below") + F.col("_nn") / 2)).alias("_u"),
     )
+    # fail loud on a single-class input: n_pos*n_neg = 0 would make the
+    # division return null, which a metrics harness records as None/NaN
+    # silently (ADVICE r11). raise_error keeps the operator lazy — the
+    # check rides the same one-row aggregate, no extra plan-time job.
     return contrib.agg(
         F.sum("_np").cast("long").alias("n_pos"),
         F.sum("_nn").cast("long").alias("n_neg"),
-        (F.sum("_u") / (F.sum("_np") * F.sum("_nn"))).alias("auc"),
+        F.when(
+            (F.sum("_np") == 0) | (F.sum("_nn") == 0),
+            F.raise_error(
+                "binary_auc: input has a single class "
+                "(AUC undefined without both positives and negatives)"
+            ),
+        )
+        .otherwise(F.sum("_u") / (F.sum("_np") * F.sum("_nn")))
+        .alias("auc"),
+    )
+
+
+def calibration_task(
+    docs: DataFrame,
+    *,
+    nsig: int = 32,
+    p_inv: int = 5,
+    thresh: int = 7,
+    noise_inv: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 1000,
+) -> DataFrame:
+    """Deterministic MULTI-SIGNAL planted labeling task for trainer
+    calibration (r11 verdict #4: the single-dominant-feature noisy task
+    saturated in one pass, so 1-vs-2 epochs and shuffled-vs-clustered
+    order all landed on the same AUC — it proved the knobs run, not
+    that they work).
+
+    Each doc gains signal token ``sig<j>`` iff
+    ``xxhash64(id, seed+j) % p_inv == 0`` (so ~nsig/p_inv weak signals
+    per doc, diluted among the doc's ordinary tokens by the
+    mean-of-buckets feature); the clean label is ``#signals >= thresh``
+    — a MAJORITY-OF-WEAK-SIGNALS rule no single bucket can carry — and
+    ``1/noise_inv`` of labels flip (xxhash-selected, so the task is a
+    pure function of ids). A linear model must spread weight across all
+    ``nsig`` buckets against length-varying dilution: one low-lr pass
+    undertrains (epoch 2 measurably helps), and class-clustered input
+    partitions break parameter averaging (each local model sees one
+    class; shuffling repairs it) — the two separations the grid pins.
+
+    Returns (id_col, text_col, label): text with the signal tokens
+    appended, label int 0/1.
+    """
+    sig_arr = F.array(
+        *[
+            F.when(
+                F.pmod(
+                    F.xxhash64(F.col(id_col), F.lit(int(seed + j))),
+                    F.lit(int(p_inv)),
+                )
+                == 0,
+                F.lit(f"sig{j}"),
+            )
+            for j in range(nsig)
+        ]
+    )
+    sigs = F.filter(sig_arr, lambda x: x.isNotNull())
+    clean = (F.size(sigs) >= int(thresh)).cast("int")
+    flip = (
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(777)), F.lit(int(noise_inv)))
+        == 0
+    )
+    label = F.when(flip, 1 - clean).otherwise(clean)
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.col(text_col), F.concat_ws(" ", sigs)
+        ).alias(text_col),
+        label.alias("label"),
     )

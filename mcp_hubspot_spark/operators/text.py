@@ -557,7 +557,12 @@ def _bm25_contrib(
     :func:`bm25_topk_batch`. Tokens are filtered to the term list
     map-side before the explode, so exploded rows are bounded by
     |terms| * matching docs; df/N/avgdl are tiny broadcast aggregates.
-    Returns (id_col, _term, _c)."""
+    Query terms are case-folded HERE so every caller (``bm25_scores``,
+    ``bm25_topk_batch``, and through them the hybrid/TextIndex twins)
+    matches the lowercased corpus tokens identically — r11's batch
+    operator lowercased but the one-query path did not, so
+    ``bm25_scores(["Spark"])`` matched nothing while its batch twin
+    matched (ADVICE r11). Returns (id_col, _term, _c)."""
     toks = tokens(F.lower(F.col(text_col)))
     base = df.select(
         F.col(id_col),
@@ -568,7 +573,7 @@ def _bm25_contrib(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    terms = F.array(*[F.lit(t) for t in sorted({t.lower() for t in query_terms})])
     hits = base.select(
         id_col,
         "_dl",
@@ -1070,9 +1075,16 @@ def blocklist_hits(
     if isinstance(phrases, DataFrame):
         if not lengths:
             raise ValueError("DataFrame blocklist requires explicit lengths")
-        # same case fold as the list path's _norm_phrase — grams are
-        # built from lowercased text, so the join key must match
-        phrase_df = phrases.select(F.lower(F.col("phrase")).alias("phrase"))
+        # same normalization as the list path's _norm_phrase — grams are
+        # built from lowercased text and joined with SINGLE spaces, so a
+        # stored phrase with irregular spacing (tabs, doubled spaces,
+        # leading/trailing whitespace) must be collapsed the same way or
+        # it silently never matches any gram (ADVICE r11)
+        phrase_df = phrases.select(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("phrase")), r"\s+", " ")
+            ).alias("phrase")
+        )
         lens = sorted(set(lengths))
     else:
         by_len = _phrase_lengths(phrases)

@@ -119,6 +119,29 @@ def _batch_spans(
     )
 
 
+def _validate_seed_k(spark, stats_path: str, k: int) -> None:
+    """Raise if ``seed_stop_stats`` seeded these stats at a different
+    shingle width than the stream is running with. Absent meta (unseeded
+    stream, or stats written before the meta existed) passes — the
+    hazard being closed is a SEEDED cap that silently no-ops."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    meta = f"{stats_path}/_seed_meta"
+    path = jvm.org.apache.hadoop.fs.Path(meta)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return
+    seeded = spark.read.parquet(meta).head()["k"]
+    if int(seeded) != int(k):
+        raise ValueError(
+            f"span-dedup stats at {stats_path} were seeded with k={seeded} "
+            f"but the stream is running with k={k}; seeded counts would key "
+            "different shingles and contribute nothing to the cap. Re-seed "
+            "with the stream's k (seed_stop_stats(sample, index_path, "
+            f"k={k}))."
+        )
+
+
 def seed_stop_stats(
     sample_df: DataFrame,
     index_path: str,
@@ -145,6 +168,12 @@ def seed_stop_stats(
     are the corpus's hot shingles; that is exactly the steady state
     the seed is fast-forwarding to). Idempotent: the overwrite-mode
     partition makes re-seeding replace, never double-count.
+
+    The shingle width ``k`` MUST equal the stream's ``k`` — seed counts
+    for a different width key different shingles, silently contributing
+    nothing while appearing to have seeded the cap (ADVICE r11). It is
+    persisted beside the stats (``_shingle_stats/_seed_meta``) and
+    ``process_span_batch`` fails loud on a mismatch.
     """
     stats_path = f"{index_path}/_shingle_stats"
     (
@@ -154,6 +183,9 @@ def seed_stop_stats(
         .write.mode("overwrite")
         .parquet(f"{stats_path}/batch=-1")
     )
+    sample_df.sparkSession.createDataFrame(
+        [(int(k),)], "k int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{stats_path}/_seed_meta")
 
 
 def process_span_batch(
@@ -191,6 +223,12 @@ def process_span_batch(
         # this batch pushes over the line is stopped for this batch's
         # own join too (exactly what the batch operator would do)
         stats_path = f"{index_path}/_shingle_stats"
+        # fail loud if the stats were seeded at a different shingle
+        # width: mismatched-k seed counts key different shingles and
+        # silently contribute nothing (ADVICE r11). One tiny driver-side
+        # read per batch; the meta dir starts with "_" so the stats
+        # union never lists it.
+        _validate_seed_k(spark, stats_path, k)
         (
             idx_all.filter(F.col("batch") == bid)
             .groupBy("shingle")

@@ -249,6 +249,7 @@ class TextIndex:
         text_col: str = "text",
         epoch: int | None = None,
         stats_delta: tuple[int, int] | None = None,
+        replace: bool = False,
     ) -> None:
         """Write postings for a new GENERATION of documents.
 
@@ -259,7 +260,19 @@ class TextIndex:
         instead of double-appending (the span-dedup replay lesson).
         Plain adds are for NEW ids; to replace a changed document,
         tombstone it with ``delete(ids, dead_epoch=epoch)`` first — old
-        generations die, this generation survives.
+        generations die, this generation survives — or pass
+        ``replace=True`` to have this call tombstone its own ids at
+        this epoch before writing (one call, correct ordering; a crash
+        between the two writes leaves the doc absent until the
+        idempotent retry re-lands it). The ``_pruned`` safety net only
+        shadows old generations of terms the NEW generation still
+        contains: a convention-violating plain re-add that DROPS a term
+        keeps serving the old epoch's posting for it (and
+        ``phrase_hits`` can intersect position arrays across
+        generations) — ``replace=True`` is the enforced path. Plain
+        add stays tombstone-free because per-added-id tombstones for
+        never-seen ids would grow the broadcast tombstone table with
+        corpus size (they are only written when asked for).
 
         Corpus stats (N, sum_dl) bump by the frame's own counts, or by
         ``stats_delta=(dn, d_sum_dl)`` when the caller knows the NET
@@ -286,6 +299,19 @@ class TextIndex:
                 ).alias("sum_dl"),
             ).first()
             stats_delta = (int(stats.n), int(stats.sum_dl or 0))
+        if replace:
+            # tombstone the batch's own ids at THIS epoch before the
+            # postings land: old generations die, this one survives its
+            # own tombstone (dead_epoch kills strictly-below). Inlined
+            # rather than delegated to delete() — the flock is held.
+            (
+                df.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.lit(int(epoch)).alias("dead_epoch"),
+                )
+                .write.mode("append")
+                .parquet(str(self.root / "tombstones"))
+            )
         (
             self._postings_for(
                 df, id_col, text_col, meta["num_buckets"], epoch=epoch
@@ -481,7 +507,15 @@ class TextIndex:
         ``phrase_hits``'s map assembly. When the index has ever grown
         past epoch 0, the pruned read keeps only the NEWEST generation
         per (doc, term) — one map-side-combinable aggregate over the
-        already-tiny pruned subset; single-epoch indexes skip it."""
+        already-tiny pruned subset; single-epoch indexes skip it.
+
+        Scope (ADVICE r11): the net shadows only terms the newest
+        generation STILL CONTAINS. A convention-violating re-add that
+        drops a term leaves the old epoch's posting for it with no
+        newer generation to out-rank it, so it keeps serving (and a
+        phrase can match across generations). That case needs the
+        tombstone — use ``add(..., replace=True)`` or the explicit
+        ``delete(ids, dead_epoch=epoch)`` pairing."""
         import hashlib
 
         meta = self._meta_dict()

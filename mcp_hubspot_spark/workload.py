@@ -8546,6 +8546,55 @@ def classifier_scored_docs(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Classifier evaluation metric (round 12): ROC AUC by the Mann-Whitney
+# pair count over DISTINCT score values — per-score (n_pos, n_neg)
+# partials first (map-side combine), one window over the distinct-score
+# rows, ties at half credit (mid-rank convention). Scores are bucketed
+# totalprice (forces ties through the mid-rank path); label = order
+# fully shipped. All intermediates are integer-valued doubles (and
+# exact halves), so the Spark and DuckDB folds agree bit-for-bit at
+# this scale. Single-class inputs raise instead of returning null
+# (ADVICE r11).
+@_q(
+    "classifier_auc",
+    """
+    WITH scored AS (
+        SELECT floor(o_totalprice / 100.0) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    per AS (
+        SELECT s,
+               CAST(sum(y) AS DOUBLE) AS np,
+               CAST(sum(1 - y) AS DOUBLE) AS nn
+        FROM scored GROUP BY s
+    ),
+    c AS (
+        SELECT np, nn,
+               sum(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn
+                   AS below
+        FROM per
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(np * (below + nn / 2)) / (sum(np) * sum(nn)), 6) AS auc
+    FROM c
+    """,
+)
+def classifier_auc(spark: SparkSession, sf: str) -> DataFrame:
+    from .operators.classifier import binary_auc
+
+    orders = load_table(spark, sf, "orders")
+    scored = orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(100.0)).alias("score"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("label"),
+    )
+    return binary_auc(scored).select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
 # Multi-phrase blocklist hits (round 10): ONE corpus pass finds every
 # document containing ANY of N token-aligned phrases — a literal
 # arrays_overlap flag gates the corpus (in-place, zero shuffle;
@@ -9091,91 +9140,90 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
-# ---- round-11 window ----------------------------------------------
+# ---- round-12 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-10 forward note (and the r10 verdict's worklist #1) promised.
-# Head of the line: any round-11 additions with NO driver history,
-# then the 25 remaining round-7-checked queries (after this window
-# nothing in the registry is staler than round 8), then the round-8-
-# checked cohort alphabetically up to the 50-query cap.
-# Rotated out: the full round-10 window (48 green + 2 rows-only-by-
-# design in r10) — every rotated query remains pinned by the local
-# oracle replica (tests/test_oracle_parity.py) and the verify gate,
-# which run ALL oracle-gated queries regardless of window.
-_CHECK_PRIORITY = [
-    # never driver-checked: round-11 additions
-    "bm25_batch_search",
-    "media_resized",
-    # stalest: last driver check was round 7
-    "lang_id",
-    "lineitem_correlations",
-    "lineitem_suppkey_skew",
-    "minhash_lsh_pairs",
-    "mixture_resample_docs",
-    "order_counts_by_status",
-    "order_lines_nested",
-    "order_priority_stats",
-    "order_ranking_quality",
-    "orders_rollup",
-    "orders_snapshot_diff",
-    "packed_sequences",
-    "parts_without_lineitem",
-    "pricing_summary",
-    "quality_filter_docs",
-    "redact_pii_docs",
-    "revenue_by_nation",
-    "salted_flag_totals",
-    "simhash_neardup_pairs",
-    "source_token_kl",
-    "tfidf_top_terms",
-    "top_bigrams",
-    "top_orders_per_customer",
-    "user_cohort_retention",
-    "user_overlap_kmv",
-    # next-stalest: round-8-checked cohort, alphabetical prefix
-    "benchmark_span_overlap",
-    "bloom_decontaminated_docs",
-    "bm25_search",
-    "bpe_compression",
-    "bpe_merges",
-    "canonical_text_docs",
-    "cms_heavy_hitters",
-    "customer_churn_sets",
-    "customer_order_activity",
-    "dedup_lines_docs",
-    "dedup_survivor_report",
-    "doc_bigram_lm_score",
-    "doc_token_positions",
-    "domain_capped_docs",
-    "dq_violations",
-    "embedding_neardup_lsh",
-    "embedding_projection",
-    "embedding_row_stats",
-    "eval_holdout_docs",
-    "event_type_lift",
-    "events_json_props",
-    "events_near_pairs",
-    "events_psi_drift",
-]
-# ---- round-12 forward note (same never-checked-first rule) ---------
-# After the round-11 check lands, nothing will be older than round 9.
-# Head of the round-12 line: the 27 round-8-checked queries that did
-# not fit this window — events_resampled_locf,
-# events_scd2, events_value_outliers_mad, global_shuffle_docs,
-# greedy_packed_docs, hard_negatives, hybrid_search_rrf,
-# incremental_dedup_docs, ivf_cosine_search, ivf_pq_search,
-# kmv_distinct_users, knn_cosine, length_bucketed_batches,
-# media_features, media_frame_sample, mixture_plan,
-# nation_copurchase_lift, search_mmr_rerank, span_decontaminated_docs,
-# substring_dedup_docs, substring_dedup_spans, substring_selfclean_docs,
-# substring_selfrepeat_spans, supplier_pagerank, upsample_repeat_docs,
-# vocab_coverage, weighted_sample_docs — then the round-9-checked
-# cohort (alphabetical), plus any round-12 additions at the very
-# front. Until then all are pinned by the local oracle replica
+# round-11 forward note (and the r11 verdict's worklist #1) promised.
+# Head of the line: the round-12 addition with NO driver history
+# (classifier_auc), then ALL 27 remaining round-8-checked queries
+# (after this window nothing in the registry is staler than round 9),
+# then the round-9-checked cohort alphabetically up to the 50-query
+# cap. The two rows-only-by-design r9 queries (approx_distinct_users,
+# doc_length_quantiles_approx) stay in rotation — their rows-only
+# driver check is their expected record, refreshed like any other.
+# Rotated out: the full round-11 window (50/50 green in r11) — every
+# rotated query remains pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
 # oracle-gated queries regardless of window.
-
-
+_CHECK_PRIORITY = [
+    # never driver-checked: round-12 addition
+    "classifier_auc",
+    # stalest: last driver check was round 8
+    "events_resampled_locf",
+    "events_scd2",
+    "events_value_outliers_mad",
+    "global_shuffle_docs",
+    "greedy_packed_docs",
+    "hard_negatives",
+    "hybrid_search_rrf",
+    "incremental_dedup_docs",
+    "ivf_cosine_search",
+    "ivf_pq_search",
+    "kmv_distinct_users",
+    "knn_cosine",
+    "length_bucketed_batches",
+    "media_features",
+    "media_frame_sample",
+    "mixture_plan",
+    "nation_copurchase_lift",
+    "search_mmr_rerank",
+    "span_decontaminated_docs",
+    "substring_dedup_docs",
+    "substring_dedup_spans",
+    "substring_selfclean_docs",
+    "substring_selfrepeat_spans",
+    "supplier_pagerank",
+    "upsample_repeat_docs",
+    "vocab_coverage",
+    "weighted_sample_docs",
+    # next-stalest: round-9-checked cohort, alphabetical prefix
+    "approx_distinct_users",
+    "canonical_json_docs",
+    "cheapest_line_per_part",
+    "contains_token_docs",
+    "contaminated_docs",
+    "customer_name_linkage",
+    "customer_status_sets",
+    "customer_value_quartiles",
+    "dedup_clusters",
+    "doc_chunks",
+    "doc_excerpts",
+    "doc_fingerprints",
+    "doc_first_number",
+    "doc_length_quantiles",
+    "doc_length_quantiles_approx",
+    "doc_quality",
+    "doc_repetition",
+    "embedding_neardup_cosine",
+    "event_funnel",
+    "event_funnel_windowed",
+    "event_transitions",
+    "events_campaign_attribution",
+]
+# ---- round-13 forward note (same never-checked-first rule) ---------
+# After the round-12 check lands, nothing will be older than round 9.
+# Head of the round-13 line: any round-13 additions, then the 28
+# round-9-checked queries that did not fit this window —
+# events_funnel, events_moving_avg, events_sessions, hamming_search,
+# ivf_pq_residual_search, nation_trade_volume, ngram_containment_pairs, order_value_bootstrap_ci,
+# orders_above_customer_avg, orders_cube, orders_monthly_growth, orders_page_with_total,
+# orders_unpivot, orders_value_drift, pq_rotated_residual_search, pq_rotated_search,
+# profile_orders, projected_knn_rerank, quantized_embedding_error, remove_boilerplate_docs,
+# rolling_7d_active_users, sampled_quantiles_lineitem, semantic_contaminated_docs, semantic_dedup_docs,
+# stratified_sample_docs, temperature_mixture_docs, training_corpus_pipeline, user_value_trend
+# — then the round-10-checked cohort (alphabetical) up to the cap.
+# Until then all are pinned by the local oracle replica
+# (tests/test_oracle_parity.py) and the verify gate, which run ALL
+# oracle-gated queries regardless of window.
 
 
 def _apply_check_priority() -> None:

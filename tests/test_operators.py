@@ -3722,3 +3722,62 @@ def test_text_family_case_folds(spark):
         )
     ).first()
     assert z.n_terms == 2
+
+
+def test_bm25_scores_case_folds_like_batch_twin(spark):
+    """bm25_scores must lowercase its query terms exactly like
+    bm25_topk_batch (ADVICE r11: the batch twin folded but the
+    one-query path did not, so bm25_scores(["Spark"]) matched nothing
+    while the batch matched) — folded in the shared _bm25_contrib so
+    the fixed-order fold stays bit-identical across the family."""
+    from mcp_hubspot_spark.operators.text import bm25_scores, bm25_topk_batch
+
+    docs = spark.createDataFrame(
+        [(1, "spark window spark"), (2, "spark only"), (3, "none here")],
+        "doc_id long, text string",
+    )
+    upper = {r.doc_id: r.score for r in bm25_scores(docs, ["Spark", "WINDOW"]).collect()}
+    lower = {r.doc_id: r.score for r in bm25_scores(docs, ["spark", "window"]).collect()}
+    assert upper == lower and set(lower) == {1, 2}
+    batch = {
+        r.doc_id: r.score
+        for r in bm25_topk_batch(docs, {"q": ["Spark", "WINDOW"]}, k=10).collect()
+    }
+    assert batch == upper  # bit-identical, mixed case included
+
+
+def test_binary_auc_single_class_fails_loud(spark):
+    """A single-class input makes AUC undefined; the n_pos*n_neg
+    division would return null, which a metrics harness records
+    silently (ADVICE r11) — the operator must raise instead."""
+    import pytest
+    from mcp_hubspot_spark.operators.classifier import binary_auc
+
+    pos_only = spark.createDataFrame(
+        [(0.9, 1), (0.2, 1)], "score double, label int"
+    )
+    with pytest.raises(Exception, match="single class"):
+        binary_auc(pos_only).first()
+    neg_only = spark.createDataFrame(
+        [(0.9, 0), (0.2, 0)], "score double, label int"
+    )
+    with pytest.raises(Exception, match="single class"):
+        binary_auc(neg_only).first()
+
+
+def test_blocklist_dataframe_phrases_whitespace_normalize(spark):
+    """DataFrame blocklists must collapse irregular whitespace the same
+    way the list path's _norm_phrase does — grams are joined with
+    single spaces, so an unnormalized stored phrase silently never
+    matches (ADVICE r11)."""
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [(1, "a table table z"), (2, "no hits here")],
+        "doc_id long, text string",
+    )
+    bl = spark.createDataFrame(
+        [("  Table \t  TABLE ",)], "phrase string"
+    )
+    got = blocklist_hits(docs, bl, lengths=[2]).collect()
+    assert [(r.doc_id, r.n_hits) for r in got] == [(1, 1)]

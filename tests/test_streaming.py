@@ -1152,6 +1152,31 @@ def test_seeded_stop_stats_skip_retro_storm(spark, tmp_path):
     assert got == want and {(r[0], r[1]) for r in got} == {(0, 2)}
 
 
+def test_seed_stop_stats_k_mismatch_fails_loud(spark, tmp_path):
+    """seed_stop_stats persists its shingle width beside the stats; a
+    stream running with a different k must fail instead of silently
+    ignoring the seed (mismatched-k counts key different shingles —
+    ADVICE r11). A matching k passes; an unseeded stream is unaffected."""
+    import pytest
+
+    from mcp_hubspot_spark.streaming.span_dedup import (
+        process_span_batch,
+        seed_stop_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    ip, sp = str(tmp_path / "idx"), str(tmp_path / "spans")
+    seed_stop_stats(docs, ip, k=4)
+    with pytest.raises(ValueError, match="seeded with k=4"):
+        process_span_batch(docs, 0, index_path=ip, spans_path=sp, k=8, max_df=3)
+    # matching width proceeds; so does a cap-free stream (no stats read)
+    process_span_batch(docs, 0, index_path=ip, spans_path=sp, k=4, max_df=3)
+    ip2, sp2 = str(tmp_path / "idx2"), str(tmp_path / "spans2")
+    process_span_batch(docs, 0, index_path=ip2, spans_path=sp2, k=8, max_df=3)
+
+
 def test_stream_docs_to_text_index_equals_rebuild(spark, tmp_path):
     """Streaming append-only ingest rides the TextIndex epoch machinery
     (one epoch per micro-batch): after the drain, BM25 served from the

@@ -307,6 +307,30 @@ def test_readd_without_tombstone_serves_newest_generation(spark, tmp_path):
     assert [r.doc_id for r in got] == [1]  # one row, not one per epoch
 
 
+def test_add_replace_tombstones_dropped_terms(spark, tmp_path):
+    """add(replace=True) is the enforced re-add path (ADVICE r11): the
+    max-epoch net only shadows terms the new generation STILL contains,
+    so a plain re-add that DROPS a term keeps serving the old posting —
+    replace=True tombstones the batch's own ids at its epoch, killing
+    dropped-term postings while the new generation survives."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "a b x"), (2, "c d")], "doc_id long, text string"
+        ),
+        num_buckets=8,
+    )
+    # new generation of doc 1 drops term "x" (and "b")
+    ix.add(
+        spark.createDataFrame([(1, "a a a")], "doc_id long, text string"),
+        replace=True,
+    )
+    assert not ix.search(["x"], k=10).collect()  # dropped term is gone
+    assert not ix.phrase_hits("a b").collect()   # old positions dead too
+    assert [r.doc_id for r in ix.search(["a"], k=10).collect()] == [1]
+    assert {r.doc_id for r in ix.search(["c"], k=10).collect()} == {2}
+
+
 def test_search_batch_matches_per_query_search(spark, docs, built):
     """One pruned read serving Q queries must rank bit-identically to a
     search() call per query (shared df aggregate, same fixed-order
