@@ -190,6 +190,7 @@ def classifier_train(
     epochs: int = 2,
     seed: int = 13,
     shuffle: bool = False,
+    num_parts: int | None = None,
 ) -> DataFrame:
     """Train the (bucket, weight) table :func:`classifier_score` serves:
     distributed logistic regression over hashed bag-of-token features by
@@ -222,6 +223,23 @@ def classifier_train(
     assumes. Deterministic: same (data, seed, partitioning) trains the
     same model. Default off: clustered input order is the honest
     baseline and the planted-task pytests pin both modes.
+
+    ``num_parts`` sets the number of training partitions — the
+    AVERAGING GRANULARITY, which the round-12 calibration grid
+    (SCALE_r12 ``classifier_cal_*``, numpy-replicated in
+    ``tests/test_operators.py``) measured as the knob that actually
+    governs convergence on feature-correlated tasks: local SGD
+    decorrelates confounded features only within a partition, so AUC
+    on the shadow-token task falls monotonically with partition count
+    (P=1: 0.51→0.67 over 1→4 epochs; P=16: flat at ~0.47) while
+    within-partition ORDER moves it at noise level. Fewer partitions =
+    better convergence but less parallelism; pick by corpus size. When
+    unset, shuffle preserves the INPUT's partition count — r11's
+    unparameterized ``repartitionByRange`` let AQE coalesce the small
+    shuffle to ONE partition, silently serializing training (and
+    making the r11 "shuffle" AUC really a sequential-SGD AUC); an
+    explicit count is AQE-exempt. The plan-time ``getNumPartitions``
+    is metadata-only, no job.
     """
     import numpy as np
     import pandas as pd
@@ -243,11 +261,14 @@ def classifier_train(
         )
     feats = df.select(*cols).filter(F.size("_b") > 0)
     if shuffle:
+        n_parts = int(num_parts or feats.rdd.getNumPartitions())
         feats = (
-            feats.repartitionByRange("_ord")
+            feats.repartitionByRange(n_parts, "_ord")
             .sortWithinPartitions("_ord")
             .drop("_ord")
         )
+    elif num_parts is not None:
+        feats = feats.repartition(int(num_parts))
 
     def _epoch(w0: "np.ndarray"):
         def fit(batches):
@@ -362,9 +383,9 @@ def binary_auc(
 def calibration_task(
     docs: DataFrame,
     *,
-    nsig: int = 32,
+    nsig: int = 24,
     p_inv: int = 5,
-    thresh: int = 7,
+    thresh: int = 6,
     noise_inv: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -376,35 +397,66 @@ def calibration_task(
     order all landed on the same AUC — it proved the knobs run, not
     that they work).
 
-    Each doc gains signal token ``sig<j>`` iff
-    ``xxhash64(id, seed+j) % p_inv == 0`` (so ~nsig/p_inv weak signals
-    per doc, diluted among the doc's ordinary tokens by the
-    mean-of-buckets feature); the clean label is ``#signals >= thresh``
-    — a MAJORITY-OF-WEAK-SIGNALS rule no single bucket can carry — and
-    ``1/noise_inv`` of labels flip (xxhash-selected, so the task is a
-    pure function of ids). A linear model must spread weight across all
-    ``nsig`` buckets against length-varying dilution: one low-lr pass
-    undertrains (epoch 2 measurably helps), and class-clustered input
-    partitions break parameter averaging (each local model sees one
-    class; shuffling repairs it) — the two separations the grid pins.
+    Construction (a pure function of ids, fully replayable):
 
-    Returns (id_col, text_col, label): text with the signal tokens
-    appended, label int 0/1.
+    - signal token ``sig<j>`` present iff
+      ``xxhash64(id, seed+j) % p_inv == 0`` (~nsig/p_inv weak signals
+      per doc, diluted among the doc's ordinary tokens by the
+      mean-of-buckets feature);
+    - SHADOW token ``sha<j>`` present whenever ``sig<j>`` is, PLUS in
+      a ``1/(p_inv-1)`` background of unrelated docs — a label-
+      correlated CONFOUNDER whose optimal weight (conditional on its
+      signal) is ~0. One-pass SGD from zero init scores by class-
+      frequency difference, which the shadows poison; unlearning them
+      requires repeated interleaved passes — this is what makes the
+      task discriminate training knobs at all (without confounders,
+      one pass already ranks at the task ceiling: AUC is invariant to
+      the weight scaling further passes mostly add);
+    - clean label = ``#signals >= thresh`` (majority-of-weak-signals,
+      no single bucket can carry it); ``1/noise_inv`` of labels flip.
+
+    What the grid over this task measured (numpy-replicated, pinned):
+    AVERAGING GRANULARITY governs convergence — AUC at 4 epochs falls
+    0.670 / 0.509 / 0.471 as partitions go 1 / 4 / 16, epochs help
+    roughly in proportion to per-partition sequential work, and
+    within-partition ORDER (id-sorted vs label-sorted vs shuffled)
+    moves AUC at noise level for this trainer, because each local
+    pass revisits all its examples every epoch.
+
+    Returns (id_col, text_col, label): text with signal and shadow
+    tokens appended, label int 0/1.
     """
+    sig_pred = [
+        F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(int(seed + j))),
+            F.lit(int(p_inv)),
+        )
+        == 0
+        for j in range(nsig)
+    ]
     sig_arr = F.array(
+        *[F.when(sig_pred[j], F.lit(f"sig{j}")) for j in range(nsig)]
+    )
+    sha_arr = F.array(
         *[
             F.when(
-                F.pmod(
-                    F.xxhash64(F.col(id_col), F.lit(int(seed + j))),
-                    F.lit(int(p_inv)),
-                )
-                == 0,
-                F.lit(f"sig{j}"),
+                sig_pred[j]
+                | (
+                    F.pmod(
+                        F.xxhash64(
+                            F.col(id_col), F.lit(int(seed + 1000 + j))
+                        ),
+                        F.lit(int(p_inv - 1)),
+                    )
+                    == 0
+                ),
+                F.lit(f"sha{j}"),
             )
             for j in range(nsig)
         ]
     )
     sigs = F.filter(sig_arr, lambda x: x.isNotNull())
+    shas = F.filter(sha_arr, lambda x: x.isNotNull())
     clean = (F.size(sigs) >= int(thresh)).cast("int")
     flip = (
         F.pmod(F.xxhash64(F.col(id_col), F.lit(777)), F.lit(int(noise_inv)))
@@ -414,7 +466,7 @@ def calibration_task(
     return docs.select(
         F.col(id_col),
         F.concat_ws(
-            " ", F.col(text_col), F.concat_ws(" ", sigs)
+            " ", F.col(text_col), F.concat_ws(" ", sigs), F.concat_ws(" ", shas)
         ).alias(text_col),
         label.alias("label"),
     )

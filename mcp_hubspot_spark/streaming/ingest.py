@@ -85,6 +85,7 @@ def stream_docs_to_text_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_epochs: int | None = None,
 ):
     """Streaming append-only ingest into a :class:`~.text_index.TextIndex`
     — the lexical twin of :func:`stream_embed_to_store`, built directly
@@ -105,6 +106,17 @@ def stream_docs_to_text_index(
     deliberately skips. The index must exist (``build()`` the seed
     corpus first, or build on an empty frame). Returns the
     StreamingQuery handle.
+
+    ``max_epochs`` bounds epoch-partition growth (round 12): each batch
+    lands as its own epoch partition set, and the pruned read's listing
+    + newest-generation aggregate grow with epoch count (SCALE_r12
+    locates the curve), so after each add the index's
+    :meth:`~.text_index.TextIndex.maybe_compact` folds everything to
+    one epoch whenever the live count exceeds the threshold (default:
+    the index's ``COMPACT_MAX_EPOCHS``). Crash-safe with replay: the
+    fold lands at epoch 0, a retried batch re-adds at its own epoch
+    above it, and the read-side net serves the newest generation —
+    drained results stay identical to an uncompacted run (e2e-pinned).
     """
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -114,6 +126,7 @@ def stream_docs_to_text_index(
             text_col=text_col,
             epoch=int(batch_id) + 1,
         )
+        index.maybe_compact(max_epochs=max_epochs)
 
     return (
         stream_df.writeStream.foreachBatch(append_batch)

@@ -374,21 +374,62 @@ class TextIndex:
 
     @_locked
     def compact(self) -> None:
-        """Physically drop tombstoned postings (one partitioned rewrite
-        into a temp dir + atomic rename, the crash-safe swap idiom) and
-        refresh corpus stats from the surviving postings."""
+        """Physically drop tombstoned postings AND consolidate every
+        surviving generation into ONE epoch partition set (epoch 0) —
+        one partitioned rewrite into a temp dir + atomic rename, the
+        crash-safe swap idiom — then refresh corpus stats from the
+        surviving postings.
+
+        Epoch consolidation (round 12): streaming ingest creates one
+        epoch partition set per micro-batch, and both the pruned read's
+        partition listing and its per-(doc, term) newest-generation
+        aggregate grow with epoch count (SCALE_r12 locates the
+        degradation). The rewrite keeps only the newest generation per
+        (doc, term) — the ``_pruned`` net applied physically — and
+        lands everything at epoch 0, so subsequent adds resume at
+        ``last_epoch + 1`` untouched. Epoch 0 is deliberately BELOW any
+        live add epoch: a crash-retried streaming batch re-adds at its
+        own epoch (> 0), never overwriting the consolidated partitions,
+        and its duplicate generations are served newest-first by the
+        read-side net until the next compact folds them in.
+
+        Cost: one full-index shuffle (the newest-generation aggregate)
+        + rewrite. Amortize via :meth:`maybe_compact`'s threshold — at
+        a threshold of E the steady-state rewrite bandwidth is
+        index_size / E per ingested batch."""
         import os
         import shutil
 
         meta = self._meta_dict()
         tomb = self.root / "tombstones"
-        if not tomb.exists():
-            return
+        if not tomb.exists() and self._n_epoch_dirs() <= 1:
+            return  # nothing to drop, nothing to consolidate
         post_dir = self.root / "postings"
-        kept = self._read_postings().cache()
+        pruned_all = self._read_postings()
+        # newest generation per (doc, term): collapsing epochs must not
+        # let an older generation shadow-serve after the fold (the
+        # _pruned net could no longer tell them apart at one epoch)
+        kept = (
+            pruned_all.groupBy("doc_id", "term", "bucket")
+            .agg(
+                F.max_by(
+                    F.struct("tf", "positions", "dl"), F.col("epoch")
+                ).alias("_r")
+            )
+            .select(
+                F.lit(0).alias("epoch"),
+                "doc_id",
+                "term",
+                F.col("_r.tf").alias("tf"),
+                F.col("_r.positions").alias("positions"),
+                F.col("_r.dl").alias("dl"),
+                "bucket",
+            )
+            .cache()
+        )
         try:
-            # live rows only (tombstone-filtered), so each doc appears
-            # at exactly one generation and its dl is unambiguous
+            # live rows only (tombstone-filtered, newest generation), so
+            # each doc appears at one generation and dl is unambiguous
             stats = (
                 kept.select("doc_id", "dl")
                 .dropDuplicates(["doc_id"])
@@ -410,10 +451,41 @@ class TextIndex:
         os.rename(post_dir, old)
         os.rename(tmp, post_dir)
         shutil.rmtree(old)
-        shutil.rmtree(tomb)
+        if tomb.exists():
+            shutil.rmtree(tomb)
         meta["n_docs"] = int(stats.n)
         meta["sum_dl"] = int(stats.sum_dl or 0)
         (self.root / self._META).write_text(json.dumps(meta))
+
+    # epoch-partition-count threshold for maybe_compact(): the same
+    # measured-auto-switch pattern as vector.ADC_LITERAL_MAX_DOUBLES and
+    # text.BLOCKLIST_LITERAL_MAX_PHRASES. SCALE_r12 measures pruned-read
+    # latency vs epoch count; the threshold bounds both the read-side
+    # partition listing and the rewrite amortization (index/E per batch).
+    COMPACT_MAX_EPOCHS = 64
+
+    def _n_epoch_dirs(self) -> int:
+        """Live epoch partition sets on disk — a driver-side directory
+        listing, no Spark job."""
+        post = self.root / "postings"
+        if not post.exists():
+            return 0
+        return sum(1 for p in post.glob("epoch=*") if p.is_dir())
+
+    def maybe_compact(self, *, max_epochs: int | None = None) -> bool:
+        """Policy-triggered :meth:`compact`: fold when the live epoch
+        partition count exceeds ``max_epochs`` (default
+        ``COMPACT_MAX_EPOCHS``). The check is one driver-side listing;
+        the compact itself takes the mutation flock. Returns True when
+        a compact ran. Wire this after streaming adds
+        (``stream_docs_to_text_index(compact_every=...)``) so epoch
+        growth is bounded by construction instead of by an operator
+        remembering to run compact()."""
+        cap = int(self.COMPACT_MAX_EPOCHS if max_epochs is None else max_epochs)
+        if self._n_epoch_dirs() <= cap:
+            return False
+        self.compact()
+        return True
 
     def _recover_swap(self, locked: bool = False) -> None:
         """Finish a compact() interrupted mid-swap. The only unsafe

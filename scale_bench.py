@@ -1336,6 +1336,73 @@ def main() -> None:
                 int,
             )
 
+        # round-12 (r11 verdict #5): pruned-read latency vs epoch count.
+        # Streaming ingest lands one epoch partition set per micro-batch;
+        # the read-side listing + newest-generation aggregate grow with
+        # epoch count. Build the SAME ~100k-doc index as 1 / 16 / 128
+        # epochs, measure search at each, then compact the 128-epoch one
+        # (the maybe_compact policy path) and re-measure — the fold must
+        # restore the single-epoch latency and identical scores.
+        if wanted("text_index_epochs"):
+            try:
+                from mcp_hubspot_spark.text_index import TextIndex
+
+                esub = docs.filter(
+                    F.pmod(F.xxhash64("doc_id", F.lit(3)),
+                           F.lit(max(1, n_docs // 100_000))) == 0
+                ).select("doc_id", "text").cache()
+                n_esub = esub.count()
+                eterms = ["spark", "window", "hash"]
+                ref_scores = None
+                for n_ep in (1, 16, 128):
+                    exi = TextIndex(spark, str(work / f"tixep{n_ep}"))
+                    t0 = time.perf_counter()
+                    slices = [
+                        esub.filter(
+                            F.pmod(F.xxhash64("doc_id", F.lit(7)),
+                                   F.lit(n_ep)) == i
+                        )
+                        for i in range(n_ep)
+                    ]
+                    exi.build(slices[0])
+                    for i in range(1, n_ep):
+                        exi.add(slices[i], epoch=i)
+                    extras[f"tix_epochs_ingest_sec_e{n_ep}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    exi.search(eterms, k=10).collect()  # codegen warm
+                    t0 = time.perf_counter()
+                    got = exi.search(eterms, k=10).collect()
+                    extras[f"tix_epochs_search_sec_e{n_ep}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    scores = [(r.doc_id, round(r.score, 9)) for r in got]
+                    if ref_scores is None:
+                        ref_scores = scores
+                    elif scores != ref_scores:
+                        errors[f"tix_epochs_e{n_ep}"] = "score drift vs e1"
+                    if n_ep == 128:
+                        t0 = time.perf_counter()
+                        assert exi.maybe_compact(max_epochs=64)
+                        extras["tix_epochs_compact_sec"] = round(
+                            time.perf_counter() - t0, 3
+                        )
+                        t0 = time.perf_counter()
+                        got = exi.search(eterms, k=10).collect()
+                        extras["tix_epochs_search_sec_e128_folded"] = round(
+                            time.perf_counter() - t0, 3
+                        )
+                        scores = [
+                            (r.doc_id, round(r.score, 9)) for r in got
+                        ]
+                        if scores != ref_scores:
+                            errors["tix_epochs_folded"] = "score drift"
+                esub.unpersist()
+            except Exception as exc:
+                errors["text_index_epochs"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+
         # round-11: index-backed hybrid retrieval (r10 verdict worklist
         # #3) — TextIndex BM25 shortlist + IvfIndex ANN shortlist -> RRF
         # fuse, vs the brute twin that rescans the corpus on both legs.
@@ -1445,6 +1512,76 @@ def main() -> None:
                         f"{type(exc).__name__}: {exc}"[:200]
                     )
 
+                # round-12 (r11 verdict #6): a recall-vs-nprobe curve
+                # where recall < 1. The r11 rows were all 1.0 because
+                # each probe was a corpus vector whose planted group
+                # fills the probed cells. BOUNDARY probes — midpoints
+                # of two distinct corpus vectors — have true neighbors
+                # straddling cells, so low nprobe must miss; recall is
+                # averaged over 4 such probes against a brute exact-kNN
+                # ground truth (ONE knn_batch scan), for the exact and
+                # PQ dense legs at nprobe 1/2/4/8.
+                try:
+                    from mcp_hubspot_spark.operators.vector import (
+                        knn_batch as _knn_batch,
+                    )
+
+                    mids = [
+                        (
+                            i,
+                            [
+                                (a + b) / 2.0
+                                for a, b in zip(
+                                    queries[2 * i][1], queries[2 * i + 1][1]
+                                )
+                            ],
+                        )
+                        for i in range(4)
+                    ]
+                    qdf = spark.createDataFrame(
+                        mids, "query_id int, query_vec array<double>"
+                    )
+                    truth = {
+                        qid: set()
+                        for qid in range(4)
+                    }
+                    for r in _knn_batch(
+                        embs.select(
+                            "vec_id",
+                            F.col("embedding")
+                            .cast("array<double>")
+                            .alias("embedding"),
+                        ),
+                        qdf,
+                        k=10,
+                    ).collect():
+                        truth[int(r.query_id)].add(int(r.vec_id))
+                    for np_ in (1, 2, 4, 8):
+                        got = hvix.search_batch(mids, k=10, nprobe=np_)
+                        by_q: dict[int, set] = {qid: set() for qid in range(4)}
+                        for r in got.collect():
+                            by_q[int(r.query_id)].add(int(r.vec_id))
+                        rec = sum(
+                            len(by_q[q] & truth[q]) / 10.0 for q in range(4)
+                        ) / 4.0
+                        extras[f"ivf_mid_recall_exact_np{np_}"] = round(rec, 4)
+                        pq_rec = 0.0
+                        for qid, qv in mids:
+                            ids = {
+                                int(r.vec_id)
+                                for r in hvix.search_pq(
+                                    qv, k=10, nprobe=np_, rerank=40
+                                ).collect()
+                            }
+                            pq_rec += len(ids & truth[qid]) / 10.0
+                        extras[f"ivf_mid_recall_pq_np{np_}"] = round(
+                            pq_rec / 4.0, 4
+                        )
+                except Exception as exc:
+                    errors["ivf_mid_recall"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+
                 # batched serving twins: 8 queries against ONE pruned
                 # posting read / cell scan each — compare 8x the
                 # single-query rows above for the batching payoff
@@ -1533,42 +1670,69 @@ def main() -> None:
                     )
                     trained["w"].unpersist()
 
-                # convergence probe on a HARDER planted task: 10% label
-                # noise caps achievable AUC, so epoch count and shuffle
-                # mode become visible (the clean task saturates at 1.0)
-                flip = F.pmod(
-                    F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(10)
-                ) == 0
-                noisy = lab.withColumn(
-                    "label",
-                    F.when(flip, 1 - F.col("label")).otherwise(
-                        F.col("label")
-                    ),
+                # round-12 calibration grid (r11 verdict #4): the r11
+                # noisy probe saturated in one pass (single dominant
+                # feature) AND its "shuffle" row was secretly
+                # sequential SGD — AQE had coalesced the
+                # unparameterized range shuffle to ONE partition
+                # (classifier_train now pins the count). The
+                # discriminating task is calibration_task's
+                # shadow-confounder corpus, where one-pass
+                # class-frequency scoring is poisoned by label-
+                # correlated shadow tokens and unlearning them needs
+                # repeated interleaved passes: AVERAGING GRANULARITY
+                # (partition count) governs convergence, epochs help
+                # in proportion to per-partition sequential work, and
+                # within-partition order moves AUC at noise level
+                # (numpy-replicated; pytest-pinned at 4k docs).
+                from mcp_hubspot_spark.operators.classifier import (
+                    calibration_task,
                 )
-                ntr = noisy.filter(F.col("doc_id") % 2 == 0)
-                nte = noisy.filter(F.col("doc_id") % 2 == 1)
-                for tag, ep, sh in (
-                    ("e1", 1, False),
-                    ("e2", 2, False),
-                    ("e1_shuf", 1, True),
+
+                # hash-subsample to ~100k docs: the modulus must be
+                # independent of the doc_id%2 train/test split below
+                # (a plain doc_id%k subsample with even k left the test
+                # half EMPTY)
+                sub = docs.filter(
+                    F.pmod(
+                        F.xxhash64("doc_id"),
+                        F.lit(max(1, n_docs // 100_000)),
+                    )
+                    == 0
+                ).select("doc_id", "text")
+                cal = calibration_task(sub)
+                ctr = cal.filter(F.col("doc_id") % 2 == 0)
+                cte = cal.filter(F.col("doc_id") % 2 == 1).cache()
+                cte.count()
+                for tag, ep, parts, sh in (
+                    ("p4_e1", 1, 4, False),
+                    ("p4_e2", 2, 4, False),
+                    ("p256_e1", 1, 256, False),
+                    ("p256_e2", 2, 256, False),
+                    ("p256_e2_shuf", 2, 256, True),
                 ):
                     try:
+                        t0 = time.perf_counter()
                         wn = classifier_train(
-                            ntr, num_buckets=1 << 18, epochs=ep,
-                            lr=0.5, shuffle=sh,
+                            ctr, num_buckets=1 << 18, epochs=ep,
+                            lr=0.25, shuffle=sh, num_parts=parts,
                         ).cache()
                         wn.count()
+                        extras[f"classifier_cal_train_sec_{tag}"] = round(
+                            time.perf_counter() - t0, 3
+                        )
                         sc = classifier_score(
-                            nte, wn, num_buckets=1 << 18
-                        ).join(nte.select("doc_id", "label"), "doc_id")
-                        extras[f"classifier_noisy_auc_{tag}"] = round(
+                            cte, wn, num_buckets=1 << 18
+                        ).join(cte.select("doc_id", "label"), "doc_id")
+                        extras[f"classifier_cal_auc_{tag}"] = round(
                             float(binary_auc(sc).first().auc), 4
                         )
                         wn.unpersist()
                     except Exception as exc:
-                        errors[f"classifier_noisy_{tag}"] = (
+                        errors[f"classifier_cal_{tag}"] = (
                             f"{type(exc).__name__}: {exc}"[:200]
                         )
+                cte.unpersist()
             except Exception as exc:
                 errors["classifier_train"] = (
                     f"{type(exc).__name__}: {exc}"[:200]

@@ -3480,6 +3480,69 @@ def test_classifier_train_shuffle_mode(spark):
     assert binary_auc(scored).first().auc > 0.99
 
 
+def test_classifier_calibration_grid_separates(spark):
+    """The r12 calibration grid on the shadow-confounder task
+    (calibration_task): AVERAGING GRANULARITY is the knob that governs
+    convergence — 4 epochs at 1 partition must beat 1 epoch at 1
+    partition AND 4 epochs at 16 partitions by clear margins (local
+    SGD decorrelates the shadow tokens only within a partition), while
+    shuffling at a FIXED partition count moves AUC at noise level.
+    The shuffle path must also PRESERVE the input partition count:
+    r11's unparameterized repartitionByRange let AQE coalesce the
+    shuffle to one partition, silently serializing training — before
+    the fix the last assertion failed with shuffled ~0.67 vs 0.47.
+    Reference AUCs (numpy-replicated): P=1 e1 0.511, P=1 e4 0.671,
+    P=16 e1 0.463, P=16 e4 0.471, P=16 e4 shuffled 0.471."""
+    from mcp_hubspot_spark.operators.classifier import (
+        binary_auc,
+        calibration_task,
+        classifier_score,
+        classifier_train,
+    )
+
+    base = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), (F.col("id") % 30) + 9),
+                lambda k: F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("id").cast("string"),
+                            k.cast("string"),
+                        )
+                    ),
+                    1,
+                    2,
+                ),
+            ),
+        ).alias("text"),
+    )
+    task = calibration_task(base)
+    tr = task.filter(F.col("doc_id") % 2 == 0).repartition(16)
+    te = task.filter(F.col("doc_id") % 2 == 1)
+    nb = 1 << 16
+
+    def auc_of(**kw):
+        w = classifier_train(tr, num_buckets=nb, lr=0.25, **kw)
+        sc = classifier_score(te, w, num_buckets=nb).join(
+            te.select("doc_id", "label"), "doc_id"
+        )
+        return float(binary_auc(sc).first().auc)
+
+    p1e1 = auc_of(epochs=1, num_parts=1)
+    p1e4 = auc_of(epochs=4, num_parts=1)
+    p16e4 = auc_of(epochs=4, num_parts=16)
+    p16e4s = auc_of(epochs=4, num_parts=16, shuffle=True)
+    p16e4s_inherit = auc_of(epochs=4, shuffle=True)  # inherits 16
+    assert p1e4 > p1e1 + 0.05        # epochs separate at P=1
+    assert p1e4 > p16e4 + 0.10       # granularity separates at 4 epochs
+    assert abs(p16e4s - p16e4) < 0.02   # order is noise-level at fixed P
+    assert abs(p16e4s_inherit - p16e4) < 0.02  # no AQE collapse to P=1
+
+
 def test_binary_auc_hand_check(spark):
     """Mann-Whitney arithmetic by hand, including the tie convention:
     scores [.9 .8 .8 .1] with labels [1 1 0 0] -> pairs: pos .9 beats

@@ -1217,3 +1217,47 @@ def test_stream_docs_to_text_index_equals_rebuild(spark, tmp_path):
         for r in full.search(terms, k=10).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_stream_ingest_auto_compact_bounds_epochs(spark, tmp_path):
+    """Round-12 epoch hygiene e2e: with max_epochs=1 the ingest folds
+    after every batch, so the live epoch-partition count stays bounded
+    (<= 2: the fold + at most one fresh add) while the drained index
+    stays score-identical to a full rebuild — the policy-triggered
+    compact is pinned equivalent to the uncompacted stream."""
+    from mcp_hubspot_spark.streaming.ingest import stream_docs_to_text_index
+    from mcp_hubspot_spark.text_index import TextIndex
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seed = docs.filter(F.col("doc_id") % 4 == 0)
+    rest = docs.filter(F.col("doc_id") % 4 != 0)
+    d = tmp_path / "in"
+    for i in (1, 2, 3):
+        rest.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(
+            str(d / f"b{i}")
+        )
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(seed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*")
+    )
+    q = stream_docs_to_text_index(
+        stream, ix, checkpoint_dir=str(tmp_path / "ckpt"), max_epochs=1
+    )
+    q.awaitTermination(120)
+    assert ix._n_epoch_dirs() == 1  # drained: last batch folded too
+    full = TextIndex(spark, str(tmp_path / "full"))
+    full.build(docs)
+    terms = ["spark", "merge", "hash"]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix.search(terms, k=10).collect()
+    ]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in full.search(terms, k=10).collect()
+    ]
+    assert got == want and len(got) == 10

@@ -155,6 +155,90 @@ def test_delete_tombstones_then_compact(spark, docs, tmp_path):
     assert a == b
 
 
+def test_compact_consolidates_epochs(spark, docs, tmp_path):
+    """Round-12 epoch hygiene: compact() folds every surviving
+    generation into ONE epoch partition set (the streaming-ingest
+    growth bound) — search and phrase results are identical before and
+    after, the live epoch-dir count drops to 1, and stats refresh."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    ix.build(thirds[0])
+    ix.add(thirds[1], epoch=1)
+    ix.add(thirds[2], epoch=2)
+    assert ix._n_epoch_dirs() == 3
+    terms = ["spark", "window"]
+    before = [
+        (r.doc_id, round(r.score, 9)) for r in ix.search(terms, k=20).collect()
+    ]
+    ph_before = sorted(
+        tuple(r) for r in ix.phrase_hits("table table").collect()
+    )
+    ix.compact()
+    assert ix._n_epoch_dirs() == 1
+    after = [
+        (r.doc_id, round(r.score, 9)) for r in ix.search(terms, k=20).collect()
+    ]
+    ph_after = sorted(
+        tuple(r) for r in ix.phrase_hits("table table").collect()
+    )
+    assert before == after and ph_before == ph_after and before
+    # a later add resumes above the fold and serves alongside it
+    extra = spark.createDataFrame(
+        [(990001, "spark window spark")], "doc_id long, text string"
+    )
+    ix.add(extra, epoch=3)
+    assert 990001 in {r.doc_id for r in ix.search(terms, k=500).collect()}
+
+
+def test_maybe_compact_policy_threshold(spark, docs, tmp_path):
+    """maybe_compact() is the measured-threshold auto-switch: a no-op
+    at or under max_epochs live partition sets, a full compact (pinned
+    equivalent to manual compact() by the fold test above) beyond it."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    ix.build(parts[0])
+    ix.add(parts[1], epoch=1)
+    ix.add(parts[2], epoch=2)
+    assert ix.maybe_compact(max_epochs=3) is False
+    assert ix._n_epoch_dirs() == 3
+    ix.add(parts[3], epoch=3)
+    assert ix.maybe_compact(max_epochs=3) is True
+    assert ix._n_epoch_dirs() == 1
+
+
+def test_retried_add_after_compact_serves_newest_generation(spark, tmp_path):
+    """Crash-retry across a fold: compact lands everything at epoch 0,
+    so a replayed streaming add at its own epoch (> 0) duplicates its
+    docs' generations instead of overwriting the consolidated
+    partitions — the read-side newest-generation net must serve them
+    once, score-identical to the pre-retry index."""
+    ix = TextIndex(spark, str(tmp_path / "ix"))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "alpha beta table table"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        ),
+        num_buckets=8,
+    )
+    batch = spark.createDataFrame(
+        [(3, "alpha table table beta")], "doc_id long, text string"
+    )
+    ix.add(batch, epoch=1)
+    ix.compact()
+    before = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix.search(["alpha", "beta"], k=10).collect()
+    ]
+    ix.add(batch, epoch=1)  # crash-retry replay after the fold
+    after = [
+        (r.doc_id, round(r.score, 9))
+        for r in ix.search(["alpha", "beta"], k=10).collect()
+    ]
+    assert before == after
+    hits = sorted(tuple(r) for r in ix.phrase_hits("table table").collect())
+    assert [h[0] for h in hits] == [1, 3]  # no duplicate-map-key throw
+
+
 def test_compact_crash_recovery_mid_swap(spark, docs, tmp_path):
     """Simulate a compact() crash between the two directory renames:
     postings gone, _postings_new complete. The next read must complete
