@@ -286,9 +286,21 @@ def main() -> None:
     # captures a tail of stdout; the stdout line keeps the required
     # {metric, value, unit, queries, sf} contract but drops the
     # cold-run dict so the line stays short enough to survive tail capture
+    # Full-registry runs (SPARK_GRAFT_BENCH_ALL=1) default to their OWN
+    # artifact name: in round 12 the driver's 93-query headline run
+    # clobbered BENCH_LOCAL.json and the round lost its only
+    # full-coverage record (r12 verdict wrong-item #1). A headline run
+    # can no longer overwrite a full run's artifact by default; the
+    # committed BENCH_LOCAL_r{N}.json snapshots copy from the _FULL
+    # path.
+    default_name = (
+        "BENCH_LOCAL_FULL.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL") == "1"
+        else "BENCH_LOCAL.json"
+    )
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        str(Path(__file__).resolve().parent / "BENCH_LOCAL.json"),
+        str(Path(__file__).resolve().parent / default_name),
     )
     Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
     # The stdout line must survive a BOUNDED tail capture (the driver

@@ -580,7 +580,15 @@ def pq_train_codebooks(
     fits — m is 8-16, each fit is one MLlib job on the sampled
     subvector column). At 100 TB train on a sample (codebook centroids
     converge long before the corpus is seen), encode the full table in
-    one expression pass."""
+    one expression pass.
+
+    RECALL CLIFF (SCALE_r12 flatpq rows): codebooks trained on RAW
+    flat vectors measured recall@10 0.1125 on the decaying-spectrum
+    corpus vs 0.625 with the OPQ pre-rotation at identical serving
+    cost — when calling this directly (outside IvfIndex, whose flat
+    builds now default to OPQ), train a rotation with
+    :func:`pq_train_opq_rotation` and pass it to encode/search unless
+    you are deliberately measuring the raw floor."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -627,7 +635,10 @@ def pq_encode(
     is array<int> length m. With ``rotation`` (a d x d orthogonal
     matrix, see :func:`pq_train_opq_rotation`) the vector is rotated
     expression-side first — the OPQ pre-transform; codebooks must then
-    have been trained on rotated vectors."""
+    have been trained on rotated vectors. Omitting the rotation on
+    correlated/unbalanced dimensions is a measured recall cliff
+    (SCALE_r12: 0.1125 raw vs 0.625 with OPQ) — see
+    :func:`pq_train_codebooks`."""
     v = F.col(vec_col)
     if rotation is not None:
         v = rotate_expr(v, rotation)

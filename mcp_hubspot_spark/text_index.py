@@ -276,7 +276,11 @@ class TextIndex:
 
         Corpus stats (N, sum_dl) bump by the frame's own counts, or by
         ``stats_delta=(dn, d_sum_dl)`` when the caller knows the NET
-        movement (a changed doc adds only its length difference). The
+        movement (a changed doc adds only its length difference). With
+        ``replace=True`` the default is the net movement too — one
+        extra postings scan subtracts the replaced ids' previous
+        contribution so repeated replaces can't drift idf/avgdl; pass
+        an explicit ``stats_delta`` to skip that scan on hot paths. The
         meta write is guarded by ``last_epoch``: a retry whose stats
         already landed skips them — stats apply exactly once per epoch.
         """
@@ -298,7 +302,47 @@ class TextIndex:
                     F.size(tokens(F.lower(F.col(text_col))))
                 ).alias("sum_dl"),
             ).first()
-            stats_delta = (int(stats.n), int(stats.sum_dl or 0))
+            dn, dsl = int(stats.n), int(stats.sum_dl or 0)
+            if replace:
+                # replace=True re-lands ids that (usually) already
+                # count in meta n_docs/sum_dl, so bumping by the full
+                # frame would inflate idf/avgdl on every replace. The
+                # NET movement subtracts the replaced ids' previous
+                # contribution: newest generation per doc among
+                # postings STRICTLY BELOW this epoch, tombstones
+                # deliberately NOT applied — meta stats stay at their
+                # pre-delete values until compact (delete()'s
+                # contract), so a deleted-then-replaced doc's old
+                # length is still in meta and must be subtracted; and
+                # ignoring tombstones + excluding this epoch makes a
+                # crash-retry recompute the SAME delta whether the
+                # retry happens before or after the failed attempt's
+                # tombstone/postings writes landed (the last_epoch
+                # guard below then applies it exactly once). Cost: one
+                # postings scan (terms hash independently — no bucket
+                # pruning; epoch pruning only) — hot-path callers pass
+                # an explicit stats_delta instead (serving.py does).
+                prev = (
+                    self.spark.read.parquet(str(self.root / "postings"))
+                    .filter(F.col("epoch") < F.lit(int(epoch)))
+                    .join(
+                        F.broadcast(
+                            df.select(F.col(id_col).alias("doc_id")).distinct()
+                        ),
+                        "doc_id",
+                        "leftsemi",
+                    )
+                    .groupBy("doc_id")
+                    .agg(F.max_by(F.col("dl"), F.col("epoch")).alias("dl"))
+                    .agg(
+                        F.count(F.lit(1)).alias("pn"),
+                        F.sum("dl").alias("psum"),
+                    )
+                    .first()
+                )
+                dn -= int(prev.pn or 0)
+                dsl -= int(prev.psum or 0)
+            stats_delta = (dn, dsl)
         if replace:
             # tombstone the batch's own ids at THIS epoch before the
             # postings land: old generations die, this one survives its
@@ -450,19 +494,40 @@ class TextIndex:
         old = self.root / "_postings_old"
         os.rename(post_dir, old)
         os.rename(tmp, post_dir)
-        shutil.rmtree(old)
+        # Tombstones die BEFORE _postings_old does. The consolidated
+        # rewrite lands everything at epoch 0 with tombstones already
+        # applied, so any surviving tombstone (dead_epoch >= 1) would
+        # re-kill the epoch-0 postings of docs that were LIVE at
+        # compact time (a doc re-added at its dead_epoch survived the
+        # tombstone pre-fold; post-fold its epoch is 0 < dead_epoch —
+        # silent permanent loss). _postings_old is therefore the
+        # swap-in-progress marker: as long as it exists, _recover_swap
+        # knows the tombstone-applied rewrite is (or is about to be)
+        # the live postings dir and clears tombstones/ itself, so a
+        # crash anywhere in this tail is safe.
         if tomb.exists():
             shutil.rmtree(tomb)
+        shutil.rmtree(old)
         meta["n_docs"] = int(stats.n)
         meta["sum_dl"] = int(stats.sum_dl or 0)
         (self.root / self._META).write_text(json.dumps(meta))
 
     # epoch-partition-count threshold for maybe_compact(): the same
     # measured-auto-switch pattern as vector.ADC_LITERAL_MAX_DOUBLES and
-    # text.BLOCKLIST_LITERAL_MAX_PHRASES. SCALE_r12 measures pruned-read
-    # latency vs epoch count; the threshold bounds both the read-side
-    # partition listing and the rewrite amortization (index/E per batch).
-    COMPACT_MAX_EPOCHS = 64
+    # text.BLOCKLIST_LITERAL_MAX_PHRASES, set AT the measured knee of
+    # the pruned-read-latency-vs-epoch curve (isolated 1M-doc runs,
+    # SCALE_r12_partial re-confirmed by SCALE_r13's quiet re-measure):
+    # BM25 pruned read 1.29 s at 1 epoch -> 3.49 s at 16 -> 5.40 s at
+    # 128 — degradation is already ~2.7x at 16 and sub-linear after, so
+    # a higher cap buys little rewrite amortization while serving every
+    # read degraded. Amortization at E=16: compact cost 47-106 s
+    # (index-size-dependent) against ~+2.2 s per read vs the folded
+    # index — the fold pays for itself within ~21-48 subsequent reads,
+    # and steady-state rewrite bandwidth stays index_size/16 per
+    # ingested batch. Read-heavy streams should lower this (every read
+    # past ~16 epochs is knee-side); write-only ingest with rare reads
+    # can raise it — maybe_compact(max_epochs=...) takes the override.
+    COMPACT_MAX_EPOCHS = 16
 
     def _n_epoch_dirs(self) -> int:
         """Live epoch partition sets on disk — a driver-side directory
@@ -478,7 +543,7 @@ class TextIndex:
         ``COMPACT_MAX_EPOCHS``). The check is one driver-side listing;
         the compact itself takes the mutation flock. Returns True when
         a compact ran. Wire this after streaming adds
-        (``stream_docs_to_text_index(compact_every=...)``) so epoch
+        (``stream_docs_to_text_index(max_epochs=...)``) so epoch
         growth is bounded by construction instead of by an operator
         remembering to run compact()."""
         cap = int(self.COMPACT_MAX_EPOCHS if max_epochs is None else max_epochs)
@@ -488,12 +553,19 @@ class TextIndex:
         return True
 
     def _recover_swap(self, locked: bool = False) -> None:
-        """Finish a compact() interrupted mid-swap. The only unsafe
-        window is postings-dir-missing with the fully-written
-        ``_postings_new`` beside it — completing the rename is always
-        valid because the tombstone table is still present (reads keep
-        anti-joining the ids the unfinished compact meant to drop).
-        Leftover ``_postings_old`` is just garbage once postings exists.
+        """Finish a compact() interrupted mid-swap. ``_postings_old``
+        existing means the swap reached its first rename, so the live
+        (or about-to-be-live) postings dir is the consolidated rewrite
+        with tombstones already physically applied — recovery must
+        therefore ALSO drop ``tombstones/``: a stale tombstone
+        (dead_epoch >= 1) replayed against the folded epoch-0 postings
+        would kill docs that were live at compact time (re-added at
+        their dead_epoch — survived pre-fold, epoch 0 < dead_epoch
+        post-fold). ``_postings_new`` beside a live postings dir
+        WITHOUT the ``_postings_old`` marker is the opposite case — a
+        compact that crashed before its first rename — and is
+        discarded with tombstones kept (the old layout still needs
+        them).
 
         Readers call this WITHOUT the mutation lock, so they must not
         race a LIVE compact between its two renames: when ``locked`` is
@@ -532,6 +604,12 @@ class TextIndex:
             tmp.rename(post)
         if post.exists():
             if old.exists():
+                # swap reached the first rename: postings is the
+                # tombstone-applied epoch-0 rewrite — stale tombstones
+                # must die with the old dir (see docstring)
+                tomb = self.root / "tombstones"
+                if tomb.exists():
+                    shutil.rmtree(tomb)
                 shutil.rmtree(old)
             if tmp.exists():
                 shutil.rmtree(tmp)

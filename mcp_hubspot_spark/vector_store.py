@@ -427,7 +427,7 @@ class IvfIndex:
         pq_m: int | None = None,
         pq_codes: int = 256,
         pq_residual: bool = False,
-        pq_opq: bool = False,
+        pq_opq: bool | None = None,
     ) -> None:
         """Train + assign + write. With ``pq_m`` set, the index is an
         IVFPQ: per-subvector codebooks (m subquantizers x pq_codes
@@ -450,7 +450,18 @@ class IvfIndex:
         in _probe), so exact search results are unchanged (orthogonal
         invariance, pytest-pinned) while PQ codes stop wasting entropy
         on correlated/unbalanced subspaces. Composes with
-        ``pq_residual`` (rotate first, residual in rotated space)."""
+        ``pq_residual`` (rotate first, residual in rotated space).
+
+        The default (``pq_opq=None``) resolves to True for FLAT
+        (non-residual) PQ indexes and False otherwise — the
+        data-backed default (r12 verdict #6): on the SCALE_r12 decaying
+        spectrum corpus, flat-PQ raw recall@10 was 0.1125 vs 0.625
+        with the OPQ rotation at identical serving cost — a recall
+        cliff no default should sit under. Residual encoding already
+        concentrates the subquantizers on within-cell offsets
+        (ivfpq_residual rows), so residual builds keep rotation
+        opt-in; pass ``pq_opq=False`` explicitly to measure raw flat
+        codebooks (diagnostic)."""
         import json
 
         from .operators.vector import (
@@ -462,6 +473,8 @@ class IvfIndex:
 
         if metric not in ("l2", "cosine"):
             raise ValueError(f"unknown metric: {metric}")
+        if pq_opq is None:
+            pq_opq = pq_m is not None and not pq_residual
         if pq_opq and pq_m is None:
             raise ValueError("pq_opq requires pq_m (rotation exists "
                              "to balance PQ subspaces)")
@@ -1107,7 +1120,7 @@ class IvfIndex:
         query_vec: Sequence[float],
         k: int = 10,
         nprobe: int = 2,
-        rerank: int = 0,
+        rerank: int | None = None,
         vec_col: str = "embedding",
         id_cols: Sequence[str] = ("vec_id",),
         where=None,
@@ -1117,8 +1130,7 @@ class IvfIndex:
         ``search`` does, but rank candidates by ASYMMETRIC distance over
         the stored ``pq_code`` column — the pruned scan reads ids +
         m-byte-ish codes, never the embedding column (the at-scale IO
-        win: 64-d float32 rows shrink 32x at m=8/256). ``rerank=0``
-        returns the ADC top-k directly (rank, ids..., adc_distance);
+        win: 64-d float32 rows shrink 32x at m=8/256).
         ``rerank=N`` runs the standard refinement: collect the bounded
         ADC top-N ids (≤ N rows), then ONE point-lookup scan of the same
         probed cells re-reads just those rows' embeddings for an exact
@@ -1126,6 +1138,20 @@ class IvfIndex:
         For cosine indexes both stages run on unit vectors, so L2 ADC
         ordering equals cosine ordering and the exact stage returns the
         cosine-metric shaping.
+
+        The default (``rerank=None``) derives ``max(20·k,
+        4·k·nprobe)`` — the serving tier's 4x-shortlist pattern
+        (serving.py hybrid_rrf_serve) grown with the probed-cell count.
+        SCALE_r12's boundary-probe curves are the reason the default is
+        NOT ADC-only: at rerank=200 (20·k at k=10) the PQ leg matches
+        the exact leg's recall point-for-point at every measured nprobe
+        (ivf_mid_recall_pq_rr200_np{1,2,4,8} == exact), while at
+        rerank=0 recall is 0.025–0.475 and NON-monotone in nprobe —
+        more probed cells flood a fixed ADC shortlist. The 4·k·nprobe
+        term keeps the budget growing with nprobe so the flooding mode
+        cannot reappear at large probe counts. ``rerank=0`` is
+        DIAGNOSTIC-ONLY (raw ADC ordering, adc_distance output shape):
+        use it to measure codebook quality, never to serve.
 
         ``adc_tables`` (residual indexes only) picks how the per-cell
         query tables reach the scan: ``"literal"`` inlines them as one
@@ -1145,6 +1171,8 @@ class IvfIndex:
                 "search_pq() on an index built without pq_m: "
                 "rebuild with build(df, pq_m=..., pq_codes=...)"
             )
+        if rerank is None:
+            rerank = max(20 * k, 4 * k * max(1, int(nprobe)))
         if rerank and rerank < k:
             # a shortlist smaller than k would silently under-return
             raise ValueError(f"rerank ({rerank}) must be >= k ({k})")

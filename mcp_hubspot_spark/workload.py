@@ -9140,87 +9140,87 @@ ROWS_ONLY_BY_DESIGN = frozenset(
     }
 )
 
-# ---- round-12 window ----------------------------------------------
+# ---- round-13 window ----------------------------------------------
 # Never-checked-first rule, then stalest-first — exactly what the
-# round-11 forward note (and the r11 verdict's worklist #1) promised.
-# Head of the line: the round-12 addition with NO driver history
-# (classifier_auc), then ALL 27 remaining round-8-checked queries
-# (after this window nothing in the registry is staler than round 9),
-# then the round-9-checked cohort alphabetically up to the 50-query
-# cap. The two rows-only-by-design r9 queries (approx_distinct_users,
-# doc_length_quantiles_approx) stay in rotation — their rows-only
-# driver check is their expected record, refreshed like any other.
-# Rotated out: the full round-11 window (50/50 green in r11) — every
-# rotated query remains pinned by the local oracle replica
+# round-12 forward note (and the r12 verdict's worklist #2) promised.
+# No round-13 registry additions, so the head of the line is ALL 28
+# remaining round-9-checked queries (after this window nothing in the
+# registry is staler than round 10), then the round-10-checked cohort
+# alphabetically up to the 50-query cap. Rows-only-by-design queries
+# (embed_documents here) stay in rotation — their rows-only driver
+# check is their expected record, refreshed like any other. Rotated
+# out: the full round-12 window (50/50 green in r12) — every rotated
+# query remains pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
 # oracle-gated queries regardless of window.
 _CHECK_PRIORITY = [
-    # never driver-checked: round-12 addition
-    "classifier_auc",
-    # stalest: last driver check was round 8
-    "events_resampled_locf",
-    "events_scd2",
-    "events_value_outliers_mad",
-    "global_shuffle_docs",
-    "greedy_packed_docs",
-    "hard_negatives",
-    "hybrid_search_rrf",
-    "incremental_dedup_docs",
-    "ivf_cosine_search",
-    "ivf_pq_search",
-    "kmv_distinct_users",
-    "knn_cosine",
-    "length_bucketed_batches",
-    "media_features",
-    "media_frame_sample",
-    "mixture_plan",
-    "nation_copurchase_lift",
-    "search_mmr_rerank",
-    "span_decontaminated_docs",
-    "substring_dedup_docs",
-    "substring_dedup_spans",
-    "substring_selfclean_docs",
-    "substring_selfrepeat_spans",
-    "supplier_pagerank",
-    "upsample_repeat_docs",
-    "vocab_coverage",
-    "weighted_sample_docs",
-    # next-stalest: round-9-checked cohort, alphabetical prefix
-    "approx_distinct_users",
-    "canonical_json_docs",
-    "cheapest_line_per_part",
-    "contains_token_docs",
-    "contaminated_docs",
-    "customer_name_linkage",
-    "customer_status_sets",
-    "customer_value_quartiles",
-    "dedup_clusters",
-    "doc_chunks",
-    "doc_excerpts",
-    "doc_fingerprints",
-    "doc_first_number",
-    "doc_length_quantiles",
-    "doc_length_quantiles_approx",
-    "doc_quality",
-    "doc_repetition",
-    "embedding_neardup_cosine",
-    "event_funnel",
-    "event_funnel_windowed",
-    "event_transitions",
-    "events_campaign_attribution",
+    # stalest: last driver check was round 9
+    "events_funnel",
+    "events_moving_avg",
+    "events_sessions",
+    "hamming_search",
+    "ivf_pq_residual_search",
+    "nation_trade_volume",
+    "ngram_containment_pairs",
+    "order_value_bootstrap_ci",
+    "orders_above_customer_avg",
+    "orders_cube",
+    "orders_monthly_growth",
+    "orders_page_with_total",
+    "orders_unpivot",
+    "orders_value_drift",
+    "pq_rotated_residual_search",
+    "pq_rotated_search",
+    "profile_orders",
+    "projected_knn_rerank",
+    "quantized_embedding_error",
+    "remove_boilerplate_docs",
+    "rolling_7d_active_users",
+    "sampled_quantiles_lineitem",
+    "semantic_contaminated_docs",
+    "semantic_dedup_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_docs",
+    "training_corpus_pipeline",
+    "user_value_trend",
+    # next-stalest: round-10-checked cohort, alphabetical prefix
+    "big_order_customers",
+    "blocklist_hit_docs",
+    "classifier_scored_docs",
+    "corpus_clean_stats",
+    "corpus_heaps_fit",
+    "corpus_zipf_fit",
+    "customer_spend_percentile",
+    "doc_hash_split",
+    "doc_zscore_by_source",
+    "dsir_selected_docs",
+    "embed_documents",
+    "event_attribution",
+    "event_path_trigrams",
+    "events_asof_click",
+    "events_hourly",
+    "events_ks_drift",
+    "events_seasonal_anomalies",
+    "events_seasonality",
+    "events_sessionized",
+    "events_sliding",
+    "events_type_drift",
+    "events_user_cumulative",
 ]
-# ---- round-13 forward note (same never-checked-first rule) ---------
-# After the round-12 check lands, nothing will be older than round 9.
-# Head of the round-13 line: any round-13 additions, then the 28
-# round-9-checked queries that did not fit this window —
-# events_funnel, events_moving_avg, events_sessions, hamming_search,
-# ivf_pq_residual_search, nation_trade_volume, ngram_containment_pairs, order_value_bootstrap_ci,
-# orders_above_customer_avg, orders_cube, orders_monthly_growth, orders_page_with_total,
-# orders_unpivot, orders_value_drift, pq_rotated_residual_search, pq_rotated_search,
-# profile_orders, projected_knn_rerank, quantized_embedding_error, remove_boilerplate_docs,
-# rolling_7d_active_users, sampled_quantiles_lineitem, semantic_contaminated_docs, semantic_dedup_docs,
-# stratified_sample_docs, temperature_mixture_docs, training_corpus_pipeline, user_value_trend
-# — then the round-10-checked cohort (alphabetical) up to the cap.
+# ---- round-14 forward note (same never-checked-first rule) ---------
+# After the round-13 check lands, nothing will be older than round 10.
+# Head of the round-14 line: any round-14 additions, then the 28
+# round-10-checked queries that did not fit this window —
+# events_user_gaps, exact_dedup_groups, filtered_scan_or_groups,
+# funnel_latency_quantiles, fuzzy_name_pairs, hamming_rerank_search,
+# ivf_search, knn_batch, knn_batch_matmul, knn_l2, label_centroids,
+# minhash_signatures, nation_customer_supplier_sets,
+# ngram_jaccard_pairs, order_value_histogram, orders_last_30d,
+# orders_status_pivot, phrase_occurrences_docs, priority_class_counts,
+# profile_orders_approx, recent_orders, scan_union_distinct,
+# semi_lookup_lines, shipping_priority, simhash_fingerprints,
+# supplier_clustering, supplier_triangles, token_stats
+# — then the round-11-checked cohort (alphabetical) up to the cap.
 # Until then all are pinned by the local oracle replica
 # (tests/test_oracle_parity.py) and the verify gate, which run ALL
 # oracle-gated queries regardless of window.

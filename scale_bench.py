@@ -920,12 +920,17 @@ def main() -> None:
                 for tag, residual in (("raw", False), ("residual", True)):
                     ivf = IvfIndex(spark, str(work / f"pqres_{tag}"))
                     t0 = time.perf_counter()
+                    # pq_opq=False: this section isolates residual-vs-
+                    # raw ENCODING at equal config (the r13 flat
+                    # default would rotate the raw side); the flatpq_*
+                    # section below carries the raw-vs-OPQ comparison
                     ivf.build(
                         c1,
                         n_cells=n_cent,
                         pq_m=8,
                         pq_codes=32,
                         pq_residual=residual,
+                        pq_opq=False,
                         sample_fraction=0.25,
                     )
                     timings[f"ivfpq_{tag}_build_200k"] = round(
@@ -935,10 +940,14 @@ def main() -> None:
                     hit = 0
                     t0 = time.perf_counter()
                     for qid in qids:
+                        # rerank=0: the DIAGNOSTIC ADC-only floor —
+                        # this row exists to measure codebook quality,
+                        # not the serving default (which now derives a
+                        # nonzero rerank; see the default-config rows)
                         got = {
                             r.vec_id
                             for r in ivf.search_pq(
-                                qvecs[qid], k=10, nprobe=8
+                                qvecs[qid], k=10, nprobe=8, rerank=0
                             ).collect()
                         }
                         hit += len(exact10[qid] & got)
@@ -1093,6 +1102,9 @@ def main() -> None:
                     time.perf_counter() - t0, 3
                 )
                 rows["ivfpq_res256_build_200k"] = n_cl
+                # rerank=0 throughout this section BY INTENT: it times
+                # and twin-checks the raw ADC stage (the literal-vs-
+                # join plan shapes), not the serving default
                 for np_ in (8, 32, 64):
                     for mode in ("literal", "join"):
                         t0 = time.perf_counter()
@@ -1101,6 +1113,7 @@ def main() -> None:
                                 qvecs[qid],
                                 k=10,
                                 nprobe=np_,
+                                rerank=0,
                                 adc_tables=mode,
                             ).collect()
                         key = f"res256_adc_{mode}_nprobe{np_}_200k"
@@ -1110,13 +1123,21 @@ def main() -> None:
                     lit = [
                         (r.rank, r.vec_id, round(r.adc_distance, 9))
                         for r in ivf.search_pq(
-                            qv0, k=10, nprobe=np_, adc_tables="literal"
+                            qv0,
+                            k=10,
+                            nprobe=np_,
+                            rerank=0,
+                            adc_tables="literal",
                         ).collect()
                     ]
                     jn = [
                         (r.rank, r.vec_id, round(r.adc_distance, 9))
                         for r in ivf.search_pq(
-                            qv0, k=10, nprobe=np_, adc_tables="join"
+                            qv0,
+                            k=10,
+                            nprobe=np_,
+                            rerank=0,
+                            adc_tables="join",
                         ).collect()
                     ]
                     extras[f"res256_twins_agree_nprobe{np_}"] = bool(
@@ -1133,6 +1154,7 @@ def main() -> None:
                             qvecs[qids[0]],
                             k=10,
                             nprobe=np_,
+                            rerank=0,
                             adc_tables="literal",
                         )
                         ._jdf.queryExecution()
@@ -1622,7 +1644,11 @@ def main() -> None:
                         # so recall vs nprobe is NON-monotone at a
                         # fixed small budget and the budget axis is the
                         # real knob (the measured trade, not a defect)
-                        for rr in (40, 200):
+                        # rr=None is the r13 DERIVED DEFAULT
+                        # (max(20k, 4k*nprobe)) — the row that pins
+                        # "the shipped default serves the exact leg's
+                        # curve", the r12 verdict's top item
+                        for rr in (40, 200, None):
                             pq_rec = 0.0
                             for qid, qv in mids:
                                 ids = {
@@ -1636,6 +1662,8 @@ def main() -> None:
                                 f"ivf_mid_recall_pq_np{np_}"
                                 if rr == 40
                                 else f"ivf_mid_recall_pq_rr200_np{np_}"
+                                if rr == 200
+                                else f"ivf_mid_recall_pq_default_np{np_}"
                             )
                             extras[key] = round(pq_rec / 4.0, 4)
                 except Exception as exc:

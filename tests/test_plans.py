@@ -941,7 +941,7 @@ def test_residual_pq_serving_plan_prunes_and_reads_codes_only(spark, tmp_path):
     ivf = IvfIndex(spark, str(tmp_path / "res"))
     ivf.build(df, n_cells=6, pq_m=4, pq_codes=8, pq_residual=True)
     plan = plan_of(
-        ivf.search_pq([float(x) for x in X[3]], k=5, nprobe=2)
+        ivf.search_pq([float(x) for x in X[3]], k=5, nprobe=2, rerank=0)
     )
     reads = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert reads and all("embedding" not in l for l in reads)

@@ -478,3 +478,157 @@ def test_phrase_hits_batch_matches_per_phrase_and_blocklist(spark, docs, built):
 
     with pytest.raises(ValueError):
         built.phrase_hits_batch(["   "])
+
+
+def test_compact_crash_after_swap_clears_stale_tombstones(spark, tmp_path):
+    """The r12 ADVICE window: compact() consolidates everything to
+    epoch 0 with tombstones physically applied; a crash AFTER the
+    directory swap but BEFORE tombstones/ is removed leaves stale
+    tombstones (dead_epoch >= 1) that would re-kill the epoch-0
+    postings of docs that were live at compact time — including docs
+    re-added at their dead_epoch (the CDC replace recipe). Recovery
+    must drop tombstones/ whenever the _postings_old marker shows the
+    swap reached its rename."""
+    root = tmp_path / "ix"
+    ix = TextIndex(spark, str(root))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        )
+    )
+    ix.delete([1], dead_epoch=1)
+    ix.add(
+        spark.createDataFrame(
+            [(1, "delta delta epsilon")], "doc_id long, text string"
+        ),
+        epoch=1,
+        stats_delta=(0, 1),
+    )
+    ix.compact()  # clean fold: doc 1 lives at epoch 0 now
+    assert {r.doc_id for r in ix.search(["delta"], k=10).collect()} == {1}
+    # hand-build the crash leftovers: the old tombstone re-materialized
+    # beside the _postings_old swap marker
+    spark.createDataFrame(
+        [(1, 1)], "doc_id long, dead_epoch int"
+    ).write.mode("overwrite").parquet(str(root / "tombstones"))
+    (root / "_postings_old").mkdir()
+    # any read recovers: stale tombstone must NOT kill doc 1's folded
+    # epoch-0 postings (pre-fix this silently lost the doc forever)
+    assert {r.doc_id for r in ix.search(["delta"], k=10).collect()} == {1}
+    assert not (root / "tombstones").exists()
+    assert not (root / "_postings_old").exists()
+
+
+def test_compact_crash_before_swap_keeps_tombstones(spark, tmp_path):
+    """The benign twin: a compact that wrote _postings_new but crashed
+    BEFORE its first rename (no _postings_old marker). The live
+    postings are still the OLD multi-epoch layout, so recovery must
+    discard the orphan rewrite and KEEP tombstones — clearing them here
+    would resurrect deleted docs."""
+    root = tmp_path / "ix"
+    ix = TextIndex(spark, str(root))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        )
+    )
+    ix.delete([2])
+    # orphan rewrite beside the live postings, no swap marker
+    ix._read_postings().write.mode("overwrite").partitionBy(
+        "epoch", "bucket"
+    ).parquet(str(root / "_postings_new"))
+    got = {r.doc_id for r in ix.search(["alpha"], k=10).collect()}
+    assert got == {1}  # doc 2 stays deleted
+    assert (root / "tombstones").exists()
+    assert not (root / "_postings_new").exists()
+
+
+def test_add_replace_default_stats_are_net(spark, tmp_path):
+    """add(replace=True) with NO explicit stats_delta must move corpus
+    stats by the NET difference (new length minus the replaced ids'
+    previous contribution), not by the full frame — the r12 ADVICE
+    finding: every default-stats replace inflated n_docs/sum_dl, so
+    BM25 idf and avgdl drifted until a compact."""
+    import json as _json
+
+    root = tmp_path / "ix"
+    ix = TextIndex(spark, str(root))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        )
+    )
+    # replace doc 1 (len 2 -> 3): n_docs stays 2, sum_dl 4 -> 5
+    ix.add(
+        spark.createDataFrame(
+            [(1, "delta delta epsilon")], "doc_id long, text string"
+        ),
+        replace=True,
+    )
+    meta = _json.loads((root / "meta.json").read_text())
+    assert (meta["n_docs"], meta["sum_dl"]) == (2, 5)
+    # replace a BRAND-NEW id (nothing to subtract): full-frame bump
+    ix.add(
+        spark.createDataFrame(
+            [(3, "zeta eta")], "doc_id long, text string"
+        ),
+        replace=True,
+    )
+    meta = _json.loads((root / "meta.json").read_text())
+    assert (meta["n_docs"], meta["sum_dl"]) == (3, 7)
+    # scores must equal a fresh index over the final corpus (stats AND
+    # postings agree — the drift the net delta exists to prevent)
+    ref = TextIndex(spark, str(tmp_path / "ref"))
+    ref.build(
+        spark.createDataFrame(
+            [
+                (1, "delta delta epsilon"),
+                (2, "alpha gamma"),
+                (3, "zeta eta"),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    for terms in (["delta"], ["alpha"], ["zeta", "gamma"]):
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in ix.search(terms, k=10).collect()
+        ]
+        want = [
+            (r.doc_id, round(r.score, 9))
+            for r in ref.search(terms, k=10).collect()
+        ]
+        assert got == want, terms
+
+
+def test_add_replace_second_replace_does_not_drift(spark, tmp_path):
+    """Back-to-back default-stats replaces of the same doc: the net
+    delta must subtract the NEWEST previous generation (len 3), not the
+    original (len 2) — max_by(dl, epoch) in the prev-contribution scan."""
+    import json as _json
+
+    root = tmp_path / "ix"
+    ix = TextIndex(spark, str(root))
+    ix.build(
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma")],
+            "doc_id long, text string",
+        )
+    )
+    ix.add(
+        spark.createDataFrame(
+            [(1, "delta delta epsilon")], "doc_id long, text string"
+        ),
+        replace=True,
+    )  # len 2 -> 3
+    ix.add(
+        spark.createDataFrame(
+            [(1, "omega")], "doc_id long, text string"
+        ),
+        replace=True,
+    )  # len 3 -> 1
+    meta = _json.loads((root / "meta.json").read_text())
+    assert (meta["n_docs"], meta["sum_dl"]) == (2, 3)

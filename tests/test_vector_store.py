@@ -780,7 +780,7 @@ def test_ivfpq_search_reads_codes_not_embeddings(spark, tmp_path):
 
     ivf, emb = _pq_index(spark, tmp_path)
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
-    adc = ivf.search_pq(q, k=5, nprobe=4)
+    adc = ivf.search_pq(q, k=5, nprobe=4, rerank=0)  # diagnostic ADC path
     buf = io.StringIO()
     with redirect_stdout(buf):
         adc.explain("formatted")
@@ -788,10 +788,14 @@ def test_ivfpq_search_reads_codes_not_embeddings(spark, tmp_path):
     assert reads and all("embedding" not in l for l in reads)
     got = adc.collect()
     assert len(got) == 5 and got[0].vec_id == 7  # self-hit at ADC dist 0
-    # full probe + generous rerank == exact search
+    # full probe + a shortlist covering EVERY probed row == exact
+    # search, unconditionally — the refinement contract independent of
+    # codebook quality (near-random vectors are PQ's worst case; a
+    # 100-row shortlist can drop an exact-top-5 near-tie, and which
+    # near-tie depends on the default OPQ rotation's seed)
     exact = [r.vec_id for r in ivf.search(q, k=5, nprobe=4).collect()]
     reranked = [
-        r.vec_id for r in ivf.search_pq(q, k=5, nprobe=4, rerank=100).collect()
+        r.vec_id for r in ivf.search_pq(q, k=5, nprobe=4, rerank=500).collect()
     ]
     assert reranked == exact
 
@@ -807,7 +811,7 @@ def test_ivfpq_add_encodes_and_maintenance_preserves_codes(spark, tmp_path):
         [(9_999, q)], "vec_id long, embedding array<double>"
     )
     ivf.add(twin)
-    top = ivf.search_pq(q, k=3, nprobe=4).collect()
+    top = ivf.search_pq(q, k=3, nprobe=4, rerank=0).collect()
     assert {top[0].vec_id, top[1].vec_id} == {3, 9_999}
     # trained codebooks leave a quantization residual (> 0, unlike the
     # anchor-codebook identity) — but the twin encodes to the SAME codes
@@ -816,7 +820,7 @@ def test_ivfpq_add_encodes_and_maintenance_preserves_codes(spark, tmp_path):
     n_del = ivf.delete([9_999])
     assert n_del == 1
     ivf.compact(min_files=2)
-    after = ivf.search_pq(q, k=3, nprobe=4).collect()
+    after = ivf.search_pq(q, k=3, nprobe=4, rerank=0).collect()
     assert after[0].vec_id == 3
     assert all(r.vec_id != 9_999 for r in after)
 
@@ -884,7 +888,7 @@ def test_ivfpq_residual_build_search_add(spark, tmp_path):
     assert meta["pq"]["residual"] is True
 
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
-    adc = ivf.search_pq(q, k=5, nprobe=4)
+    adc = ivf.search_pq(q, k=5, nprobe=4, rerank=0)  # diagnostic ADC path
     buf = io.StringIO()
     with redirect_stdout(buf):
         adc.explain("formatted")
@@ -908,7 +912,7 @@ def test_ivfpq_residual_build_search_add(spark, tmp_path):
             [(9_999, twin_q)], "vec_id long, embedding array<double>"
         )
     )
-    top = ivf.search_pq(twin_q, k=3, nprobe=4).collect()
+    top = ivf.search_pq(twin_q, k=3, nprobe=4, rerank=0).collect()
     assert {top[0].vec_id, top[1].vec_id} == {3, 9_999}
     assert top[0].adc_distance == top[1].adc_distance
 
@@ -936,8 +940,11 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
         [(i, [float(x) for x in X[i]]) for i in range(len(X))],
         "vec_id long, embedding array<double>",
     )
+    # pq_opq=False on the flat build: this test isolates the residual-
+    # vs-raw encoding gap at equal config (the r13 default would give
+    # the flat side an OPQ rotation and muddy the comparison)
     raw = IvfIndex(spark, str(tmp_path / "raw"))
-    raw.build(df, n_cells=n_clusters, pq_m=8, pq_codes=16)
+    raw.build(df, n_cells=n_clusters, pq_m=8, pq_codes=16, pq_opq=False)
     res = IvfIndex(spark, str(tmp_path / "res"))
     res.build(
         df, n_cells=n_clusters, pq_m=8, pq_codes=16, pq_residual=True
@@ -953,11 +960,15 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
         }
         got_raw = {
             r.vec_id
-            for r in raw.search_pq(qv, k=10, nprobe=n_clusters).collect()
+            for r in raw.search_pq(
+                qv, k=10, nprobe=n_clusters, rerank=0
+            ).collect()
         }
         got_res = {
             r.vec_id
-            for r in res.search_pq(qv, k=10, nprobe=n_clusters).collect()
+            for r in res.search_pq(
+                qv, k=10, nprobe=n_clusters, rerank=0
+            ).collect()
         }
         hits_raw += len(want & got_raw)
         hits_res += len(want & got_res)
@@ -1029,8 +1040,11 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
     )
     opq = IvfIndex(spark, str(tmp_path / "opq"))
     opq.build(df, n_cells=4, pq_m=8, pq_codes=16, pq_opq=True)
+    # pq_opq=False: the DIAGNOSTIC unrotated twin this comparison needs
+    # (the r13 flat default is OPQ — leaving it would compare OPQ to
+    # itself)
     raw = IvfIndex(spark, str(tmp_path / "raw"))
-    raw.build(df, n_cells=4, pq_m=8, pq_codes=16)
+    raw.build(df, n_cells=4, pq_m=8, pq_codes=16, pq_opq=False)
 
     qids = [0, 1111, 2222, 3333]
     hits_opq = hits_raw = 0
@@ -1044,13 +1058,25 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
         want10 = set(
             r.vec_id for r in knn(df, qv, k=10).collect()
         )
+        # rerank=0: compares raw ADC shortlist QUALITY — the derived
+        # rerank default would lift both sides to exact recall
         hits_opq += len(
             want10
-            & {r.vec_id for r in opq.search_pq(qv, k=10, nprobe=4).collect()}
+            & {
+                r.vec_id
+                for r in opq.search_pq(
+                    qv, k=10, nprobe=4, rerank=0
+                ).collect()
+            }
         )
         hits_raw += len(
             want10
-            & {r.vec_id for r in raw.search_pq(qv, k=10, nprobe=4).collect()}
+            & {
+                r.vec_id
+                for r in raw.search_pq(
+                    qv, k=10, nprobe=4, rerank=0
+                ).collect()
+            }
         )
     assert hits_opq > hits_raw  # variance balancing must show here
 
@@ -1060,7 +1086,7 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
             [(9_999, twin_q)], "vec_id long, embedding array<double>"
         )
     )
-    top = opq.search_pq(twin_q, k=3, nprobe=4).collect()
+    top = opq.search_pq(twin_q, k=3, nprobe=4, rerank=0).collect()
     assert {top[0].vec_id, top[1].vec_id} == {7, 9_999}
     assert top[0].adc_distance == top[1].adc_distance
 
@@ -1077,7 +1103,7 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
         df, n_cells=4, pq_m=8, pq_codes=16, pq_opq=True, pq_residual=True
     )
     qv = [float(x) for x in X[0]]
-    got = both.search_pq(qv, k=5, nprobe=4).collect()
+    got = both.search_pq(qv, k=5, nprobe=4, rerank=0).collect()
     assert got[0].vec_id == 0
     want = [r.vec_id for r in both.search(qv, k=5, nprobe=4).collect()]
     reranked = [
@@ -1160,13 +1186,13 @@ def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
         lit = [
             (r.rank, r.vec_id, round(r.adc_distance, 9))
             for r in idx.search_pq(
-                qv, k=10, nprobe=8, adc_tables="literal"
+                qv, k=10, nprobe=8, rerank=0, adc_tables="literal"
             ).collect()
         ]
         join = [
             (r.rank, r.vec_id, round(r.adc_distance, 9))
             for r in idx.search_pq(
-                qv, k=10, nprobe=8, adc_tables="join"
+                qv, k=10, nprobe=8, rerank=0, adc_tables="join"
             ).collect()
         ]
         assert lit == join and len(lit) == 10
@@ -1176,10 +1202,10 @@ def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
     # switch threshold (auto goes join strictly above it): literal
     # plan, no broadcast join
     auto_plan = idx.search_pq(
-        qv, k=5, nprobe=8, adc_tables="auto"
+        qv, k=5, nprobe=8, rerank=0, adc_tables="auto"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in auto_plan
-    join_df = idx.search_pq(qv, k=5, nprobe=8, adc_tables="join")
+    join_df = idx.search_pq(qv, k=5, nprobe=8, rerank=0, adc_tables="join")
     join_plan = join_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in join_plan
     # the join twin's pruned scan still never reads the embedding column
@@ -1238,3 +1264,94 @@ def test_search_batch_matches_per_query_search(spark, tmp_path):
             assert single == {
                 kk: vv for kk, vv in batch.items() if kk[0] == qid
             }, (metric, qid)
+
+
+def test_ivfpq_default_rerank_matches_exact_leg_on_boundary_probes(
+    spark, tmp_path
+):
+    """The r12 verdict's top item, pinned: search_pq's DEFAULT
+    (rerank=None -> max(20k, 4k*nprobe)) must serve the exact dense
+    leg's recall curve on boundary probes — queries at midpoints of
+    DISTINCT corpus vectors, the regime where SCALE_r12 measured the
+    old rerank=0 default at 0.025-0.475 recall and NON-monotone in
+    nprobe (more probed cells flooding a fixed ADC shortlist). The
+    default curve must (a) equal the exact leg point-for-point at
+    every nprobe, hence (b) be monotone, and (c) reach 1.0 at full
+    probe."""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import knn
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    rng = np.random.default_rng(13)
+    d, n_clusters, per = 32, 8, 100
+    centers = rng.normal(scale=10.0, size=(n_clusters, d))
+    X = np.concatenate(
+        [c + rng.normal(scale=1.0, size=(per, d)) for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = IvfIndex(spark, str(tmp_path / "bp"))
+    ivf.build(df, n_cells=n_clusters, pq_m=8, pq_codes=16, pq_residual=True)
+    # boundary probes: midpoints of distinct corpus vectors from
+    # different blobs — equidistant-ish from two cells, the worst case
+    # for a fixed shortlist as nprobe grows
+    pairs = [(10, 110), (210, 310), (410, 510), (610, 710)]
+    mids = [
+        [float(x) for x in (X[a] + X[b]) / 2.0] for a, b in pairs
+    ]
+    truth = [
+        {r.vec_id for r in knn(df, qv, k=10, id_cols=("vec_id",)).collect()}
+        for qv in mids
+    ]
+    curve_default, curve_exact = [], []
+    for np_ in (1, 2, 4, n_clusters):
+        hit_d = hit_e = 0
+        for qv, want in zip(mids, truth):
+            got_d = {
+                r.vec_id for r in ivf.search_pq(qv, k=10, nprobe=np_).collect()
+            }
+            got_e = {
+                r.vec_id for r in ivf.search(qv, k=10, nprobe=np_).collect()
+            }
+            hit_d += len(got_d & want)
+            hit_e += len(got_e & want)
+        curve_default.append(hit_d / 40.0)
+        curve_exact.append(hit_e / 40.0)
+    assert curve_default == curve_exact  # (a) point-for-point
+    assert curve_default == sorted(curve_default)  # (b) monotone
+    assert curve_default[-1] == 1.0  # (c) full probe is exact
+
+
+def test_ivfpq_flat_build_defaults_to_opq(spark, tmp_path):
+    """r12 verdict #6, pinned: a FLAT (non-residual) PQ build with no
+    pq_opq argument must train the OPQ rotation by default — SCALE_r12
+    measured flat-PQ raw recall@10 at 0.1125 vs 0.625 with OPQ at
+    identical serving cost. Residual builds keep rotation opt-in, and
+    pq_opq=False stays available as the diagnostic raw config."""
+    import json
+
+    from mcp_hubspot_spark.vector_store import IvfIndex
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    flat = IvfIndex(spark, str(tmp_path / "flat"))
+    flat.build(emb, n_cells=4, pq_m=8, pq_codes=16)
+    meta = json.loads((flat.root / "meta.json").read_text())
+    assert meta.get("opq") is True
+    assert (flat.root / "opq_rotation").exists()
+    # the default-config index still serves: self-hit through the
+    # rotated rerank path at exact distance 0
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 5).first().embedding]
+    top = flat.search_pq(q, k=3, nprobe=4).first()
+    assert top.vec_id == 5 and top.distance < 1e-9
+    res = IvfIndex(spark, str(tmp_path / "res"))
+    res.build(emb, n_cells=4, pq_m=8, pq_codes=16, pq_residual=True)
+    assert json.loads((res.root / "meta.json").read_text()).get("opq") is None
+    raw = IvfIndex(spark, str(tmp_path / "rawdiag"))
+    raw.build(emb, n_cells=4, pq_m=8, pq_codes=16, pq_opq=False)
+    assert json.loads((raw.root / "meta.json").read_text()).get("opq") is None
+    assert not (raw.root / "opq_rotation").exists()
