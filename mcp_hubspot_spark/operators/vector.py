@@ -795,6 +795,7 @@ def pq_encode_matmul(
     vec_col: str = "embedding",
     code_col: str = "pq_code",
     rotation: list[list[float]] | None = None,
+    drop_vec: bool = False,
 ) -> DataFrame:
     """BLAS twin of :func:`pq_encode` for real codebook sizes: at
     k=256 codes the expression argmin is a ~2k-element struct array per
@@ -823,14 +824,15 @@ def pq_encode_matmul(
     )
     # never .add() onto df.schema — that mutates the DataFrame's cached
     # python-side schema and desyncs it from the JVM plan
+    out_fields = [
+        f for f in df.schema.fields if not (drop_vec and f.name == vec_col)
+    ]
     out_schema = StructType(
-        list(df.schema.fields)
-        + [StructField(code_col, ArrayType(IntegerType()))]
+        out_fields + [StructField(code_col, ArrayType(IntegerType()))]
     )
+    out_cols = [f.name for f in out_fields]
 
     def enc(batches):
-        import pandas as pd
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -847,7 +849,117 @@ def pq_encode_matmul(
                     - 2.0 * (S @ C.T)
                 )
                 codes[:, mi] = np.argmin(d, axis=1)
-            out = pdf.copy()
+            out = pdf[out_cols].copy()
+            out[code_col] = [list(map(int, row)) for row in codes]
+            yield out
+
+    return df.mapInPandas(enc, schema=out_schema)
+
+
+def ivf_pq_encode_fused(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    cell_col: str = "cell_id",
+    rotation: list[list[float]] | None = None,
+    residual: bool = True,
+    probe_cells: Sequence[int] | None = None,
+    drop_vec: bool = False,
+) -> DataFrame:
+    """The whole IVFPQ build chain — optional OPQ rotation, coarse-cell
+    argmin assignment, optional residual subtraction, PQ encode — in ONE
+    Arrow pass. The expression-side composition (rotate_expr /
+    assign_cells_literal / residual_expr / pq_encode) inlines the
+    rotation tree into every per-cell and per-code distance struct after
+    projection collapse, so Catalyst plans/optimizes a multi-megabyte
+    expression whose cost dwarfs the data compute on anything but a
+    huge corpus; here the plan is one MapInPandas node and the per-row
+    work is four BLAS calls per batch.
+
+    Numeric contract: assignment is argmin over ``centroids`` sorted by
+    cell id (first-minimum = lowest id, the assign_cells_literal
+    tiebreak) and encoding is the pq_encode_matmul argmin; both compute
+    |s|^2+|c|^2-2*S@C^T, which differs from the expression/oracle fold
+    only in float rounding — safe exactly while no (row, cell) or
+    (row, subquantizer) distance pair is nearly tied, which the
+    tie-margin pytests assert on every corpus the driver hashes.
+
+    ``probe_cells`` drops non-probed rows inside the pass (before the
+    encode work and the Arrow return trip). ``drop_vec`` omits the
+    vector column from the output — mapInPandas is a pruning barrier,
+    so callers that only need (ids, cell, codes) should set it rather
+    than ship the vectors back through Arrow.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cents_sorted = sorted(
+        ((int(cid), c) for cid, c in centroids), key=lambda t: t[0]
+    )
+    cell_ids = np.asarray([cid for cid, _ in cents_sorted], dtype="int64")
+    C = np.asarray([c for _, c in cents_sorted], dtype="float64")
+    CB = [np.asarray(cb, dtype="float64") for cb in codebooks]
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    R = np.asarray(rotation, dtype="float64") if rotation is not None else None
+    keep = (
+        np.asarray(sorted(int(p) for p in probe_cells), dtype="int64")
+        if probe_cells is not None
+        else None
+    )
+
+    out_fields = [f for f in df.schema.fields if not (drop_vec and f.name == vec_col)]
+    out_schema = StructType(
+        out_fields
+        + [
+            StructField(cell_col, IntegerType()),
+            StructField(code_col, ArrayType(IntegerType())),
+        ]
+    )
+    out_cols = [f.name for f in out_fields]
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if R is not None:
+                V = V @ R.T
+            d_cell = (
+                (V**2).sum(axis=1)[:, None]
+                + (C**2).sum(axis=1)[None, :]
+                - 2.0 * (V @ C.T)
+            )
+            assign = np.argmin(d_cell, axis=1)
+            cells = cell_ids[assign]
+            out = pdf[out_cols].copy()
+            if keep is not None:
+                mask = np.isin(cells, keep)
+                if not mask.any():
+                    continue
+                out = out.iloc[mask].copy()
+                V = V[mask]
+                assign = assign[mask]
+                cells = cells[mask]
+            X = V - C[assign] if residual else V
+            codes = np.empty((len(X), m), dtype="int32")
+            for mi in range(m):
+                S = X[:, mi * sub : (mi + 1) * sub]
+                Cm = CB[mi]
+                d = (
+                    (S**2).sum(axis=1)[:, None]
+                    + (Cm**2).sum(axis=1)[None, :]
+                    - 2.0 * (S @ Cm.T)
+                )
+                codes[:, mi] = np.argmin(d, axis=1)
+            out[cell_col] = [int(c) for c in cells]
             out[code_col] = [list(map(int, row)) for row in codes]
             yield out
 

@@ -2322,22 +2322,33 @@ _IVF_COS = (
     """,
 )
 def ivf_search(spark: SparkSession, sf: str) -> DataFrame:
-    from .operators.vector import assign_cells, ivf_topk
+    from .operators.vector import assign_cells_literal, knn
 
     emb = _emb_double(spark, sf)
-    centroids = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    # one driver job for centroids (< 8) and the query (42); literal
+    # assignment runs the SAME l2 fold as the assign_cells broadcast
+    # join it replaces (bit-identical distances/tiebreak) with zero
+    # shuffle, and the probe ranking moves driver-side: Python's
+    # left-to-right sum equals the expression fold, so the probed cells
+    # are the ones the oracle's ORDER BY picks
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            (F.col("vec_id") < 8) | (F.col("vec_id") == 42)
+        ).collect()
+    }
+    cents = [(cid, rows[cid]) for cid in range(8)]
+    qvec = rows[42]
+
+    def _d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = [cid for _, cid in sorted((_d2(c, qvec), cid) for cid, c in cents)][:2]
+    with_cells = assign_cells_literal(
+        emb.select("vec_id", "embedding"), cents, metric="l2"
     )
-    with_cells = assign_cells(
-        emb.select("vec_id", "embedding"), centroids, id_col="vec_id"
-    )
-    qvec = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 42).collect()[0].embedding
-    ]
-    hits = ivf_topk(
-        with_cells, centroids, qvec, k=5, nprobe=2, id_cols=("vec_id",)
-    )
+    pruned = with_cells.filter(F.col("cell_id").isin(probe))
+    hits = knn(pruned, qvec, k=5, id_cols=("vec_id",))
     return hits.select(
         "rank", "vec_id", F.round("similarity", 4).alias("similarity")
     )
@@ -2419,42 +2430,42 @@ def ivf_search(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.vector import (
-        assign_cells_literal,
+        ivf_pq_encode_fused,
         pq_adc_topk,
         pq_anchor_codebooks,
-        pq_encode_matmul,
     )
 
     emb = _emb_double(spark, sf)
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
+    # one driver job for query (7), anchors (< 16) and centroids
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
         for r in emb.filter(
-            F.col("vec_id").isin(20, 120, 220, 320)
-        ).orderBy("vec_id").collect()
-    ]
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
-    ]
+            (F.col("vec_id") < 16)
+            | F.col("vec_id").isin(20, 120, 220, 320)
+        ).collect()
+    }
+    cents = [(cid, rows[cid]) for cid in (20, 120, 220, 320)]
+    qvec = rows[7]
 
     def _d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     probe = [cid for _, cid in sorted((_d2(v, qvec), cid) for cid, v in cents)][:2]
-    assigned = assign_cells_literal(
-        emb.select("vec_id", "embedding"), cents, metric="l2"
-    )
-    pruned = assigned.filter(F.col("cell_id").isin(probe))
-    anchors = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
-    # BLAS encoder: the 8x16-code expression argmin is interpreted (past
-    # codegen) and ~5x the whole query's cost; codes are discrete and
-    # the BLAS/expression agreement is pytest-pinned on this exact
-    # corpus, so the oracle (which replays the expression arithmetic)
-    # still hash-matches
+    anchors = [rows[i] for i in range(16)]
     cbs = pq_anchor_codebooks(anchors, m=8)
-    codes = pq_encode_matmul(pruned, cbs)
+    # fused assignment + probe-prune + BLAS encode (one Arrow pass, no
+    # interpreted per-cell argmin structs): codes and cells are discrete
+    # and the assignment/code argmin agreement with the expression
+    # arithmetic the oracle replays is pytest-pinned with tie-margin
+    # guards on every hashed corpus
+    codes = ivf_pq_encode_fused(
+        emb.select("vec_id", "embedding"),
+        cents,
+        cbs,
+        residual=False,
+        probe_cells=probe,
+        drop_vec=True,
+    )
     hits = pq_adc_topk(codes, cbs, qvec, k=10)
     return hits.select(
         "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
@@ -2551,46 +2562,42 @@ def ivf_pq_search(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ivf_pq_residual_search(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.vector import (
-        assign_cells_literal,
+        ivf_pq_encode_fused,
         pq_adc_topk_residual,
         pq_anchor_codebooks,
-        pq_encode_matmul,
-        residual_expr,
     )
 
     emb = _emb_double(spark, sf)
-    cents = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
+    # one driver job for query (7), anchors (< 16) and centroids
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
         for r in emb.filter(
-            F.col("vec_id").isin(20, 120, 220, 320)
-        ).orderBy("vec_id").collect()
-    ]
-    qvec = [
-        float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding
-    ]
+            (F.col("vec_id") < 16)
+            | F.col("vec_id").isin(20, 120, 220, 320)
+        ).collect()
+    }
+    cents = [(cid, rows[cid]) for cid in (20, 120, 220, 320)]
+    qvec = rows[7]
 
     def _d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     probe = [cid for _, cid in sorted((_d2(v, qvec), cid) for cid, v in cents)][:2]
-    assigned = assign_cells_literal(
-        emb.select("vec_id", "embedding"), cents, metric="l2"
-    )
-    pruned = assigned.filter(F.col("cell_id").isin(probe))
-    anchors = [
-        [float(x) for x in r.embedding]
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    anchors = [rows[i] for i in range(16)]
     cbs = pq_anchor_codebooks(anchors, m=8)
-    # residual = v − assigned centroid (zero-shuffle zip_with); BLAS
-    # encoder as in ivf_pq_search — the tie-margin guard in the
-    # agreement pytest covers the residual-transformed corpus too
     cent_by_id = dict(cents)
     probed_cents = [(cid, cent_by_id[cid]) for cid in probe]
-    codes = pq_encode_matmul(
-        pruned.withColumn("_res", residual_expr("embedding", cents)),
+    # fused assignment + probe-prune + residual + BLAS encode in one
+    # Arrow pass; discrete cell/code argmins are the only float-exposed
+    # decisions and the residual tie-margin pytest guards them on every
+    # hashed corpus
+    codes = ivf_pq_encode_fused(
+        emb.select("vec_id", "embedding"),
+        cents,
         cbs,
-        vec_col="_res",
+        residual=True,
+        probe_cells=probe,
+        drop_vec=True,
     )
     hits = pq_adc_topk_residual(codes, cbs, qvec, probed_cents, k=10)
     return hits.select(
@@ -2676,15 +2683,23 @@ def ivf_pq_residual_search(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def pq_rotated_search(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
     from .operators.vector import (
-        _vec_lit,
         pq_adc_topk,
         pq_anchor_codebooks,
-        pq_encode,
+        pq_encode_matmul,
     )
 
     emb = _emb_double(spark, sf)
-    u = [float(x) for x in emb.filter(F.col("vec_id") == 5).first().embedding]
+    # u (vec_id 5), the query (vec_id 7) and all 16 codebook anchors live
+    # below vec_id 16: ONE driver job fetches every plumbing row instead
+    # of three separate first()/collect() jobs
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    u = rows[5]
     udot = sum(x * x for x in u)  # left-to-right, matches list_sum
 
     def _rot_py(x: list[float]) -> list[float]:
@@ -2692,25 +2707,23 @@ def pq_rotated_search(spark: SparkSession, sf: str) -> DataFrame:
         s = 2 * d / udot
         return [xi - s * ui for xi, ui in zip(x, u)]
 
-    v = F.col("embedding")
-    u_lit = _vec_lit(u)
-    dot = F.aggregate(
-        F.zip_with(u_lit, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    s = F.lit(2.0) * dot / F.lit(udot)
-    rotated = F.zip_with(v, u_lit, lambda a, b: a - s * b)
-    df_rot = emb.select("vec_id", rotated.alias("rv"))
-    anchors = [
-        _rot_py([float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    # Corpus rotation + encode in one Arrow pass: the expression-side
+    # Householder (zip_with with the dot-fold inlined) gets duplicated
+    # into all 128 subvector-distance structs by projection collapse —
+    # a multi-MB plan Catalyst spends ~9 s optimizing at ANY data size.
+    # The BLAS rotation V @ Hᵀ differs from the fold only in rounding;
+    # code argmin agreement is guarded by the rotated tie-margin pytest.
+    un = np.asarray(u, dtype="float64")
+    H = np.eye(len(u)) - (2.0 / udot) * np.outer(un, un)
+    anchors = [_rot_py(rows[i]) for i in range(16)]
     cbs = pq_anchor_codebooks(anchors, m=8)
-    qrot = _rot_py(
-        [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
+    qrot = _rot_py(rows[7])
+    codes = pq_encode_matmul(
+        emb.select("vec_id", "embedding"),
+        cbs,
+        rotation=H.tolist(),
+        drop_vec=True,
     )
-    codes = pq_encode(df_rot, cbs, vec_col="rv")
     hits = pq_adc_topk(codes, cbs, qrot, k=10)
     return hits.select(
         "rank", "vec_id", F.round("adc_distance", 6).alias("adc_distance")
@@ -2825,17 +2838,25 @@ def pq_rotated_search(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def pq_rotated_residual_search(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
     from .operators.vector import (
-        _vec_lit,
-        assign_cells_literal,
+        ivf_pq_encode_fused,
         pq_adc_topk_residual,
         pq_anchor_codebooks,
-        pq_encode_matmul,
-        residual_expr,
     )
 
     emb = _emb_double(spark, sf)
-    u = [float(x) for x in emb.filter(F.col("vec_id") == 5).first().embedding]
+    # one driver job for every plumbing row: u (5), query (7), anchors
+    # (< 16), coarse centroids (20/120/220/320)
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            (F.col("vec_id") < 16)
+            | F.col("vec_id").isin(20, 120, 220, 320)
+        ).collect()
+    }
+    u = rows[5]
     udot = sum(x * x for x in u)
 
     def _rot_py(x: list[float]) -> list[float]:
@@ -2843,45 +2864,32 @@ def pq_rotated_residual_search(spark: SparkSession, sf: str) -> DataFrame:
         s = 2 * d / udot
         return [xi - s * ui for xi, ui in zip(x, u)]
 
-    v = F.col("embedding")
-    u_lit = _vec_lit(u)
-    dot = F.aggregate(
-        F.zip_with(u_lit, v, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    s = F.lit(2.0) * dot / F.lit(udot)
-    df_rot = emb.select(
-        "vec_id",
-        F.zip_with(v, u_lit, lambda a, b: a - s * b).alias("embedding"),
-    )
-    cents = [
-        (int(r.vec_id), _rot_py([float(x) for x in r.embedding]))
-        for r in emb.filter(
-            F.col("vec_id").isin(20, 120, 220, 320)
-        ).orderBy("vec_id").collect()
-    ]
-    qvec = _rot_py(
-        [float(x) for x in emb.filter(F.col("vec_id") == 7).first().embedding]
-    )
+    cents = [(cid, _rot_py(rows[cid])) for cid in (20, 120, 220, 320)]
+    qvec = _rot_py(rows[7])
 
     def _d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
 
     probe = [cid for _, cid in sorted((_d2(c, qvec), cid) for cid, c in cents)][:2]
-    assigned = assign_cells_literal(df_rot, cents, metric="l2")
-    pruned = assigned.filter(F.col("cell_id").isin(probe))
-    anchors = [
-        _rot_py([float(x) for x in r.embedding])
-        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
-    ]
+    anchors = [_rot_py(rows[i]) for i in range(16)]
     cbs = pq_anchor_codebooks(anchors, m=8)
     cent_by_id = dict(cents)
     probed_cents = [(cid, cent_by_id[cid]) for cid in probe]
-    codes = pq_encode_matmul(
-        pruned.withColumn("_res", residual_expr("embedding", cents)),
+    # rotation + assignment + residual + encode in ONE Arrow pass (the
+    # expression composition re-inlines the Householder tree into every
+    # per-cell/per-code distance struct — planning cost >> compute);
+    # float-path deltas only act through the cell/code argmins, which
+    # the rotated-residual tie-margin pytest guards on hashed corpora
+    un = np.asarray(u, dtype="float64")
+    H = np.eye(len(u)) - (2.0 / udot) * np.outer(un, un)
+    codes = ivf_pq_encode_fused(
+        emb.select("vec_id", "embedding"),
+        cents,
         cbs,
-        vec_col="_res",
+        rotation=H.tolist(),
+        residual=True,
+        probe_cells=probe,
+        drop_vec=True,
     )
     hits = pq_adc_topk_residual(codes, cbs, qvec, probed_cents, k=10)
     return hits.select(

@@ -2968,66 +2968,181 @@ def test_pq_encode_matmul_agrees_with_expression_path(spark):
     )
 
 
+def test_ivf_pq_encode_fused_agrees_with_expression_path(spark):
+    """The fused Arrow pass (rotation + cell assignment + residual + PQ
+    encode in one mapInPandas) must reproduce the expression
+    composition assign_cells_literal → residual_expr → pq_encode
+    exactly — same cells, same codes, same probe-pruned row set — in
+    both the raw and the Householder-rotated-residual constructions the
+    registry queries use."""
+    import numpy as np
+
+    from mcp_hubspot_spark.operators.vector import (
+        assign_cells_literal,
+        ivf_pq_encode_fused,
+        pq_anchor_codebooks,
+        pq_encode,
+        residual_expr,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            (F.col("vec_id") < 16) | F.col("vec_id").isin(20, 120, 220, 320)
+        ).collect()
+    }
+    cents = [(cid, rows[cid]) for cid in (20, 120, 220, 320)]
+    cbs = pq_anchor_codebooks([rows[i] for i in range(16)], m=8)
+
+    # raw construction (ivf_pq_search shape), no probe prune
+    exp = assign_cells_literal(emb, cents, metric="l2")
+    exp = pq_encode(exp, cbs)
+    a = {
+        r.vec_id: (r.cell_id, list(r.pq_code)) for r in exp.collect()
+    }
+    fused = ivf_pq_encode_fused(
+        emb, cents, cbs, residual=False, drop_vec=True
+    )
+    b = {
+        r.vec_id: (r.cell_id, list(r.pq_code)) for r in fused.collect()
+    }
+    assert a == b and len(a) == 500
+
+    # rotated-residual construction (pq_rotated_residual_search shape)
+    # with probe pruning: fused output must equal the expression path
+    # restricted to the probed cells
+    u = rows[5]
+    udot = sum(x * x for x in u)
+
+    def _rot_py(x):
+        d = sum(p * q for p, q in zip(u, x))
+        s = 2 * d / udot
+        return [xi - s * ui for xi, ui in zip(x, u)]
+
+    un = np.asarray(u, dtype="float64")
+    H = np.eye(len(u)) - (2.0 / udot) * np.outer(un, un)
+    cents_r = [(cid, _rot_py(c)) for cid, c in cents]
+    cbs_r = pq_anchor_codebooks([_rot_py(rows[i]) for i in range(16)], m=8)
+    probe = [20, 220]
+
+    from pyspark.sql import functions as SF_  # noqa: N812
+
+    u_lit = F.array(*[F.lit(float(x)) for x in u])
+    dot = F.aggregate(
+        F.zip_with(u_lit, F.col("embedding"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s = F.lit(2.0) * dot / F.lit(udot)
+    df_rot = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), u_lit, lambda p, q: p - s * q
+        ).alias("embedding"),
+    )
+    exp_r = assign_cells_literal(df_rot, cents_r, metric="l2").filter(
+        SF_.col("cell_id").isin(probe)
+    )
+    exp_r = pq_encode(
+        exp_r.withColumn("_res", residual_expr("embedding", cents_r)),
+        cbs_r,
+        vec_col="_res",
+    )
+    ar = {
+        r.vec_id: (r.cell_id, list(r.pq_code)) for r in exp_r.collect()
+    }
+    fused_r = ivf_pq_encode_fused(
+        emb,
+        cents_r,
+        cbs_r,
+        rotation=H.tolist(),
+        residual=True,
+        probe_cells=probe,
+        drop_vec=True,
+    )
+    br = {
+        r.vec_id: (r.cell_id, list(r.pq_code)) for r in fused_r.collect()
+    }
+    assert ar == br and len(ar) > 0
+
+
 def test_pq_tie_margins_hold_at_driver_scale():
-    """The ivf_pq_search / ivf_pq_residual_search registry queries use
-    the BLAS encoder while their oracles replay the EXPRESSION
-    arithmetic — safe only while no (row, subquantizer) has a near-tie
-    between two codes that float-path differences could flip. Check the
-    margins on the sf0.01 corpus (what the driver actually hashes) for
-    BOTH constructions, pure numpy, no Spark session."""
+    """The PQ/IVF registry queries (ivf_pq_search,
+    ivf_pq_residual_search, pq_rotated_search,
+    pq_rotated_residual_search) run BLAS/numpy arithmetic — encode,
+    cell assignment, and (for the rotated pair) the Householder
+    rotation itself — while their oracles replay the EXPRESSION folds.
+    Safe only while no (row, subquantizer) code pair and no (row, cell)
+    assignment pair is nearly tied, on EVERY corpus the driver hashes
+    (sf0.001 and sf0.01). Pure numpy, no Spark session."""
     import numpy as np
     import pyarrow.parquet as pq_  # noqa: N813
 
-    tbl = pq_.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pydict()
-    by_id = dict(zip(tbl["vec_id"], tbl["embedding"]))
-    V = np.asarray(
-        [by_id[i] for i in sorted(by_id)], dtype="float64"
-    )
-    anchors = np.asarray([by_id[i] for i in range(16)], dtype="float64")
-    cents = np.asarray(
-        [by_id[i] for i in (20, 120, 220, 320)], dtype="float64"
-    )
-    assign = np.argmin(
-        ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
-    )
-    resid = V - cents[assign]
-    m, sub = 8, V.shape[1] // 8
-
-    # Householder-rotated twin (pq_rotated_residual_search): rotate
-    # corpus/cents/anchors with u = row 5, re-assign and re-residual in
-    # rotated space, margins vs rotated anchors
-    u = np.asarray(by_id[5], dtype="float64")
-    H = np.eye(len(u)) - 2.0 * np.outer(u, u) / float(u @ u)
-    Vr = V @ H.T
-    cr = cents @ H.T
-    ar = anchors @ H.T
-    assign_r = np.argmin(
-        ((Vr[:, None, :] - cr[None, :, :]) ** 2).sum(axis=2), axis=1
-    )
-    resid_r = Vr - cr[assign_r]
-
-    def min_gap(X, A):
-        g = float("inf")
-        for mi in range(m):
-            S = X[:, mi * sub : (mi + 1) * sub]
-            C = A[:, mi * sub : (mi + 1) * sub]
-            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            d.sort(axis=1)
-            g = min(g, float((d[:, 1] - d[:, 0]).min()))
-        return g
-
-    for name, X, A in (
-        ("raw", V, anchors),
-        ("residual", resid, anchors),
-        ("rotated-residual", resid_r, ar),
-    ):
-        gap = min_gap(X, A)
-        assert gap > 1e-9, (
-            f"{name} PQ near-tie (gap {gap:g}) at sf0.01: the matmul "
-            "oracle agreement for the registry queries is unsafe"
+    for sf in ("sf0.001", "sf0.01"):
+        tbl = pq_.read_table(
+            f"/root/testdata/{sf}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).to_pydict()
+        by_id = dict(zip(tbl["vec_id"], tbl["embedding"]))
+        V = np.asarray(
+            [by_id[i] for i in sorted(by_id)], dtype="float64"
         )
+        anchors = np.asarray([by_id[i] for i in range(16)], dtype="float64")
+        cents = np.asarray(
+            [by_id[i] for i in (20, 120, 220, 320)], dtype="float64"
+        )
+        d_cells = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d_cells, axis=1)
+        resid = V - cents[assign]
+        m, sub = 8, V.shape[1] // 8
+
+        # Householder-rotated twins (pq_rotated_search /
+        # pq_rotated_residual_search): rotate corpus/cents/anchors with
+        # u = row 5, re-assign and re-residual in rotated space
+        u = np.asarray(by_id[5], dtype="float64")
+        H = np.eye(len(u)) - 2.0 * np.outer(u, u) / float(u @ u)
+        Vr = V @ H.T
+        cr = cents @ H.T
+        ar = anchors @ H.T
+        d_cells_r = ((Vr[:, None, :] - cr[None, :, :]) ** 2).sum(axis=2)
+        assign_r = np.argmin(d_cells_r, axis=1)
+        resid_r = Vr - cr[assign_r]
+
+        def min_gap(X, A):
+            g = float("inf")
+            for mi in range(m):
+                S = X[:, mi * sub : (mi + 1) * sub]
+                C = A[:, mi * sub : (mi + 1) * sub]
+                d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                d.sort(axis=1)
+                g = min(g, float((d[:, 1] - d[:, 0]).min()))
+            return g
+
+        for name, X, A in (
+            ("raw", V, anchors),
+            ("residual", resid, anchors),
+            ("rotated", Vr, ar),
+            ("rotated-residual", resid_r, ar),
+        ):
+            gap = min_gap(X, A)
+            assert gap > 1e-9, (
+                f"{name} PQ near-tie (gap {gap:g}) at {sf}: the matmul "
+                "oracle agreement for the registry queries is unsafe"
+            )
+
+        # cell-assignment argmin margins (the fused Arrow path assigns
+        # cells with |v|²+|c|²−2·V@Cᵀ while the oracle replays the
+        # (v−c)² fold): best/second-best per row must clear float error
+        for name, D in (("raw", d_cells), ("rotated", d_cells_r)):
+            ds = np.sort(D, axis=1)
+            gap = float((ds[:, 1] - ds[:, 0]).min())
+            assert gap > 1e-9, (
+                f"{name} IVF cell near-tie (gap {gap:g}) at {sf}: the "
+                "fused assignment agreement is unsafe"
+            )
 
 
 def test_sign_pack_hamming_topk_exact_integer_contract(spark):
