@@ -62,14 +62,19 @@ def group_concat_ordered(
     sort_key: str,
     sep: str = "|",
     alias: str = "joined",
+    extra_aggs: Sequence[Column] = (),
 ) -> DataFrame:
     """String-form of group_to_array (oracle-friendly: DuckDB's
-    ``string_agg(... ORDER BY ...)`` is its exact SQL equivalent)."""
+    ``string_agg(... ORDER BY ...)`` is its exact SQL equivalent).
+
+    ``extra_aggs``: additional already-aliased aggregate columns
+    computed in the SAME groupBy — companion stats (counts, sums) ride
+    the one shuffle instead of a second aggregation joined back."""
     collected = F.sort_array(
         F.collect_list(F.struct(F.col(sort_key).alias("_sort"), F.col(value).alias("_v")))
     )
     joined = F.array_join(F.transform(collected, lambda s: s.getField("_v")), sep)
-    return df.groupBy(*group).agg(joined.alias(alias))
+    return df.groupBy(*group).agg(joined.alias(alias), *extra_aggs)
 
 
 def summary_rollup(df: DataFrame, sums: dict[str, str]) -> DataFrame:

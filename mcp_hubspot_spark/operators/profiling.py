@@ -708,11 +708,12 @@ def heaps_fit(
     template/duplicated corpora flatten toward 0). Returns one row
     (n_checkpoints, heaps_beta, heaps_k, r2).
 
-    Scale shape: a term's FIRST-SEEN doc id is one min-aggregate per
-    term (map-side partial, same cost tier as a wordcount) and each
-    checkpoint's vocab/token totals are conditional sums over that
-    small table and the per-doc lengths — no ordered scan, no window
-    over the corpus, no crossJoin against the vocabulary. Checkpoints
+    Scale shape: ONE tokenize+explode pass; a term's FIRST-SEEN doc id
+    is one min-aggregate per term (map-side partial, same cost tier as
+    a wordcount) which also carries the per-checkpoint token counts, so
+    both the vocab and token-total sides of the fit are conditional
+    sums over that small table — no second corpus scan, no ordered
+    scan, no window over the corpus, no crossJoin. Checkpoints
     are id-space prefixes (deterministic integer arithmetic both
     engines replay); the final OLS runs over <= ``checkpoints`` rows.
 
@@ -725,40 +726,49 @@ def heaps_fit(
     from .text import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
-    docs = df.select(
-        F.col(id_col).alias("_id"), toks.alias("_toks"),
-        F.size(toks).cast("long").alias("_dl"),
-    )
+    docs = df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
     _max = docs.agg(F.max("_id")).first()[0]
     if _max is None:
         raise ValueError("heaps_fit: empty corpus — no ids to checkpoint")
     max_id = int(_max)
     cs = [(max_id * i) // checkpoints for i in range(1, checkpoints + 1)]
     cs = sorted(set(cs))
-    terms = (
+    # ONE tokenize pass feeds both sides of the fit: the per-term group
+    # carries min first-seen id (vocab side) AND per-checkpoint token
+    # counts (token-total side — the sum of group counts over all terms,
+    # '' included, equals the sum of size(toks), so this is integer-
+    # identical to the former second corpus scan). Halves the corpus
+    # tokenization work and drops the crossJoin of the two 1-row aggs.
+    g = (
         docs.select("_id", F.explode("_toks").alias("_t"))
-        .filter(F.col("_t") != "")
         .groupBy("_t")
-        .agg(F.min("_id").alias("_first"))
+        .agg(
+            F.min("_id").alias("_first"),
+            *[
+                F.sum(F.when(F.col("_id") <= c, 1).otherwise(0)).alias(
+                    f"_c{i}"
+                )
+                for i, c in enumerate(cs)
+            ],
+        )
     )
-    v_row = terms.agg(
+    row = g.agg(
         *[
-            F.sum(F.when(F.col("_first") <= c, 1).otherwise(0))
+            F.sum(
+                F.when(
+                    (F.col("_t") != "") & (F.col("_first") <= c), 1
+                ).otherwise(0)
+            )
             .cast("double")
             .alias(f"_v{i}")
             for i, c in enumerate(cs)
-        ]
-    )
-    n_row = docs.agg(
+        ],
         *[
-            F.sum(F.when(F.col("_id") <= c, F.col("_dl")).otherwise(0))
-            .cast("double")
-            .alias(f"_n{i}")
-            for i, c in enumerate(cs)
-        ]
+            F.sum(F.col(f"_c{i}")).cast("double").alias(f"_n{i}")
+            for i in range(len(cs))
+        ],
     )
-    both = v_row.crossJoin(n_row)
-    pairs = both.select(
+    pairs = row.select(
         F.explode(
             F.arrays_zip(
                 F.array(*[F.col(f"_n{i}") for i in range(len(cs))]).alias("n"),

@@ -179,12 +179,18 @@ def mixture_resample(
     int64 — hence decimal, which Tungsten still evaluates JVM-side.
 
     Scale shape: the per-group counts are a groupBy whose output is
-    group-cardinality-sized (tiny), broadcast back; the row-side test is a
-    scan-stage projection + filter. One small shuffle, nothing row-sized
-    moves.
+    group-cardinality-sized (tiny), broadcast back; the corpus total is
+    the SUM of those group counts (groupBy counts every row, null group
+    included, so the sum equals count(*) exactly) — derived from the
+    tiny counts relation instead of a second full pass over ``df``,
+    which matters when ``df`` is the tail of an expensive pipeline (the
+    training_corpus_pipeline feeds the quality->dedup chain in here; a
+    separate df.count() branch re-executed all of it). The row-side
+    test is a scan-stage projection + filter. One small shuffle,
+    nothing row-sized moves.
     """
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n_g"))
-    total = df.agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n_g").alias("_n"))
     pct = None
     for g, p in target_pct.items():
         cond = F.col(group_col) == g

@@ -22,6 +22,19 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Respect the advisory target size when coalescing instead of
+    # stopping at defaultParallelism (Spark's own docs recommend false
+    # on clusters). With the default=true, EVERY shuffle — even a few
+    # KB of aggregation state — schedules >= defaultParallelism tasks,
+    # which is pure scheduling overhead (measured ~0.5-1.5 s/stage
+    # locally on tiny stages, ~4x on shuffle-stage-bound queries). With
+    # false the post-shuffle partition count derives from actual bytes
+    # (advisoryPartitionSizeInBytes), i.e. it scales with the data: a
+    # 100 TB shuffle still gets tens of thousands of partitions, a 100 KB
+    # one gets 1. CPU-heavy narrow stages are unaffected (fan_out pins
+    # explicit partition counts, which AQE never coalesces — the
+    # classifier-training pin relies on the same rule).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     # Deterministic, environment-independent semantics.
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for pandas UDFs / toPandas (vector + multimodal ops).

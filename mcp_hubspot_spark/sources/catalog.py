@@ -25,6 +25,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (sf_dir, name) -> the parquet reader's own inferred schema. Passing it
+# back via reader.schema() on repeat loads skips the footer-read schema
+# inference (one py4j round-trip + file I/O per load_table call, ~0.1 s
+# each — the bench re-builds every query per rep, so a 3-table query
+# paid it 12x per measurement). Metadata only, never row data; keyed on
+# the directory so different scale factors never cross.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
@@ -42,7 +51,14 @@ def load_table(
     # workload (ISO strings, to_date, NTZ→TZ casts) assumes UTC — on a
     # non-UTC host a foreign session would silently shift timestamps.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    cache_key = (sf_dir, name)
+    cached_schema = _SCHEMA_CACHE.get(cache_key)
+    reader = spark.read
+    if cached_schema is not None:
+        reader = reader.schema(cached_schema)
+    df = reader.parquet(table_path(sf_dir, name))
+    if cached_schema is None:
+        _SCHEMA_CACHE[cache_key] = df.schema
     # nanosecond-precision parquet timestamps arrive as long (see
     # session._DEFAULTS nanosAsLong): convert to microsecond timestamps.
     expected = TESTDATA_SCHEMAS.get(name)

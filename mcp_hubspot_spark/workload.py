@@ -267,6 +267,9 @@ def order_lines_nested(spark: SparkSession, sf: str) -> DataFrame:
     lineitem = load_table(spark, sf, "lineitem").withColumn(
         "ln_str", F.col("l_linenumber").cast("string")
     )
+    # count rides the same groupBy as the ordered concat: one shuffle,
+    # no second aggregation joined back (the join doubled the lineitem
+    # aggregation work and added a 150k-group equi-join)
     nested = group_concat_ordered(
         lineitem,
         group=["l_orderkey"],
@@ -274,15 +277,11 @@ def order_lines_nested(spark: SparkSession, sf: str) -> DataFrame:
         sort_key="l_linenumber",
         sep="|",
         alias="line_numbers",
+        extra_aggs=[F.count(F.lit(1)).alias("n_lines")],
     )
-    counts = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        nested.join(counts, "l_orderkey")
-        .select(
-            F.col("l_orderkey").alias("o_orderkey"), "n_lines", "line_numbers"
-        )
-        .orderBy("o_orderkey")
-    )
+    return nested.select(
+        F.col("l_orderkey").alias("o_orderkey"), "n_lines", "line_numbers"
+    ).orderBy("o_orderkey")
 
 
 # A1/A2 — grouped counts (reference clients/ticket_client.py:286-291).
