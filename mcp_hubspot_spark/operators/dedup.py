@@ -555,6 +555,7 @@ def connected_components(
     node_col: str = "node",
     label_col: str = "cluster_id",
     max_iter: int = 25,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Transitive dedup clusters from a pair list: every node labeled with
     the MIN node id of its connected component (the canonical-document
@@ -565,57 +566,90 @@ def connected_components(
     collapse into ONE {A,B,C} cluster before survivor selection.
 
     Algorithm: iterative min-label propagation over the symmetrized edge
-    list — l(v) <- min(l(v), min over neighbors l(u)) until no label
-    changes. Each round is one equi-join (edges x labels, key-partitioned
-    shuffle) + one min-aggregate; ``localCheckpoint`` truncates the plan
-    between rounds so lineage doesn't grow with iterations. Rounds needed
-    = component diameter; dedup graphs are near-cliques (diameter 1-3), so
-    this converges in 2-4 rounds. For adversarial high-diameter graphs
-    (long chains) the published fix is alternating large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce"),
-    which this function's interface can host unchanged.
+    list. Each round rides a SELF-EDGE per node through the one
+    (edges x labels) equi-join, so one aggregate yields
+    ``min(own, min over neighbors)`` AND the node's previous label (the
+    self-edge row) for the convergence test — one join + one
+    min-aggregate per round, no second left-join back to the labels.
+    The round's ``localCheckpoint`` is LAZY and the convergence count is
+    the action that materializes it, so each round is exactly ONE job
+    (the eager-checkpoint + separate isEmpty form was two); the
+    checkpoint still truncates lineage so plan depth stays constant
+    across iterations. Rounds needed = component diameter; dedup graphs
+    are near-cliques (diameter 1-3), so this converges in 2-4 rounds.
+    For adversarial high-diameter graphs (long chains) the published fix
+    is alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which this function's
+    interface can host unchanged.
 
     ``nodes``: optional one-column frame of ALL node ids; isolated nodes
     (no edges) then surface as singleton clusters of themselves — a dedup
     report usually wants every document listed, matched or not.
+
+    ``edges_distinct``: promise that ``edges`` is already duplicate-free
+    with a strict orientation (src < dst per row — what
+    ``minhash_lsh_pairs``/``simhash`` emit), which makes the symmetrized
+    union duplicate-free by construction and skips its dedup exchange.
+    Duplicate edges would not change any label (min over a multiset), so
+    a wrong promise costs redundant join rows per round, never
+    correctness.
     """
-    sym = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-        .distinct()
-        # materialize ONCE: the edge list joins into every round, and an
-        # upstream pipeline (e.g. the whole LSH candidate generation)
-        # would otherwise re-execute per iteration
-        .localCheckpoint(eager=True)
+    sym = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
     )
-    labels = sym.select(F.col("_s").alias(node_col)).distinct()
+    if not edges_distinct:
+        sym = sym.distinct()
+    # materialize ONCE: the edge list joins into every round, and an
+    # upstream pipeline (e.g. the whole LSH candidate generation)
+    # would otherwise re-execute per iteration
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select(F.col("_s").alias(node_col))
     if nodes is not None:
         labels = labels.unionByName(
             nodes.select(F.col(nodes.columns[0]).alias(node_col))
-        ).distinct()
-    labels = labels.select(node_col, F.col(node_col).alias("_label"))
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # candidate label per node = min label among its neighbors
-        neighbor_min = (
-            sym.join(labels, sym["_d"] == labels[node_col])
-            .groupBy("_s")
-            .agg(F.min("_label").alias("_nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels[node_col] == neighbor_min["_s"], "left")
-            .select(
-                node_col,
-                F.col("_label").alias("_old"),
-                F.least(F.col("_label"), F.coalesce("_nmin", "_label")).alias("_label"),
+    # one distinct over the union (not one per source) — round 1 folds
+    # this into its own job off the sym checkpoint, no separate
+    # materialization needed
+    labels = labels.distinct().select(node_col, F.col(node_col).alias("_label"))
+    for _ in range(max_iter):
+        # self-edges (v, v) ride the join so every node (isolated ones
+        # included) appears in the aggregate carrying its own label:
+        # min over the group = min(own, neighbors), and the self-edge
+        # row (_d == _s) is the previous label for the convergence test
+        with_self = sym.unionByName(
+            labels.select(
+                F.col(node_col).alias("_s"), F.col(node_col).alias("_d")
             )
         )
-        # one small action per round: the iteration count is the algorithm,
-        # not a driver-side data loop — each round's data flow is fully
-        # distributed, and localCheckpoint keeps the plan depth constant
-        updated = updated.localCheckpoint(eager=True)
+        updated = (
+            with_self.join(
+                labels.select(F.col(node_col).alias("_n"), "_label"),
+                F.col("_d") == F.col("_n"),
+            )
+            .groupBy("_s")
+            .agg(
+                F.min("_label").alias("_new"),
+                F.min(
+                    F.when(F.col("_d") == F.col("_s"), F.col("_label"))
+                ).alias("_old"),
+            )
+            .select(
+                F.col("_s").alias(node_col),
+                F.col("_new").alias("_label"),
+                "_old",
+            )
+        )
+        # lazy checkpoint + count() = ONE action materializes the round
+        # AND returns the number of changed labels; the iteration count
+        # is the algorithm, not a driver-side data loop — each round's
+        # data flow is fully distributed
+        updated = updated.localCheckpoint(eager=False)
+        n_changed = updated.filter(F.col("_label") < F.col("_old")).count()
         labels = updated.select(node_col, "_label")
-        if updated.filter(F.col("_label") < F.col("_old")).isEmpty():
+        if n_changed == 0:
             break
     return labels.select(node_col, F.col("_label").alias(label_col))
 

@@ -40,29 +40,39 @@ def pagerank(
     check is an extra action, and ~10 rounds is the published
     rule-of-thumb for rank stabilization at damping 0.85.
     """
-    # materialize the edge list once — it joins into every round, and any
-    # upstream pipeline (e.g. a fact-table join producing the edges) must
-    # not re-execute per iteration
-    e = edges.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    # materialize the per-source out-degree ONTO the edge list once — the
+    # deg is constant across rounds, so pre-joining it here removes one
+    # join from EVERY round's plan; the checkpoint also stops any
+    # upstream pipeline (e.g. a fact-table join producing the edges)
+    # from re-executing per iteration. The edge pipeline appears twice in
+    # this one plan (row side + degree side); its terminal exchange is
+    # runtime-reused, so it still executes once.
+    e0 = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e0.join(
+        e0.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg")), "_s"
     ).localCheckpoint(eager=True)
+    # node state carries a DANGLING flag (no out-edges) so the per-round
+    # dangling-mass aggregate is a plain filter over the rank state —
+    # the former per-round anti-join against the degree table is gone
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
         .distinct()
+        .join(
+            e.select(F.col("_s").alias("node")).distinct().withColumn(
+                "_has_out", F.lit(True)
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_has_out").isNull().alias("_dang"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = (
-        e.groupBy("_s")
-        .agg(F.count(F.lit(1)).alias("_deg"))
-        .localCheckpoint(eager=True)
-    )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"), "_dang")
     for _ in range(n_iter):
         contrib = (
             e.join(ranks, e["_s"] == ranks["node"])
-            .join(out_deg, "_s")
             .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
@@ -70,9 +80,8 @@ def pagerank(
         # dangling mass = rank not shipped anywhere this round; folded
         # into the update as a broadcast 1-row cross-join so each round
         # is ONE materialized job, not a collect + a job
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["_s"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m"))
+        dangling = ranks.filter(F.col("_dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_m")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
@@ -84,10 +93,11 @@ def pagerank(
                     + F.lit(damping) * F.col("_m") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("_in", F.lit(0.0))
                 ).alias("rank"),
+                "_dang",
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def triangle_count(

@@ -102,7 +102,11 @@ def bloom_might_contain(
     broadcast-like constant in the codegen'd plan, probed with
     element_at + shift, no join, no shuffle."""
     num_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(w) for w in words])
+    # ONE literal array in ONE py4j call — F.array(*[F.lit(w) ...]) was
+    # num_bits/64 driver round-trips (~1 ms each, ~1 s of pure plan-
+    # construction time at the default 2^16 bits) plus a CreateArray the
+    # optimizer had to constant-fold; F.lit(list) is a single Literal
+    lit_words = F.lit(words)
     pos = _positions(value, num_bits, num_hashes)
     checks = [
         F.call_function(

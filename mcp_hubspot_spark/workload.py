@@ -1806,6 +1806,9 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         nodes=corpus.select("doc_id"),
         node_col="doc_id",
         label_col="cluster_id",
+        # LSH pairs are distinct with id_a < id_b: the symmetrized edge
+        # list is duplicate-free by construction, skip its dedup exchange
+        edges_distinct=True,
     ).orderBy("doc_id")
 
 
@@ -1972,6 +1975,9 @@ def dedup_survivor_report(spark: SparkSession, sf: str) -> DataFrame:
         nodes=corpus.select("doc_id"),
         node_col="doc_id",
         label_col="cluster_id",
+        # same promise as dedup_clusters: LSH pairs are distinct and
+        # strictly oriented, so the symmetrized union needs no dedup
+        edges_distinct=True,
     )
     toks = corpus.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
