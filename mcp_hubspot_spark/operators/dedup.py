@@ -103,13 +103,14 @@ def minhash_signature(
     # lambdas have no common-subexpression elimination, so any structure
     # that references `hashes` per-permutation re-tokenizes and re-hashes
     # the document num_perm times (measured 100x slowdown).
-    ab = F.array(
-        *[
-            F.struct(F.lit(a[i]).alias("a"), F.lit(b[i]).alias("b"))
-            for i in range(num_perm)
-        ]
+    # two literal arrays zipped into the (a, b) struct array in THREE
+    # py4j calls total (arrays_zip names struct fields from the aliases)
+    # instead of one Literal node per constant
+    ab = F.arrays_zip(
+        F.lit(list(a)).cast("array<bigint>").alias("a"),
+        F.lit(list(b)).cast("array<bigint>").alias("b"),
     )
-    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_perm)
+    init = F.lit([MINHASH_PRIME] * num_perm).cast("array<bigint>")
     return F.aggregate(
         hashes,
         init,
@@ -223,10 +224,10 @@ def simhash(text_col: Column | str, shingle_n: int = 2) -> Column:
     # one aggregate pass accumulating all 60 bit votes (see minhash note:
     # per-bit aggregates would re-hash the document 60 times — HOF lambdas
     # have no common-subexpression elimination)
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    masks = F.lit([1 << b for b in range(SIMHASH_BITS)]).cast("array<bigint>")
     votes = F.aggregate(
         words,
-        F.array(*[F.lit(0)] * SIMHASH_BITS),
+        F.lit([0] * SIMHASH_BITS),
         lambda acc, w: F.zip_with(
             acc,
             masks,
@@ -404,7 +405,7 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        s = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        s = dot(vec_col, F.lit([float(x) for x in p]))
         key = key + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return key
 

@@ -234,7 +234,7 @@ def psi_drift(
     """
     qs = [i / n_bins for i in range(1, n_bins)]
     v0 = F.col(value_col).cast("double")
-    qarr = F.array(*[F.lit(q) for q in qs])
+    qarr = F.lit([float(q) for q in qs])
     cut_expr = (
         F.percentile_approx(v0, qarr, accuracy)
         if approx
@@ -449,7 +449,7 @@ def ks_drift(
         accuracy = max(1_000, 4 * approx_bins)
         stats = pooled.agg(
             F.percentile_approx(
-                F.col("val"), F.array(*[F.lit(q) for q in qs]), accuracy
+                F.col("val"), F.lit([float(q) for q in qs]), accuracy
             ).alias("_cuts"),
             F.sum("_a").alias("_ta"),
             F.sum("_b").alias("_tb"),
@@ -509,7 +509,7 @@ def ks_drift(
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = grid.agg(
         F.percentile_approx(
-            F.col("val"), F.array(*[F.lit(q) for q in qs]), 10_000
+            F.col("val"), F.lit([float(q) for q in qs]), 10_000
         ).alias("_cuts"),
         F.nullif(F.sum("n_a"), F.lit(0)).alias("_ta"),
         F.nullif(F.sum("n_b"), F.lit(0)).alias("_tb"),

@@ -428,8 +428,8 @@ def affine_uniform(h: Column, replica: Column, n_replicas: int) -> Column:
     re-evaluates it per fanned row). The same hash-once/affine-permute
     economics as the minhash signature, for the same reason."""
     a, b = bootstrap_constants(n_replicas)
-    av = F.element_at(F.array(*[F.lit(x) for x in a]), replica + 1)
-    bv = F.element_at(F.array(*[F.lit(x) for x in b]), replica + 1)
+    av = F.element_at(F.lit(list(a)).cast("array<bigint>"), replica + 1)
+    bv = F.element_at(F.lit(list(b)).cast("array<bigint>"), replica + 1)
     return ((av * h + bv) % F.lit(_BOOT_PRIME)).cast("double") / F.lit(
         float(_BOOT_PRIME)
     )

@@ -54,7 +54,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     staged = df.select(*df.columns, tokens(t).alias("_toks"))
     toks = F.col("_toks")
     n_tok = F.size(toks)
-    stop = F.array(*[F.lit(s) for s in LANG_MARKERS["en"]])
+    stop = F.lit(list(LANG_MARKERS["en"]))
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, F.lower(x))))
     n_chars = F.length(t)
     n_punct = n_chars - F.length(F.regexp_replace(t, r"[\p{Punct}]", ""))
@@ -82,7 +82,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     toks = F.col("_toks")
 
     def _marker_hits(markers: tuple[str, ...]) -> Column:
-        arr = F.array(*[F.lit(w) for w in markers])
+        arr = F.lit(list(markers))
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
     scores = [
@@ -573,7 +573,7 @@ def _bm25_contrib(
         F.count(F.lit(1)).cast("double").alias("_n"),
         F.avg("_dl").alias("_avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in sorted({t.lower() for t in query_terms})])
+    terms = F.lit(sorted({t.lower() for t in query_terms}))
     hits = base.select(
         id_col,
         "_dl",
@@ -973,7 +973,7 @@ def blocklist_flag_expr(
     toks = tokens(F.lower(F.col(text_col)))
     flag = F.lit(False)
     for n, ps in _phrase_lengths(phrases).items():
-        lit = F.array(*[F.lit(p) for p in ps])
+        lit = F.lit(list(ps))
         flag = flag | F.arrays_overlap(ngram_list(toks, n), lit)
     return df.withColumn("is_blocked", F.coalesce(flag, F.lit(False)))
 
@@ -1051,27 +1051,29 @@ def blocklist_hits(
     ``lengths`` (the distinct phrase token-counts to shingle at) since
     discovering them would cost a collect on the blocklist.
 
-    Plan (pytest-audited): [literal prefilter ->] Scan -> Generate
-    (explode distinct shingles, narrow) -> BroadcastHashJoin(phrase
-    table) -> hash agg on the id. Different-length phrases cannot
-    collide as strings (token counts differ), so one join on the string
-    key covers all lengths.
+    Plans (pytest-audited):
 
-    For LIST blocklists the expensive gram explode is gated behind the
-    literal ``arrays_overlap`` flag first: SCALE_r10 measured the bare
-    explode+join at 17.0 s / 1M docs vs 9.6 s for the in-place overlap
-    test at 16 phrases (the join must materialize every distinct gram;
-    the overlap never leaves the scan's project), so the hybrid pays
-    the cheap flag pass and explodes ONLY flagged docs — hit-proportional join input
-    at literal-flag cost. Non-hit docs produce no output rows either
-    way, so the prefilter is result-invariant (pytest-pinned).
-    DataFrame blocklists (too wide to inline, or managed tables) take
-    the bare join path, and list blocklists wider than
-    ``BLOCKLIST_LITERAL_MAX_PHRASES`` are routed there automatically —
-    the literal flag's plan grows O(N) with the phrase count (the ADC
-    literal-wall lesson at the text tier) while the join is flat.
+    - LIST blocklists at or under the literal cap compile to a pure
+      in-scan projection — ZERO joins, ZERO shuffles (round 13): the
+      per-length ``array_intersect(ngram_list(toks, n), lit(phrases_n))``
+      IS the distinct matched-gram set (array_intersect dedups), so
+      n_hits/first_hit are size/array_min of the concatenated
+      intersections. Same per-doc gram work as the r10-measured
+      ``arrays_overlap`` flag (9.6 s vs 17.0 s/1M docs for the bare
+      explode+join at 16 phrases), but the hit-proportional
+      explode -> broadcast join -> id-keyed aggregation shuffle that
+      followed the flag is gone entirely. Different-length phrases
+      cannot collide as strings (token counts differ), so the concat
+      never double-counts.
+    - DataFrame blocklists (too wide to inline, or managed tables) take
+      the O(1)-plan join path: Scan -> Generate (explode distinct
+      shingles, narrow) -> BroadcastHashJoin(phrase table) -> hash agg
+      on the id. List blocklists wider than
+      ``BLOCKLIST_LITERAL_MAX_PHRASES`` are routed there automatically —
+      the literal plan grows O(N) with the phrase count (the ADC
+      literal-wall lesson at the text tier) while the join is flat.
     """
-    prefilter = None
+    literal: dict[int, list[str]] | None = None
     if isinstance(phrases, DataFrame):
         if not lengths:
             raise ValueError("DataFrame blocklist requires explicit lengths")
@@ -1102,10 +1104,22 @@ def blocklist_hits(
             else max_literals
         )
         if len(flat) <= cap:
-            prefilter = flat
-    if prefilter is not None:
-        df = blocklist_flag_expr(df, prefilter, text_col=text_col).filter(
-            "is_blocked"
+            literal = by_len
+    if literal is not None:
+        toks = tokens(F.lower(F.col(text_col)))
+        parts = [
+            F.array_intersect(ngram_list(toks, n), F.lit(ps))
+            for n, ps in literal.items()
+        ]
+        hit_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+        return (
+            df.select(F.col(id_col), hit_grams.alias("_hit_grams"))
+            .filter(F.size("_hit_grams") > 0)
+            .select(
+                id_col,
+                F.size("_hit_grams").cast("long").alias("n_hits"),
+                F.array_min("_hit_grams").alias("first_hit"),
+            )
         )
     toks = tokens(F.lower(F.col(text_col)))
     gram_arrays = [ngram_list(toks, n) for n in lens]

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # ONE py4j call producing a single array literal (not one Literal
+    # node per element — 64-dim vectors cost 64 driver round-trips per
+    # build that way, and the optimizer had to constant-fold the
+    # CreateArray besides)
+    return F.lit([float(x) for x in vec])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -457,7 +461,7 @@ def random_sign_projection(
     vec = F.col(vec_col)
 
     def proj(j: int) -> Column:
-        s = F.array(*[F.lit(float(x)) for x in signs[j]])
+        s = F.lit([float(x) for x in signs[j]])
         return F.aggregate(
             F.zip_with(vec, s, lambda x, sg: x.cast("double") * sg),
             F.lit(0.0),
@@ -712,7 +716,7 @@ def _adc_expr(
 
     m = len(codebooks)
     table = _adc_table(codebooks, query_vec)
-    tlit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in table])
+    tlit = F.lit([[float(x) for x in row] for row in table])
     code = F.col(code_col)
     return functools.reduce(
         op.add,
@@ -1143,9 +1147,7 @@ def rotate_expr(vec, rotation: list[list[float]]) -> Column:
     the low bits; code agreement between the two encode paths is pinned
     by the tie-margin test, not bit-identity of the rotation itself."""
     v = vec if isinstance(vec, Column) else F.col(vec)
-    rlit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in rotation]
-    )
+    rlit = F.lit([[float(x) for x in row] for row in rotation])
     idx = F.sequence(F.lit(1), F.lit(len(rotation)))
     return F.transform(
         idx,
@@ -1241,10 +1243,8 @@ def residual_expr(
     subvector distributions and buys recall at equal m on clustered
     corpora)."""
     v = vec if isinstance(vec, Column) else F.col(vec)
-    ids = F.array(*[F.lit(int(cid)).cast("long") for cid, _ in cent_rows])
-    cents = F.array(
-        *[_vec_lit([float(x) for x in c]) for _, c in cent_rows]
-    )
+    ids = F.lit([int(cid) for cid, _ in cent_rows]).cast("array<bigint>")
+    cents = F.lit([[float(x) for x in c] for _, c in cent_rows])
     pos = F.array_position(ids, F.col(cell_col).cast("long"))
     anchor = F.element_at(cents, pos.cast("int"))
     return F.zip_with(v, anchor, lambda a, b: a - b)
@@ -1283,14 +1283,11 @@ def pq_adc_topk_residual(
         )
         for _, cent in probed_cents
     ]
-    t3 = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in row]) for row in tab])
-            for tab in tables
-        ]
+    t3 = F.lit(
+        [[[float(x) for x in row] for row in tab] for tab in tables]
     )
-    probe_ids = F.array(
-        *[F.lit(int(cid)).cast("long") for cid, _ in probed_cents]
+    probe_ids = F.lit([int(cid) for cid, _ in probed_cents]).cast(
+        "array<bigint>"
     )
     cell_pos = F.array_position(
         probe_ids, F.col(cell_col).cast("long")

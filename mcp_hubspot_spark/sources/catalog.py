@@ -33,6 +33,22 @@ def table_path(sf_dir: str, name: str) -> str:
 # the directory so different scale factors never cross.
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
+# Sessions whose read-path confs (nanosAsLong, UTC timezone) were already
+# hardened by load_table — each conf.set is a py4j round-trip, paid twice
+# per table load per query build before this memo. WeakSet so a stopped
+# session's wrapper can be collected.
+from weakref import WeakSet  # noqa: E402
+
+_HARDENED_SESSIONS: "WeakSet[SparkSession]" = WeakSet()
+
+# (sf_dir, name, defaultParallelism) -> the raw scan's partition count.
+# fan_out's gate needs it, and df.rdd.getNumPartitions() costs a physical
+# planning pass + py4j chain per call (~0.1 s); the count is a pure
+# function of the file set and session split confs (parallelism is in the
+# key because spark.sql.files.minPartitionNum defaults to it), so it is
+# scan METADATA exactly like the schema memo — never row data.
+_SCAN_PARTS: dict[tuple[str, str, int], int] = {}
+
 
 def load_table(
     spark: SparkSession,
@@ -46,11 +62,13 @@ def load_table(
     # session factory (session.py) sets it at build time, but callers may
     # hand us ANY session (the correctness driver builds its own), so set
     # it at runtime too — it is a read-path conf, safe to flip per-query.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Same hardening for the timezone: every temporal rendering in the
-    # workload (ISO strings, to_date, NTZ→TZ casts) assumes UTC — on a
-    # non-UTC host a foreign session would silently shift timestamps.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark not in _HARDENED_SESSIONS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Same hardening for the timezone: every temporal rendering in the
+        # workload (ISO strings, to_date, NTZ→TZ casts) assumes UTC — on a
+        # non-UTC host a foreign session would silently shift timestamps.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _HARDENED_SESSIONS.add(spark)
     cache_key = (sf_dir, name)
     cached_schema = _SCHEMA_CACHE.get(cache_key)
     reader = spark.read
@@ -87,6 +105,9 @@ def load_table(
                 df = df.withColumn(f.name, F.col(f.name).cast(TimestampType()))
     if columns is not None:
         df = df.select(*columns)
+    # breadcrumb for fan_out's partition-count memo (narrow projections
+    # above never change the scan's partitioning)
+    df._graft_scan_key = (sf_dir, name)
     return df
 
 
@@ -102,8 +123,18 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     makes this safe to leave in scale paths.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    parallelism = sc.defaultParallelism
+    target = min_partitions or parallelism
+    scan_key = getattr(df, "_graft_scan_key", None)
+    if scan_key is not None:
+        memo_key = (*scan_key, parallelism)
+        n = _SCAN_PARTS.get(memo_key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SCAN_PARTS[memo_key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 

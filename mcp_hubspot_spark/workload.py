@@ -5214,15 +5214,29 @@ def doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
 def events_campaign_attribution(spark: SparkSession, sf: str) -> DataFrame:
     events = load_table(spark, sf, "events")
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    lo, hi = events.agg(
-        F.min(ts_us).alias("lo"), F.max(ts_us).alias("hi")
-    ).first()
-    rows = [
-        (i, lo + ((hi - lo) * i) // 8, lo + ((hi - lo) * (i + 2)) // 8)
-        for i in range(6)
-    ]
-    campaigns = spark.createDataFrame(
-        rows, "campaign_id long, start_us long, end_us long"
+    # campaign windows derive from the bounds aggregate IN-PLAN (broadcast
+    # 6-row frame) instead of a per-build .first() — the collect ran a
+    # separate full events scan job every run. Arithmetic identical: the
+    # operands are non-negative longs, so Spark's truncating DIV equals
+    # Python's floor //.
+    campaigns = (
+        events.agg(F.min(ts_us).alias("lo"), F.max(ts_us).alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(5).cast("long"))
+            ).alias("campaign_id"),
+            "lo",
+            "hi",
+        )
+        .select(
+            "campaign_id",
+            F.expr("lo + (((hi - lo) * campaign_id) DIV 8)").alias(
+                "start_us"
+            ),
+            F.expr("lo + (((hi - lo) * (campaign_id + 2)) DIV 8)").alias(
+                "end_us"
+            ),
+        )
     )
     joined = events.join(
         F.broadcast(campaigns),
@@ -6432,13 +6446,20 @@ def rolling_7d_active_users(spark: SparkSession, sf: str) -> DataFrame:
     ev = events.select(
         F.col("ts").cast("date").alias("d"), "user_id"
     ).distinct()
-    dmax = events.agg(F.max(F.col("ts").cast("date"))).first()[0]
-    fan = ev.select(
-        F.explode(
-            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-        ).alias("win_day"),
-        "user_id",
-    ).filter(F.col("win_day") <= F.lit(dmax))
+    # corpus max-day rides the plan as a broadcast 1-row aggregate instead
+    # of a per-build .first() (which ran a separate full events scan job
+    # every run); the <= filter is the same date comparison either way
+    bounds = events.agg(F.max(F.col("ts").cast("date")).alias("dmax"))
+    fan = (
+        ev.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("win_day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_day") <= F.col("dmax"))
+    )
     return (
         fan.groupBy("win_day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
@@ -6917,7 +6938,17 @@ def event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    n_sessions = st.select("user_id", "session_id").distinct().count()
+    # session total rides the plan as a broadcast 1-row aggregate instead
+    # of a per-build driver count() — the count re-executed the whole
+    # sessionization window + distinct as a SEPARATE job every run; in-plan
+    # the session-window exchange is computed once and runtime-reused by
+    # all four consumers (ns / ta / a / b). Value-identical: long count,
+    # same double promotion in the lift ratio.
+    ns = (
+        st.select("user_id", "session_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
     ta = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
     b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
@@ -6929,7 +6960,7 @@ def event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
     )
     lift = (
         F.col("n_ab").cast("double")
-        * F.lit(n_sessions)
+        * F.col("n_sessions")
         / (F.col("x_nt") * F.col("y_nt"))
     )
     return (
@@ -6943,6 +6974,7 @@ def event_type_lift(spark: SparkSession, sf: str) -> DataFrame:
                                   F.col("n_t").alias("y_nt"))),
             "type_b",
         )
+        .crossJoin(F.broadcast(ns))
         .select(
             "type_a",
             "type_b",

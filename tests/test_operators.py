@@ -3694,6 +3694,32 @@ def test_blocklist_expr_and_join_paths_agree(spark):
     assert flagged == hit and hit  # non-trivial on the test corpus
 
 
+def test_blocklist_literal_and_join_reports_agree_row_for_row(spark):
+    """The round-13 in-scan array_intersect report (literal path) must
+    equal the explode+broadcast-join report exactly — same ids, same
+    n_hits, same first_hit — including multi-length phrase sets."""
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    phrases = [
+        "table table",
+        "fast fast",
+        "scan slow fast",
+        "the line sort",
+        "value table part",
+    ]
+    lit_rows = {
+        (r.doc_id, r.n_hits, r.first_hit)
+        for r in blocklist_hits(docs, phrases).collect()
+    }
+    join_rows = {
+        (r.doc_id, r.n_hits, r.first_hit)
+        for r in blocklist_hits(docs, phrases, max_literals=0).collect()
+    }
+    assert lit_rows == join_rows and lit_rows  # non-trivial corpus
+
+
 def test_blocklist_scrub_removes_exactly_the_hits(spark):
     from mcp_hubspot_spark.operators.text import blocklist_hits, blocklist_scrub
     from mcp_hubspot_spark.workload import load_table
@@ -3785,13 +3811,13 @@ def test_blocklist_literal_wall_auto_switch(spark):
         == {(r.doc_id, r.is_blocked) for r in narrow.collect()}
         == {(1, True), (2, False)}
     )
-    # blocklist_hits drops its literal prefilter past the cap but
-    # reports the same hits
+    # blocklist_hits drops its in-scan literal report past the cap
+    # (O(1)-plan join instead) but reports the same hits
     over = T.blocklist_hits(docs, phrases, max_literals=2)
-    assert "arrays_overlap" not in plan_of(over)
+    assert "array_intersect" not in plan_of(over)
     got_over = [(r.doc_id, r.n_hits, r.first_hit) for r in over.collect()]
     under = T.blocklist_hits(docs, phrases)
-    assert "arrays_overlap" in plan_of(under)
+    assert "array_intersect" in plan_of(under)
     assert got_over == [
         (r.doc_id, r.n_hits, r.first_hit) for r in under.collect()
     ] == [(1, 1, "table table")]

@@ -979,14 +979,32 @@ def test_classifier_expr_twin_is_shuffle_free(spark):
 
 
 def test_blocklist_join_path_broadcasts(spark):
+    # max_literals=0 forces the wide-list/managed-table join shape
+    from mcp_hubspot_spark.operators.text import blocklist_hits
+    from mcp_hubspot_spark.workload import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(
+        blocklist_hits(
+            docs, ["table table", "scan slow fast"], max_literals=0
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
+    assert len(shuffles) == 1
+
+
+def test_blocklist_literal_report_is_join_and_shuffle_free(spark):
+    """List blocklists under the cap compile the FULL hit report
+    (n_hits, first_hit) to one in-scan array_intersect projection —
+    no Generate, no join, no Exchange (round 13)."""
     from mcp_hubspot_spark.operators.text import blocklist_hits
     from mcp_hubspot_spark.workload import load_table
 
     docs = load_table(spark, SF, "documents")
     plan = plan_of(blocklist_hits(docs, ["table table", "scan slow fast"]))
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
-    shuffles = set(re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan))
-    assert len(shuffles) == 1
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "Generate" not in plan
 
 
 def test_blocklist_expr_path_is_shuffle_free(spark):

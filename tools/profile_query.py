@@ -71,13 +71,17 @@ def main() -> None:
             )
         if mode in ("time", "both"):
             reps = []
+            tracker = spark.sparkContext.statusTracker()
             for i in range(4):
-                spark.sparkContext.setJobDescription(f"{name}: rep{i}")
+                group = f"prof-{name}-{i}"
+                spark.sparkContext.setJobGroup(group, f"{name}: rep{i}")
                 t1 = time.perf_counter()
                 # rebuild each rep: query construction (driver lookups)
                 # is part of what the bench pays, so time it here too
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 reps.append(round(time.perf_counter() - t1, 3))
+                if i == 3:  # steady-state Spark job count (fixed overhead proxy)
+                    entry["jobs"] = len(tracker.getJobIdsForGroup(group))
             entry["cold"] = reps[0]
             entry["steady_min"] = min(reps[1:])
             entry["steady_reps"] = reps[1:]
