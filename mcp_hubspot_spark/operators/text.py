@@ -1054,17 +1054,28 @@ def blocklist_hits(
     Plans (pytest-audited):
 
     - LIST blocklists at or under the literal cap compile to a pure
-      in-scan projection — ZERO joins, ZERO shuffles (round 13): the
-      per-length ``array_intersect(ngram_list(toks, n), lit(phrases_n))``
-      IS the distinct matched-gram set (array_intersect dedups), so
-      n_hits/first_hit are size/array_min of the concatenated
-      intersections. Same per-doc gram work as the r10-measured
-      ``arrays_overlap`` flag (9.6 s vs 17.0 s/1M docs for the bare
-      explode+join at 16 phrases), but the hit-proportional
-      explode -> broadcast join -> id-keyed aggregation shuffle that
-      followed the flag is gone entirely. Different-length phrases
-      cannot collide as strings (token counts differ), so the concat
-      never double-counts.
+      in-scan filter + projection — ZERO joins, ZERO shuffles (round
+      13): the cheap short-circuiting ``arrays_overlap`` flag gates
+      first (non-hit docs — the overwhelming majority — pay only the
+      flag, which exits on the first match; SCALE_r10 measured it at
+      9.6 s vs 17.0 s/1M docs for the bare explode+join at 16
+      phrases), then the per-length
+      ``array_intersect(ngram_list(toks, n), lit(phrases_n))`` over
+      the SURVIVING rows IS the distinct matched-gram set
+      (array_intersect dedups), so n_hits/first_hit are
+      size/array_min of the concatenated intersections, evaluated
+      once per hit row (one Project — physical subexpression
+      elimination shares the intersect between the two columns). The
+      flag is result-invariant (a doc overlaps iff its intersection
+      is non-empty — pytest-pinned row-for-row against the join
+      path), and the hit-proportional explode -> broadcast join ->
+      id-keyed aggregation shuffle that used to follow the flag is
+      gone entirely. An intersect-only form (no flag) was measured
+      SLOWER at sf0.1 (2.42 vs 1.96 s): the filter pushdown
+      re-evaluates the heavy intersect below the project, so every
+      non-hit doc paid the full gram materialization twice.
+      Different-length phrases cannot collide as strings (token
+      counts differ), so the concat never double-counts.
     - DataFrame blocklists (too wide to inline, or managed tables) take
       the O(1)-plan join path: Scan -> Generate (explode distinct
       shingles, narrow) -> BroadcastHashJoin(phrase table) -> hash agg
@@ -1107,19 +1118,17 @@ def blocklist_hits(
             literal = by_len
     if literal is not None:
         toks = tokens(F.lower(F.col(text_col)))
-        parts = [
-            F.array_intersect(ngram_list(toks, n), F.lit(ps))
-            for n, ps in literal.items()
-        ]
+        flag = F.lit(False)
+        parts = []
+        for n, ps in literal.items():
+            grams_n = ngram_list(toks, n)
+            flag = flag | F.arrays_overlap(grams_n, F.lit(ps))
+            parts.append(F.array_intersect(grams_n, F.lit(ps)))
         hit_grams = parts[0] if len(parts) == 1 else F.concat(*parts)
-        return (
-            df.select(F.col(id_col), hit_grams.alias("_hit_grams"))
-            .filter(F.size("_hit_grams") > 0)
-            .select(
-                id_col,
-                F.size("_hit_grams").cast("long").alias("n_hits"),
-                F.array_min("_hit_grams").alias("first_hit"),
-            )
+        return df.filter(F.coalesce(flag, F.lit(False))).select(
+            F.col(id_col),
+            F.size(hit_grams).cast("long").alias("n_hits"),
+            F.array_min(hit_grams).alias("first_hit"),
         )
     toks = tokens(F.lower(F.col(text_col)))
     gram_arrays = [ngram_list(toks, n) for n in lens]
