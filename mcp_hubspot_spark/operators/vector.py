@@ -989,17 +989,28 @@ def sign_pack(vec, dim: int, bits_per_word: int = 32) -> Column:
     for w in range(n_words):
         lo = w * bits_per_word
         n_bits = min(bits_per_word, dim - lo)
-        words.append(
-            _chain_add(
-                [
-                    F.when(
-                        F.element_at(v, lo + i + 1) > 0,
-                        F.lit(1 << i).cast("long"),
-                    ).otherwise(F.lit(0).cast("long"))
-                    for i in range(n_bits)
-                ]
-            )
+        # one zip_with+aggregate HOF per word (~15 py4j calls) instead
+        # of a per-bit when/element_at chain (~40 calls PER BIT — the
+        # old form cost ~1.2 s of driver round-trips per build at
+        # dim=64). Value-identical: integer sum of the same distinct
+        # powers of two, left-to-right; a NULL vector folds to NULL
+        # here where the per-bit chain gave 0, so coalesce restores
+        # the exact old contract. A short vector zip_with-pads with
+        # NULL elements whose when() contributes 0 — same as the old
+        # element_at-past-end NULLs.
+        masks = F.lit([1 << i for i in range(n_bits)]).cast("array<bigint>")
+        word = F.aggregate(
+            F.zip_with(
+                F.slice(v, lo + 1, n_bits),
+                masks,
+                lambda x, m: F.when(x > 0, m).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+        words.append(F.coalesce(word, F.lit(0).cast("long")))
     return F.array(*words)
 
 

@@ -128,12 +128,31 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     scan_key = getattr(df, "_graft_scan_key", None)
     if scan_key is not None:
         memo_key = (*scan_key, parallelism)
-        n = _SCAN_PARTS.get(memo_key)
-        if n is None:
-            n = df.rdd.getNumPartitions()
-            _SCAN_PARTS[memo_key] = n
     else:
+        # transformed frames (filters, unions of joins) lose the scan
+        # breadcrumb; key the memo on the ANALYZED plan's semanticHash
+        # instead — one py4j call vs the full physical-planning pass
+        # df.rdd costs (~0.4 s per query build). The partition count is
+        # a pure function of (semantically-equal plan, file set,
+        # session split/shuffle confs), so the conf values ride the
+        # key. A hash collision could only memo a wrong COUNT, whose
+        # worst case is a redundant (or skipped) round-robin
+        # repartition — a perf nudge, never different rows.
+        try:
+            sem = df._jdf.queryExecution().analyzed().semanticHash()
+            memo_key = (
+                "_sem",
+                sem,
+                parallelism,
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions"),
+            )
+        except Exception:
+            memo_key = None
+    n = _SCAN_PARTS.get(memo_key) if memo_key is not None else None
+    if n is None:
         n = df.rdd.getNumPartitions()
+        if memo_key is not None:
+            _SCAN_PARTS[memo_key] = n
     if n < target:
         return df.repartition(target)
     return df

@@ -5501,7 +5501,14 @@ def training_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     reps = exact_dedup(
         quality, F.md5(F.lower(F.col("text"))), id_col="doc_id"
     ).select("doc_id")
-    deduped = quality.join(reps, "doc_id", "left_semi")
+    # semi-join DOCS (not quality) on the representative ids: reps ids
+    # are min-ids of quality rows, so reps ⊆ quality ids ⊆ docs ids and
+    # a row selected by id from docs IS the quality row (quality is
+    # itself a semi-join of docs) — set-identical output, but the
+    # tokenize-heavy repetition_features subtree under quality is no
+    # longer re-evaluated on this branch (it was narrow, so Spark's
+    # exchange reuse could not share it)
+    deduped = docs.join(reps, "doc_id", "left_semi")
     targets = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
     mixed = mixture_resample(deduped, "lang", targets, id_col="doc_id")
     packed = pack_sequences(mixed, shard_col="lang", capacity=256)
