@@ -158,9 +158,17 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via MinHash banding.
 
     Pipeline: signature (scan) → explode band keys → self-equi-join on band
-    key (shuffle on band key only — this is what avoids n²) → distinct
-    pairs → optional signature-jaccard verify. Returns
-    (id_a, id_b, sig_jaccard) with id_a < id_b.
+    key (shuffle on band key only — this is what avoids n²) → jaccard
+    verify → distinct pairs. Returns (id_a, id_b, sig_jaccard) with
+    id_a < id_b.
+
+    The jaccard is computed and ``min_jaccard`` applied BEFORE the pair
+    ``distinct()``: sig_jaccard is a pure function of the pair, so
+    dedup-then-filter and filter-then-dedup give identical rows, but the
+    pre-filtered dedup exchange carries (long, long, double) instead of
+    two num_perm-long signature arrays (~20x narrower at num_perm=16)
+    and only the pairs that survive the threshold — at 100 TB the
+    below-threshold band collisions never reach the shuffle at all.
     """
     if bands < 1 or num_perm % bands != 0:
         # bands > num_perm would make every band key md5("") — a full n²
@@ -183,12 +191,6 @@ def minhash_lsh_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band"
     )
-    pairs = (
-        a.join(b, on="band")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
     jac = (
         F.size(
             F.filter(
@@ -198,10 +200,14 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.size(F.col("sig_a"))
     )
-    out = pairs.select("id_a", "id_b", F.round(jac, 6).alias("sig_jaccard"))
+    scored = (
+        a.join(b, on="band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("sig_jaccard"))
+    )
     if min_jaccard is not None:
-        out = out.filter(F.col("sig_jaccard") >= min_jaccard)
-    return out
+        scored = scored.filter(F.col("sig_jaccard") >= min_jaccard)
+    return scored.distinct()
 
 
 # ----------------------------------------------------------------- simhash
@@ -557,6 +563,7 @@ def connected_components(
     label_col: str = "cluster_id",
     max_iter: int = 25,
     edges_distinct: bool = False,
+    nodes_exhaustive: bool = False,
 ) -> DataFrame:
     """Transitive dedup clusters from a pair list: every node labeled with
     the MIN node id of its connected component (the canonical-document
@@ -594,6 +601,16 @@ def connected_components(
     Duplicate edges would not change any label (min over a multiset), so
     a wrong promise costs redundant join rows per round, never
     correctness.
+
+    ``nodes_exhaustive``: promise that ``nodes`` is given, duplicate-free,
+    and contains EVERY edge endpoint (the usual dedup case: edges are
+    pairs over the very corpus whose ids are ``nodes``) — the initial
+    label table is then ``nodes`` itself and the union+distinct exchange
+    that would otherwise merge edge endpoints into it is skipped. Unlike
+    the other promise this one is load-bearing: an endpoint missing from
+    ``nodes`` would drop its edges from every round (the label join is
+    inner on the destination), so only pass it when the superset
+    relation holds by construction.
     """
     sym = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
@@ -606,15 +623,26 @@ def connected_components(
     # upstream pipeline (e.g. the whole LSH candidate generation)
     # would otherwise re-execute per iteration
     sym = sym.localCheckpoint(eager=True)
-    labels = sym.select(F.col("_s").alias(node_col))
-    if nodes is not None:
-        labels = labels.unionByName(
-            nodes.select(F.col(nodes.columns[0]).alias(node_col))
+    if nodes_exhaustive:
+        if nodes is None:
+            raise ValueError("nodes_exhaustive=True requires nodes")
+        # nodes is promised unique and ⊇ edge endpoints: it IS the
+        # initial label table — no union, no distinct exchange
+        labels = nodes.select(
+            F.col(nodes.columns[0]).alias(node_col)
+        ).select(node_col, F.col(node_col).alias("_label"))
+    else:
+        labels = sym.select(F.col("_s").alias(node_col))
+        if nodes is not None:
+            labels = labels.unionByName(
+                nodes.select(F.col(nodes.columns[0]).alias(node_col))
+            )
+        # one distinct over the union (not one per source) — round 1
+        # folds this into its own job off the sym checkpoint, no
+        # separate materialization needed
+        labels = labels.distinct().select(
+            node_col, F.col(node_col).alias("_label")
         )
-    # one distinct over the union (not one per source) — round 1 folds
-    # this into its own job off the sym checkpoint, no separate
-    # materialization needed
-    labels = labels.distinct().select(node_col, F.col(node_col).alias("_label"))
     for _ in range(max_iter):
         # self-edges (v, v) ride the join so every node (isolated ones
         # included) appears in the aggregate carrying its own label:
@@ -677,13 +705,17 @@ def ngram_contamination(
     (doc_id, hits) pairs that survive reach the one small aggregate
     shuffle. At larger benchmark sizes, hash each n-gram to 8 bytes
     (xxhash64) before the broadcast to cut the build side ~10x.
+
+    The broadcast side is NOT re-distinct-ed: ``word_shingles`` is
+    per-doc distinct by construction so (bench_id, ng) rows are already
+    unique, and both output aggregates are countDistinct — join
+    multiplicity cannot change them even for a caller that passes
+    duplicated benchmark rows. The previous ``.distinct()`` was a full
+    dedup exchange of the benchmark n-gram set for zero result effect.
     """
-    bench_ngrams = (
-        benchmark.select(
-            F.col(bench_id).alias("bench_id"),
-            F.explode(word_shingles(text_col, n)).alias("_ng"),
-        )
-        .distinct()
+    bench_ngrams = benchmark.select(
+        F.col(bench_id).alias("bench_id"),
+        F.explode(word_shingles(text_col, n)).alias("_ng"),
     )
     doc_ngrams = docs.select(
         F.col(doc_id), F.explode(word_shingles(text_col, n)).alias("_ng")

@@ -62,8 +62,12 @@ def bloom_build(
     then ONE groupBy(word_index).bit_or(mask) — map-side partial OR means
     each partition sends at most ``num_bits/64`` rows to the shuffle
     regardless of input size; the collect is bounded by the bitset size
-    (8 KiB per 2^16 bits), never by the data. Size ``num_bits`` ~10x the
-    expected distinct count for ~1% false positives with k=5.
+    (8 KiB per 2^16 bits), never by the data. ``values`` need NOT be
+    distinct: ``bit_or`` is idempotent, so duplicates change nothing and
+    are absorbed by the map-side partial aggregation — never pre-distinct
+    the input, that is a full extra shuffle for zero effect on the bitset.
+    Size ``num_bits`` ~10x the expected distinct count for ~1% false
+    positives with k=5.
     """
     assert num_bits % 64 == 0
     pos = _positions(F.col(col), num_bits, num_hashes)
@@ -146,18 +150,23 @@ def bloom_prefiltered_contamination(
     (shuffle-free but CPU-bound on a giant broadcast hash map) and
     probing a bitset that fits in L2/L3 with only ~FPR + true-hit
     fraction of n-grams ever touching the hash join.
+
+    No dedup exchanges anywhere: ``word_shingles`` is per-doc distinct
+    by construction, so (bench_id, ng) rows are already unique for the
+    broadcast build; the bitset build needs no distinct at all because
+    ``bit_or`` is idempotent (a duplicate n-gram ORs the same bits); and
+    the final aggregates are countDistinct, which join multiplicity
+    cannot change. The previous shape paid two full dedup shuffles of
+    the benchmark n-gram set before the 1024-row bitset aggregate.
     """
     from .dedup import word_shingles
 
-    bench_ngrams = (
-        benchmark.select(
-            F.col(bench_id).alias("bench_id"),
-            F.explode(word_shingles(text_col, n)).alias("_ng"),
-        )
-        .distinct()
+    bench_ngrams = benchmark.select(
+        F.col(bench_id).alias("bench_id"),
+        F.explode(word_shingles(text_col, n)).alias("_ng"),
     )
     words = bloom_build(
-        bench_ngrams.select("_ng").distinct(), "_ng", num_bits, num_hashes
+        bench_ngrams.select("_ng"), "_ng", num_bits, num_hashes
     )
     doc_ngrams = docs.select(
         F.col(doc_id), F.explode(word_shingles(text_col, n)).alias("_ng")

@@ -1809,6 +1809,10 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         # LSH pairs are distinct with id_a < id_b: the symmetrized edge
         # list is duplicate-free by construction, skip its dedup exchange
         edges_distinct=True,
+        # corpus doc_ids are unique and every LSH pair endpoint is a
+        # corpus doc: the corpus IS the initial label table — skips the
+        # endpoint-union distinct exchange in round 1
+        nodes_exhaustive=True,
     ).orderBy("doc_id")
 
 
@@ -1975,9 +1979,11 @@ def dedup_survivor_report(spark: SparkSession, sf: str) -> DataFrame:
         nodes=corpus.select("doc_id"),
         node_col="doc_id",
         label_col="cluster_id",
-        # same promise as dedup_clusters: LSH pairs are distinct and
-        # strictly oriented, so the symmetrized union needs no dedup
+        # same promises as dedup_clusters: LSH pairs are distinct and
+        # strictly oriented (no sym dedup exchange), and the corpus ids
+        # are the exhaustive unique node set (no endpoint-union distinct)
         edges_distinct=True,
+        nodes_exhaustive=True,
     )
     toks = corpus.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
