@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import const_double_array, const_long_array
+
 from .text import positional_ngrams, tokens
 from .vector import dot, l2_norm
 
@@ -107,10 +109,10 @@ def minhash_signature(
     # py4j calls total (arrays_zip names struct fields from the aliases)
     # instead of one Literal node per constant
     ab = F.arrays_zip(
-        F.lit(list(a)).cast("array<bigint>").alias("a"),
-        F.lit(list(b)).cast("array<bigint>").alias("b"),
+        const_long_array(a).alias("a"),
+        const_long_array(b).alias("b"),
     )
-    init = F.lit([MINHASH_PRIME] * num_perm).cast("array<bigint>")
+    init = const_long_array([MINHASH_PRIME] * num_perm)
     return F.aggregate(
         hashes,
         init,
@@ -230,10 +232,12 @@ def simhash(text_col: Column | str, shingle_n: int = 2) -> Column:
     # one aggregate pass accumulating all 60 bit votes (see minhash note:
     # per-bit aggregates would re-hash the document 60 times — HOF lambdas
     # have no common-subexpression elimination)
-    masks = F.lit([1 << b for b in range(SIMHASH_BITS)]).cast("array<bigint>")
+    masks = const_long_array(1 << b for b in range(SIMHASH_BITS))
     votes = F.aggregate(
         words,
-        F.lit([0] * SIMHASH_BITS),
+        # SQL-text int-array seed (F.lit(list-of-int) infers array<int>;
+        # keep that exact type so the vote arithmetic is unchanged)
+        F.expr("array(" + ", ".join(["0"] * SIMHASH_BITS) + ")"),
         lambda acc, w: F.zip_with(
             acc,
             masks,
@@ -411,7 +415,7 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane."""
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        s = dot(vec_col, F.lit([float(x) for x in p]))
+        s = dot(vec_col, const_double_array(p))
         key = key + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return key
 
@@ -480,10 +484,15 @@ def embedding_neardup_pairs(
             for t in range(n_tables)
             for p in random_hyperplanes(dim, n_planes, seed + t)
         ]
+        # NESTED constant tables stay SQL-text: parsing the array(array(...))
+        # literal costs ~5 ms, while F.lit on a list-of-lists costs ~1.2 s
+        # of driver-side conversion (measured r13 — the flat-list F.lit
+        # fast path does not extend to nested lists, where PySpark falls
+        # back to per-element conversion)
         planes_sql = "array(" + ", ".join(
             "array(" + ", ".join(f"{x!r}D" for x in p) + ")" for p in all_planes
         ) + ")"
-        bits_sql = (
+        bits = F.expr(
             f"transform({planes_sql}, p -> CASE WHEN "
             f"aggregate(zip_with(`{vec_col}`, p, (x, y) -> x * y), 0.0D, "
             f"(acc, x) -> acc + x) > 0 THEN CAST(1 AS BIGINT) "
@@ -502,7 +511,7 @@ def embedding_neardup_pairs(
         # pair instead of three — same floats (norm arithmetic is
         # identical either side of the join), 2/3 less HOF work on the
         # n·bucket_size verify stage
-        base = base.withColumn("_bits", F.expr(bits_sql)).withColumn(
+        base = base.withColumn("_bits", bits).withColumn(
             "_n", l2_norm(F.col(vec_col))
         )
         buckets = F.expr(f"array({structs})")
@@ -521,9 +530,22 @@ def embedding_neardup_pairs(
             F.col("_n").alias("nb"),
             "_bucket",
         )
-        pairs = (
+        # orient, score and threshold BEFORE the pair dedup: cosine is a
+        # pure function of the id pair (each id carries one fixed vector),
+        # so filter-then-distinct == distinct-then-filter row-for-row, and
+        # the dedup exchange ships (long, long, double) instead of two
+        # 64-double vectors + norms per BOTH orientations (~80x narrower).
+        # Cost: a pair colliding in c tables pays the dot fold c times
+        # (c <= n_tables) instead of once — the same trade
+        # minhash_lsh_pairs makes, and it only touches candidate rows.
+        cos_pre = dot(F.col("va"), F.col("vb")) / (
+            F.col("na") * F.col("nb")
+        )
+        return (
             a.join(b, on=["_bucket"])
-            .select("id_a", "id_b", "va", "vb", "na", "nb")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos_pre.alias("cosine"))
+            .filter(F.col("cosine") >= min_cosine)
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
@@ -777,12 +799,6 @@ def incremental_lsh_dedup(
             ).alias("band"),
         )
 
-    cand = (
-        banded(new_docs, "new")
-        .join(banded(corpus, "old"), "band")
-        .select("id_new", "sig_new", "id_old", "sig_old")
-        .distinct()
-    )
     jac = (
         F.size(
             F.filter(
@@ -794,20 +810,29 @@ def incremental_lsh_dedup(
         ).cast("double")
         / num_perm
     )
-    matches = cand.select(
-        "id_new", "id_old", F.round(jac, 6).alias("jac")
-    ).filter(F.col("jac") >= min_jaccard)
-    w = Window.partitionBy("id_new")
-    return (
-        matches.withColumn("_best", F.max("jac").over(w))
-        .groupBy(F.col("id_new").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_matches"),
-            F.max("jac").alias("best_jaccard"),
-            F.min(
-                F.when(F.col("jac") == F.col("_best"), F.col("id_old"))
-            ).alias("best_match_id"),
-        )
+    # score + threshold BEFORE the pair distinct (jac is a pure function
+    # of the pair — each id carries one fixed signature — so
+    # filter-then-distinct == distinct-then-filter row-for-row): the
+    # dedup exchange ships (long, long, double) instead of two
+    # num_perm-long signature arrays, and only above-threshold pairs.
+    # Cost: a pair colliding in c bands folds the zip_with c times
+    # (c <= bands) — the minhash_lsh_pairs trade.
+    matches = (
+        banded(new_docs, "new")
+        .join(banded(corpus, "old"), "band")
+        .select("id_new", "id_old", F.round(jac, 6).alias("jac"))
+        .filter(F.col("jac") >= min_jaccard)
+        .distinct()
+    )
+    # one aggregate resolves best-match-with-ties: max on (jac, -id_old)
+    # is (max jac, then min id_old) — the former Window max + conditional
+    # min pass computed the same thing with an extra per-partition sort.
+    return matches.groupBy(F.col("id_new").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jac").alias("best_jaccard"),
+        (-F.max(F.struct(F.col("jac"), (-F.col("id_old")).alias("_nid")))[
+            "_nid"
+        ]).alias("best_match_id"),
     )
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.scalars import const_long_array
+
 _BUCKETS = 1_000_000
 
 
@@ -428,8 +430,8 @@ def affine_uniform(h: Column, replica: Column, n_replicas: int) -> Column:
     re-evaluates it per fanned row). The same hash-once/affine-permute
     economics as the minhash signature, for the same reason."""
     a, b = bootstrap_constants(n_replicas)
-    av = F.element_at(F.lit(list(a)).cast("array<bigint>"), replica + 1)
-    bv = F.element_at(F.lit(list(b)).cast("array<bigint>"), replica + 1)
+    av = F.element_at(const_long_array(a), replica + 1)
+    bv = F.element_at(const_long_array(b), replica + 1)
     return ((av * h + bv) % F.lit(_BOOT_PRIME)).cast("double") / F.lit(
         float(_BOOT_PRIME)
     )

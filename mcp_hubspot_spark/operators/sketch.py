@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.scalars import const_long_array
+
 __all__ = [
     "bloom_build",
     "bloom_might_contain",
@@ -106,11 +108,11 @@ def bloom_might_contain(
     broadcast-like constant in the codegen'd plan, probed with
     element_at + shift, no join, no shuffle."""
     num_bits = len(words) * 64
-    # ONE literal array in ONE py4j call — F.array(*[F.lit(w) ...]) was
-    # num_bits/64 driver round-trips (~1 ms each, ~1 s of pure plan-
-    # construction time at the default 2^16 bits) plus a CreateArray the
-    # optimizer had to constant-fold; F.lit(list) is a single Literal
-    lit_words = F.lit(words)
+    # SQL-text literal: even the r13 F.lit(list) form converted at
+    # ~0.4 ms/element driver-side (~0.5 s per build at the default
+    # 2^16 bits = 1024 words); parsing the array(...) text is ~free and
+    # integer literals are trivially exact
+    lit_words = const_long_array(words)
     pos = _positions(value, num_bits, num_hashes)
     checks = [
         F.call_function(

@@ -28,13 +28,15 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import const_double_array, const_long_array
+
 
 def _vec_lit(vec: Sequence[float]) -> Column:
-    # ONE py4j call producing a single array literal (not one Literal
-    # node per element — 64-dim vectors cost 64 driver round-trips per
-    # build that way, and the optimizer had to constant-fold the
-    # CreateArray besides)
-    return F.lit([float(x) for x in vec])
+    # SQL-text literal: F.lit converts list inputs at ~0.4 ms/element
+    # driver-side (r13 measurement — the scalar fast path does not
+    # apply to lists), while parsing the array(...) text is ~free and
+    # repr round-trip keeps every double bit-identical
+    return const_double_array(vec)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -461,7 +463,7 @@ def random_sign_projection(
     vec = F.col(vec_col)
 
     def proj(j: int) -> Column:
-        s = F.lit([float(x) for x in signs[j]])
+        s = const_double_array(signs[j])
         return F.aggregate(
             F.zip_with(vec, s, lambda x, sg: x.cast("double") * sg),
             F.lit(0.0),
@@ -716,7 +718,7 @@ def _adc_expr(
 
     m = len(codebooks)
     table = _adc_table(codebooks, query_vec)
-    tlit = F.lit([[float(x) for x in row] for row in table])
+    tlit = const_double_array(table, depth=2)
     code = F.col(code_col)
     return functools.reduce(
         op.add,
@@ -998,7 +1000,7 @@ def sign_pack(vec, dim: int, bits_per_word: int = 32) -> Column:
         # the exact old contract. A short vector zip_with-pads with
         # NULL elements whose when() contributes 0 — same as the old
         # element_at-past-end NULLs.
-        masks = F.lit([1 << i for i in range(n_bits)]).cast("array<bigint>")
+        masks = const_long_array(1 << i for i in range(n_bits))
         word = F.aggregate(
             F.zip_with(
                 F.slice(v, lo + 1, n_bits),
@@ -1158,7 +1160,7 @@ def rotate_expr(vec, rotation: list[list[float]]) -> Column:
     the low bits; code agreement between the two encode paths is pinned
     by the tie-margin test, not bit-identity of the rotation itself."""
     v = vec if isinstance(vec, Column) else F.col(vec)
-    rlit = F.lit([[float(x) for x in row] for row in rotation])
+    rlit = const_double_array(rotation, depth=2)
     idx = F.sequence(F.lit(1), F.lit(len(rotation)))
     return F.transform(
         idx,
@@ -1254,8 +1256,8 @@ def residual_expr(
     subvector distributions and buys recall at equal m on clustered
     corpora)."""
     v = vec if isinstance(vec, Column) else F.col(vec)
-    ids = F.lit([int(cid) for cid, _ in cent_rows]).cast("array<bigint>")
-    cents = F.lit([[float(x) for x in c] for _, c in cent_rows])
+    ids = const_long_array(cid for cid, _ in cent_rows)
+    cents = const_double_array([c for _, c in cent_rows], depth=2)
     pos = F.array_position(ids, F.col(cell_col).cast("long"))
     anchor = F.element_at(cents, pos.cast("int"))
     return F.zip_with(v, anchor, lambda a, b: a - b)
@@ -1294,12 +1296,8 @@ def pq_adc_topk_residual(
         )
         for _, cent in probed_cents
     ]
-    t3 = F.lit(
-        [[[float(x) for x in row] for row in tab] for tab in tables]
-    )
-    probe_ids = F.lit([int(cid) for cid, _ in probed_cents]).cast(
-        "array<bigint>"
-    )
+    t3 = const_double_array(tables, depth=3)
+    probe_ids = const_long_array(cid for cid, _ in probed_cents)
     cell_pos = F.array_position(
         probe_ids, F.col(cell_col).cast("long")
     ).cast("int")

@@ -407,6 +407,37 @@ def test_multi_table_lsh_improves_recall(spark):
     assert r4 >= 0.9, (r1, r4)
 
 
+def test_lsh_pair_dedup_after_score_is_exact(spark):
+    """r13 narrowing: the LSH pair distinct now runs AFTER the cosine
+    score+threshold (the exchange carries (id_a, id_b, cosine), not two
+    vectors per orientation). Pin the contract that makes the reorder
+    safe: output pairs are unique, strictly oriented, at-or-above the
+    threshold, and IDENTICAL to the exact all-pairs twin restricted to
+    the pairs LSH surfaced."""
+    from mcp_hubspot_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).filter(F.col("vec_id") < 80)
+    twin = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(twin)
+    lsh = embedding_neardup_pairs(
+        corpus, min_cosine=0.9, n_planes=6, n_tables=4, dim=64
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in lsh]
+    assert len(pairs) == len(set(pairs))  # multi-table collisions deduped
+    assert all(a < b for a, b in pairs)
+    assert all(r.cosine >= 0.9 for r in lsh)
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            corpus, min_cosine=0.9, n_planes=None
+        ).collect()
+    }
+    for r in lsh:  # same pair -> bit-identical cosine on both paths
+        assert exact[(r.id_a, r.id_b)] == r.cosine
+
+
 def test_approx_quantiles_close_to_exact(spark):
     from mcp_hubspot_spark.workload import QUERIES
 
