@@ -264,16 +264,17 @@ def parts_without_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def order_lines_nested(spark: SparkSession, sf: str) -> DataFrame:
-    lineitem = load_table(spark, sf, "lineitem").withColumn(
-        "ln_str", F.col("l_linenumber").cast("string")
-    )
+    lineitem = load_table(spark, sf, "lineitem")
     # count rides the same groupBy as the ordered concat: one shuffle,
-    # no second aggregation joined back (the join doubled the lineitem
-    # aggregation work and added a 150k-group equi-join)
+    # no second aggregation joined back. value == sort_key takes the
+    # operator's narrow path: bare ints cross the exchange and are
+    # stringified after the per-group sort (~3x narrower rows than the
+    # former (int, string) struct — guide §2.3), rendering the same
+    # "|" join.
     nested = group_concat_ordered(
         lineitem,
         group=["l_orderkey"],
-        value="ln_str",
+        value="l_linenumber",
         sort_key="l_linenumber",
         sep="|",
         alias="line_numbers",
@@ -7810,9 +7811,13 @@ def dsir_selected_docs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.sampling import dsir_log_weights
 
     docs = load_table(spark, sf, "documents")
-    # target is a slice of the corpus -> single-explode form
+    # target is a slice of the corpus -> single-explode form. The bigram
+    # explode + per-feature md5 is per-doc CPU on a 3-split local scan:
+    # fan_out the weights side (decimal-exact order-independent sums, so
+    # partitioning cannot move the result); the join side stays a bare
+    # column scan
     weights = dsir_log_weights(
-        docs, target_pred=F.col("lang") == "en", n_buckets=1024
+        fan_out(docs), target_pred=F.col("lang") == "en", n_buckets=1024
     )
     return (
         weights.join(docs.select("doc_id", "lang"), "doc_id")
@@ -8689,7 +8694,10 @@ def classifier_auc(spark: SparkSession, sf: str) -> DataFrame:
 def blocklist_hit_docs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import blocklist_hits
 
-    docs = load_table(spark, sf, "documents")
+    # the in-scan flag+intersect is pure per-doc CPU; the documents file
+    # arrives as 3 scan splits locally, serializing it on 3 of 32 cores —
+    # fan_out round-robins first (guarded no-op on many-split tables)
+    docs = fan_out(load_table(spark, sf, "documents"))
     phrases = [
         "table table",
         "fast fast",
@@ -8775,7 +8783,7 @@ def corpus_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
 def phrase_occurrences_docs(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import phrase_occurrences
 
-    docs = load_table(spark, sf, "documents")
+    docs = fan_out(load_table(spark, sf, "documents"))
     return phrase_occurrences(docs, "table table").orderBy("doc_id")
 
 

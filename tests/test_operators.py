@@ -438,6 +438,36 @@ def test_lsh_pair_dedup_after_score_is_exact(spark):
         assert exact[(r.id_a, r.id_b)] == r.cosine
 
 
+def test_group_concat_ordered_narrow_path_matches_struct_path(spark):
+    """r13 narrowing: value == sort_key collects the bare key and
+    stringifies after the per-group sort. Pin equality with the general
+    struct path on unsorted input (including a 1-row group)."""
+    from mcp_hubspot_spark.operators.aggregates import group_concat_ordered
+
+    df = spark.createDataFrame(
+        [(1, 3), (1, 1), (1, 2), (2, 10), (3, 7), (3, 5)],
+        "g long, k int",
+    )
+    narrow = {
+        (r.g): (r.joined, r.n)
+        for r in group_concat_ordered(
+            df, group=["g"], value="k", sort_key="k",
+            extra_aggs=[F.count(F.lit(1)).alias("n")],
+        ).collect()
+    }
+    struct_path = {
+        (r.g): (r.joined, r.n)
+        for r in group_concat_ordered(
+            df.withColumn("k_str", F.col("k").cast("string")),
+            group=["g"], value="k_str", sort_key="k",
+            extra_aggs=[F.count(F.lit(1)).alias("n")],
+        ).collect()
+    }
+    assert narrow == struct_path == {
+        1: ("1|2|3", 3), 2: ("10", 1), 3: ("5|7", 2)
+    }
+
+
 def test_approx_quantiles_close_to_exact(spark):
     from mcp_hubspot_spark.workload import QUERIES
 
