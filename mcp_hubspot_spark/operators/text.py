@@ -141,6 +141,10 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     )
 
 
+# (rendered toks expression, n) -> built Column; see positional_ngrams
+_PNG_MEMO: dict[tuple[str, int], Column] = {}
+
+
 def positional_ngrams(toks: Column, n: int) -> Column:
     """Positional n-gram list via shifted-array zip_with — ONLY valid when
     ``size(toks) >= n`` (callers guard the short-doc case).
@@ -154,9 +158,22 @@ def positional_ngrams(toks: Column, n: int) -> Column:
     position size-n+1 (where a shifted view runs out) are nulled by the
     last zip and cut by the final slice, so the output is exactly the
     full-gram list at positions 1..size-n+1, in order, with multiplicity.
+
+    Construction is MEMOIZED on (rendered input expression, n): building
+    the n-1 zip_with chain costs 64-137 ms of py4j round-trips per call
+    (r13 cProfile) and the same (tokens(col), n) pair recurs across many
+    queries and bench reps. Columns are immutable unresolved expression
+    wrappers, so the shared object resolves per-plan exactly like a
+    shared ``F.col`` — metadata only, never data (the schema/fan_out
+    memo precedent). Equal rendered text == equal unresolved tree, so a
+    memo hit is the identical expression.
     """
     if n == 1:
         return toks
+    key = (str(toks), n)
+    got = _PNG_MEMO.get(key)
+    if got is not None:
+        return got
     sz = F.size(toks)
     out = toks
     for k in range(1, n):
@@ -173,7 +190,9 @@ def positional_ngrams(toks: Column, n: int) -> Column:
                     F.concat_ws(" ", a, b)
                 ),
             )
-    return F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(1)))
+    result = F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(1)))
+    _PNG_MEMO[key] = result
+    return result
 
 
 def ngram_list(toks: Column, n: int) -> Column:
