@@ -105,9 +105,9 @@ def minhash_signature(
     # lambdas have no common-subexpression elimination, so any structure
     # that references `hashes` per-permutation re-tokenizes and re-hashes
     # the document num_perm times (measured 100x slowdown).
-    # two literal arrays zipped into the (a, b) struct array in THREE
-    # py4j calls total (arrays_zip names struct fields from the aliases)
-    # instead of one Literal node per constant
+    # two SQL-text literal arrays zipped into the (a, b) struct array
+    # (arrays_zip names struct fields from the aliases) instead of one
+    # Literal node per constant
     ab = F.arrays_zip(
         const_long_array(a).alias("a"),
         const_long_array(b).alias("b"),
