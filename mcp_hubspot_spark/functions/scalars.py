@@ -50,6 +50,27 @@ def const_long_array(values) -> Column:
         "array(" + ", ".join(f"{int(x)}L" for x in values) + ")"
     )
 
+
+# (builder name, rendered input expression text, *params) -> built Column
+_EXPR_MEMO: dict[tuple, Column] = {}
+
+
+def memo_expr(key: tuple, build) -> Column:
+    """Memoized Column construction for expensive expression builders
+    (minhash/simhash/sign_pack/ngram chains cost 60-220 ms of py4j
+    round-trips per call — r13 cProfile — and recur with identical
+    inputs across queries and bench reps). Columns are immutable
+    unresolved expression wrappers, so a shared object resolves per-plan
+    exactly like a shared ``F.col`` — metadata only, never data (the
+    schema/fan_out memo precedent). ``key`` must capture EVERY input
+    that changes the built expression: the rendered input expression
+    text (equal text == equal unresolved tree) plus all parameters."""
+    got = _EXPR_MEMO.get(key)
+    if got is None:
+        got = build()
+        _EXPR_MEMO[key] = got
+    return got
+
 # F1 — recursive datetime → ISO-8601 string. Schema is explicit here, so
 # "recursive tree walk" degenerates to per-timestamp-column formatting
 # (reference core/formatters.py:8-27).

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.scalars import const_double_array, const_long_array
+from ..functions.scalars import const_double_array, const_long_array, memo_expr
 
 from .text import positional_ngrams, tokens
 from .vector import dot, l2_norm
@@ -93,7 +93,20 @@ def minhash_signature(
     num_perm) hash invocations, and the whole signature is ONE expression
     over the hashed-shingle array so Catalyst never duplicates the md5.
     Jaccard(A,B) ≈ fraction of matching signature positions.
+
+    Construction (a ~120 ms py4j chain) is memoized on the rendered
+    input expression + every parameter — see ``memo_expr``.
     """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return memo_expr(
+        ("minhash_signature", str(col), num_perm, shingle_n, seed),
+        lambda: _build_minhash_signature(col, num_perm, shingle_n, seed),
+    )
+
+
+def _build_minhash_signature(
+    text_col: Column, num_perm: int, shingle_n: int, seed: int
+) -> Column:
     a, b = minhash_perm_constants(num_perm, seed)
     sh = word_shingles(text_col, n=shingle_n)
     hashes = F.transform(
@@ -224,7 +237,18 @@ def simhash(text_col: Column | str, shingle_n: int = 2) -> Column:
     Per bit: vote = sum over shingles of (+1 if set else -1); fingerprint
     bit = 1 iff vote > 0. Deterministic and engine-portable (md5), no UDF —
     one scan, no shuffle.
+
+    Construction (a ~140 ms py4j chain) is memoized on the rendered
+    input expression + shingle_n — see ``memo_expr``.
     """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return memo_expr(
+        ("simhash", str(col), shingle_n),
+        lambda: _build_simhash(col, shingle_n),
+    )
+
+
+def _build_simhash(text_col: Column, shingle_n: int) -> Column:
     sh = word_shingles(text_col, n=shingle_n)
     words = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -28,7 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import const_double_array, const_long_array
+from ..functions.scalars import const_double_array, const_long_array, memo_expr
 
 
 def _vec_lit(vec: Sequence[float]) -> Column:
@@ -984,8 +984,19 @@ def sign_pack(vec, dim: int, bits_per_word: int = 32) -> Column:
     approximates angular distance (Charikar 2002 — the same hyperplane
     family embedding_neardup_lsh banding uses, here axis-aligned for
     oracle replayability; rotate first via rotate_expr for the random-
-    hyperplane form)."""
+    hyperplane form).
+
+    Construction (a ~220 ms py4j HOF chain at dim=64) is memoized on
+    the rendered input expression + every parameter — see
+    ``memo_expr``."""
     v = vec if isinstance(vec, Column) else F.col(vec)
+    return memo_expr(
+        ("sign_pack", str(v), dim, bits_per_word),
+        lambda: _build_sign_pack(v, dim, bits_per_word),
+    )
+
+
+def _build_sign_pack(v: Column, dim: int, bits_per_word: int) -> Column:
     n_words = (dim + bits_per_word - 1) // bits_per_word
     words = []
     for w in range(n_words):
