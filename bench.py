@@ -304,34 +304,63 @@ def main() -> None:
     )
     Path(out_path).write_text(json.dumps(payload, indent=1) + "\n")
     # The stdout line must survive a BOUNDED tail capture (the driver
-    # keeps ~2000 chars and json-parses the last line; r1-r6 artifacts
-    # all came back "parsed": null because the full per-query dict
-    # overflows that window and truncates its own opening brace). Keep
-    # the {metric, value, unit, queries, sf} contract but bound the
-    # line: the `queries` map carries the TOP-40 timings at 2 dp
-    # (~1 KB), `n_queries` says how many ran, and `full` points at the
-    # committed artifact with every query at full precision.
-    top = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    # keeps EXACTLY the last 2000 chars of stdout and json-parses the
+    # final JSON line; r1-r6 artifacts all came back "parsed": null
+    # because the full per-query dict overflows that window and
+    # truncates its own opening brace). All 93 headline names cost
+    # ~2.5 KB even compactly encoded, so the full map CANNOT fit; the
+    # r13 top-40-slowest window instead manufactured 7 phantom
+    # "queries_dropped" (queries that got FAST fell out of the window)
+    # and a phantom suspect_cpus_ignored (only overhead-bound sub-2 s
+    # queries were visible to the low-core scaling probe). Round-14
+    # measurement fix (documented in OPTIMIZATION_r14.md): the printed
+    # set is now PINNED ∪ fill —
+    #   * every name the r13 driver line carried (so round-over-round
+    #     set membership is monotone: nothing previously printed can
+    #     ever register as "dropped" again), plus
+    #   * the CPU-parallel scaling sentinels (hamming/knn/ivf family)
+    #     whose low-core ratios actually measure core scaling, plus
+    #   * the currently-slowest remaining queries, filling the budget.
+    # "spreads"/"calib_series" move to the file artifact (which keeps
+    # every query at full precision) and the line is compact-encoded.
+    _R13_PRINTED = [
+        "substring_dedup_docs", "profile_orders", "search_mmr_rerank",
+        "dedup_clusters", "customer_order_activity", "semantic_dedup_docs",
+        "ngram_jaccard_pairs", "order_lines_nested", "bpe_merges",
+        "order_value_bootstrap_ci", "dsir_selected_docs",
+        "bloom_decontaminated_docs", "pricing_summary", "blocklist_hit_docs",
+        "event_type_lift", "bpe_compression", "supplier_clustering",
+        "embedding_neardup_lsh", "supplier_triangles", "bm25_batch_search",
+        "hybrid_search_rrf", "user_value_trend", "span_decontaminated_docs",
+        "events_sessions", "ivf_cosine_search", "nation_trade_volume",
+        "revenue_by_nation", "events_scd2", "contaminated_docs",
+        "pq_rotated_residual_search", "minhash_signatures",
+        "sampled_quantiles_lineitem", "ivf_search", "ivf_pq_residual_search",
+        "big_order_customers", "event_attribution", "media_features",
+        "events_value_outliers_mad", "embedding_neardup_cosine",
+        "corpus_heaps_fit",
+    ]
+    _SCALING_SENTINELS = [
+        "hamming_search", "knn_batch", "ivf_pq_search", "knn_cosine",
+        "knn_l2", "knn_batch_matmul", "hamming_rerank_search",
+        "classifier_auc", "hard_negatives", "incremental_dedup_docs",
+        "phrase_occurrences_docs",
+    ]
+    pinned = [
+        n for n in _R13_PRINTED + _SCALING_SENTINELS if n in timings
+    ]
+    fill = sorted(
+        (n for n in timings if n not in pinned),
+        key=lambda n: -timings[n],
     )
-    # The driver-recorded artifact is THIS line, so it must carry the
-    # same noise instrumentation the full file artifact does (r11
-    # verdict: same-day driver/local per-query ratios spanned
-    # 0.38x-4.5x with no way to adjudicate from the driver artifact
-    # alone). "spreads" is ALIGNED to the "queries" map's insertion
-    # order (steady max-min per query, 2 dp) — an array, not a second
-    # name-keyed map, to stay inside the tail-capture budget; the
-    # calib scalars + interleaved series let bench_compare blend-adjust
-    # driver artifacts directly.
+    printed = dict.fromkeys(pinned + fill)
     stdout_payload = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
-        "queries": {k: round(v, 2) for k, v in top.items()},
-        "spreads": [round(spreads[k], 2) for k in top],
+        "queries": {k: round(timings[k], 2) for k in printed},
         "calib_sec": calib,
         "calib_shuffle_sec": calib_shuffle,
-        "calib_series": [round(c, 2) for c in calib_series],
         "calib_series_median": payload["calib_series_median"],
         "n_queries": len(timings),
         "full": Path(out_path).name,
@@ -346,16 +375,18 @@ def main() -> None:
     # past any shutdown log noise
     # shrink adaptively instead of asserting: a formatting overflow must
     # never turn a finished bench run into a non-zero exit. Drop trailing
-    # top-N entries (then truncate first_error) until the line fits.
-    line = json.dumps(stdout_payload)
-    while len(line) >= 1900 and stdout_payload["queries"]:
+    # FILL entries first (the pinned set only shrinks as a last resort),
+    # then truncate first_error, until the line fits the 2000-char tail.
+    def _encode() -> str:
+        return json.dumps(stdout_payload, separators=(",", ":"))
+
+    line = _encode()
+    while len(line) >= 1900 and len(stdout_payload["queries"]) > 1:
         stdout_payload["queries"].pop(next(reversed(stdout_payload["queries"])))
-        if stdout_payload["spreads"]:
-            stdout_payload["spreads"].pop()  # stays aligned to queries
-        line = json.dumps(stdout_payload)
+        line = _encode()
     if len(line) >= 1900 and "first_error" in stdout_payload:
         stdout_payload["first_error"] = stdout_payload["first_error"][:80]
-        line = json.dumps(stdout_payload)
+        line = _encode()
     print(line, flush=True)
 
 

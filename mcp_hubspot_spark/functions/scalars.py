@@ -8,8 +8,9 @@ that stays inside whole-stage codegen.
 from __future__ import annotations
 
 import math
+import weakref
 
-from pyspark.sql import Column
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -29,6 +30,18 @@ def const_double_array(values, depth: int = 1) -> Column:
     return F.expr(_render_double_array(values, depth))
 
 
+def _empty_array_sql(element_sql_type: str, depth: int = 1) -> str:
+    """A TYPED empty-array literal. A bare ``array()`` is typed
+    ``array<void>`` and fails with a type error deep inside any fold it
+    feeds (r13 advice); the replaced ``F.lit([...]).cast(...)`` forms
+    handled degenerate inputs (num_perm=0, empty centroid tables) at the
+    boundary, so keep that contract."""
+    t = element_sql_type
+    for _ in range(depth):
+        t = f"array<{t}>"
+    return f"cast(array() as {t})"
+
+
 def _render_double_array(values, depth: int) -> str:
     if depth == 1:
         parts = []
@@ -37,8 +50,12 @@ def _render_double_array(values, depth: int) -> str:
             if not math.isfinite(x):
                 raise ValueError(f"non-finite constant {x!r}")
             parts.append(f"{x!r}D")
+        if not parts:
+            return _empty_array_sql("double")
         return "array(" + ", ".join(parts) + ")"
     inner = ", ".join(_render_double_array(v, depth - 1) for v in values)
+    if not inner:
+        return _empty_array_sql("double", depth)
     return "array(" + inner + ")"
 
 
@@ -46,13 +63,20 @@ def const_long_array(values) -> Column:
     """``array<bigint>`` literal via SQL text — same rationale (and the
     same exactness, trivially: integer literals) as
     :func:`const_double_array`."""
-    return F.expr(
-        "array(" + ", ".join(f"{int(x)}L" for x in values) + ")"
-    )
+    parts = ", ".join(f"{int(x)}L" for x in values)
+    if not parts:
+        return F.expr(_empty_array_sql("bigint"))
+    return F.expr("array(" + parts + ")")
 
 
-# (builder name, rendered input expression text, *params) -> built Column
+# (builder name, rendered input expression text, *params) -> built Column.
+# Scoped to ONE SparkSession (cleared on session change — a cached Column
+# holds py4j refs that die with the JVM-side session) and FIFO-capped so a
+# long-lived driver with many distinct inputs cannot grow it without bound
+# (r13 advice / verdict what's-wrong #5).
 _EXPR_MEMO: dict[tuple, Column] = {}
+_EXPR_MEMO_CAP = 512
+_MEMO_SESSION: "weakref.ref[SparkSession] | None" = None
 
 
 def memo_expr(key: tuple, build) -> Column:
@@ -64,10 +88,28 @@ def memo_expr(key: tuple, build) -> Column:
     exactly like a shared ``F.col`` — metadata only, never data (the
     schema/fan_out memo precedent). ``key`` must capture EVERY input
     that changes the built expression: the rendered input expression
-    text (equal text == equal unresolved tree) plus all parameters."""
+    text (equal text == equal unresolved tree) plus all parameters.
+
+    INVARIANT: only UNRESOLVED expressions (``F.col`` trees, literals)
+    may be memoized. A plan-bound Column (``df["x"]``) renders the same
+    text as ``F.col("x")`` but resolves against one specific DataFrame —
+    memoizing it would hand that binding to unrelated plans. Callers
+    that accept arbitrary Columns must bypass the memo for Column inputs
+    (see minhash_signature/simhash/sign_pack) or guarantee the input is
+    an internally-built unresolved tree (positional_ngrams)."""
+    global _MEMO_SESSION
+    sess = SparkSession.getActiveSession()
+    cur = _MEMO_SESSION() if _MEMO_SESSION is not None else None
+    if sess is not cur:
+        # different or restarted session: cached Columns wrap py4j objects
+        # from the previous JVM-side session — drop them all
+        _EXPR_MEMO.clear()
+        _MEMO_SESSION = weakref.ref(sess) if sess is not None else None
     got = _EXPR_MEMO.get(key)
     if got is None:
         got = build()
+        if len(_EXPR_MEMO) >= _EXPR_MEMO_CAP:
+            _EXPR_MEMO.pop(next(iter(_EXPR_MEMO)))
         _EXPR_MEMO[key] = got
     return got
 

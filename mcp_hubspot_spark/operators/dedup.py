@@ -94,13 +94,19 @@ def minhash_signature(
     over the hashed-shingle array so Catalyst never duplicates the md5.
     Jaccard(A,B) ≈ fraction of matching signature positions.
 
-    Construction (a ~120 ms py4j chain) is memoized on the rendered
-    input expression + every parameter — see ``memo_expr``.
+    Construction (a ~120 ms py4j chain) is memoized on the column NAME +
+    every parameter — see ``memo_expr``. Only string inputs are
+    memoized: a caller-supplied Column may be plan-bound (``df["x"]``),
+    which renders identically to ``F.col("x")`` but resolves against one
+    specific DataFrame, so sharing it across plans would mis-resolve.
     """
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if not isinstance(text_col, str):
+        return _build_minhash_signature(text_col, num_perm, shingle_n, seed)
     return memo_expr(
-        ("minhash_signature", str(col), num_perm, shingle_n, seed),
-        lambda: _build_minhash_signature(col, num_perm, shingle_n, seed),
+        ("minhash_signature", text_col, num_perm, shingle_n, seed),
+        lambda: _build_minhash_signature(
+            F.col(text_col), num_perm, shingle_n, seed
+        ),
     )
 
 
@@ -195,7 +201,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sigs = df.select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
+        minhash_signature(text_col, num_perm, shingle_n).alias("sig"),
     )
     banded = sigs.select(
         id_col, "sig", F.explode(minhash_bands(F.col("sig"), bands, rows_per_band)).alias("band")
@@ -238,13 +244,16 @@ def simhash(text_col: Column | str, shingle_n: int = 2) -> Column:
     bit = 1 iff vote > 0. Deterministic and engine-portable (md5), no UDF —
     one scan, no shuffle.
 
-    Construction (a ~140 ms py4j chain) is memoized on the rendered
-    input expression + shingle_n — see ``memo_expr``.
+    Construction (a ~140 ms py4j chain) is memoized on the column NAME +
+    shingle_n — see ``memo_expr``. Only string inputs are memoized
+    (plan-bound Columns render like ``F.col`` but resolve against one
+    DataFrame — see minhash_signature).
     """
-    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    if not isinstance(text_col, str):
+        return _build_simhash(text_col, shingle_n)
     return memo_expr(
-        ("simhash", str(col), shingle_n),
-        lambda: _build_simhash(col, shingle_n),
+        ("simhash", text_col, shingle_n),
+        lambda: _build_simhash(F.col(text_col), shingle_n),
     )
 
 
@@ -288,7 +297,7 @@ def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 2,
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash(F.col(text_col), shingle_n).alias("simhash"))
+    return df.select(F.col(id_col), simhash(text_col, shingle_n).alias("simhash"))
 
 
 def simhash_neardup_pairs(
@@ -811,7 +820,7 @@ def incremental_lsh_dedup(
     def banded(df: DataFrame, suffix: str) -> DataFrame:
         sigs = df.select(
             F.col(id_col).alias(f"id_{suffix}"),
-            minhash_signature(F.col(text_col), num_perm, shingle_n).alias(
+            minhash_signature(text_col, num_perm, shingle_n).alias(
                 f"sig_{suffix}"
             ),
         )
@@ -1232,31 +1241,58 @@ def _merge_diagonal_runs(
     tokens. One shuffle keys the window partition (pair, diag); the
     island groupBy re-aggregates the same partition with the island id
     appended (AQE-local, the window already clustered the rows)."""
-    w = Window.partitionBy(*keys, "diag").orderBy("pos_a")
-    new_island = F.when(
-        F.lag("pos_a").over(w) == F.col("pos_a") - 1, F.lit(0)
-    ).otherwise(F.lit(1))
-    run = matched.withColumn("_new", new_island).withColumn(
-        "island",
-        F.sum("_new").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Every Column here is built from fixed SQL text (parameterized only
+    # by the partition keys / k) and memoized: the former Window/when
+    # builder chains cost ~130 ms of py4j round-trips per query build
+    # (r13 verdict next-#5 driver-chatter item); a memoized F.expr parse
+    # is one round-trip once per session. Value-identical: CASE WHEN
+    # lag(..)=pos_a-1 THEN 0 ELSE 1 END matches the when/otherwise
+    # (NULL lag falls to ELSE both ways), and the casts are unchanged.
+    part = ", ".join([f"`{c}`" for c in keys] + ["diag"])
+    kt = tuple(keys)
+    new_island = memo_expr(
+        ("mdr_new", kt),
+        lambda: F.expr(
+            f"case when lag(pos_a) over (partition by {part} "
+            "order by pos_a) = pos_a - 1 then 0 else 1 end"
         ),
     )
+    island = memo_expr(
+        ("mdr_island", kt),
+        lambda: F.expr(
+            f"sum(_new) over (partition by {part} order by pos_a "
+            "rows between unbounded preceding and current row)"
+        ),
+    )
+    run = matched.withColumn("_new", new_island).withColumn("island", island)
     spans = (
         run.groupBy(*keys, "diag", "island")
         .agg(
-            F.min("pos_a").cast("long").alias("a_start"),
-            (F.max("pos_a") + F.lit(k - 1)).cast("long").alias("a_end"),
+            memo_expr(
+                ("mdr_astart",),
+                lambda: F.expr("cast(min(pos_a) as bigint)"),
+            ).alias("a_start"),
+            memo_expr(
+                ("mdr_aend", k),
+                lambda: F.expr(f"cast(max(pos_a) + {k - 1} as bigint)"),
+            ).alias("a_end"),
         )
         .select(
             *keys,
             "a_start",
             "a_end",
-            (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
-            (F.col("a_end") - F.col("diag")).cast("long").alias("b_end"),
-            (F.col("a_end") - F.col("a_start") + 1).cast("long").alias(
-                "n_tokens"
-            ),
+            memo_expr(
+                ("mdr_bstart",),
+                lambda: F.expr("cast(a_start - diag as bigint)"),
+            ).alias("b_start"),
+            memo_expr(
+                ("mdr_bend",),
+                lambda: F.expr("cast(a_end - diag as bigint)"),
+            ).alias("b_end"),
+            memo_expr(
+                ("mdr_ntok",),
+                lambda: F.expr("cast(a_end - a_start + 1 as bigint)"),
+            ).alias("n_tokens"),
         )
     )
     if min_tokens is not None and min_tokens > k:
@@ -1323,21 +1359,20 @@ def index_repeated_spans(
     diagonal merge into truncated spans."""
     if id_col is None:
         id_col = idx.columns[0]
-    a = idx.select(
-        F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+    # selectExpr/where-string forms: one parse round-trip each vs the
+    # multi-call F.col/alias chains (~3 ms per Column on this box —
+    # r13 verdict next-#5 driver-chatter item); same unresolved plan.
+    a = idx.selectExpr(
+        f"`{id_col}` as doc_a", "pos as pos_a", "shingle"
     )
-    b = idx.select(
-        F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"), "shingle"
+    b = idx.selectExpr(
+        f"`{id_col}` as doc_b", "pos as pos_b", "shingle"
     )
     matched = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "pos_a",
-            "pos_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        .where("doc_a < doc_b")
+        .selectExpr(
+            "doc_a", "doc_b", "pos_a", "pos_b", "pos_a - pos_b as diag"
         )
     )
     return _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
@@ -1418,16 +1453,13 @@ def self_repeated_spans(
     pair once). Same shingle-join + diagonal-merge shape; the join adds
     the id to the equi-key so only same-doc positions pair."""
     idx = token_shingle_index(df, k, id_col, text_col)
-    a = idx.select(F.col(id_col), F.col("pos").alias("pos_a"), "shingle")
-    b = idx.select(F.col(id_col), F.col("pos").alias("pos_b"), "shingle")
+    a = idx.selectExpr(f"`{id_col}`", "pos as pos_a", "shingle")
+    b = idx.selectExpr(f"`{id_col}`", "pos as pos_b", "shingle")
     matched = (
         a.join(b, [id_col, "shingle"])
-        .filter(F.col("pos_a") < F.col("pos_b"))
-        .select(
-            id_col,
-            "pos_a",
-            "pos_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        .where("pos_a < pos_b")
+        .selectExpr(
+            f"`{id_col}`", "pos_a", "pos_b", "pos_a - pos_b as diag"
         )
     )
     return _merge_diagonal_runs(matched, k, [id_col], min_tokens)
@@ -1483,10 +1515,8 @@ def scrub_repeated_spans(
         max_df=max_df,
         hash_shingles=hash_shingles,
     )
-    rem = spans.select(
-        F.col("doc_b").alias(id_col),
-        F.col("b_start").alias("s"),
-        F.col("b_end").alias("e"),
+    rem = spans.selectExpr(
+        f"doc_b as `{id_col}`", "b_start as s", "b_end as e"
     )
     return _cut_spans(df, rem, id_col, text_col, byte_faithful)
 
@@ -1522,21 +1552,38 @@ def _cut_spans(
     stays expression-side either way."""
     from .text import tokens
 
-    w = Window.partitionBy(id_col).orderBy("s", "e")
-    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = rem.withColumn("_pm", prev_max).withColumn(
-        "_g",
-        F.sum(
-            F.when(
-                F.col("_pm").isNull() | (F.col("s") > F.col("_pm")), 1
-            ).otherwise(0)
-        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    # All fixed-shape Columns below are SQL-text parses memoized per
+    # session (parameterized only by id_col): the former Window/when/HOF
+    # builder chains cost ~240 ms of py4j round-trips per query build
+    # (r13 verdict next-#5 driver-chatter item). Value-identical: the
+    # CASE mirrors when/otherwise, NOT exists mirrors ~F.exists, and the
+    # coalesce-to-typed-empty moved inside the filter (only _kept reads
+    # _iv, so coalescing at the use site is the same expression).
+    qid = f"`{id_col}`"
+    prev_max = memo_expr(
+        ("cut_pm", id_col),
+        lambda: F.expr(
+            f"max(e) over (partition by {qid} order by s, e "
+            "rows between unbounded preceding and 1 preceding)"
+        ),
     )
+    grp = memo_expr(
+        ("cut_g", id_col),
+        lambda: F.expr(
+            "sum(case when _pm is null or s > _pm then 1 else 0 end) "
+            f"over (partition by {qid} order by s, e "
+            "rows between unbounded preceding and current row)"
+        ),
+    )
+    flagged = rem.withColumn("_pm", prev_max).withColumn("_g", grp)
     merged = flagged.groupBy(id_col, "_g").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
     iv = merged.groupBy(id_col).agg(
-        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("_iv")
+        memo_expr(
+            ("cut_iv",),
+            lambda: F.expr("sort_array(collect_list(struct(s, e)))"),
+        ).alias("_iv")
     )
     if byte_faithful:
         return _cut_spans_bytes(df, iv, id_col, text_col)
@@ -1548,26 +1595,32 @@ def _cut_spans(
             tokens(F.col(text_col)), F.array().cast("array<string>")
         ).alias("_toks"),
     )
-    empty_iv = F.array().cast("array<struct<s:long,e:long>>")
-    indexed = F.transform(
-        "_toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
-    )
-    covered = lambda s: F.exists(  # noqa: E731
-        "_iv", lambda span: (s["i"] >= span["s"]) & (s["i"] <= span["e"])
+    kept = memo_expr(
+        ("cut_kept",),
+        lambda: F.expr(
+            "filter(transform(_toks, (t, i) -> struct(t, i)), "
+            "s -> NOT exists(coalesce(_iv, "
+            "cast(array() as array<struct<s:bigint,e:bigint>>)), "
+            "span -> s.i >= span.s AND s.i <= span.e))"
+        ),
     )
     return (
         toks_df.join(iv, id_col, "left")
-        .withColumn("_iv", F.coalesce(F.col("_iv"), empty_iv))
-        .withColumn("_kept", F.filter(indexed, lambda s: ~covered(s)))
+        .withColumn("_kept", kept)
         .select(
             F.col(id_col),
-            F.concat_ws(
-                " ", F.transform("_kept", lambda s: s["t"])
+            memo_expr(
+                ("cut_clean",),
+                lambda: F.expr("concat_ws(' ', transform(_kept, s -> s.t))"),
             ).alias("clean_text"),
-            F.size("_toks").cast("long").alias("n_tokens"),
-            (F.size("_toks") - F.size("_kept")).cast("long").alias(
-                "n_tokens_removed"
-            ),
+            memo_expr(
+                ("cut_ntok",),
+                lambda: F.expr("cast(size(_toks) as bigint)"),
+            ).alias("n_tokens"),
+            memo_expr(
+                ("cut_nrem",),
+                lambda: F.expr("cast(size(_toks) - size(_kept) as bigint)"),
+            ).alias("n_tokens_removed"),
         )
     )
 
@@ -1685,10 +1738,8 @@ def scrub_self_repeats(
     spans = self_repeated_spans(
         df, k, id_col, text_col, min_tokens=min_tokens
     )
-    rem = spans.select(
-        F.col(id_col),
-        F.col("b_start").alias("s"),
-        F.col("b_end").alias("e"),
+    rem = spans.selectExpr(
+        f"`{id_col}`", "b_start as s", "b_end as e"
     )
     return _cut_spans(df, rem, id_col, text_col, byte_faithful)
 
@@ -1727,33 +1778,27 @@ def cross_corpus_spans(
         bench, k, bench_id_col, text_col, hash_shingles
     )
     matched = (
-        d_idx.select(
-            F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"), "shingle"
+        d_idx.selectExpr(
+            f"`{id_col}` as doc_a", "pos as pos_a", "shingle"
         )
         .join(
             F.broadcast(
-                b_idx.select(
-                    F.col(bench_id_col).alias("doc_b"),
-                    F.col("pos").alias("pos_b"),
-                    "shingle",
+                b_idx.selectExpr(
+                    f"`{bench_id_col}` as doc_b", "pos as pos_b", "shingle"
                 )
             ),
             "shingle",
         )
-        .select(
-            "doc_a",
-            "doc_b",
-            "pos_a",
-            "pos_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        .selectExpr(
+            "doc_a", "doc_b", "pos_a", "pos_b", "pos_a - pos_b as diag"
         )
     )
     spans = _merge_diagonal_runs(matched, k, ["doc_a", "doc_b"], min_tokens)
-    return spans.select(
-        F.col("doc_a").alias(id_col),
-        F.col("doc_b").alias(bench_id_col),
-        F.col("a_start").alias("d_start"),
-        F.col("a_end").alias("d_end"),
+    return spans.selectExpr(
+        f"doc_a as `{id_col}`",
+        f"doc_b as `{bench_id_col}`",
+        "a_start as d_start",
+        "a_end as d_end",
         "b_start",
         "b_end",
         "n_tokens",
@@ -1787,9 +1832,7 @@ def scrub_contaminated_spans(
         max_df=max_df,
         hash_shingles=hash_shingles,
     )
-    rem = spans.select(
-        F.col(id_col),
-        F.col("d_start").alias("s"),
-        F.col("d_end").alias("e"),
+    rem = spans.selectExpr(
+        f"`{id_col}`", "d_start as s", "d_end as e"
     )
     return _cut_spans(docs, rem, id_col, text_col, byte_faithful)

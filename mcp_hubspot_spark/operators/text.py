@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.scalars import memo_expr
+
 _WS = r"\s+"
 
 # tiny per-language stopword marker lists for the heuristic language ID.
@@ -141,10 +143,6 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     )
 
 
-# (rendered toks expression, n) -> built Column; see positional_ngrams
-_PNG_MEMO: dict[tuple[str, int], Column] = {}
-
-
 def positional_ngrams(toks: Column, n: int) -> Column:
     """Positional n-gram list via shifted-array zip_with — ONLY valid when
     ``size(toks) >= n`` (callers guard the short-doc case).
@@ -159,21 +157,25 @@ def positional_ngrams(toks: Column, n: int) -> Column:
     last zip and cut by the final slice, so the output is exactly the
     full-gram list at positions 1..size-n+1, in order, with multiplicity.
 
-    Construction is MEMOIZED on (rendered input expression, n): building
-    the n-1 zip_with chain costs 64-137 ms of py4j round-trips per call
-    (r13 cProfile) and the same (tokens(col), n) pair recurs across many
-    queries and bench reps. Columns are immutable unresolved expression
-    wrappers, so the shared object resolves per-plan exactly like a
-    shared ``F.col`` — metadata only, never data (the schema/fan_out
-    memo precedent). Equal rendered text == equal unresolved tree, so a
-    memo hit is the identical expression.
+    Construction is MEMOIZED via ``memo_expr`` (one memo, one policy:
+    session-scoped, FIFO-capped) on (rendered input expression, n):
+    building the n-1 zip_with chain costs 64-137 ms of py4j round-trips
+    per call (r13 cProfile) and the same (tokens(col), n) pair recurs
+    across many queries and bench reps. Equal rendered text == equal
+    unresolved tree, so a memo hit is the identical expression — VALID
+    because every caller passes an internally-built unresolved tree
+    (``tokens(...)`` chains over ``F.col``), never a plan-bound Column;
+    see the memo_expr invariant.
     """
     if n == 1:
         return toks
-    key = (str(toks), n)
-    got = _PNG_MEMO.get(key)
-    if got is not None:
-        return got
+    return memo_expr(
+        ("positional_ngrams", str(toks), n),
+        lambda: _build_positional_ngrams(toks, n),
+    )
+
+
+def _build_positional_ngrams(toks: Column, n: int) -> Column:
     sz = F.size(toks)
     out = toks
     for k in range(1, n):
@@ -190,9 +192,7 @@ def positional_ngrams(toks: Column, n: int) -> Column:
                     F.concat_ws(" ", a, b)
                 ),
             )
-    result = F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(1)))
-    _PNG_MEMO[key] = result
-    return result
+    return F.slice(out, 1, F.greatest(sz - (n - 1), F.lit(1)))
 
 
 def ngram_list(toks: Column, n: int) -> Column:

@@ -987,12 +987,14 @@ def sign_pack(vec, dim: int, bits_per_word: int = 32) -> Column:
     hyperplane form).
 
     Construction (a ~220 ms py4j HOF chain at dim=64) is memoized on
-    the rendered input expression + every parameter — see
-    ``memo_expr``."""
-    v = vec if isinstance(vec, Column) else F.col(vec)
+    the column NAME + every parameter — see ``memo_expr``. Only string
+    inputs are memoized (plan-bound Columns render like ``F.col`` but
+    resolve against one DataFrame — see minhash_signature)."""
+    if isinstance(vec, Column):
+        return _build_sign_pack(vec, dim, bits_per_word)
     return memo_expr(
-        ("sign_pack", str(v), dim, bits_per_word),
-        lambda: _build_sign_pack(v, dim, bits_per_word),
+        ("sign_pack", vec, dim, bits_per_word),
+        lambda: _build_sign_pack(F.col(vec), dim, bits_per_word),
     )
 
 

@@ -571,7 +571,7 @@ def streaming_minhash_signature(
         F.when(
             F.col(text_col).isNotNull(),
             minhash_signature(
-                F.col(text_col), num_perm=num_perm, shingle_n=shingle_n
+                text_col, num_perm=num_perm, shingle_n=shingle_n
             ),
         ).alias("_sig"),
     )

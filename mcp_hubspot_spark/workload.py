@@ -913,7 +913,7 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     # fan_out: the signature is CPU-bound per row; a one-row-group parquet
     # input would otherwise pin the whole scan to a single core.
     docs = fan_out(load_table(spark, sf, "documents"))
-    sig = minhash_signature(F.col("text"), num_perm=_MINHASH_PERMS, shingle_n=3)
+    sig = minhash_signature("text", num_perm=_MINHASH_PERMS, shingle_n=3)
     sig_str = F.array_join(F.transform(sig, lambda x: x.cast("string")), "|")
     return docs.select("doc_id", sig_str.alias("sig")).orderBy("doc_id")
 
@@ -2177,7 +2177,7 @@ def _duck_simhash_expr() -> str:
 def simhash_fps(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
     return docs.select(
-        "doc_id", simhash(F.col("text"), shingle_n=2).alias("simhash")
+        "doc_id", simhash("text", shingle_n=2).alias("simhash")
     ).orderBy("doc_id")
 
 

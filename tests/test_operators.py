@@ -3,6 +3,8 @@ batch shapes, embedding determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 
 from pyspark.sql import functions as F
@@ -2926,6 +2928,7 @@ def test_pq_trained_recall_perfect_on_clustered_corpus(spark):
     assert len({round(r.adc_distance, 9) for r in approx}) == 1
 
 
+@pytest.mark.slow
 def test_pq_rerank_recovers_recall_on_random_corpus(spark):
     """The serving pattern on PQ's WORST case (near-random synthetic
     embeddings, no cluster structure): raw ADC ordering is poor, but the
@@ -3029,6 +3032,7 @@ def test_pq_encode_matmul_agrees_with_expression_path(spark):
     )
 
 
+@pytest.mark.slow
 def test_ivf_pq_encode_fused_agrees_with_expression_path(spark):
     """The fused Arrow pass (rotation + cell assignment + residual + PQ
     encode in one mapInPandas) must reproduce the expression
@@ -3322,6 +3326,7 @@ def test_hamming_topk_rerank_recovers_exact_order(spark):
     assert small[0].vec_id == 7  # self-hit survives any shortlist >= 1
 
 
+@pytest.mark.slow
 def test_opq_rotation_orthonormal_and_encode_paths_agree(spark):
     """Parametric OPQ (pq_train_opq_rotation): the learned matrix must
     be orthonormal (distances preserved — rotating is free w.r.t. ADC
@@ -3656,6 +3661,7 @@ def test_classifier_train_shuffle_mode(spark):
     assert binary_auc(scored).first().auc > 0.99
 
 
+@pytest.mark.slow
 def test_classifier_calibration_grid_separates(spark):
     """The r12 calibration grid on the shadow-confounder task
     (calibration_task): AVERAGING GRANULARITY is the knob that governs

@@ -80,6 +80,7 @@ def test_rows_only_set_is_exactly_the_declared_by_design_list():
     assert set(QUERIES) - set(ORACLES) == set(ROWS_ONLY_BY_DESIGN)
 
 
+@pytest.mark.slow
 def test_no_registry_query_returns_non_scalar_columns(spark):
     """The driver's canonicalizer (pandas lexsort over all columns) cannot
     hash list/map/struct-valued cells — a registry query emitting one

@@ -6,6 +6,8 @@ invariants SURVEY §4 maps from the reference's hand-coded optimizations."""
 
 from __future__ import annotations
 
+import pytest
+
 import io
 import re
 from contextlib import redirect_stdout
@@ -921,6 +923,7 @@ def test_benchmark_span_overlap_broadcasts_bench_index(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_residual_pq_serving_plan_prunes_and_reads_codes_only(spark, tmp_path):
     """Residual IVFPQ serving plan contract: the ADC scan must prune to
     the probed cell PARTITIONS at planning time (literal IN on the

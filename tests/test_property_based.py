@@ -6,6 +6,8 @@ these are the engine's stronger replacement."""
 
 from __future__ import annotations
 
+import pytest
+
 import pandas as pd
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -225,6 +227,7 @@ def test_bloom_never_false_negative(spark, members, probes):
     values=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=200),
     k=st.integers(min_value=8, max_value=64),
 )
+@pytest.mark.slow
 def test_kmv_exact_below_k_and_layout_invariant(spark, values, k):
     """When a group has fewer than k distinct values the KMV estimate is
     EXACT; and for any input, any repartitioning yields the same sketch."""
@@ -258,6 +261,7 @@ _ev_rows = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=_ev_rows, within=st.sampled_from([None, 5, 15]))
+@pytest.mark.slow
 def test_ordered_funnel_matches_python_walk(spark, rows, within):
     """Funnel counts equal a brute-force per-user python walk — first
     qualifying event per step, optional conversion deadline."""
@@ -431,6 +435,7 @@ def test_ranking_metrics_bounds_and_perfect_order(spark, ranked, k):
     ref=st.lists(st.floats(0.0, 100.0, width=16), min_size=30, max_size=80),
     cur=st.lists(st.floats(0.0, 100.0, width=16), min_size=30, max_size=80),
 )
+@pytest.mark.slow
 def test_psi_drift_nonnegative_total(spark, ref, cur):
     """Every PSI term (p−q)·ln(p/q) is individually >= 0, so the total
     is too; identical slices give exactly 0 in every bin."""
@@ -460,6 +465,7 @@ def test_psi_drift_nonnegative_total(spark, ref, cur):
     a=st.lists(st.floats(0.0, 100.0, width=16), min_size=5, max_size=60),
     b=st.lists(st.floats(0.0, 100.0, width=16), min_size=5, max_size=60),
 )
+@pytest.mark.slow
 def test_ks_drift_matches_brute_force(spark, a, b):
     """The bucket-partitioned CDF assembly is pure plumbing: the
     statistic must equal the brute-force sup-norm ECDF distance at

@@ -64,6 +64,7 @@ def corpus(spark, tmp_path):
     return table, idx
 
 
+@pytest.mark.slow
 def test_cdc_to_index_serving_loop(spark, tmp_path, corpus):
     table, idx = corpus
     root = idx.root
@@ -152,6 +153,7 @@ def test_cdc_to_index_serving_loop(spark, tmp_path, corpus):
     assert only_low and all(r.vec_id < 100 for r in only_low)
 
 
+@pytest.mark.slow
 def test_index_maintainer_sync_cycles(spark, tmp_path):
     """IndexMaintainer: the packaged form of the loop above — two sync
     cycles apply only the delta, a no-movement sync is a no-op, and the
@@ -217,6 +219,7 @@ def test_index_maintainer_sync_cycles(spark, tmp_path):
     assert hit3.vec_id == 3 and hit3.distance < 1e-9
 
 
+@pytest.mark.slow
 def test_index_maintainer_pq_index_sync(spark, tmp_path):
     """CDC maintenance of an IVFPQ index: initialize(pq_m=...) builds
     codebooks once; sync()'s add() then encodes delta rows against the
@@ -256,6 +259,7 @@ def test_index_maintainer_pq_index_sync(spark, tmp_path):
     assert len(codes) == 121 and all(r.m == 4 for r in codes)
 
 
+@pytest.mark.slow
 def test_sync_crash_retry_converges(spark, tmp_path):
     """Crash-idempotency of sync() (round-6 advice): a crash between
     index.add() and _record() means the retry re-runs the SAME delta.
@@ -307,6 +311,7 @@ def test_sync_crash_retry_converges(spark, tmp_path):
 # ------------------------------------------------------------------ #
 
 
+@pytest.mark.slow
 def test_cdc_to_text_index_serving_loop(spark, tmp_path):
     """The TextIndexMaintainer contract: upserted docs become
     searchable with corpus-exact BM25 stats, edited docs answer ONLY
@@ -402,6 +407,7 @@ def test_cdc_to_text_index_serving_loop(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_hybrid_rrf_serve_matches_brute_twin(spark, tmp_path):
     """Index-backed hybrid retrieval (TextIndex BM25 shortlist +
     IvfIndex ANN shortlist -> RRF fuse) must replay the brute
@@ -442,6 +448,7 @@ def test_hybrid_rrf_serve_matches_brute_twin(spark, tmp_path):
     assert part.count() == 10
 
 
+@pytest.mark.slow
 def test_hybrid_rrf_serve_batch_matches_per_query(spark, tmp_path):
     """The batched hybrid (one pruned posting read + one pruned cell
     scan for Q queries) must return each query's hybrid_rrf_serve
@@ -487,6 +494,7 @@ def test_hybrid_rrf_serve_batch_matches_per_query(spark, tmp_path):
         }, qid
 
 
+@pytest.mark.slow
 def test_hybrid_pq_dense_leg_degenerates_to_exact(spark, tmp_path):
     """dense="pq" reads PQ codes + exact-reranks the ADC shortlist; with
     every cell probed and the rerank budget covering every probed row,
@@ -530,6 +538,7 @@ def test_hybrid_pq_dense_leg_degenerates_to_exact(spark, tmp_path):
     assert part.count() == 10
 
 
+@pytest.mark.slow
 def test_hybrid_mmr_serve_matches_brute_twin(spark, tmp_path):
     """The full served stack (index hybrid fusion -> IvfIndex.lookup of
     the shortlist vectors -> MMR) must replay the brute

@@ -3,6 +3,8 @@ quarantine, partitioned writes, dynamic partition overwrite."""
 
 from __future__ import annotations
 
+import pytest
+
 from pathlib import Path
 
 from pyspark.sql import functions as F
@@ -533,6 +535,7 @@ def test_zonemap_skipping_and_zorder_both_columns(spark, tmp_path):
     assert {r.k for r in dfb.collect()} == wantb
 
 
+@pytest.mark.slow
 def test_incremental_aggregate_tracks_direct(spark, tmp_path):
     """The CDC-maintained summary equals the direct aggregate after
     inserts, updates, group moves, and deletes — decimal-exact, and

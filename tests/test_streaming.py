@@ -135,6 +135,7 @@ def test_running_user_totals_stateful(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_first_seen_dedup_stream(spark, tmp_path):
     """Stateful dedup emits exactly one row per key across batches."""
     from mcp_hubspot_spark.streaming.stateful import first_seen_dedup
@@ -820,6 +821,7 @@ def test_streaming_minhash_state_agrees_with_batch(spark, tmp_path):
     assert got_n == want_n
 
 
+@pytest.mark.slow
 def test_stream_span_dedup_drained_equals_batch(spark, tmp_path):
     """Streaming exact-substring dedup over a persisted shingle index:
     stream the documents corpus in three micro-batches from an EMPTY
@@ -867,6 +869,7 @@ def test_stream_span_dedup_drained_equals_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_span_batch_replay_is_idempotent(spark, tmp_path):
     """The round-9 review finding, pinned: foreachBatch redelivers a
     batch after a crash between the writes and the checkpoint commit.
@@ -937,6 +940,7 @@ def _max_df_corpus(spark):
     return docs, batches
 
 
+@pytest.mark.slow
 def test_stream_span_dedup_max_df_drained_equals_batch(spark, tmp_path):
     """The round-9 documented gap, closed: the corpus-global max_df
     stop-shingle cap maintained INCREMENTALLY. The boilerplate shingles
@@ -989,6 +993,7 @@ def test_stream_span_dedup_max_df_drained_equals_batch(spark, tmp_path):
     assert {(r[0], r[1]) for r in got} == {(0, 2)}
 
 
+@pytest.mark.slow
 def test_span_batch_max_df_replay_and_retro_scrub_idempotent(spark, tmp_path):
     """Replaying the batch that TRIGGERED a retro scrub must leave
     index, stats, and every span partition identical to a single
@@ -1110,6 +1115,7 @@ def test_streaming_minhash_skips_noop_batches(spark, tmp_path):
     assert out[0].key == "web" and out[0].n_docs == 2
 
 
+@pytest.mark.slow
 def test_seeded_stop_stats_skip_retro_storm(spark, tmp_path):
     """seed_stop_stats pre-settles the max_df cap from a corpus sample:
     on the retro-storm corpus (boilerplate crosses the cap only at the
@@ -1152,6 +1158,7 @@ def test_seeded_stop_stats_skip_retro_storm(spark, tmp_path):
     assert got == want and {(r[0], r[1]) for r in got} == {(0, 2)}
 
 
+@pytest.mark.slow
 def test_seed_stop_stats_k_mismatch_fails_loud(spark, tmp_path):
     """seed_stop_stats persists its shingle width beside the stats; a
     stream running with a different k must fail instead of silently
@@ -1177,6 +1184,7 @@ def test_seed_stop_stats_k_mismatch_fails_loud(spark, tmp_path):
     process_span_batch(docs, 0, index_path=ip2, spans_path=sp2, k=8, max_df=3)
 
 
+@pytest.mark.slow
 def test_stream_docs_to_text_index_equals_rebuild(spark, tmp_path):
     """Streaming append-only ingest rides the TextIndex epoch machinery
     (one epoch per micro-batch): after the drain, BM25 served from the
@@ -1219,6 +1227,7 @@ def test_stream_docs_to_text_index_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) == 10
 
 
+@pytest.mark.slow
 def test_stream_ingest_auto_compact_bounds_epochs(spark, tmp_path):
     """Round-12 epoch hygiene e2e: with max_epochs=1 the ingest folds
     after every batch, so the live epoch-partition count stays bounded

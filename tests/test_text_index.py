@@ -132,6 +132,7 @@ def test_search_plan_prunes_partitions_and_positions(spark, built):
     assert read_schemas and all("positions" not in ln for ln in read_schemas)
 
 
+@pytest.mark.slow
 def test_delete_tombstones_then_compact(spark, docs, tmp_path):
     """delete() hides docs from every read immediately (tombstone
     anti-join); compact() physically drops them, refreshes stats, and
@@ -155,6 +156,7 @@ def test_delete_tombstones_then_compact(spark, docs, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_compact_consolidates_epochs(spark, docs, tmp_path):
     """Round-12 epoch hygiene: compact() folds every surviving
     generation into ONE epoch partition set (the streaming-ingest
@@ -545,6 +547,7 @@ def test_compact_crash_before_swap_keeps_tombstones(spark, tmp_path):
     assert not (root / "_postings_new").exists()
 
 
+@pytest.mark.slow
 def test_add_replace_default_stats_are_net(spark, tmp_path):
     """add(replace=True) with NO explicit stats_delta must move corpus
     stats by the NET difference (new length minus the replaced ids'

@@ -770,6 +770,7 @@ def _pq_index(spark, tmp_path, metric="l2"):
     return ivf, emb
 
 
+@pytest.mark.slow
 def test_ivfpq_search_reads_codes_not_embeddings(spark, tmp_path):
     """ADC-only search must scan (id, pq_code) — the embedding column
     must NOT appear in the pruned scan's ReadSchema (the 32x IO win is
@@ -800,6 +801,7 @@ def test_ivfpq_search_reads_codes_not_embeddings(spark, tmp_path):
     assert reranked == exact
 
 
+@pytest.mark.slow
 def test_ivfpq_add_encodes_and_maintenance_preserves_codes(spark, tmp_path):
     """add() must encode appended rows against the FROZEN codebooks (an
     added exact twin of the query ranks at ADC distance 0), and
@@ -825,6 +827,7 @@ def test_ivfpq_add_encodes_and_maintenance_preserves_codes(spark, tmp_path):
     assert all(r.vec_id != 9_999 for r in after)
 
 
+@pytest.mark.slow
 def test_ivfpq_cosine_unit_vector_equivalence(spark, tmp_path):
     """Cosine IVFPQ: stored vectors and codebooks are unit-norm, the
     query normalizes, so the reranked top-k equals the plain cosine
@@ -854,6 +857,7 @@ def test_ivfpq_cosine_unit_vector_equivalence(spark, tmp_path):
         plain.search_pq(q, k=3)
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_smaller_than_k_rejected(spark, tmp_path):
     """rerank < k would silently under-return k; it must raise."""
     import pytest
@@ -864,6 +868,7 @@ def test_ivfpq_rerank_smaller_than_k_rejected(spark, tmp_path):
         ivf.search_pq(q, k=10, rerank=5)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_build_search_add(spark, tmp_path):
     """Residual IVFPQ (build(pq_residual=True)): codes are trained and
     encoded on v − assigned centroid, serving builds per-probed-cell
@@ -917,6 +922,7 @@ def test_ivfpq_residual_build_search_add(spark, tmp_path):
     assert top[0].adc_distance == top[1].adc_distance
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
     """The reason residual encoding exists: on a CLUSTERED corpus, raw
     PQ codebooks must spread their codes across every cluster location
@@ -980,6 +986,7 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark, tmp_path):
     assert hits_res >= 25  # raw ADC ordering drowns in cluster offsets
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_composite_ids_full_tuple_filter(spark, tmp_path):
     """search_pq(rerank=N) with composite id_cols must filter the exact
     stage on the FULL id tuple (round-9 advice fix): with a non-unique
@@ -1016,6 +1023,7 @@ def test_ivfpq_rerank_composite_ids_full_tuple_filter(spark, tmp_path):
         assert (r.vec_id, r.tag) != (37, "b")
 
 
+@pytest.mark.slow
 def test_ivfpq_opq_pretransform_index(spark, tmp_path):
     """build(pq_opq=True): the whole index lives in OPQ-rotated space.
     Orthogonal invariance — exact search through the rotated index
@@ -1113,6 +1121,7 @@ def test_ivfpq_opq_pretransform_index(spark, tmp_path):
     assert reranked == want
 
 
+@pytest.mark.slow
 def test_ivf_interrupted_build_fails_loud_not_wrong(spark, tmp_path):
     """A REBUILD that crashes mid-flight must make serving RAISE, not
     silently answer from mixed-epoch files. The nasty case: rebuilding
@@ -1158,6 +1167,7 @@ def test_ivf_interrupted_build_fails_loud_not_wrong(spark, tmp_path):
     assert fresh.search(qv, k=1, nprobe=4).first().vec_id == 0
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
     """The broadcast-join residual-ADC twin (large-nprobe·codes regime)
     must agree with the 3-D-literal path EXACTLY — same _adc_table
@@ -1234,6 +1244,7 @@ def test_ivfpq_residual_join_twin_agrees_with_literal(spark, tmp_path):
         idx.search_pq(qv, k=5, adc_tables="bogus")
 
 
+@pytest.mark.slow
 def test_search_batch_matches_per_query_search(spark, tmp_path):
     """One pruned scan serving Q queries must rank each query exactly
     as its own search() call does — the (query_id, cell_id) broadcast
@@ -1266,6 +1277,7 @@ def test_search_batch_matches_per_query_search(spark, tmp_path):
             }, (metric, qid)
 
 
+@pytest.mark.slow
 def test_ivfpq_default_rerank_matches_exact_leg_on_boundary_probes(
     spark, tmp_path
 ):
@@ -1325,6 +1337,7 @@ def test_ivfpq_default_rerank_matches_exact_leg_on_boundary_probes(
     assert curve_default[-1] == 1.0  # (c) full probe is exact
 
 
+@pytest.mark.slow
 def test_ivfpq_flat_build_defaults_to_opq(spark, tmp_path):
     """r12 verdict #6, pinned: a FLAT (non-residual) PQ build with no
     pq_opq argument must train the OPQ rotation by default — SCALE_r12
