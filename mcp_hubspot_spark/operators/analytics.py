@@ -256,24 +256,32 @@ def copurchase_lift(
     Scale shape: the raw (basket, item) rows reduce in ONE shuffle on
     the basket key into a sorted deduplicated per-basket item array
     (``collect_set`` — the FP-growth preprocessing layout; no separate
-    DISTINCT pass). Every downstream quantity then derives from ONE
-    tagged explode of that array — each basket emits its C(size, 2)
-    pairs, its items, and one basket marker, all counted in a single
-    aggregate — so the upstream basket build (the expensive fact-side
-    join + shuffle) is consumed exactly once instead of once per
-    branch (the former three-branch plan rebuilt it for pairs, item
-    supports, and the basket total: 3 fact scans, measured ~40% of the
-    query). Pair expansion is EXPRESSION-SIDE (``transform`` over
-    suffix slices — no self-join). The per-basket array and its
+    DISTINCT pass), and that array relation — decision-table-sized, one
+    narrow row per basket, never the fact rows — is **materialized once
+    via localCheckpoint** (guide §8: decide with small rows). The three
+    downstream quantities (pair counts, item supports, basket total)
+    are then independent cheap consumers of the checkpointed blocks, so
+    the expensive fact-side join + shuffle runs exactly once instead of
+    once per branch. Pair expansion is EXPRESSION-SIDE (``transform``
+    over suffix slices — no self-join). The per-basket array and its
     C(size, 2) fan-out are bounded by ``max_basket_size`` when given —
     a plain filter on the array length, strongly recommended for open
     item domains: a single pathological 10^5-item basket would
     otherwise emit 5·10^9 pairs from one row. Supports and the total
-    are joined back AFTER the min-count filter has shrunk the pair
-    set, from the already-aggregated (small) tagged relation — its
-    per-branch recompute reuses the one aggregation exchange; the
-    total rides in via a broadcast one-row cross join so the whole
-    plan stays lazy (no driver-side count action).
+    are joined back AFTER the min-count filter has shrunk the pair set;
+    the total rides in via a broadcast one-row cross join, never a
+    driver-side count.
+
+    (r14 adjudication note: the r13 shape derived all three quantities
+    from ONE tagged explode + single aggregate to avoid re-evaluating
+    the basket build — quiet-host interleaved A/B measured it ~35%
+    SLOWER at sf0.1 than either the lazy three-branch r12 shape or this
+    one (tagged 3.79-4.01 s, this 2.75-3.27 s, r12 2.50-3.21 s,
+    identical results), because the wide tagged explode dominates while
+    the branches are cheap. This shape keeps the r13 goal — the basket
+    build is provably consumed once, which the lazy r12 plan could not
+    guarantee (its plan re-evaluated the fact join per branch: 12 scans,
+    3x basket finalize) — at the r12 shape's local cost.)
     """
     items = (
         df.select(
@@ -284,65 +292,36 @@ def copurchase_lift(
     )
     if max_basket_size is not None:
         items = items.filter(F.size("_items") <= max_basket_size)
-    itype = df.schema[item_col].dataType
-    nul = F.lit(None).cast(itype)
-    # one tagged emission per basket: _k=0 rows are the ordered pairs
-    # (for each position, every later element of the sorted array —
-    # item_a < item_b by construction), _k=1 rows the distinct items,
-    # the _k=2 row the basket marker
-    tagged = F.concat(
-        F.flatten(
-            F.transform(
-                F.col("_items"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("_items"),
-                        i + F.lit(2),
-                        F.greatest(
-                            F.size(F.col("_items")) - i - F.lit(1),
-                            F.lit(0),
-                        ),
-                    ),
-                    lambda y: F.struct(
-                        F.lit(0).alias("_k"),
-                        x.alias("_a"),
-                        y.alias("_b"),
-                    ),
-                ),
-            )
-        ),
+    # one narrow column per basket is all the consumers need
+    items = items.select("_items").localCheckpoint()
+    n_baskets = items.agg(F.count(F.lit(1)).alias("_n_baskets"))
+    item_counts = (
+        items.select(F.explode("_items").alias("_i"))
+        .groupBy("_i")
+        .agg(F.count(F.lit(1)).alias("_item_n"))
+    )
+    # all ordered pairs of the sorted array: for each position, pair it
+    # with every later element — item_a < item_b by construction
+    pair_expr = F.flatten(
         F.transform(
             F.col("_items"),
-            lambda x: F.struct(
-                F.lit(1).alias("_k"), x.alias("_a"), nul.alias("_b")
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_items"),
+                    i + F.lit(2),
+                    F.greatest(
+                        F.size(F.col("_items")) - i - F.lit(1), F.lit(0)
+                    ),
+                ),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
             ),
-        ),
-        F.array(
-            F.struct(F.lit(2).alias("_k"), nul.alias("_a"), nul.alias("_b"))
-        ),
-    )
-    counts = (
-        items.select(F.explode(tagged).alias("_m"))
-        .groupBy(
-            F.col("_m._k").alias("_k"),
-            F.col("_m._a").alias("_a"),
-            F.col("_m._b").alias("_b"),
         )
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    n_baskets = counts.filter(F.col("_k") == 2).select(
-        F.col("_n").alias("_n_baskets")
-    )
-    item_counts = counts.filter(F.col("_k") == 1).select(
-        F.col("_a").alias("_i"), F.col("_n").alias("_item_n")
     )
     pairs = (
-        counts.filter(F.col("_k") == 0)
-        .select(
-            F.col("_a").alias("item_a"),
-            F.col("_b").alias("item_b"),
-            F.col("_n").alias("pair_count"),
-        )
+        items.select(F.explode(pair_expr).alias("_p"))
+        .select("_p.item_a", "_p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_pair_count)
     )
     # supports join AFTER the min-count filter: the pair set is already

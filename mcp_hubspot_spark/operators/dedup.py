@@ -167,6 +167,29 @@ def minhash_bands(sig_col: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _sig_match_fraction(col_a: str, col_b: str, num_perm: int) -> Column:
+    """Fraction of matching signature positions as an UNROLLED codegen'd
+    comparison sum — value-identical to the former
+    ``size(filter(zip_with(a, b, =), m -> m)) / size(a)`` (signatures are
+    fixed-length non-null long arrays by construction, so matches/num_perm
+    is the same quotient), but whole-stage-codegen'd instead of an
+    interpreted HOF chain. This matters because the LSH join evaluates
+    the score once per BAND COLLISION (a pair colliding in c bands folds
+    it c times, c <= bands): the r14 sf1-scale A/B caught the narrow
+    pre-distinct shape losing to the r12 wide shape by ~20% purely on
+    the repeated interpreted folds (17.9 vs 14.6 s at 200k docs); with
+    the unrolled form the narrow shuffle keeps its byte win without the
+    HOF tax. Memoized on (cols, num_perm) — fixed SQL text."""
+    terms = " + ".join(
+        f"(case when `{col_a}`[{i}] = `{col_b}`[{i}] then 1 else 0 end)"
+        for i in range(num_perm)
+    )
+    return memo_expr(
+        ("sig_match_fraction", col_a, col_b, num_perm),
+        lambda: F.expr(f"({terms}) / {float(num_perm)!r}D"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -212,15 +235,7 @@ def minhash_lsh_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band"
     )
-    jac = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.size(F.col("sig_a"))
-    )
+    jac = _sig_match_fraction("sig_a", "sig_b", num_perm)
     scored = (
         a.join(b, on="band")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -832,24 +847,15 @@ def incremental_lsh_dedup(
             ).alias("band"),
         )
 
-    jac = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.col("sig_new"), F.col("sig_old"), lambda x, y: x == y
-                ),
-                lambda m: m,
-            )
-        ).cast("double")
-        / num_perm
-    )
+    jac = _sig_match_fraction("sig_new", "sig_old", num_perm)
     # score + threshold BEFORE the pair distinct (jac is a pure function
     # of the pair — each id carries one fixed signature — so
     # filter-then-distinct == distinct-then-filter row-for-row): the
     # dedup exchange ships (long, long, double) instead of two
     # num_perm-long signature arrays, and only above-threshold pairs.
-    # Cost: a pair colliding in c bands folds the zip_with c times
-    # (c <= bands) — the minhash_lsh_pairs trade.
+    # A pair colliding in c bands scores c times (c <= bands) — cheap
+    # now that the score is the unrolled codegen'd comparison sum, see
+    # _sig_match_fraction.
     matches = (
         banded(new_docs, "new")
         .join(banded(corpus, "old"), "band")

@@ -259,8 +259,6 @@ def psi_drift(
 
     r = _binned(ref, "ref")
     c = _binned(cur, "cur")
-    tot_r = r.agg(F.sum("n_ref").alias("_tr"))
-    tot_c = c.agg(F.sum("n_cur").alias("_tc"))
     # full-outer bin merge WITHOUT a join (a full outer can't broadcast):
     # union the two ≤n_bins-row count sides with zero-filled twins and
     # re-aggregate — bins present in either slice survive with the other
@@ -273,13 +271,25 @@ def psi_drift(
         .groupBy("bin")
         .agg(F.sum("n_ref").alias("n_ref"), F.sum("n_cur").alias("n_cur"))
     )
+    # side totals as WINDOW sums over the merged ≤2·n_bins-row frame —
+    # exact-integer identity (every non-null ref row lands in exactly one
+    # bin, zero-filled twins add 0, so sum over bins == side total). The
+    # former tot_r/tot_c branch aggregates re-evaluated each side's full
+    # scan+bin subtree (no exchange reuse across the agg boundary): 2
+    # extra corpus passes for two scalars (r14, guide §2.2/§1.3).
+    # nullif(0) reproduces the old NULL-total semantics when a side is
+    # empty (sum over an empty agg was NULL; the window sum would be 0,
+    # and ANSI division by zero would error instead of yielding NULL).
+    w_all = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     n_r = F.col("n_ref")
     n_c = F.col("n_cur")
     p_ref = n_r / F.col("_tr")
     p_cur = n_c / F.col("_tc")
     return (
-        merged.crossJoin(F.broadcast(tot_r))
-        .crossJoin(F.broadcast(tot_c))
+        merged.withColumn("_tr", F.nullif(F.sum("n_ref").over(w_all), F.lit(0)))
+        .withColumn("_tc", F.nullif(F.sum("n_cur").over(w_all), F.lit(0)))
         .select(
             "bin",
             "n_ref",
@@ -501,6 +511,11 @@ def ks_drift(
     grid = (
         pooled.groupBy("val")
         .agg(F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"))
+        # (r14 note: a localCheckpoint here was tried and REVERTED — the
+        # initial plan shows the grid subtree 3x, but AQE's runtime
+        # ReuseExchange already materializes the value shuffle once (the
+        # plan-audit test pins it), and the quiet-host A/B read the
+        # checkpoint as a ~0.2 s LOSS at sf0.1: 1.36 vs 1.10 s median.)
     )
 
     # one 1-row reduce for bucket cutoffs AND side totals; nullif(0) so

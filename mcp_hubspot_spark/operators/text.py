@@ -127,6 +127,10 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     toks = df.select(id_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    # (r14 note: a localCheckpoint on tf was tried and REVERTED — AQE's
+    # runtime ReuseExchange already shares the (doc, term) shuffle
+    # between the main branch and the dfreq broadcast; quiet-host A/B
+    # read the checkpoint as neutral, 1.63 vs 1.67 s median at sf0.1.)
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     total = df.agg(F.count("*").alias("n_docs"))
@@ -283,6 +287,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     shard_col: str = "source",
     capacity: int = 256,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-style pretraining batches):
     within each shard, documents are concatenated in id order and cut into
@@ -294,8 +299,18 @@ def pack_sequences(
     independently and in parallel. A shard must fit one task's sort, so
     at 100 TB the shard key is (source, date-bucket) or finer, never a
     handful of mega-shards; the packing math is key-granularity-agnostic.
+
+    ``n_tok_col`` names an ALREADY-COMPUTED whitespace token count —
+    callers that carry counts on a narrow decision table (the
+    training_corpus_pipeline checkpoints (id, shard, n_tok) and never
+    ships text into the window) skip the re-tokenization;
+    ``token_count(text_col)`` is the default and the two are
+    value-identical whenever the count came from the same tokenizer.
     """
-    n_tok = token_count(F.col(text_col))
+    n_tok = (
+        F.col(n_tok_col) if n_tok_col is not None
+        else token_count(F.col(text_col))
+    )
     w = (
         Window.partitionBy(shard_col)
         .orderBy(F.col(id_col).asc())

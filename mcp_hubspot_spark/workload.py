@@ -5490,7 +5490,11 @@ def quality_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
 def training_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.dedup import exact_dedup
     from .operators.sampling import mixture_resample
-    from .operators.text import pack_sequences, repetition_features
+    from .operators.text import (
+        pack_sequences,
+        repetition_features,
+        token_count,
+    )
 
     docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
     feats = repetition_features(docs)
@@ -5516,9 +5520,27 @@ def training_corpus_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     # longer re-evaluated on this branch (it was narrow, so Spark's
     # exchange reuse could not share it)
     deduped = docs.join(reps, "doc_id", "left_semi")
+    # r14 (guide §8 decide-with-small-rows): everything downstream —
+    # mixture counts + total, the hash keep-test, the packing window,
+    # the final per-lang report — needs only (lang, doc_id, n_tok), so
+    # materialize THAT decision table once via localCheckpoint. Without
+    # it the mixture counts branch re-evaluated the whole quality→dedup
+    # chain a second time (tokenize + 2 aggregates + md5 dedup; the
+    # narrow subtrees defeat exchange reuse), and the packing stage
+    # re-tokenized the text. token_count(text) here equals
+    # pack_sequences' own count (same tokenizer) — quiet-host
+    # interleaved A/B: 3.44→2.95 s min / 3.69→3.53 med at sf0.1,
+    # identical rows; at scale it is one corpus pass instead of two.
+    base = deduped.select(
+        "lang",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    ).localCheckpoint()
     targets = {"en": 40, "de": 20, "fr": 15, "es": 15, "zh": 10}
-    mixed = mixture_resample(deduped, "lang", targets, id_col="doc_id")
-    packed = pack_sequences(mixed, shard_col="lang", capacity=256)
+    mixed = mixture_resample(base, "lang", targets, id_col="doc_id")
+    packed = pack_sequences(
+        mixed, shard_col="lang", capacity=256, n_tok_col="n_tok"
+    )
     return (
         packed.groupBy("lang")
         .agg(

@@ -706,6 +706,29 @@ def test_pack_sequences_invariants(spark, sf_dir):
             expect_offset += r["n_tok"]
 
 
+def test_pack_sequences_precomputed_count_col_agrees(spark, sf_dir):
+    """n_tok_col (the r14 decision-table fast path: pack a narrow
+    (id, shard, n_tok) relation without re-tokenizing text) must be
+    row-for-row identical to the default token_count(text) path."""
+    from mcp_hubspot_spark.operators.text import pack_sequences, token_count
+    from mcp_hubspot_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    default = pack_sequences(docs, capacity=64).collect()
+    narrow = docs.select(
+        "source",
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    via_col = pack_sequences(
+        narrow, capacity=64, n_tok_col="n_tok"
+    ).collect()
+    assert sorted(map(tuple, default), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, via_col), key=lambda t: (t[0], t[1])
+    )
+    assert len(default) > 0
+
+
 def test_mixture_resample_invariants(spark, sf_dir):
     """Membership is a pure function of the row (partition-invariant),
     under-target groups keep every row (rate caps at 1), groups absent
