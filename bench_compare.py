@@ -99,6 +99,21 @@ def main() -> None:
                 f"total: {badj}s "
                 f"({(badj / both_total_old - 1) * 100:+.1f}%)"
             )
+    # raw + calib-adjusted GEOMEAN of per-query speedups (r14, verdict
+    # Next #9): the round-over-round verdicts reverse-engineered host
+    # drift from the calib scalars by hand — report both numbers here so
+    # the comparison is self-contained. Speedup convention: old/new > 1
+    # means the new round is faster.
+    import math
+
+    ratios = [qa[q] / qb[q] for q in common if qa[q] > 0 and qb[q] > 0]
+    if ratios:
+        geo = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        line = f"geomean speedup (old/new, {len(ratios)} common): {geo:.3f}x"
+        if ca and cb and sa and sb:
+            blend = ((cb / ca) + (sb / sa)) / 2.0
+            line += f"; blend-calib-adjusted: {geo * blend:.3f}x"
+        print(line)
     added = sorted(set(qb) - set(qa))
     removed = sorted(set(qa) - set(qb))
     if added:

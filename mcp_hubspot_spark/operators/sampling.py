@@ -491,13 +491,19 @@ def poisson_bootstrap_ci(
         .withColumn("_w", w)
         .drop("_h")
     )
+    # The base (unweighted) stats RIDE the same (group, replica)
+    # aggregate instead of a second full scan of ``df`` (r14, guide
+    # §2.2/§1.3): every raw row emits exactly one replica-0 row, so the
+    # per-(group, _b=0) plain count and cents sum ARE the per-group
+    # n_rows and total — exact-integer identity, same decimal→long cast.
+    per_rep = fanned.groupBy(group_col, "_b").agg(
+        F.sum(F.col("_w") * F.col("_vc")).alias("_ws"),
+        F.sum("_w").alias("_wn"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_vc").alias("_vs"),
+    )
     reps = (
-        fanned.groupBy(group_col, "_b")
-        .agg(
-            F.sum(F.col("_w") * F.col("_vc")).alias("_ws"),
-            F.sum("_w").alias("_wn"),
-        )
-        .filter(F.col("_wn") > 0)
+        per_rep.filter(F.col("_wn") > 0)
         .select(
             group_col,
             (
@@ -507,13 +513,11 @@ def poisson_bootstrap_ci(
             ).alias("_mean_b"),
         )
     )
-    base = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
+    base = per_rep.filter(F.col("_b") == 0).select(
+        group_col,
+        F.col("_n").alias("n_rows"),
         (
-            F.sum((F.col(value_col).cast("decimal(18,2)") * 100).cast("long"))
-            .cast("double")
-            / F.lit(100.0)
-            / F.count(F.lit(1))
+            F.col("_vs").cast("double") / F.lit(100.0) / F.col("_n")
         ).alias("mean_value"),
     )
     ci = reps.groupBy(group_col).agg(
